@@ -1,0 +1,44 @@
+"""Text primitives for the training-data pipeline operators.
+
+JVM-side expressions only (regexp/split/hash built-ins); the heavy
+operators in ``icerunner_spark.operators.text`` / ``dedup`` compose these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokenization plus a BPE-ish fallback: words, numbers, or any
+# single non-space symbol each count as one token.
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    """array<string> of word/number/symbol tokens (lowercased)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(text), F.lit(_TOKEN_RE), 0)
+
+
+def token_count(text: Column | str) -> Column:
+    """Token count: BPE-ish regex token tally (SURVEY §2.C text analysis)."""
+    return F.size(tokens(text))
+
+
+def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    """array<string> of overlapping character n-grams (shingles) —
+    the input unit for MinHash / Jaccard near-dup detection."""
+    text = F.col(text) if isinstance(text, str) else text
+    norm = F.lower(F.regexp_replace(text, r"\s+", " "))
+    # sequence over character positions, sliced JVM-side: no UDF.
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(norm) - F.lit(n - 1))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+
+
+def fingerprint64(text: Column | str) -> Column:
+    """Deterministic 64-bit document fingerprint (xxhash64 of normalized
+    text) — exact-dup key at any scale."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.xxhash64(F.lower(F.regexp_replace(text, r"\s+", " ")))

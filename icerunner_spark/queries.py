@@ -1,0 +1,765 @@
+"""Query corpus: the engine's operator surface as (Spark query, DuckDB oracle) pairs.
+
+This is the delegated-SQL surface the reference exposes through its
+``sql()`` passthrough (icerunner.py:200-207; SURVEY.md §2.B) plus the
+native CDC operator (§2.A#12) plus the training-data-pipeline extensions
+(§2.C): every category gets at least one named query, implemented with the
+DataFrame API (Catalyst picks the physical plan) and mirrored by an ANSI
+oracle for the driver's DuckDB hash-compare.
+
+Cross-engine determinism rules used throughout:
+- every computed column is aliased identically in both versions;
+- double aggregates are ``round()``-ed (sums to 2dp, avgs/ratios to 6dp)
+  so FP association-order noise can't flip the hash;
+- top-k selections are tie-broken by a unique key;
+- float arrays are cast to double *before* any arithmetic on both sides.
+
+Scale notes are inline per query (what broadcasts, what shuffles, what
+pushes down).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from icerunner_spark.functions.vector import cosine_similarity
+from icerunner_spark.functions.text import token_count
+from icerunner_spark.sources.testdata import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# Exact-decimal money arithmetic: every fixture money/rate column is
+# 2dp-valued, so casting to decimal before aggregation makes sums exact and
+# engine-order-independent; the final ROUND+CAST(DOUBLE) is then bit-stable
+# across Spark and the DuckDB oracle (no FP association-order noise).
+def _dec(col, prec: int = 12, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def _money_sum(expr) -> F.Column:
+    """SUM over decimal input -> round 2 -> double."""
+    return F.round(F.sum(expr), 2).cast("double")
+
+
+def _exact_avg(dec_expr, digits: int = 6) -> F.Column:
+    """Exact decimal SUM, one double division by COUNT — deterministic."""
+    return F.round(F.sum(dec_expr).cast("double") / F.count(F.lit(1)), digits)
+
+
+# --------------------------------------------------------------------------- #
+# Aggregation (hash agg, partial+final) — SURVEY §2.B "Aggregations"
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    WITH l AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(l_quantity AS DECIMAL(12,2))      AS qty,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS ep,
+               CAST(l_discount AS DECIMAL(4,2))       AS disc,
+               CAST(l_tax AS DECIMAL(4,2))            AS tax
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(qty), 2) AS DOUBLE)                             AS sum_qty,
+           CAST(ROUND(SUM(ep), 2) AS DOUBLE)                              AS sum_base_price,
+           CAST(ROUND(SUM(ep * (1 - disc)), 2) AS DOUBLE)                 AS sum_disc_price,
+           CAST(ROUND(SUM((ep * (1 - disc)) * (1 + tax)), 2) AS DOUBLE)   AS sum_charge,
+           ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6)                  AS avg_qty,
+           ROUND(CAST(SUM(ep) AS DOUBLE) / COUNT(*), 6)                   AS avg_price,
+           ROUND(CAST(SUM(disc) AS DOUBLE) / COUNT(*), 6)                 AS avg_disc,
+           COUNT(*)                                                       AS count_order
+    FROM l
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. Scale: single map-side-combinable hash aggregate over
+    a scanned fact table; the shipdate filter pushes into the parquet scan;
+    output cardinality is tiny (|flags|x|status|), so shuffle is negligible.
+    Money math runs in exact decimals (see _dec)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty, ep = _dec("l_quantity"), _dec("l_extendedprice")
+    disc, tax = _dec("l_discount", 4, 2), _dec("l_tax", 4, 2)
+    disc_price = ep * (1 - disc)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money_sum(qty).alias("sum_qty"),
+            _money_sum(ep).alias("sum_base_price"),
+            _money_sum(disc_price).alias("sum_disc_price"),
+            _money_sum(disc_price * (1 + tax)).alias("sum_charge"),
+            _exact_avg(qty).alias("avg_qty"),
+            _exact_avg(ep).alias("avg_price"),
+            _exact_avg(disc).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+global agg. All four predicates are
+    min/max-prunable parquet pushdowns; at 100 TB this is the query that
+    proves filters reach the scan (check PushedFilters in .explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _money_sum(_dec("l_extendedprice") * _dec("l_discount", 4, 2)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "distinct_agg_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def distinct_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates: Catalyst expands to a two-phase Expand+agg plan
+    with partial aggregation — no driver-side distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Joins — SURVEY §2.B "Joins" (equi / semi / anti / theta)
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. Scale: customer (filtered on segment) broadcasts
+    against orders; orders⋈lineitem is the one real shuffle, on the join
+    key both sides. Segment/date filters push down before the joins."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_money_sum(_dec("l_extendedprice") * (1 - _dec("l_discount", 4, 2))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. Scale: region/nation/supplier/customer
+    are dimension-sized → broadcast; the only big shuffle is
+    orders⋈lineitem. Join order mirrors what Catalyst+AQE would pick."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _money_sum(_dec("l_extendedprice") * (1 - _dec("l_discount", 4, 2))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "semi_join_customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def semi_join_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — dedup-free existence check, no row multiplication."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "theta_join_acctbal_dominance",
+    oracle="""
+    SELECT s.s_suppkey,
+           COUNT(*) AS n_dominated,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_cust_bal
+    FROM supplier s
+    JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+    GROUP BY s.s_suppkey
+    """,
+)
+def theta_join_acctbal_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed equi+theta join (the reference's CDC SQL uses a pure theta
+    join, icerunner.py:244-251). The equi key (nationkey) lets Catalyst use
+    a hash join with the inequality as a post-filter instead of a
+    nested-loop over the full cross product — the scalable formulation."""
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal))
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominated"),
+            _money_sum(_dec("c_acctbal")).alias("sum_cust_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Window functions — SURVEY §2.B "Window functions"
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "window_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def window_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: one shuffle on the partition key, in-partition sort,
+    early filter. Tie-broken by o_orderkey so selection is deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "window_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
+           LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+    FROM orders
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-window with an explicit ROWS frame + LAG. The frame
+    order is fully specified (date, key) so the FP accumulation order — and
+    therefore the rounded result — is engine-independent."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(_dec("o_totalprice")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).cast("double").alias("running_total"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Grouping sets / rollup / cube — SURVEY §2.B
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "rollup_order_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: Catalyst's Expand handles the grouping-set fan-out map-side."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _money_sum(_dec("o_totalprice")).alias("sum_price"),
+    )
+
+
+@register(
+    "cube_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "lineitem")
+    return o.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _money_sum(_dec("l_quantity")).alias("sum_qty"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Set operations — SURVEY §2.B
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "setops_customer_order_status",
+    oracle="""
+    SELECT 'both_f_and_o' AS op, k FROM (
+        SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT 'f_minus_o' AS op, k FROM (
+        SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def setops_customer_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one result, tagged by op."""
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k")).distinct()
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k")).distinct()
+    both = f.intersect(op).select(F.lit("both_f_and_o").alias("op"), "k")
+    only_f = f.exceptAll(op).select(F.lit("f_minus_o").alias("op"), "k")
+    return both.unionAll(only_f)
+
+
+# --------------------------------------------------------------------------- #
+# Sort / limit / top-k — SURVEY §2.B
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "topk_expensive_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps
+    + driver merge of k rows, NOT a full sort. This is the 100 TB-safe
+    global top-k. Tie-broken by key."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Scalar functions: string / date / math / JSON / array — SURVEY §2.B
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "scalar_string_math_part",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_type)                       AS type_upper,
+           SUBSTRING(p_name, 1, 8)             AS name_prefix,
+           LENGTH(p_name)                      AS name_len,
+           CONCAT(p_brand, ':', p_type)        AS brand_type,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+           ROUND(SQRT(p_retailprice), 6)       AS price_sqrt,
+           p_size % 7                          AS size_mod
+    FROM part
+    WHERE p_name LIKE '%a%'
+    """,
+)
+def scalar_string_math_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    return p.select(
+        "p_partkey",
+        F.upper("p_type").alias("type_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        (F.col("p_size") % 7).alias("size_mod"),
+    )
+
+
+@register(
+    "date_parts_orders",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INT)  AS y,
+           CAST(MONTH(o_orderdate) AS INT) AS m,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum(_dec("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "json_events_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_events_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction stays JVM-side via get_json_object (SURVEY §2.B JSON)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        _money_sum(_dec("value")).alias("sum_value"),
+    )
+
+
+@register(
+    "array_embedding_norms",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum'))), 6)
+               AS avg_l2_norm,
+           ROUND(AVG(list_aggregate(embedding::DOUBLE[], 'sum')), 6) AS avg_elem_sum
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def array_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions (transform/aggregate) — all codegen'd.
+    Elements are cast to double BEFORE arithmetic on both engines so the
+    accumulation is double-precision everywhere."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    l2 = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda a, x: a + x * x))
+    esum = F.aggregate(emb, F.lit(0.0), lambda a, x: a + x)
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(l2), 6).alias("avg_l2_norm"),
+        F.round(F.avg(esum), 6).alias("avg_elem_sum"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# AS-OF join — SURVEY §2.B "AS-OF" (custom helper; DuckDB has native ASOF)
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "asof_join_events_to_orders",
+    oracle="""
+    WITH orders_d AS (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+    FROM events e
+    ASOF LEFT JOIN orders_d o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join_events_to_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (latest order at-or-before each event), emulated with the
+    union + last(ignorenulls) window trick since Catalyst has no native
+    ASOF (SURVEY §2.B). One shuffle on the join key, one in-partition sort
+    — the same cost profile as a native ASOF implementation. Orders are
+    pre-deduped per (custkey, date) so the match is deterministic.
+    See icerunner_spark.operators.asof for the general helper."""
+    from icerunner_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        e,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("o_orderkey").alias("last_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# CDC over the snapshot table format — SURVEY §2.A #11-12
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "cdc_changes_since_snapshot",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region WHERE r_regionkey >= 3
+    """,
+)
+def cdc_changes_since_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC demo on the snapshot table format: create a managed
+    table from region rows < 3, snapshot, append rows >= 3, and read the
+    incremental diff — which must equal exactly the appended rows. The
+    reference's version of this operator returns duplicated full-table
+    rows (icerunner.py:224-259); ours is a true file-level diff."""
+    from icerunner_spark.connector import Connector
+
+    wh = os.path.join("/tmp", "icerunner_cdc_demo", os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(wh, ignore_errors=True)
+    c = Connector(spark, wh)
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    base = region.filter(F.col("r_regionkey") < 3)
+    extra = region.filter(F.col("r_regionkey") >= 3)
+    c.catalog.table("region_cdc").create(base)
+    snap0 = c.get_current_snapshot_id("region_cdc")
+    c.catalog.table("region_cdc").append(extra)
+    return c.scan_changes("region_cdc", snap0)
+
+
+# --------------------------------------------------------------------------- #
+# Extensions: dedup / similarity / text (SURVEY §2.C) — more in operators/
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT lang, source,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS group_size
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by key = keep one representative per group (min doc_id).
+    Pure hash aggregate: map-side combine, single shuffle on the dedup key.
+    See operators.dedup.dedup_exact for the general operator."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+
+
+@register(
+    "similarity_bruteforce_topk",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a query vector. The query vector is
+    broadcast (crossJoin of a 1-row df); scoring is a codegen'd
+    zip_with/aggregate over the scan; top-k is TakeOrderedAndProject —
+    no global sort, no collect. This IS the scalable baseline ANN path;
+    operators.similarity adds the LSH-bucketed variant."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qvec = e.filter(F.col("vec_id") == 0).select(emb_d.alias("qe"))
+    cand = e.filter(F.col("vec_id") != 0).select("vec_id", "label", emb_d.alias("ce"))
+    return (
+        cand.crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("ce"), F.col("qe")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_tokens,
+           ROUND(AVG(len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))), 6) AS avg_tokens,
+           SUM(n_chars) AS total_chars,
+           ROUND(AVG(LENGTH(text)), 6) AS avg_len
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (BPE-ish regex, SURVEY §2.C 'text analysis') as a
+    JVM-side expression — no Python in the loop."""
+    d = _t(spark, sf_dir, "documents")
+    tc = token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tc).alias("total_tokens"),
+        F.round(F.avg(tc), 6).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_len"),
+    )

@@ -1,0 +1,332 @@
+"""Snapshot-versioned parquet table format ("icetable").
+
+Re-implements the storage semantics the reference gets from Apache Iceberg
+(PyIceberg SQL catalog + DuckDB ``iceberg_scan``, icerunner.py:60-103,
+133-178, 209-259) as a self-contained, Spark-native lake format:
+
+- A table is a directory::
+
+      <warehouse>/<namespace>/<table>/
+          data/snap-<seq>/part-*.parquet     (files written by one commit)
+          metadata/snap-<seq>.json           (immutable snapshot manifest)
+          metadata/current                   (pointer file, atomically replaced)
+
+- Every commit (create/append/overwrite) writes new parquet files with
+  Spark's distributed writer, then publishes an immutable snapshot manifest
+  listing **added files** and the **full file set**, then atomically swaps
+  the ``current`` pointer (``os.replace``). Readers resolve ``current``
+  once per query, so they always see a consistent snapshot — the moral
+  equivalent of Iceberg's atomic snapshot commit (icerunner.py:171-172)
+  without the reference's per-query view reflection (icerunner.py:82-103).
+
+- Optimistic concurrency: manifests are created with ``open(..., "x")``.
+  Two racing writers target the same sequence number; the loser gets
+  ``FileExistsError`` and retries against the new state. This is the commit
+  protocol Iceberg uses (CAS on the metadata pointer), scoped to a
+  filesystem with atomic create/rename. On an object store a real
+  deployment would swap this for a conditional-put; the interface is
+  unchanged.
+
+- Time travel: ``scan(snapshot_id=...)`` reads the file list of that
+  manifest. Incremental CDC: ``scan_changes(a, b)`` reads only files added
+  in ``(a, b]`` — a *true* append diff, unlike the reference's theta-join
+  against the snapshots metadata table which duplicates every current row
+  per matching snapshot (icerunner.py:224-259, documented delta).
+
+Scale notes (100 TB design): all data moves through Spark's distributed
+parquet reader/writer — the driver only touches manifest JSON (O(#files)
+strings, no row data). File lists are stored relative to the table root so
+a warehouse can be relocated (the reference needed
+``allow_moved_paths=true`` for this, icerunner.py:98). For truly huge
+tables the manifest would graduate to parquet manifests + a metadata tree
+like Iceberg's; the commit protocol would not change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class CommitConflict(Exception):
+    """Raised when optimistic commit loses the race too many times."""
+
+
+class NoSuchTableError(Exception):
+    pass
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    sequence: int
+    parent_id: int | None
+    timestamp_ms: int
+    operation: str  # create | append | overwrite
+    added_files: list[str]
+    manifest: list[str]  # full file set at this snapshot (relative paths)
+    schema_json: str
+    summary: dict = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "snapshot_id": self.snapshot_id,
+                "sequence": self.sequence,
+                "parent_id": self.parent_id,
+                "timestamp_ms": self.timestamp_ms,
+                "operation": self.operation,
+                "added_files": self.added_files,
+                "manifest": self.manifest,
+                "schema_json": self.schema_json,
+                "summary": self.summary,
+            }
+        )
+
+    @staticmethod
+    def from_json(text: str) -> "Snapshot":
+        d = json.loads(text)
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            sequence=d["sequence"],
+            parent_id=d.get("parent_id"),
+            timestamp_ms=d["timestamp_ms"],
+            operation=d["operation"],
+            added_files=d["added_files"],
+            manifest=d["manifest"],
+            schema_json=d["schema_json"],
+            summary=d.get("summary", {}),
+        )
+
+
+def _new_snapshot_id() -> int:
+    # 63-bit random id, like Iceberg's; sequence number orders commits.
+    return uuid.uuid4().int >> 65
+
+
+class IceTable:
+    """Handle to one snapshot-versioned table on disk."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.metadata_dir = os.path.join(self.path, "metadata")
+        self.data_dir = os.path.join(self.path, "data")
+
+    # ---------- metadata plumbing ----------
+
+    def exists(self) -> bool:
+        return os.path.isfile(os.path.join(self.metadata_dir, "current"))
+
+    def _read_current_seq(self) -> int:
+        try:
+            with open(os.path.join(self.metadata_dir, "current")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            raise NoSuchTableError(self.path) from None
+
+    def _snapshot_path(self, seq: int) -> str:
+        return os.path.join(self.metadata_dir, f"snap-{seq}.json")
+
+    def _load_snapshot_by_seq(self, seq: int) -> Snapshot:
+        with open(self._snapshot_path(seq)) as f:
+            return Snapshot.from_json(f.read())
+
+    def current_snapshot(self) -> Snapshot | None:
+        if not self.exists():
+            return None
+        return self._load_snapshot_by_seq(self._read_current_seq())
+
+    def snapshots(self) -> list[Snapshot]:
+        """All snapshots in commit order (like Iceberg's .snapshots table)."""
+        if not os.path.isdir(self.metadata_dir):
+            return []
+        seqs = sorted(
+            int(f[len("snap-") : -len(".json")])
+            for f in os.listdir(self.metadata_dir)
+            if f.startswith("snap-") and f.endswith(".json")
+        )
+        current = self._read_current_seq() if self.exists() else -1
+        return [self._load_snapshot_by_seq(s) for s in seqs if s <= current]
+
+    def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
+        for snap in self.snapshots():
+            if snap.snapshot_id == snapshot_id:
+                return snap
+        raise ValueError(f"no snapshot {snapshot_id} in {self.path}")
+
+    def schema(self) -> StructType:
+        snap = self.current_snapshot()
+        if snap is None:
+            raise NoSuchTableError(self.path)
+        return StructType.fromJson(json.loads(snap.schema_json))
+
+    # ---------- commit protocol ----------
+
+    def _publish(
+        self,
+        operation: str,
+        added_files: list[str],
+        df_schema_json: str,
+        *,
+        replace_manifest: bool = False,
+        max_retries: int = 20,
+        summary: dict | None = None,
+    ) -> Snapshot:
+        """Optimistically commit a new snapshot referencing already-written
+        data files. Pure metadata — safe to retry without rewriting data."""
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        for _ in range(max_retries):
+            parent = self.current_snapshot()
+            seq = (parent.sequence + 1) if parent else 0
+            manifest = list(added_files) if (replace_manifest or parent is None) else (
+                parent.manifest + list(added_files)
+            )
+            snap = Snapshot(
+                snapshot_id=_new_snapshot_id(),
+                sequence=seq,
+                parent_id=parent.snapshot_id if parent else None,
+                timestamp_ms=int(time.time() * 1000),
+                operation=operation,
+                added_files=list(added_files),
+                manifest=manifest,
+                schema_json=df_schema_json,
+                summary=summary or {},
+            )
+            try:
+                with open(self._snapshot_path(seq), "x") as f:
+                    f.write(snap.to_json())
+            except FileExistsError:
+                continue  # lost the race; recompute against new current
+            tmp = os.path.join(self.metadata_dir, f".current.{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(str(seq))
+            os.replace(tmp, os.path.join(self.metadata_dir, "current"))
+            return snap
+        raise CommitConflict(f"gave up after {max_retries} retries: {self.path}")
+
+    def _write_data_files(self, df: DataFrame) -> tuple[str, list[str]]:
+        """Distributed parquet write of one commit's data into a fresh
+        subdirectory; returns (dirname, relative file list)."""
+        commit_dir = f"snap-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.data_dir, commit_dir)
+        df.write.mode("error").parquet(out)
+        files = [
+            os.path.join("data", commit_dir, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        ]
+        files.sort()
+        return commit_dir, files
+
+    # ---------- public write API ----------
+
+    def create(self, df: DataFrame, *, overwrite_ok: bool = False) -> Snapshot:
+        if self.exists() and not overwrite_ok:
+            raise ValueError(f"table already exists: {self.path}")
+        _, files = self._write_data_files(df)
+        return self._publish(
+            "create", files, df.schema.json(), replace_manifest=True,
+            summary={"added_rows_estimated": None},
+        )
+
+    def append(self, df: DataFrame) -> Snapshot:
+        if not self.exists():
+            raise NoSuchTableError(self.path)
+        # Align to table schema by name (reference appends Arrow tables whose
+        # schema must match, icerunner.py:163-178; we additionally reorder).
+        table_schema = self.schema()
+        df = df.select(*[c.name for c in table_schema.fields])
+        _, files = self._write_data_files(df)
+        return self._publish("append", files, table_schema.json())
+
+    def overwrite(self, df: DataFrame) -> Snapshot:
+        """Full replace (new manifest drops previous files logically;
+        physical files stay for time travel until expire_snapshots)."""
+        _, files = self._write_data_files(df)
+        return self._publish("overwrite", files, df.schema.json(), replace_manifest=True)
+
+    # ---------- public read API ----------
+
+    def _read_files(self, files: list[str]) -> DataFrame:
+        schema = self.schema()
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f) for f in files]
+        # Explicit schema: skips footer-merging inference and keeps the scan
+        # plan stable across snapshots.
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def scan(self, snapshot_id: int | None = None) -> DataFrame:
+        """Read the table at the current (or a given) snapshot. Returns a
+        lazy DataFrame — filters/projections push into the parquet scan."""
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else self.snapshot_by_id(snapshot_id)
+        )
+        if snap is None:
+            raise NoSuchTableError(self.path)
+        return self._read_files(snap.manifest)
+
+    def scan_changes(
+        self, start_snapshot_id: int | None, end_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Rows appended after ``start_snapshot_id`` up to and including
+        ``end_snapshot_id`` (default: current). True incremental read over
+        the files added by the snapshots in range — the semantics the
+        reference *intends* at icerunner.py:224-259 but does not achieve
+        (its SQL multiplies the current table by the snapshot count).
+        ``start_snapshot_id=None`` means "since the beginning".
+        Only 'append'/'create' snapshots contribute; an 'overwrite' in range
+        raises, as the diff is no longer append-only (Iceberg's incremental
+        read has the same restriction)."""
+        snaps = self.snapshots()
+        started = start_snapshot_id is None
+        files: list[str] = []
+        seen_end = end_snapshot_id is None
+        for snap in snaps:
+            if started:
+                if snap.operation == "overwrite":
+                    raise ValueError(
+                        "scan_changes crosses an overwrite snapshot; "
+                        "incremental diff is append-only"
+                    )
+                files.extend(snap.added_files)
+            if snap.snapshot_id == start_snapshot_id:
+                started = True
+            if end_snapshot_id is not None and snap.snapshot_id == end_snapshot_id:
+                seen_end = True
+                break
+        if not started:
+            raise ValueError(f"start snapshot {start_snapshot_id} not found")
+        if not seen_end:
+            raise ValueError(f"end snapshot {end_snapshot_id} not found")
+        return self._read_files(files)
+
+    def snapshots_df(self) -> DataFrame:
+        """Snapshot history as a DataFrame (parity with Iceberg's
+        ``<t>.snapshots`` metadata table, SURVEY.md §1.1)."""
+        rows = [
+            (
+                s.snapshot_id,
+                s.sequence,
+                s.parent_id,
+                s.timestamp_ms,
+                s.operation,
+                len(s.added_files),
+                len(s.manifest),
+            )
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, sequence int, parent_id long, committed_at_ms long, "
+            "operation string, added_files int, total_files int",
+        )

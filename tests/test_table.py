@@ -1,0 +1,155 @@
+"""Snapshot table format: create/append/time-travel/CDC (SURVEY.md §2.A #6-12)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from icerunner_spark.connector import Connector
+from icerunner_spark.table import IceTable
+
+
+def _batch(ids, values):
+    return pa.table({"id": pa.array(ids, pa.int64()), "value": pa.array(values, pa.string())})
+
+
+def test_create_and_query(spark, warehouse):
+    c = Connector(spark, warehouse)
+    assert c.tables == []
+    assert c.create_table("t1", _batch([1, 2, 3], ["a", "b", "c"]))
+    assert c.tables == ["t1"]
+    out = c.query("t1")
+    assert out.num_rows == 3
+    assert sorted(out.column("id").to_pylist()) == [1, 2, 3]
+    # idempotent create (icerunner.py:137-140 parity)
+    assert c.create_table("t1", _batch([9], ["z"]))
+    assert c.count("t1") == 3
+
+
+def test_append_and_snapshots(spark, warehouse):
+    c = Connector(spark, warehouse)
+    c.create_table("t", _batch([1], ["a"]))
+    s0 = c.get_current_snapshot_id("t")
+    assert s0 is not None
+    c.insert("t", _batch([2], ["b"]))
+    c.insert("t", _batch([3], ["c"]))
+    s2 = c.get_current_snapshot_id("t")
+    assert s2 != s0
+    assert c.count("t") == 3
+    # time travel back to the first snapshot
+    assert c.scan("t", snapshot_id=s0).count() == 1
+    hist = c.table("t").snapshots()
+    assert [s.operation for s in hist] == ["create", "append", "append"]
+    assert [s.sequence for s in hist] == [0, 1, 2]
+
+
+def test_cdc_incremental_read(spark, warehouse):
+    c = Connector(spark, warehouse)
+    c.create_table("t", _batch([1, 2], ["a", "b"]))
+    s0 = c.get_current_snapshot_id("t")
+    c.insert("t", _batch([3], ["c"]))
+    c.insert("t", _batch([4, 5], ["d", "e"]))
+    changes = c.get_changes_since_snapshot("t", s0)
+    assert sorted(changes.column("id").to_pylist()) == [3, 4, 5]
+    # since beginning
+    all_changes = c.get_changes_since_snapshot("t", None)
+    assert all_changes.num_rows == 5
+    # empty range
+    s_now = c.get_current_snapshot_id("t")
+    assert c.get_changes_since_snapshot("t", s_now).num_rows == 0
+
+
+def test_cdc_bounded_range(spark, warehouse):
+    c = Connector(spark, warehouse)
+    c.create_table("t", _batch([1], ["a"]))
+    s0 = c.get_current_snapshot_id("t")
+    c.insert("t", _batch([2], ["b"]))
+    s1 = c.get_current_snapshot_id("t")
+    c.insert("t", _batch([3], ["c"]))
+    bounded = c.scan_changes("t", s0, s1)
+    assert bounded.select("id").rdd.map(lambda r: r[0]).collect() == [2]
+
+
+def test_overwrite_blocks_cdc(spark, warehouse):
+    c = Connector(spark, warehouse)
+    c.create_table("t", _batch([1], ["a"]))
+    s0 = c.get_current_snapshot_id("t")
+    tbl: IceTable = c.table("t")
+    tbl.overwrite(c.scan("t").limit(1))
+    with pytest.raises(ValueError, match="overwrite"):
+        c.scan_changes("t", s0).count()
+
+
+def test_sql_passthrough(spark, warehouse):
+    c = Connector(spark, warehouse)
+    c.create_table("t", _batch([1, 2, 3, 4], ["a", "b", "a", "b"]))
+    out = c.sql("SELECT value, COUNT(*) AS n, SUM(id) AS s FROM t GROUP BY value ORDER BY value")
+    assert out.column("value").to_pylist() == ["a", "b"]
+    assert out.column("n").to_pylist() == [2, 2]
+    assert out.column("s").to_pylist() == [4, 6]
+
+
+def test_type_lattice_roundtrip(spark, warehouse):
+    """Full Arrow->Spark->parquet->Arrow lattice — no string fallback
+    (reference quirk at icerunner.py:112-131 deliberately not replicated)."""
+    import datetime
+
+    data = pa.table(
+        {
+            "i8": pa.array([1, None], pa.int8()),
+            "i16": pa.array([2, None], pa.int16()),
+            "i32": pa.array([3, None], pa.int32()),
+            "i64": pa.array([4, None], pa.int64()),
+            "f32": pa.array([1.5, None], pa.float32()),
+            "f64": pa.array([2.5, None], pa.float64()),
+            "b": pa.array([True, None], pa.bool_()),
+            "s": pa.array(["x", None], pa.string()),
+            "ts": pa.array([datetime.datetime(2024, 1, 1, 12, 0, 0), None],
+                           pa.timestamp("us")),
+            "d": pa.array([datetime.date(2024, 1, 2), None], pa.date32()),
+            "arr": pa.array([[1.0, 2.0], None], pa.list_(pa.float32())),
+        }
+    )
+    c = Connector(spark, warehouse)
+    c.create_table("lattice", data)
+    out = c.query("lattice")
+    got = {f.name: f.type for f in out.schema}
+    assert got["i8"] == pa.int8()
+    assert got["i16"] == pa.int16()
+    assert got["i32"] == pa.int32()
+    assert got["i64"] == pa.int64()
+    assert got["f32"] == pa.float32()
+    assert got["f64"] == pa.float64()
+    assert got["b"] == pa.bool_()
+    assert got["s"] == pa.string()
+    assert pa.types.is_timestamp(got["ts"])
+    assert got["d"] == pa.date32()
+    assert pa.types.is_list(got["arr"])
+    row = out.sort_by("i64").to_pylist()[0]
+    assert row["arr"] == [1.0, 2.0]
+
+
+def test_concurrent_commit_retry(spark, warehouse):
+    """Two writers racing on the same parent must both land (optimistic
+    retry, SURVEY.md §7 'concurrent writers')."""
+    import threading
+
+    c = Connector(spark, warehouse)
+    c.create_table("t", _batch([0], ["seed"]))
+    errs = []
+
+    def writer(i):
+        try:
+            c.insert("t", _batch([i], [f"w{i}"]))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(1, 5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert c.count("t") == 5
+    seqs = [s.sequence for s in c.table("t").snapshots()]
+    assert seqs == list(range(5))
