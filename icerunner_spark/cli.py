@@ -1,0 +1,81 @@
+"""CLI: serve / read / write / mirror (reference: icerunner.py:1158-1239).
+
+Same verbs and flags; ``--batch-size`` counts ROWS (the reference documents
+rows but implements batches — bug at icerunner.py:1118)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    p = argparse.ArgumentParser(prog="icerunner-spark")
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    s = sub.add_parser("serve", help="run the Flight server over a warehouse")
+    s.add_argument("-w", "--warehouse", default="warehouse")
+    s.add_argument("-n", "--table-name", default="icerunner")
+    s.add_argument("-p", "--port", type=int, default=8816)
+
+    r = sub.add_parser("read", help="poll-read a table")
+    r.add_argument("-n", "--table-name", default="icerunner")
+    r.add_argument("-p", "--port", type=int, default=8816)
+    r.add_argument("-i", "--interval", type=float, default=1.0)
+
+    w = sub.add_parser("write", help="poll-write demo rows")
+    w.add_argument("-n", "--table-name", default="icerunner")
+    w.add_argument("-p", "--port", type=int, default=8816)
+    w.add_argument("-i", "--interval", type=float, default=1.0)
+
+    m = sub.add_parser("mirror", help="replicate a remote Flight table")
+    m.add_argument("-s", "--source", required=True, help="grpc://host:port/table")
+    m.add_argument("-t", "--target-table", default=None)
+    m.add_argument("-w", "--warehouse", default="warehouse")
+    m.add_argument("-i", "--interval", type=float, default=60.0)
+    m.add_argument("-b", "--batch-size", type=int, default=100_000, help="rows per append")
+    m.add_argument("--one-time", action="store_true")
+
+    args = p.parse_args(argv)
+
+    if args.mode == "serve":
+        from icerunner_spark.flight.server import serve
+
+        server = serve(args.warehouse, port=args.port, bootstrap_demo=args.table_name)
+        logging.info("Flight server on port %d (warehouse=%s)", server.port, args.warehouse)
+        try:
+            while True:
+                time.sleep(1)
+        except KeyboardInterrupt:
+            server.shutdown()
+        return 0
+    if args.mode == "read":
+        from icerunner_spark.flight.client import run_reader
+
+        run_reader(args.table_name, port=args.port, interval=args.interval)
+        return 0
+    if args.mode == "write":
+        from icerunner_spark.flight.client import run_writer
+
+        run_writer(args.table_name, port=args.port, interval=args.interval)
+        return 0
+    if args.mode == "mirror":
+        from icerunner_spark.flight.mirror import run_mirror
+
+        run_mirror(
+            args.source,
+            target_table=args.target_table,
+            warehouse_path=args.warehouse,
+            interval=args.interval,
+            batch_rows=args.batch_size,
+            continuous=not args.one_time,
+        )
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

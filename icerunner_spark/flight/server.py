@@ -1,0 +1,286 @@
+"""Arrow Flight server over the Spark-managed snapshot tables.
+
+Verbs (parity with icerunner.py:262-310) plus the four command descriptors
+the reference's mirror client speaks but its own server never implemented
+(SURVEY.md §2.A "server-side command protocol"):
+
+- ``do_get`` ticket forms:
+    * raw table name                                  -> full table stream
+    * ``{"command": "list_tables"}``                  -> table_name column
+    * ``{"command": "get_schema", "table": t}``       -> zero-row batch with schema
+    * ``{"command": "get_changes", "table": t,
+         "snapshot_id": s}``                          -> rows appended after s
+    * ``{"command": "get_metadata", "table": t}``     -> snapshot_id / row stats
+    * ``{"sql": "..."}``                              -> Spark SQL result stream
+- ``get_flight_info`` accepts path descriptors (table) and command
+  descriptors (``LIST_TABLES`` bytes or the JSON commands above), returns
+  the *actual* bound location (the reference hard-codes localhost:8816,
+  icerunner.py:303) and real row/byte totals from parquet footers (the
+  reference materializes the whole table just to report schema and then
+  returns -1/-1, icerunner.py:306-307).
+- ``do_put`` appends to an existing table in row-count chunks (the
+  reference buffers the entire upload, icerunner.py:287-291, and its
+  "batch_size" counts batches, not rows — bug at :1118).
+
+Serve-path scale: a full-table ``do_get`` streams record batches straight
+from the manifest's parquet files through ``pyarrow.dataset`` — zero
+driver materialization, constant memory. Spark is only engaged for SQL
+tickets and for ingest commits. This is the design SURVEY.md §7 calls out
+as "the one place the reference's architecture actively fights Spark".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.flight as flight
+import pyarrow.parquet as pq
+
+from icerunner_spark.connector import Connector
+
+DEFAULT_PORT = 8816
+STREAM_BATCH_ROWS = 65536
+
+
+def _spark_schema_to_arrow(struct_type) -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(struct_type)
+
+
+class IceFlightServer(flight.FlightServerBase):
+    def __init__(
+        self,
+        connector: Connector,
+        host: str = "0.0.0.0",
+        port: int = DEFAULT_PORT,
+        chunk_rows: int = STREAM_BATCH_ROWS,
+    ):
+        location = f"grpc://{host}:{port}"
+        super().__init__(location)
+        self.connector = connector
+        self.chunk_rows = chunk_rows
+        self._host = host
+        # self.port resolves the real bound port (0 -> ephemeral)
+        self._lock = threading.Lock()  # serializes commit bookkeeping only
+
+    # ------------------------------------------------------------------ #
+    # helpers
+    # ------------------------------------------------------------------ #
+
+    def _advertised_location(self) -> flight.Location:
+        host = "localhost" if self._host in ("0.0.0.0", "::") else self._host
+        return flight.Location.for_grpc_tcp(host, self.port)
+
+    def _table_files(self, name: str) -> list[str]:
+        t = self.connector.table(name)
+        snap = t.current_snapshot()
+        if snap is None:
+            raise flight.FlightServerError(f"table not found: {name}")
+        return [os.path.join(t.path, f) for f in snap.manifest]
+
+    def _table_arrow_schema(self, name: str) -> pa.Schema:
+        files = self._table_files(name)
+        if files:
+            return pq.read_schema(files[0])
+        return _spark_schema_to_arrow(self.connector.table(name).schema())
+
+    def _table_totals(self, name: str) -> tuple[int, int]:
+        """(rows, bytes) from parquet footers — metadata only, no scan."""
+        rows = bytes_ = 0
+        for f in self._table_files(name):
+            rows += pq.read_metadata(f).num_rows
+            bytes_ += os.path.getsize(f)
+        return rows, bytes_
+
+    def _stream_files(self, files: list[str], schema: pa.Schema) -> flight.RecordBatchStream:
+        if not files:
+            return flight.GeneratorStream(schema, iter([pa.RecordBatch.from_pylist([], schema=schema)]))
+        dataset = pads.dataset(files, format="parquet", schema=schema)
+        reader = dataset.scanner(batch_size=self.chunk_rows).to_reader()
+        return flight.RecordBatchStream(reader)
+
+    def _stream_df(self, df) -> flight.RecordBatchStream:
+        # Batch-granular driver transfer (Arrow collect); for full-table
+        # reads use the file-streaming path instead, which never
+        # materializes.
+        try:
+            batches = df._collect_as_arrow()  # PySpark classic, batch list
+            schema = batches[0].schema if batches else _spark_schema_to_arrow(df.schema)
+            return flight.GeneratorStream(schema, iter(batches))
+        except Exception:
+            return flight.RecordBatchStream(df.toArrow())
+
+    # ------------------------------------------------------------------ #
+    # Flight verbs
+    # ------------------------------------------------------------------ #
+
+    def list_flights(self, context, criteria):
+        for name in self.connector.tables:
+            yield self._make_table_info(name)
+
+    def _make_table_info(self, name: str) -> flight.FlightInfo:
+        schema = self._table_arrow_schema(name)
+        rows, nbytes = self._table_totals(name)
+        endpoint = flight.FlightEndpoint(name.encode(), [self._advertised_location()])
+        return flight.FlightInfo(
+            schema, flight.FlightDescriptor.for_path(name.encode()), [endpoint], rows, nbytes
+        )
+
+    def _command_info(self, cmd: dict, schema: pa.Schema) -> flight.FlightInfo:
+        ticket = json.dumps(cmd).encode()
+        endpoint = flight.FlightEndpoint(ticket, [self._advertised_location()])
+        return flight.FlightInfo(
+            schema,
+            flight.FlightDescriptor.for_command(ticket),
+            [endpoint],
+            -1,
+            -1,
+        )
+
+    def get_flight_info(self, context, descriptor):
+        if descriptor.descriptor_type == flight.DescriptorType.PATH:
+            if not descriptor.path:
+                raise flight.FlightServerError("empty path descriptor")
+            name = descriptor.path[0].decode()
+            if name not in self.connector.tables:
+                raise flight.FlightServerError(f"table not found: {name}")
+            return self._make_table_info(name)
+
+        raw = descriptor.command
+        if raw == b"LIST_TABLES":
+            cmd = {"command": "list_tables"}
+            return self._command_info(cmd, pa.schema([("table_name", pa.string())]))
+        try:
+            cmd = json.loads(raw.decode())
+        except (UnicodeDecodeError, json.JSONDecodeError):
+            raise flight.FlightServerError(f"unrecognized command: {raw[:64]!r}")
+
+        if "sql" in cmd:
+            df = self.connector.sql_df(cmd["sql"])
+            return self._command_info(cmd, _spark_schema_to_arrow(df.schema))
+
+        op = cmd.get("command")
+        table = cmd.get("table")
+        if op == "list_tables":
+            return self._command_info(cmd, pa.schema([("table_name", pa.string())]))
+        if op in ("get_schema", "get_changes"):
+            if table not in self.connector.tables:
+                raise flight.FlightServerError(f"table not found: {table}")
+            return self._command_info(cmd, self._table_arrow_schema(table))
+        if op == "get_metadata":
+            if table not in self.connector.tables:
+                raise flight.FlightServerError(f"table not found: {table}")
+            return self._command_info(
+                cmd,
+                pa.schema(
+                    [("snapshot_id", pa.int64()), ("total_rows", pa.int64()),
+                     ("total_bytes", pa.int64())]
+                ),
+            )
+        raise flight.FlightServerError(f"unknown command: {cmd!r}")
+
+    def do_get(self, context, ticket):
+        raw = ticket.ticket
+        try:
+            cmd = json.loads(raw.decode())
+            if not isinstance(cmd, dict):
+                raise ValueError
+        except (UnicodeDecodeError, json.JSONDecodeError, ValueError):
+            # raw table-name ticket (reference parity, icerunner.py:272-282)
+            name = raw.decode()
+            return self._stream_files(self._table_files(name), self._table_arrow_schema(name))
+
+        if "sql" in cmd:
+            return self._stream_df(self.connector.sql_df(cmd["sql"]))
+
+        op = cmd.get("command")
+        if op == "list_tables":
+            names = self.connector.tables
+            return flight.RecordBatchStream(
+                pa.table({"table_name": pa.array(names, pa.string())})
+            )
+        if op == "get_schema":
+            schema = self._table_arrow_schema(cmd["table"])
+            empty = pa.RecordBatch.from_pylist([], schema=schema)
+            return flight.GeneratorStream(schema, iter([empty]))
+        if op == "get_changes":
+            name = cmd["table"]
+            snapshot_id = cmd.get("snapshot_id")
+            if snapshot_id in ("", None, "full_sync", "unknown"):
+                snapshot_id = None
+            else:
+                snapshot_id = int(snapshot_id)
+            t = self.connector.table(name)
+            schema = self._table_arrow_schema(name)
+            snaps = t.snapshots()
+            started = snapshot_id is None
+            files: list[str] = []
+            for s in snaps:
+                if started:
+                    files.extend(os.path.join(t.path, f) for f in s.added_files)
+                if s.snapshot_id == snapshot_id:
+                    started = True
+            if not started:
+                raise flight.FlightServerError(f"unknown snapshot: {snapshot_id}")
+            return self._stream_files(files, schema)
+        if op == "get_metadata":
+            name = cmd["table"]
+            rows, nbytes = self._table_totals(name)
+            snap_id = self.connector.get_current_snapshot_id(name)
+            return flight.RecordBatchStream(
+                pa.table(
+                    {
+                        "snapshot_id": pa.array([snap_id], pa.int64()),
+                        "total_rows": pa.array([rows], pa.int64()),
+                        "total_bytes": pa.array([nbytes], pa.int64()),
+                    }
+                )
+            )
+        raise flight.FlightServerError(f"unknown ticket: {cmd!r}")
+
+    def do_put(self, context, descriptor, reader, writer):
+        if not descriptor.path:
+            raise flight.FlightServerError("do_put requires a path descriptor")
+        name = descriptor.path[0].decode()
+        if name not in self.connector.tables:
+            # parity: the reference's do_put does not auto-create
+            # (icerunner.py:284-295)
+            raise flight.FlightServerError(f"table not found: {name}")
+        pending: list[pa.RecordBatch] = []
+        pending_rows = 0
+        for chunk in reader:
+            batch = chunk.data
+            if batch is None or batch.num_rows == 0:
+                continue
+            pending.append(batch)
+            pending_rows += batch.num_rows
+            if pending_rows >= self.chunk_rows:
+                self.connector.insert(name, pa.Table.from_batches(pending))
+                pending, pending_rows = [], 0
+        if pending:
+            self.connector.insert(name, pa.Table.from_batches(pending))
+
+
+def serve(
+    warehouse_path: str,
+    host: str = "0.0.0.0",
+    port: int = DEFAULT_PORT,
+    spark=None,
+    bootstrap_demo: str | None = None,
+) -> IceFlightServer:
+    """Create connector + server (does not block; call .serve() or use
+    run_server for the blocking CLI path)."""
+    from icerunner_spark.session import get_spark
+
+    spark = spark or get_spark(app_name="icerunner_flight_server")
+    connector = Connector(spark, warehouse_path)
+    if bootstrap_demo:
+        from icerunner_spark.sample_data import bootstrap_demo_tables
+
+        bootstrap_demo_tables(connector, bootstrap_demo)
+    return IceFlightServer(connector, host=host, port=port)

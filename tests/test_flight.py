@@ -1,0 +1,169 @@
+"""End-to-end Flight: server bootstrap, do_put/do_get round-trip,
+get_flight_info without materialization, the mirror command protocol
+(SURVEY.md §5 test strategy items 3-4)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.flight as flight
+import pytest
+
+from icerunner_spark.connector import Connector
+from icerunner_spark.flight.client import (
+    get_remote_tables,
+    parse_flight_url,
+    read_table_once,
+    write_batch,
+)
+from icerunner_spark.flight.mirror import SyncState, run_mirror
+from icerunner_spark.flight.server import IceFlightServer
+from icerunner_spark.sample_data import bootstrap_demo_tables, create_sample_table
+
+
+@pytest.fixture()
+def server(spark, warehouse):
+    c = Connector(spark, warehouse)
+    srv = IceFlightServer(c, host="127.0.0.1", port=0)
+    yield srv
+    srv.shutdown()
+
+
+def _client(server) -> flight.FlightClient:
+    return flight.connect(f"grpc://127.0.0.1:{server.port}")
+
+
+def _writer_table(ids, values):
+    return pa.table({"id": pa.array(ids, pa.int64()), "value": pa.array(values, pa.string())})
+
+
+def test_parse_flight_url():
+    assert parse_flight_url("grpc://h:1234/t") == ("h", 1234)
+    assert parse_flight_url("grpc://h/t") == ("h", 8815)
+
+
+def test_demo_bootstrap(server):
+    bootstrap_demo_tables(server.connector, "demo")
+    assert server.connector.tables == ["demo", "demo_events", "demo_iot", "demo_sales"]
+    assert server.connector.count("demo") == 200
+    assert server.connector.count("demo_events") == 100
+    # deterministic generation
+    t1 = create_sample_table(10, "analytics", seed=7)
+    t2 = create_sample_table(10, "analytics", seed=7)
+    assert t1.equals(t2)
+
+
+def test_put_get_roundtrip(server):
+    c = server.connector
+    c.create_table("w", _writer_table([1], ["a"]))
+    write_batch("127.0.0.1", server.port, "w", _writer_table([2, 3], ["b", "c"]))
+    out = read_table_once("127.0.0.1", server.port, "w")
+    assert sorted(out.column("id").to_pylist()) == [1, 2, 3]
+
+
+def test_put_missing_table_fails(server):
+    with pytest.raises(flight.FlightServerError):
+        write_batch("127.0.0.1", server.port, "nope", _writer_table([1], ["a"]))
+
+
+def test_flight_info_metadata_only(server):
+    c = server.connector
+    c.create_table("t", _writer_table([1, 2, 3, 4], ["a", "b", "c", "d"]))
+    info = _client(server).get_flight_info(flight.FlightDescriptor.for_path(b"t"))
+    assert info.total_records == 4  # real totals, not -1 (icerunner.py:307)
+    assert info.total_bytes > 0
+    names = set(info.schema.names)
+    assert names == {"id", "value"}
+    # advertised endpoint carries the real bound port (reference hard-codes
+    # 8816, icerunner.py:303)
+    assert str(server.port) in info.endpoints[0].locations[0].uri.decode() if isinstance(
+        info.endpoints[0].locations[0].uri, bytes
+    ) else str(server.port) in info.endpoints[0].locations[0].uri
+
+
+def test_list_tables_command(server):
+    c = server.connector
+    c.create_table("t1", _writer_table([1], ["a"]))
+    c.create_table("t2", _writer_table([2], ["b"]))
+    assert get_remote_tables(_client(server)) == ["t1", "t2"]
+
+
+def test_get_schema_command(server):
+    c = server.connector
+    c.create_table("t", _writer_table([1], ["a"]))
+    client = _client(server)
+    import json
+
+    cmd = {"command": "get_schema", "table": "t"}
+    info = client.get_flight_info(flight.FlightDescriptor.for_command(json.dumps(cmd).encode()))
+    reader = client.do_get(info.endpoints[0].ticket)
+    batch = reader.read_chunk().data
+    assert batch.num_rows == 0
+    assert set(batch.schema.names) == {"id", "value"}
+
+
+def test_get_changes_and_metadata_commands(server):
+    import json
+
+    c = server.connector
+    c.create_table("t", _writer_table([1], ["a"]))
+    snap0 = c.get_current_snapshot_id("t")
+    c.insert("t", _writer_table([2, 3], ["b", "c"]))
+    client = _client(server)
+
+    cmd = {"command": "get_changes", "table": "t", "snapshot_id": snap0}
+    info = client.get_flight_info(flight.FlightDescriptor.for_command(json.dumps(cmd).encode()))
+    out = client.do_get(info.endpoints[0].ticket).read_all()
+    assert sorted(out.column("id").to_pylist()) == [2, 3]
+
+    cmd = {"command": "get_metadata", "table": "t"}
+    info = client.get_flight_info(flight.FlightDescriptor.for_command(json.dumps(cmd).encode()))
+    meta = client.do_get(info.endpoints[0].ticket).read_all().to_pydict()
+    assert meta["snapshot_id"][0] == c.get_current_snapshot_id("t")
+    assert meta["total_rows"][0] == 3
+
+
+def test_sql_ticket(server):
+    import json
+
+    c = server.connector
+    c.create_table("t", _writer_table([1, 2, 3], ["a", "b", "a"]))
+    client = _client(server)
+    cmd = {"sql": "SELECT value, COUNT(*) AS n FROM t GROUP BY value ORDER BY value"}
+    info = client.get_flight_info(flight.FlightDescriptor.for_command(json.dumps(cmd).encode()))
+    out = client.do_get(info.endpoints[0].ticket).read_all()
+    assert out.column("value").to_pylist() == ["a", "b"]
+    assert out.column("n").to_pylist() == [2, 1]
+
+
+def test_mirror_full_then_incremental(spark, server, tmp_path):
+    """Two-warehouse mirror e2e: initial full sync, then append -> only the
+    delta moves, then no-op when source unchanged (the behavior the
+    reference intends but cannot achieve, icerunner.py:996-1076)."""
+    src = server.connector
+    src.create_table("t", _writer_table([1, 2], ["a", "b"]))
+
+    target_wh = str(tmp_path / "target_wh")
+    url = f"grpc://127.0.0.1:{server.port}/t"
+
+    n1 = run_mirror(url, target_table="t_mirror", warehouse_path=target_wh,
+                    continuous=False, spark=spark)
+    assert n1 == 2
+    tgt = Connector(spark, target_wh)
+    assert tgt.count("t_mirror") == 2
+
+    # append at source; incremental sync moves only the delta
+    src.insert("t", _writer_table([3], ["c"]))
+    n2 = run_mirror(url, target_table="t_mirror", warehouse_path=target_wh,
+                    continuous=False, spark=spark)
+    assert n2 == 1
+    assert sorted(tgt.query("t_mirror").column("id").to_pylist()) == [1, 2, 3]
+
+    # unchanged source -> no-op (idempotence guard)
+    n3 = run_mirror(url, target_table="t_mirror", warehouse_path=target_wh,
+                    continuous=False, spark=spark)
+    assert n3 == 0
+    assert tgt.count("t_mirror") == 3
+
+    state = SyncState(target_wh).get_last_sync_state(url, "t_mirror")
+    assert state["last_sync_status"] == "success"
+    assert state["source_snapshot_id"] == src.get_current_snapshot_id("t")
