@@ -1,0 +1,271 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.C).
+
+Five families, all partition-parallel, none driver-side:
+
+- **exact**: hash-groupBy on a 64-bit fingerprint of normalized text.
+- **exact n-gram Jaccard**: inverted-index join on character shingles —
+  the exact-similarity baseline the approximate methods are measured
+  against. One shuffle on the shingle, one on the pair.
+- **MinHash + LSH**: k hash functions -> banded signatures -> bucket join.
+  Candidate generation touches only same-bucket pairs; at 100 TB the
+  bucket join replaces the quadratic all-pairs comparison.
+- **SimHash**: 64-bit signature whose hamming distance tracks token-set
+  similarity; near-dup = distance <= k, candidates via 16-bit chunk
+  banding (pigeonhole: distance<=3 over 4 chunks => one chunk equal).
+- **embedding cosine**: see operators/similarity.py.
+
+Everything is built from xxhash64 / higher-order array functions — pure
+Catalyst expressions, no Python UDFs, so the whole pipeline stays in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from icerunner_spark.functions.text import char_ngrams, fingerprint64, tokens
+
+
+# --------------------------------------------------------------------------- #
+# exact
+# --------------------------------------------------------------------------- #
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per exact-normalized-text group. Single hash
+    aggregate on the 64-bit fingerprint (map-side combinable); the full
+    text never shuffles."""
+    fp = fingerprint64(text_col).alias("__fp")
+    keep = (
+        df.select(fp, F.col(id_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------- #
+# exact n-gram Jaccard via inverted index
+# --------------------------------------------------------------------------- #
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All pairs (id1 < id2) with Jaccard(ngram-set) >= threshold — exact.
+
+    Inverted-index formulation: explode distinct shingles, self-join on the
+    shingle to count intersections, then |A∪B| = |A|+|B|-|A∩B|. Shuffles on
+    shingle then on (id1,id2); no cross product. Hot shingles (stopword-like
+    grams shared by half the corpus) would blow up the index join at scale,
+    so shingles above ``max_doc_freq`` would be dropped in a production
+    tuning pass — kept exact here because the oracle must match.
+    Returns (id1, id2, jaccard)."""
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(char_ngrams(text_col, n))).alias("gram"),
+        )
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(F.broadcast(sz1), "id1")
+        .join(F.broadcast(sz2), "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("i") / (F.col("sz1") + F.col("sz2") - F.col("i"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# MinHash + LSH
+# --------------------------------------------------------------------------- #
+
+
+def minhash_signature(text_col: str, *, n_hashes: int = 64, shingle: int = 5) -> Column:
+    """array<bigint> MinHash signature: element i = min over shingles of
+    xxhash64(shingle, seed=i). Pure codegen (transform + array_min over the
+    shingle array, one pass per hash)."""
+    grams = F.array_distinct(char_ngrams(text_col, shingle))
+    # NB: lambdas passed to transform/filter must be single-parameter —
+    # a second parameter is interpreted as the element index.
+    def _min_hash(seed: int):
+        s = F.lit(seed)
+        return F.array_min(F.transform(grams, lambda g: F.xxhash64(g, s)))
+
+    return F.array(*[_min_hash(i) for i in range(n_hashes)])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    rows/band = n_hashes/bands; a pair collides if any band's sub-signature
+    matches. Pipeline: signature -> explode band hashes -> groupBy bucket
+    (skew-guarded by ``max_bucket``: degenerate buckets — e.g. empty
+    strings — are dropped rather than joined quadratically) -> per-bucket
+    pair expansion -> distinct. Returns (id1, id2)."""
+    if n_hashes % bands:
+        raise ValueError("bands must divide n_hashes")
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(text_col, n_hashes=n_hashes, shingle=shingle)
+    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    # one pass: band hashes built directly from signature slices
+    buckets = with_sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    grouped = buckets.groupBy("band", "bh").agg(F.collect_list("id").alias("ids"))
+    grouped = grouped.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    pairs = grouped.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x: F.transform(F.col("ids"), lambda y: F.struct(x.alias("id1"), y.alias("id2"))),
+                    )
+                ),
+                lambda p: p["id1"] < p["id2"],
+            )
+        ).alias("p")
+    ).select("p.id1", "p.id2").distinct()
+    return pairs
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 5,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard on their n-gram sets —
+    the standard generate-then-verify near-dup pipeline. Only candidate
+    pairs pay the exact comparison. Returns (id1, id2, jaccard)."""
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n_hashes=n_hashes, bands=bands, shingle=shingle
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(char_ngrams(text_col, shingle)).alias("g")
+    )
+    g1 = grams.select(F.col("id").alias("id1"), F.col("g").alias("g1"))
+    g2 = grams.select(F.col("id").alias("id2"), F.col("g").alias("g2"))
+    jac = F.size(F.array_intersect("g1", "g2")) / F.size(F.array_union("g1", "g2"))
+    return (
+        cands.join(g1, "id1")
+        .join(g2, "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# SimHash
+# --------------------------------------------------------------------------- #
+
+
+def simhash64(text_col: str) -> Column:
+    """64-bit SimHash over token hashes: bit b is set iff more than half the
+    tokens have bit b set in xxhash64(token). 64 generated bit-count
+    expressions — verbose SQL, but fully codegen'd, single pass."""
+    toks = F.array_distinct(tokens(text_col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    bits = []
+    for b in range(64):
+        mask = F.lit(1 << b if b < 63 else -(2**63))
+        cnt = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
+        bits.append(F.when(cnt * 2 > n, mask).otherwise(F.lit(0)))
+    return functools.reduce(operator.add, bits).cast("long")
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_distance: int = 6,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_distance.
+
+    Candidates via the pigeonhole principle: split the 64-bit signature
+    into 8 8-bit chunks; distance <= 7 implies at least one chunk is
+    identical, so only same-chunk-value pairs are compared. (Short
+    documents have small per-bit majority margins, so a few-token edit
+    moves ~4-6 bits — measured on the fixtures — hence the default 6.)
+    Returns (id1, id2, distance)."""
+    if max_distance > 7:
+        raise ValueError("8-chunk banding guarantees candidates only for distance <= 7")
+    sigs = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
+    chunks = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned("sig", 8 * c).bitwiseAND(F.lit(0xFF)) for c in range(8)])
+        ).alias("chunk", "cv"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.sig").alias("s1"),
+            F.col("b.sig").alias("s2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select("id1", "id2", hamming64(F.col("s1"), F.col("s2")).alias("distance"))
+        .filter(F.col("distance") <= max_distance)
+    )

@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (SURVEY.md §2.C).
+
+Two paths:
+
+- **Brute-force cosine top-k** — the exact baseline. Scoring is a
+  codegen'd zip_with/aggregate against a broadcast query vector; top-k is
+  TakeOrderedAndProject (per-partition heaps + driver merge of k rows —
+  no global sort). At 100 TB this is a full scan, but a *scan-speed* one.
+- **Random-hyperplane LSH (SimHash for vectors)** — the scale path. H
+  seeded hyperplanes -> H-bit signature -> search only candidates whose
+  signature matches the query's bucket (optionally multi-probe hamming-1
+  neighborhoods). Recall is tunable via (n_planes, n_probes); candidates
+  are re-scored exactly, so precision is 1.
+
+Hyperplanes are generated from a fixed seed driver-side (tiny: H x dim
+floats) and broadcast as literals — deterministic across runs and engines.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from icerunner_spark.functions.vector import cosine_similarity
+
+
+def _as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    vec_col: str = "embedding",
+    id_cols: tuple[str, ...] = ("vec_id",),
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine similarity against a literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        *id_cols,
+        cosine_similarity(_as_double_array(vec_col), q).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), *[F.asc(c) for c in id_cols]).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def lsh_signature(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Integer bucket id: bit p = sign(dot(vec, plane_p)). Codegen'd —
+    one zip_with/aggregate per plane over the array column."""
+    v = _as_double_array(vec_col)
+    bits = []
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(F.zip_with(v, lit_plane, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def _signature_probes(sig_value: int, n_planes: int, probe_hamming: int) -> list[int]:
+    """The query bucket plus all buckets within ``probe_hamming`` bit flips
+    (multi-probe LSH). probe_hamming=0 -> exact bucket only."""
+    from itertools import combinations
+
+    probes = {sig_value}
+    for h in range(1, probe_hamming + 1):
+        for flips in combinations(range(n_planes), h):
+            v = sig_value
+            for f in flips:
+                v ^= 1 << f
+            probes.add(v)
+    return sorted(probes)
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    vec_col: str = "embedding",
+    id_cols: tuple[str, ...] = ("vec_id",),
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket plus all buckets
+    within ``probe_hamming`` bit flips, exact-rescore only those
+    candidates.
+
+    With n_planes=8 the corpus splits into 256 buckets — candidates drop
+    roughly (probed buckets)/256-fold versus brute force. Recall depends
+    on how clustered the corpus is: for strongly clustered embeddings the
+    query's neighbors share its bucket; for near-uniform vectors recall
+    tracks the candidate fraction, so tune (n_planes, probe_hamming) to
+    the recall target (measured pins in tests/test_operators.py). The
+    scan prunes on a precomputed signature column when present (name
+    ``__lsh_sig``), enabling partition pruning when the table is written
+    partitioned by signature — the on-disk layout a 100 TB deployment
+    would use."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    # driver-side signature of the query (same math as lsh_signature)
+    sig = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
+            sig |= 1 << p
+    probes = _signature_probes(sig, n_planes, probe_hamming)
+
+    if "__lsh_sig" in df.columns:
+        cand = df.filter(F.col("__lsh_sig").isin(probes))
+    else:
+        cand = df.withColumn("__lsh_sig", lsh_signature(vec_col, planes)).filter(
+            F.col("__lsh_sig").isin(probes)
+        )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = cand.select(
+        *id_cols,
+        cosine_similarity(_as_double_array(vec_col), q).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), *[F.asc(c) for c in id_cols]).limit(k)
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """All pairs with cosine >= threshold.
+
+    exact=False (default): LSH-bucketed — only same-bucket pairs are
+    scored (near-identical vectors agree on every hyperplane sign with
+    high probability). exact=True: full pair join, for oracle comparison
+    and small inputs. Returns (id1, id2, cos_sim)."""
+    dim_row = df.select(F.size(_as_double_array(vec_col)).alias("d")).first()
+    if dim_row is None:
+        return df.sparkSession.createDataFrame([], "id1 long, id2 long, cos_sim double")
+    planes = _hyperplanes(dim_row["d"], n_planes, seed)
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if not exact:
+        base = base.withColumn("__b", lsh_signature("v", planes))
+    a = base.select(
+        F.col("id").alias("id1"), F.col("v").alias("v1"),
+        *([F.col("__b").alias("b1")] if not exact else []),
+    )
+    b = base.select(
+        F.col("id").alias("id2"), F.col("v").alias("v2"),
+        *([F.col("__b").alias("b2")] if not exact else []),
+    )
+    cond = F.col("id1") < F.col("id2")
+    if not exact:
+        joined = a.join(b, (F.col("b1") == F.col("b2")) & cond)
+    else:
+        joined = a.join(b, cond)
+    return joined.select(
+        "id1",
+        "id2",
+        cosine_similarity(_as_double_array("v1"), _as_double_array("v2")).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)

@@ -1,0 +1,110 @@
+"""Text-analysis operators: language ID, quality scoring, fingerprinting
+(SURVEY.md §2.C). All pure Catalyst expressions — designed to run at
+scan speed over billions of documents.
+
+The language-ID heuristic is stopword-profile matching: score(lang) =
+|distinct(tokens) ∩ stopwords(lang)|, predict the argmax (alphabetical
+tie-break). Simple, deterministic, and expressible in both Spark and the
+DuckDB oracle — a production system would swap in charset n-gram models
+behind the same column signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from icerunner_spark.functions.text import token_count, tokens
+
+# Top stopwords per language — fixed vocabulary, part of the operator's
+# public contract (the oracle uses the same lists).
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it", "for", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "est", "un", "que", "dans", "pour", "sur"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不", "人", "这"],
+}
+
+# ASCII punctuation class, identical meaning in Java and RE2 regex.
+PUNCT_RE = r"""[!-/:-@\[-`{-~]"""
+
+
+def lang_scores(text_col: Column | str) -> dict[str, Column]:
+    toks = F.array_distinct(tokens(text_col))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def language_id(text_col: Column | str) -> Column:
+    """Predicted language code (argmax stopword overlap, alphabetical
+    tie-break, 'und' = undetermined when no stopword hits)."""
+    scores = lang_scores(text_col)
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # reverse alphabetical fold so earlier languages win ties
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def quality_features(text_col: Column | str) -> dict[str, Column]:
+    """Deterministic quality features (all JVM-side):
+    n_chars, n_tokens, mean_token_len, punct_ratio, digit_ratio,
+    stopword_ratio (any language), upper_ratio."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(text)
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*all_stop))
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": F.when(
+            n_tokens > 0,
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_tokens,
+        ).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(
+            n_chars > 0, F.regexp_count(text, F.lit(PUNCT_RE)).cast("double") / n_chars
+        ).otherwise(F.lit(0.0)),
+        "digit_ratio": F.when(
+            n_chars > 0, F.regexp_count(text, F.lit("[0-9]")).cast("double") / n_chars
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(
+            n_tokens > 0, stop_hits.cast("double") / n_tokens
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Composite [0,1] quality score — a transparent linear blend of the
+    features (length saturation, low punctuation/digit noise, healthy
+    stopword density). The exact weights are part of the contract so the
+    oracle can reproduce them."""
+    f = quality_features(text_col)
+    length_term = F.least(f["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 5)
+    digit_term = F.greatest(F.lit(0.0), F.lit(1.0) - f["digit_ratio"] * 5)
+    stop_term = F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+    return (
+        length_term * 0.4 + punct_term * 0.2 + digit_term * 0.2 + stop_term * 0.2
+    )
+
+
+def analyze_documents(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-pass document profile: id, predicted language, quality features
+    and composite score. Single projection — no shuffle at all."""
+    feats = quality_features(text_col)
+    return df.select(
+        F.col(id_col),
+        language_id(text_col).alias("pred_lang"),
+        *[c.alias(name) for name, c in feats.items()],
+        F.round(quality_score(text_col), 6).alias("quality"),
+    )

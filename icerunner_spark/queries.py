@@ -739,6 +739,232 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_fingerprint",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_doc_id,
+           COUNT(*)    AS group_size,
+           MIN(n_chars) AS n_chars
+    FROM documents
+    GROUP BY lower(regexp_replace(text, '\\s+', ' ', 'g'))
+    """,
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup via 64-bit fingerprint groupBy (operators.dedup).
+    The oracle groups by the normalized text itself — identical grouping
+    unless xxhash64 collides; only the representative row is compared, so
+    the check is hash-agnostic. Only the 8-byte fingerprint shuffles, not
+    the document bodies."""
+    from icerunner_spark.functions.text import fingerprint64
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(fingerprint64("text").alias("__fp"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .drop("__fp")
+    )
+
+
+@register(
+    "neardup_ngram_jaccard",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS gram
+        FROM norm, LATERAL (SELECT unnest(generate_series(1, GREATEST(length(t) - 4, 1))) AS i) s
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           ROUND(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = id1
+    JOIN sizes s2 ON s2.doc_id = id2
+    WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.25
+    """,
+)
+def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join
+    (operators.dedup.ngram_jaccard_pairs) — the exact baseline that the
+    MinHash/SimHash approximate paths are measured against."""
+    from icerunner_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.25)
+    return out.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_minhash_lsh",  # approximate: rows-only driver check; recall vs
+    # the exact baseline is pinned in tests/test_dedup.py
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (generate via banded buckets, verify with
+    exact Jaccard on candidates only). Approximate candidate generation =>
+    no SQL oracle; the driver records a rows-only check and the pytest
+    suite pins recall against neardup_ngram_jaccard."""
+    from icerunner_spark.operators.dedup import minhash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = minhash_neardup_pairs(d, "doc_id", "text", threshold=0.25)
+    return out.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 6 over 64-bit token signatures,
+    8-bit chunk banding for candidates). Approximate => rows-only driver
+    check; pytest pins behavior on synthetic near-dups."""
+    from icerunner_spark.operators.dedup import simhash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(d, "doc_id", "text", max_distance=6)
+
+
+@register(
+    "embedding_cosine_neardup",
+    oracle="""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
+    """,
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact variant for the oracle (the
+    LSH-bucketed variant is similarity_ann_lsh / cosine_neardup_pairs with
+    exact=False — the path a 100 TB corpus uses)."""
+    from icerunner_spark.operators.similarity import cosine_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = cosine_neardup_pairs(e, threshold=0.8, exact=True)
+    return out.select("id1", "id2", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@register("similarity_ann_lsh")
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH with multi-probe.
+    Approximate => rows-only driver check; pytest pins recall against the
+    exact brute-force top-k."""
+    from icerunner_spark.operators.similarity import ann_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in row["embedding"]]
+    return ann_lsh_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=4, probe_hamming=2
+    ).select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@register(
+    "lang_id_documents",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_distinct(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tk
+        FROM documents
+    ),
+    scores AS (
+        SELECT doc_id, lang,
+               len(list_intersect(tk, ['der','die','das','und','ist','nicht','ein','mit','auf','für'])) AS s_de,
+               len(list_intersect(tk, ['the','and','is','of','to','in','that','it','for','was'])) AS s_en,
+               len(list_intersect(tk, ['el','la','de','que','y','en','un','por','con','los'])) AS s_es,
+               len(list_intersect(tk, ['le','la','de','et','est','un','que','dans','pour','sur'])) AS s_fr,
+               len(list_intersect(tk, ['的','是','了','在','我','有','和','不','人','这'])) AS s_zh
+        FROM toks
+    ),
+    pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                    WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    ELSE 'zh' END AS pred_lang
+        FROM scores
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n_docs
+    FROM pred
+    GROUP BY lang, pred_lang
+    """,
+)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: predicted vs labeled language
+    (operators.text.language_id, stopword-profile heuristic — the oracle
+    reproduces the same scoring)."""
+    from icerunner_spark.operators.text import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", language_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "quality_score_documents",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS n_punct,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+               len(list_filter(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+                   x -> list_contains(['and','auf','con','dans','das','de','der','die','est','et','ein','el','en','for','für','is','ist','it','in','la','le','los','mit','nicht','of','por','pour','que','sur','that','the','to','un','und','was','y','不','了','人','在','我','是','有','的','和','这'], x))) AS n_stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, lang, n_tokens,
+               LEAST(n_tokens / 100.0, 1.0) * 0.4
+               + GREATEST(0.0, 1.0 - (n_punct * 1.0 / n_chars) * 5) * 0.2
+               + GREATEST(0.0, 1.0 - (n_digit * 1.0 / n_chars) * 5) * 0.2
+               + LEAST((n_stop * 1.0 / n_tokens) * 4, 1.0) * 0.2 AS quality
+        FROM feats
+        WHERE n_chars > 0 AND n_tokens > 0
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(quality), 6) AS avg_quality,
+           ROUND(MIN(quality), 6) AS min_quality,
+           ROUND(MAX(quality), 6) AS max_quality
+    FROM q
+    GROUP BY lang
+    """,
+)
+def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (operators.text.quality_score): linear
+    blend of length saturation, punctuation/digit noise, stopword density.
+    NOTE the oracle's stopword list is the same deduplicated union the
+    Spark operator uses."""
+    from icerunner_spark.operators.text import quality_score
+    from icerunner_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.filter((F.length("text") > 0) & (token_count("text") > 0)).select(
+        "lang", quality_score("text").alias("quality")
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.min("quality"), 6).alias("min_quality"),
+        F.round(F.max("quality"), 6).alias("max_quality"),
+    )
+
+
+@register(
     "text_token_stats",
     oracle="""
     SELECT lang,

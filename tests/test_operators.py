@@ -1,0 +1,117 @@
+"""Operator-level tests for the dedup / similarity / text / asof families
+(SURVEY.md §2.C), including recall pins for the approximate paths against
+their exact baselines."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from icerunner_spark.operators.asof import asof_join
+from icerunner_spark.operators.dedup import (
+    dedup_exact,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from icerunner_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from icerunner_spark.operators.text import analyze_documents
+from icerunner_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """documents plus perturbed near-copies (guaranteed near-dups)."""
+    d = load_table(spark, "documents", SF).select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xtra token")).alias("text"),
+    )
+    return d.unionByName(dups).cache()
+
+
+def test_dedup_exact_keeps_one_per_text(spark):
+    d = load_table(spark, "documents", SF).select("doc_id", "text")
+    doubled = d.unionByName(
+        d.filter(F.col("doc_id") < 10).select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    )
+    out = dedup_exact(doubled, "text", "doc_id")
+    assert out.count() == d.count()  # exactly one survivor per distinct text
+    # min-id representative kept
+    assert out.filter(F.col("doc_id") >= 500000).count() == 0
+
+
+def test_minhash_recall_against_exact(spark, docs_with_dups):
+    exact = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(docs_with_dups, "doc_id", "text", threshold=0.5).collect()
+    }
+    approx = {
+        (r["id1"], r["id2"])
+        for r in minhash_neardup_pairs(docs_with_dups, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    # verify step means precision is exact
+    assert approx <= exact or all(p in exact for p in approx)
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} below pin"
+
+
+def test_simhash_finds_planted_dups(spark, docs_with_dups):
+    pairs = simhash_neardup_pairs(docs_with_dups, "doc_id", "text", max_distance=6)
+    found = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    planted = {(i, i + 100000) for i in range(20)}
+    hit = len(found & planted) / len(planted)
+    # measured on fixtures: 19/20 planted pairs at distance <= 6
+    assert hit >= 0.9, f"simhash found only {hit:.0%} of planted near-dups"
+
+
+def test_ann_lsh_recall_against_bruteforce(spark):
+    e = load_table(spark, "embeddings", SF)
+    row = e.filter(F.col("vec_id") == 0).first()
+    q = [float(x) for x in row["embedding"]]
+    cand = e.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"]: r["cos_sim"] for r in cosine_topk(cand, q, k=10).collect()}
+    approx = {
+        r["vec_id"]: r["cos_sim"]
+        for r in ann_lsh_topk(cand, q, k=10, n_planes=4, probe_hamming=2).collect()
+    }
+    recall = len(set(exact) & set(approx)) / 10
+    # deterministic (fixed seed, fixed data; fixtures are near-uniform
+    # vectors — LSH hard mode — measured 0.8 at this config): pin the floor
+    assert recall >= 0.7, f"ann recall {recall} below pin"
+    # rescoring is exact: any overlap must carry identical similarities
+    for vid in set(exact) & set(approx):
+        assert abs(exact[vid] - approx[vid]) < 1e-12
+
+
+def test_analyze_documents_profile(spark):
+    d = load_table(spark, "documents", SF)
+    out = analyze_documents(d).collect()
+    assert len(out) == d.count()
+    for r in out[:50]:
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["n_tokens"] > 0
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame([(1, 10), (1, 20)], "k int, t int")
+    right = spark.createDataFrame([(1, 12, "a"), (1, 25, "b")], "k int, t int, v string")
+    out = asof_join(
+        left, right, left_on="k", right_on="k", left_time="t", right_time="t",
+        right_values=["v"], direction="forward",
+    )
+    got = {r["t"]: r["v"] for r in out.collect()}
+    assert got == {10: "a", 20: "b"}
+
+
+def test_asof_backward_tie_inclusive(spark):
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame([(1, 10, "same")], "k int, t int, v string")
+    out = asof_join(
+        left, right, left_on="k", right_on="k", left_time="t", right_time="t",
+        right_values=["v"],
+    )
+    assert out.first()["v"] == "same"
