@@ -1,0 +1,329 @@
+"""Multimodal column operators: opaque binary content + typed metadata
+(SURVEY.md §2.C; BASELINE.json north star "multimodal columns").
+
+Design for 100 TB: an asset is one row with
+
+    content: binary                 -- the raw bytes (image/audio/video)
+    meta:    struct<kind:string, content_type:string, n_bytes:long,
+                    width:int, height:int, n_frames:int, sample_rate:int>
+
+Binary stays opaque to Catalyst (no codec on the JVM); all byte-level work
+runs in Arrow-batched ``mapInPandas`` stages so each task processes a
+columnar batch of blobs with numpy — never one Python call per row, never
+a driver-side collect. Partitioning is whatever the upstream scan gives;
+every operator here is a narrow map (zero shuffles), so asset pipelines
+chain at scan speed.
+
+Codec policy (this container has no PIL/ffmpeg): byte-level analytics
+(sizes, hashes, entropy, chunk/frame slicing) are REAL and tested; actual
+image/audio decode is STUBBED behind ``decode_image`` which raises
+``NotImplementedError`` unless a codec import succeeds, with
+``fake_decode`` as the deterministic test double. The Spark-side plumbing
+— schema, batch shape, UDF signatures — is the part that must be right at
+scale, and it is exercised for real.
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # real codec, if the environment has one (not in this container)
+    from PIL import Image as _PIL_Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+META_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("content_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+    ]
+)
+
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("meta", META_SCHEMA),
+    ]
+)
+
+
+# --------------------------------------------------------------------------- #
+# ingestion: wrap any (id, bytes) source into the asset schema
+# --------------------------------------------------------------------------- #
+
+
+def as_assets(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    *,
+    kind: str = "blob",
+    content_type: str = "application/octet-stream",
+) -> DataFrame:
+    """Normalize an (id, binary) DataFrame into the asset schema. Metadata
+    that is derivable JVM-side (n_bytes) is filled by Catalyst; codec-only
+    fields stay NULL until a decode stage fills them. Narrow projection —
+    no shuffle, no Python."""
+    return df.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.col(binary_col).cast("binary").alias("content"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(content_type).alias("content_type"),
+            F.length(binary_col).cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def documents_as_assets(documents: DataFrame) -> DataFrame:
+    """Deterministic binary fixture: UTF-8-encode the documents table's
+    text into the asset schema (the container ships no media files; any
+    real corpus would land here as parquet binary columns instead)."""
+    return as_assets(
+        documents.select("doc_id", F.encode("text", "UTF-8").alias("blob")),
+        "doc_id",
+        "blob",
+        kind="text",
+        content_type="text/plain; charset=utf-8",
+    )
+
+
+# --------------------------------------------------------------------------- #
+# byte-level feature extraction (REAL, vectorized, no codec needed)
+# --------------------------------------------------------------------------- #
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("crc32", LongType()),
+        StructField("entropy_bits", DoubleType()),
+        StructField("ascii_ratio", DoubleType()),
+        StructField("null_byte_ratio", DoubleType()),
+    ]
+)
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Per-asset byte statistics: size, CRC32, Shannon entropy (bits/byte),
+    printable-ASCII ratio, NUL ratio. Arrow-batched ``mapInPandas``; numpy
+    histogram per blob, one Python invocation per ~10k-row batch. Narrow
+    map — composes with any upstream filter/partitioning untouched."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(blob) if blob is not None else b""
+                n = len(b)
+                if n:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    counts = np.bincount(arr, minlength=256)
+                    p = counts[counts > 0] / n
+                    entropy = float(-(p * np.log2(p)).sum())
+                    ascii_ratio = float(((arr >= 0x20) & (arr < 0x7F)).mean())
+                    nul_ratio = float((arr == 0).mean())
+                else:
+                    entropy, ascii_ratio, nul_ratio = 0.0, 0.0, 0.0
+                rows.append(
+                    (int(aid), n, zlib.crc32(b), entropy, ascii_ratio, nul_ratio)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FEATURE_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(batches, schema=_FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------- #
+# frame sampling (REAL slicing logic over fixed-stride frame buffers)
+# --------------------------------------------------------------------------- #
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame, *, frame_size: int, every: int = 1, limit: int | None = None
+) -> DataFrame:
+    """Explode fixed-stride frame buffers (raw video/audio blocks) into one
+    row per sampled frame: frames ``0, every, 2*every, ...`` up to
+    ``limit``. A trailing partial frame is dropped. One output row per
+    frame — the canonical shape for a downstream per-frame featurizer.
+    Narrow map; output cardinality is data-dependent, so let AQE coalesce
+    after any later shuffle."""
+    if frame_size <= 0 or every <= 0:
+        raise ValueError("frame_size and every must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_idx, out_frames = [], [], []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(blob) if blob is not None else b""
+                n_frames = len(b) // frame_size
+                taken = 0
+                for i in range(0, n_frames, every):
+                    if limit is not None and taken >= limit:
+                        break
+                    out_ids.append(int(aid))
+                    out_idx.append(i)
+                    out_frames.append(b[i * frame_size : (i + 1) * frame_size])
+                    taken += 1
+            yield pd.DataFrame(
+                {"asset_id": out_ids, "frame_index": out_idx, "frame": out_frames}
+            )
+
+    return assets.mapInPandas(batches, schema=_FRAME_SCHEMA)
+
+
+def chunk_content(assets: DataFrame, *, chunk_size: int) -> DataFrame:
+    """Split each blob into <=chunk_size pieces JVM-side (no Python at
+    all): substring over binary via sequence+transform, then explode.
+    The scale path for shipping huge blobs through size-bounded batches."""
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    n_chunks = F.ceil(F.length("content") / F.lit(chunk_size)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.col("content").substr(
+            i * chunk_size + 1, F.lit(chunk_size)
+        ),
+    )
+    return assets.select(
+        "asset_id",
+        F.posexplode(chunks).alias("chunk_index", "chunk"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# decode / resize — STUB (no codec libs in this container)
+# --------------------------------------------------------------------------- #
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def fake_decode_dims(blob: bytes) -> tuple[int, int]:
+    """Deterministic test double for image dimensions: derived from the
+    CRC so every engine/test run agrees. Replaced by a real codec when
+    one is installed."""
+    crc = zlib.crc32(blob)
+    return 16 + crc % 1024, 16 + (crc >> 10) % 1024
+
+
+def decode_images(assets: DataFrame, *, use_fake: bool = False) -> DataFrame:
+    """Decode image blobs to (width, height, mean_luma).
+
+    STUB: this container has no image codec (no PIL/libjpeg). With
+    ``use_fake=True`` a deterministic fake decoder exercises the full
+    Spark plumbing (Arrow batches, schema, partition parallelism);
+    without it, raises ``NotImplementedError`` unless PIL is importable.
+    """
+    if not use_fake and not _HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires an image codec (PIL); this environment "
+            "has none — pass use_fake=True for the deterministic stub"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(blob) if blob is not None else b""
+                if use_fake:
+                    w, h = fake_decode_dims(b)
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    luma = float(arr.mean()) if len(arr) else 0.0
+                else:  # pragma: no cover - no codec in this container
+                    import io
+
+                    img = _PIL_Image.open(io.BytesIO(b)).convert("L")
+                    w, h = img.size
+                    luma = float(np.asarray(img).mean())
+                rows.append((int(aid), w, h, luma))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _DECODE_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(batches, schema=_DECODE_SCHEMA)
+
+
+def resize_images(
+    assets: DataFrame, *, width: int, height: int, use_fake: bool = False
+) -> DataFrame:
+    """Resize image blobs. STUB like :func:`decode_images`: the fake path
+    emits a deterministic ``width*height``-byte buffer (tiled source
+    bytes) so downstream stages see realistic shapes; real path needs a
+    codec."""
+    if not use_fake and not _HAS_PIL:
+        raise NotImplementedError(
+            "image resize requires an image codec (PIL); this environment "
+            "has none — pass use_fake=True for the deterministic stub"
+        )
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("content", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(blob) if blob is not None else b"\x00"
+                if use_fake:
+                    reps = math.ceil(target / max(len(b), 1))
+                    rows.append((int(aid), (b * reps)[:target], width, height))
+                else:  # pragma: no cover - no codec in this container
+                    raise NotImplementedError
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return assets.mapInPandas(batches, schema=out_schema)

@@ -989,3 +989,90 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.round(F.avg(F.length("text")), 6).alias("avg_len"),
     )
+
+
+@register(
+    "multimodal_asset_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_assets,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           MAX(octet_length(encode(text))) AS max_bytes,
+           ROUND(AVG(octet_length(encode(text))), 6) AS avg_bytes
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal asset plumbing (operators.multimodal): binary content +
+    typed metadata struct; n_bytes is derived JVM-side at ingest. The
+    oracle recomputes byte lengths from UTF-8 encoding — both engines
+    count the same bytes. Narrow map + one hash agg; the blobs themselves
+    never shuffle (only lang + n_bytes reach the exchange)."""
+    from icerunner_spark.operators.multimodal import documents_as_assets
+
+    d = _t(spark, sf_dir, "documents")
+    assets = documents_as_assets(d).join(
+        d.select(F.col("doc_id").alias("asset_id"), "lang"), "asset_id"
+    )
+    return assets.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.max("meta.n_bytes").alias("max_bytes"),
+        F.round(F.avg("meta.n_bytes"), 6).alias("avg_bytes"),
+    )
+
+
+@register("multimodal_byte_features")
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level feature extraction over binary assets via Arrow-batched
+    mapInPandas (entropy, ASCII ratio, CRC32). numpy math inside the
+    Python worker => no SQL oracle; pytest pins exact values on known
+    blobs (tests/test_multimodal.py)."""
+    from icerunner_spark.operators.multimodal import (
+        documents_as_assets,
+        extract_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_assets(d))
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        "crc32",
+        F.round("entropy_bits", 6).alias("entropy_bits"),
+        F.round("ascii_ratio", 6).alias("ascii_ratio"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    -- every sampled frame is full-size (trailing partial frames are
+    -- dropped), so counts and bytes follow arithmetically from the blob
+    -- length: frames = len/256, sampled = ceil(frames/4), bytes = 256*each.
+    -- Frame *content* identity is pinned byte-for-byte in pytest
+    -- (tests/test_multimodal.py), where blob slicing is available.
+    SELECT doc_id AS asset_id,
+           CAST(CEIL((octet_length(encode(text)) // 256) / 4.0) AS BIGINT) AS n_sampled,
+           256 * CAST(CEIL((octet_length(encode(text)) // 256) / 4.0) AS BIGINT) AS frame_bytes
+    FROM documents
+    WHERE octet_length(encode(text)) >= 256
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride frame sampling (every 4th 256-byte frame) over binary
+    assets — the video/audio frame-sample shape, real slicing logic in
+    Arrow-batched Python. Oracle reproduces the slicing with DuckDB blob
+    substring over generated frame indices."""
+    from icerunner_spark.operators.multimodal import (
+        documents_as_assets,
+        sample_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    frames = sample_frames(documents_as_assets(d), frame_size=256, every=4)
+    return frames.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.length("frame")).alias("frame_bytes"),
+    )

@@ -1,0 +1,122 @@
+"""Multimodal binary-column operators: real byte analytics, stubbed codecs
+(operators/multimodal.py; SURVEY.md §2.C)."""
+
+from __future__ import annotations
+
+import math
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from icerunner_spark.operators.multimodal import (
+    as_assets,
+    chunk_content,
+    decode_images,
+    documents_as_assets,
+    extract_features,
+    fake_decode_dims,
+    resize_images,
+    sample_frames,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _asset_df(spark, blobs: dict[int, bytes]):
+    rows = [(i, b) for i, b in blobs.items()]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    return as_assets(df, "id", "blob")
+
+
+def test_as_assets_schema_and_nbytes(spark):
+    assets = _asset_df(spark, {1: b"abc", 2: b"", 3: b"\x00" * 10})
+    got = {r["asset_id"]: r["meta"]["n_bytes"] for r in assets.collect()}
+    assert got == {1: 3, 2: 0, 3: 10}
+    names = [f.name for f in assets.schema["meta"].dataType.fields]
+    assert names == [
+        "kind", "content_type", "n_bytes", "width", "height",
+        "n_frames", "sample_rate",
+    ]
+
+
+def test_extract_features_known_values(spark):
+    blobs = {1: b"aaaa", 2: bytes(range(256)), 3: b"", 4: b"\x00\x00ab"}
+    feats = {
+        r["asset_id"]: r for r in extract_features(_asset_df(spark, blobs)).collect()
+    }
+    # uniform blob: zero entropy; all-distinct 256 bytes: exactly 8 bits
+    assert feats[1]["entropy_bits"] == pytest.approx(0.0)
+    assert feats[2]["entropy_bits"] == pytest.approx(8.0)
+    assert feats[3]["n_bytes"] == 0
+    assert feats[4]["null_byte_ratio"] == pytest.approx(0.5)
+    assert feats[4]["ascii_ratio"] == pytest.approx(0.5)
+    for i, b in blobs.items():
+        assert feats[i]["crc32"] == zlib.crc32(b)
+    # entropy of half-zeros/half-text blob: computed independently
+    p = [2 / 4, 1 / 4, 1 / 4]
+    expect = -sum(x * math.log2(x) for x in p)
+    assert feats[4]["entropy_bits"] == pytest.approx(expect)
+
+
+def test_sample_frames_stride_and_partial_drop(spark):
+    # 10 full 4-byte frames + 2 trailing bytes (dropped)
+    blob = bytes(range(42))
+    out = sample_frames(
+        _asset_df(spark, {7: blob}), frame_size=4, every=3
+    ).collect()
+    idx = sorted(r["frame_index"] for r in out)
+    assert idx == [0, 3, 6, 9]
+    by_idx = {r["frame_index"]: bytes(r["frame"]) for r in out}
+    assert by_idx[3] == bytes(range(12, 16))
+    # limit caps sampled frames per asset
+    limited = sample_frames(
+        _asset_df(spark, {7: blob}), frame_size=4, every=3, limit=2
+    ).collect()
+    assert sorted(r["frame_index"] for r in limited) == [0, 3]
+
+
+def test_chunk_content_jvm_side(spark):
+    blob = b"abcdefghij"  # 10 bytes -> chunks of 4: 4,4,2
+    out = chunk_content(_asset_df(spark, {1: blob}), chunk_size=4).collect()
+    chunks = {r["chunk_index"]: bytes(r["chunk"]) for r in out}
+    assert chunks == {0: b"abcd", 1: b"efgh", 2: b"ij"}
+
+
+def test_decode_stub_raises_without_codec(spark):
+    assets = _asset_df(spark, {1: b"x"})
+    with pytest.raises(NotImplementedError):
+        decode_images(assets)
+    with pytest.raises(NotImplementedError):
+        resize_images(assets, width=2, height=2)
+
+
+def test_fake_decode_deterministic(spark):
+    assets = _asset_df(spark, {1: b"hello", 2: b"hello", 3: b"world!"})
+    out = {r["asset_id"]: r for r in decode_images(assets, use_fake=True).collect()}
+    assert (out[1]["width"], out[1]["height"]) == fake_decode_dims(b"hello")
+    assert (out[1]["width"], out[1]["height"]) == (out[2]["width"], out[2]["height"])
+    assert out[1]["mean_luma"] == pytest.approx(
+        sum(b"hello") / len(b"hello")
+    )
+
+
+def test_fake_resize_shapes(spark):
+    assets = _asset_df(spark, {1: b"ab"})
+    row = resize_images(assets, width=3, height=2, use_fake=True).collect()[0]
+    assert len(bytes(row["content"])) == 6
+    assert bytes(row["content"]) == b"ababab"
+
+
+def test_documents_as_assets_roundtrip(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(20)
+    assets = documents_as_assets(docs)
+    joined = (
+        assets.alias("a")
+        .join(docs.alias("d"), F.col("a.asset_id") == F.col("d.doc_id"))
+        .select(
+            F.col("a.meta.n_bytes").alias("n_bytes"),
+            F.length(F.encode("d.text", "UTF-8")).alias("expect"),
+        )
+    )
+    assert joined.filter(F.col("n_bytes") != F.col("expect")).count() == 0
