@@ -1076,3 +1076,60 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum(F.length("frame")).alias("frame_bytes"),
     )
+
+
+@register(
+    "window_tumbling_events",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (streaming/pipeline.windowed_counts run
+    in batch mode — the exact same function body drives the streaming
+    path, equivalence pinned in tests/test_streaming.py). One shuffle on
+    (window, event_type) with map-side partial aggregation."""
+    from icerunner_spark.streaming.pipeline import windowed_counts
+
+    e = _t(spark, sf_dir, "events").withColumn("value", _dec("value"))
+    return windowed_counts(e).drop("window_end")
+
+
+@register(
+    "session_window_events",
+    oracle="""
+    WITH brk AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM brk
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user — Spark's
+    native session_window operator; the oracle reproduces it with the
+    gaps-and-islands rewrite (lag + running sum). Same body as the
+    streaming sessionizer (streaming/pipeline.session_counts)."""
+    from icerunner_spark.streaming.pipeline import session_counts
+
+    e = _t(spark, sf_dir, "events").withColumn("value", _dec("value"))
+    return session_counts(e).drop("session_end")

@@ -59,7 +59,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for c in _ns_timestamp_cols(path):
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+        # integer division: long-ns values exceed 2^53, so a double
+        # round-trip (col / 1000 -> cast long) is off by ±1 µs
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

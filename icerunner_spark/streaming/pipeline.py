@@ -1,0 +1,199 @@
+"""Streaming pipelines over the events fixture.
+
+Every transformation here is written against an unbounded DataFrame, so
+the *same* function body runs in batch mode (pass a batch DataFrame) and
+in streaming mode (pass ``read_events_stream(...)``) — that equivalence
+is what the tests pin: a streaming run with ``availableNow`` over N files
+must produce exactly the batch answer.
+
+Scale notes: watermarks bound the state store (late data beyond the
+watermark is dropped, so state size tracks the watermark horizon, not the
+stream length); windowed aggregation shuffles on (window, key) exactly
+once with partial aggregation map-side; ``applyInPandasWithState`` keeps
+per-key state in the state store, partitioned by key — no driver state.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Physical parquet schema of the events fixture under nanosAsLong
+# (ts is timestamp[ns] on disk -> long): see sources/testdata.py.
+_EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+    ``maxFilesPerTrigger`` forces multi-micro-batch execution so tests
+    exercise real incremental state updates, not one giant batch."""
+    raw = (
+        spark.readStream.schema(_EVENTS_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(events_dir)
+    )
+    # integer division (`div`), not `/`: ns epochs exceed 2^53, the double
+    # path truncates wrong by ±1 µs (see sources/testdata.py)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window per event_type: count +
+    value sum. With a watermark the state store evicts windows older than
+    (max event time - watermark); late rows beyond it are dropped."""
+    src = events.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        src.groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: a session extends while consecutive
+    events arrive within ``gap``. Streaming mode requires the watermark
+    (sessions merge as late events arrive inside it)."""
+    src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id. ``dropDuplicatesWithinWatermark``
+    bounds the dedup state to the watermark horizon — the only way dedup
+    state stays finite on an unbounded stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("v", DoubleType())]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value sum, re-emitted every micro-batch a user
+    appears in. State is one (count, sum) pair per user, partitioned by
+    user_id in the state store — constant per-key size forever."""
+
+    def update(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(v, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    output_mode: str = "append",
+    timeout_s: int = 300,
+) -> None:
+    """Drain everything currently available through the streaming engine
+    (micro-batch by micro-batch per source options) into parquet, then
+    stop. The batch-equivalence harness for every pipeline above."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    writer = (
+        stream_df.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    if output_mode == "append":
+        writer = writer.format("parquet").option("path", out_dir)
+    else:
+        # the file sink is append-only; update/complete modes land each
+        # micro-batch's emissions via foreachBatch (idempotent on batch_id
+        # replay is the checkpoint's job; parquet append is fine for tests
+        # and mirrors how update-mode results reach an upsert-capable sink)
+        data_dir = os.path.join(out_dir, "data")
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(data_dir)
+
+        writer = writer.foreachBatch(_sink)
+    q = writer.start()
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()

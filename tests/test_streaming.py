@@ -1,0 +1,148 @@
+"""Structured Streaming pipelines (icerunner_spark/streaming): every
+streaming run with availableNow over multiple micro-batches must equal
+the batch-mode answer on the same data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from icerunner_spark.sources.testdata import load_table
+from icerunner_spark.streaming import (
+    dedup_stream,
+    read_events_stream,
+    run_available_now,
+    running_user_totals,
+    session_counts,
+    windowed_counts,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Split the events fixture into 4 *time-contiguous* parquet files so
+    maxFilesPerTrigger=1 forces 4 real micro-batches arriving in event-time
+    order (like a real ingest feed). Contiguity matters: the file source
+    processes oldest-file-first, so a random split would make later batches
+    fall behind the advancing watermark and be dropped as late."""
+    import time
+
+    from pyspark.sql import Window
+
+    d = str(tmp_path_factory.mktemp("events_stream") / "events")
+    # keep the on-disk long-ns ts column: write from the raw parquet read
+    raw = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    quarted = raw.withColumn(
+        "__q", F.ntile(4).over(Window.orderBy("ts"))
+    )
+    for i in range(1, 5):
+        quarted.filter(F.col("__q") == i).drop("__q").coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        time.sleep(0.05)  # distinct mod-times => deterministic file order
+    return d
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return load_table(spark, "events", SF_SMALL)
+
+
+def _rows(df, *key_cols):
+    return sorted(
+        (tuple(r[c] for c in df.columns) for r in df.collect()),
+    )
+
+
+def _watermark_cutoff(events_batch, watermark_hours=2):
+    """Final event-time watermark of an availableNow run: max(ts) minus the
+    watermark delay. Append mode only emits windows the watermark closed,
+    so batch expectations are filtered to window_end <= cutoff."""
+    mx = events_batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    return mx - __import__("datetime").timedelta(hours=watermark_hours)
+
+
+def test_windowed_counts_stream_equals_batch(
+    spark, events_dir, events_batch, tmp_path
+):
+    stream = windowed_counts(read_events_stream(spark, events_dir))
+    out = str(tmp_path / "win_out")
+    run_available_now(stream, out)
+    got = spark.read.parquet(out)
+    cutoff = _watermark_cutoff(events_batch)
+    expect = windowed_counts(events_batch).filter(F.col("window_end") <= cutoff)
+    assert _rows(got) == _rows(expect)
+    assert got.count() > 100
+
+
+def test_sliding_window_stream_equals_batch(
+    spark, events_dir, events_batch, tmp_path
+):
+    stream = windowed_counts(
+        read_events_stream(spark, events_dir), window="2 hours", slide="1 hour"
+    )
+    out = str(tmp_path / "slide_out")
+    run_available_now(stream, out)
+    got = spark.read.parquet(out)
+    cutoff = _watermark_cutoff(events_batch)
+    expect = windowed_counts(
+        events_batch, window="2 hours", slide="1 hour"
+    ).filter(F.col("window_end") <= cutoff)
+    assert _rows(got) == _rows(expect)
+
+
+def test_session_counts_stream_equals_batch(
+    spark, events_dir, events_batch, tmp_path
+):
+    stream = session_counts(read_events_stream(spark, events_dir))
+    out = str(tmp_path / "sess_out")
+    run_available_now(stream, out)
+    got = spark.read.parquet(out)
+    cutoff = _watermark_cutoff(events_batch)
+    expect = session_counts(events_batch).filter(F.col("session_end") <= cutoff)
+    assert _rows(got) == _rows(expect)
+    # sanity: sessionization produced multiple sessions per user overall
+    assert got.count() > got.select("user_id").distinct().count()
+
+
+def test_dedup_stream_drops_replayed_batch(spark, events_batch, tmp_path):
+    """Write the same events twice (two files) -> streaming dedup must
+    emit each event_id exactly once."""
+    d = str(tmp_path / "dup_events")
+    raw = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    raw.coalesce(1).write.mode("append").parquet(d)
+    raw.coalesce(1).write.mode("append").parquet(d)
+    # watermark must span the replay horizon: the second file replays the
+    # whole month, so anything narrower would drop replays as late rather
+    # than dedup them out of state.
+    stream = dedup_stream(read_events_stream(spark, d), watermark="750 hours")
+    out = str(tmp_path / "dedup_out")
+    run_available_now(stream, out)
+    got = spark.read.parquet(out)
+    n = events_batch.count()
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+
+
+def test_running_user_totals_stateful(spark, events_dir, events_batch, tmp_path):
+    """applyInPandasWithState: the LAST emitted row per user (update mode,
+    cumulative state) must equal the batch per-user aggregate."""
+    stream = running_user_totals(read_events_stream(spark, events_dir))
+    out = str(tmp_path / "totals_out")
+    run_available_now(stream, out, output_mode="update")
+    emitted = spark.read.parquet(f"{out}/data")
+    # update-mode parquet sink appends every re-emission; the max
+    # n_events row per user is the final state.
+    final = emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
+    expect = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    assert _rows(final) == _rows(expect)
+    # multiple micro-batches really happened: users re-emitted
+    assert emitted.count() > final.count()
