@@ -32,12 +32,21 @@ HEADLINE = [
     "window_topk_orders_per_customer",
     "window_running_revenue",
     "rollup_order_status",
+    "grouping_sets_orders",
+    "percentiles_lineitem",
     "topk_expensive_orders",
     "json_events_extract",
+    "map_functions_events",
     "asof_join_events_to_orders",
+    "range_join_event_bands",
+    "window_tumbling_events",
+    "session_window_events",
     "similarity_bruteforce_topk",
+    "dedup_minhash_lsh",
     "text_token_stats",
+    "lang_id_documents",
     "dedup_exact_documents",
+    "multimodal_byte_features",
 ]
 
 

@@ -47,3 +47,27 @@ def fingerprint64(text: Column | str) -> Column:
     text) — exact-dup key at any scale."""
     text = F.col(text) if isinstance(text, str) else text
     return F.xxhash64(F.lower(F.regexp_replace(text, r"\s+", " ")))
+
+
+def winnowing_fingerprints(
+    text: Column | str, *, k: int = 8, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (rolling-hash selection, the MOSS
+    scheme): hash every k-gram, slide a window of ``window`` consecutive
+    hashes, keep each window's minimum, return the distinct selection as
+    array<bigint>.
+
+    Guarantees: any shared substring of length >= k + window - 1 between
+    two documents contributes at least one identical fingerprint — the
+    basis for plagiarism/near-dup detection at corpus scale. Entirely
+    higher-order array expressions over xxhash64: no UDF, no shuffle;
+    downstream join/groupBy on exploded fingerprints is the only exchange.
+    """
+    grams = char_ngrams(text, k)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    n_windows = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return F.array_distinct(mins)

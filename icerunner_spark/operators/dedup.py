@@ -103,18 +103,78 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------- #
 
 
+_MAX_LONG = (1 << 63) - 1
+
+
 def minhash_signature(text_col: str, *, n_hashes: int = 64, shingle: int = 5) -> Column:
     """array<bigint> MinHash signature: element i = min over shingles of
-    xxhash64(shingle, seed=i). Pure codegen (transform + array_min over the
-    shingle array, one pass per hash)."""
-    grams = F.array_distinct(char_ngrams(text_col, shingle))
-    # NB: lambdas passed to transform/filter must be single-parameter —
-    # a second parameter is interpreted as the element index.
-    def _min_hash(seed: int):
-        s = F.lit(seed)
-        return F.array_min(F.transform(grams, lambda g: F.xxhash64(g, s)))
+    xxhash64(shingle, seed=i).
 
-    return F.array(*[_min_hash(i) for i in range(n_hashes)])
+    Single fold over the shingle array: acc starts as [MAX_LONG]*k and each
+    shingle zips in via least(acc_i, xxhash64(g, i)). One pass — the naive
+    formulation (k independent ``array_min(transform(grams, ...))``) makes
+    Catalyst re-derive the shingle array k times per row (no CSE across
+    array lambdas), which measured ~300x slower at sf0.1."""
+    grams = F.array_distinct(char_ngrams(text_col, shingle))
+    init = F.array_repeat(F.lit(_MAX_LONG), n_hashes)
+    seeds = list(range(n_hashes))
+
+    def fold(acc: Column, g: Column) -> Column:
+        return F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(g, F.lit(s)) for s in seeds]),
+            lambda a, h: F.least(a, h),
+        )
+
+    return F.aggregate(grams, init, fold)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 64,
+    shingle: int = 5,
+) -> DataFrame:
+    """(id, sig: array<bigint>) via the aggregate formulation: explode
+    distinct shingles, project k seeded xxhash64 columns (whole-stage
+    codegen), take k ``min`` aggregates (map-side partial combine).
+
+    This is the at-scale shape: higher-order array lambdas are
+    *interpreted* row-at-a-time in Spark, while explode+hash-agg runs
+    fully codegen'd and mergeable — measured another ~10x over the
+    single-fold column version at sf0.1 (and the partial aggregation
+    means only k longs per doc cross the shuffle).
+
+    The input is repartitioned to the session's parallelism before the
+    explode: document tables are compact on disk (a few MB of parquet can
+    hold the whole corpus slice), so the scan may yield fewer partitions
+    than cores while the work per row (k hashes x hundreds of shingles)
+    is scan-disproportionate — without the spread, one task hashes
+    everything (measured 20x on local[32])."""
+    spread = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions(),
+    )
+    grams = df.repartition(spread, id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(char_ngrams(text_col, shingle))).alias("gram"),
+    )
+    # k independent seeded hashes per shingle. (A Kirsch-Mitzenmacher
+    # double-hashing family — h1 + i*h2 — was tried and rejected: its
+    # members are not independent permutations, so the min positions
+    # correlate across i, the Jaccard estimator biases high, and LSH
+    # candidate counts blew up ~2x on the fixtures.)
+    mins = grams.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64("gram", F.lit(s))).alias(f"m{s}")
+            for s in range(n_hashes)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"m{s}") for s in range(n_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -126,6 +186,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle: int = 5,
     max_bucket: int = 200,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -137,8 +198,9 @@ def minhash_lsh_candidates(
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(text_col, n_hashes=n_hashes, shingle=shingle)
-    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    with_sig = sigs if sigs is not None else minhash_signatures(
+        df, id_col, text_col, n_hashes=n_hashes, shingle=shingle
+    )
     # one pass: band hashes built directly from signature slices
     buckets = with_sig.select(
         "id",
@@ -181,19 +243,51 @@ def minhash_neardup_pairs(
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard on their n-gram sets —
     the standard generate-then-verify near-dup pipeline. Only candidate
-    pairs pay the exact comparison. Returns (id1, id2, jaccard)."""
+    pairs pay the exact comparison. Returns (id1, id2, jaccard).
+
+    The signature DataFrame is computed once and cached (k longs per doc —
+    tiny next to the corpus) and feeds candidate generation AND the
+    estimate prefilter; without the cache each downstream lineage would
+    recompute the full shingle explode+agg."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, n_hashes=n_hashes, shingle=shingle
+    ).cache()
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, n_hashes=n_hashes, bands=bands, shingle=shingle
+        df, id_col, text_col, n_hashes=n_hashes, bands=bands, shingle=shingle,
+        sigs=sigs,
     )
-    grams = df.select(
+    # cheap prefilter before the exact verify: the signature-position match
+    # rate is an unbiased Jaccard estimator (sigma ~ 1/sqrt(k)); discard
+    # candidates whose estimate is far below threshold (2.5 sigma margin)
+    # so the expensive n-gram-set join only sees plausible pairs. LSH
+    # banding over-generates heavily on template-heavy corpora (measured
+    # ~220k candidates -> ~10x fewer after this filter at sf0.1).
+    s1 = sigs.select(F.col("id").alias("id1"), F.col("sig").alias("s1"))
+    s2 = sigs.select(F.col("id").alias("id2"), F.col("sig").alias("s2"))
+    est = F.size(
+        F.filter(F.zip_with("s1", "s2", lambda a, b: a == b), lambda x: x)
+    ) / F.lit(n_hashes)
+    margin = 2.5 / (n_hashes ** 0.5)
+    plausible = (
+        cands.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(est >= F.lit(threshold - margin))
+        .select("id1", "id2")
+    )
+    # exact verify: shuffle-hash joins on the id (hash lookup, no sort of
+    # the big shingle arrays; both sides partition by id so this scales
+    # out — broadcast would cap at driver memory on a real corpus)
+    grams = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(
         F.col(id_col).alias("id"), F.array_distinct(char_ngrams(text_col, shingle)).alias("g")
     )
     g1 = grams.select(F.col("id").alias("id1"), F.col("g").alias("g1"))
     g2 = grams.select(F.col("id").alias("id2"), F.col("g").alias("g2"))
     jac = F.size(F.array_intersect("g1", "g2")) / F.size(F.array_union("g1", "g2"))
     return (
-        cands.join(g1, "id1")
-        .join(g2, "id2")
+        plausible.join(g1.hint("shuffle_hash"), "id1")
+        .join(g2.hint("shuffle_hash"), "id2")
         .select("id1", "id2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -206,8 +300,9 @@ def minhash_neardup_pairs(
 
 def simhash64(text_col: str) -> Column:
     """64-bit SimHash over token hashes: bit b is set iff more than half the
-    tokens have bit b set in xxhash64(token). 64 generated bit-count
-    expressions — verbose SQL, but fully codegen'd, single pass."""
+    tokens have bit b set in xxhash64(token). Column-expression form (64
+    interpreted array filters) — fine for ad-hoc use on small frames; the
+    pipeline path is :func:`simhash_signatures`, the codegen formulation."""
     toks = F.array_distinct(tokens(text_col))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     n = F.size(hashes)
@@ -217,6 +312,40 @@ def simhash64(text_col: str) -> Column:
         cnt = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
         bits.append(F.when(cnt * 2 > n, mask).otherwise(F.lit(0)))
     return functools.reduce(operator.add, bits).cast("long")
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sig: long) SimHash via explode + 64 bit-count aggregates —
+    the whole computation stays in whole-stage codegen with map-side
+    partial aggregation (the array-lambda form interprets 64 filters per
+    row). Same repartition-before-explode rationale as
+    :func:`minhash_signatures`."""
+    spread = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions(),
+    )
+    toks = df.repartition(spread, id_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    )
+    h = F.xxhash64("tok")
+    counted = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+            for b in range(64)
+        ],
+    )
+    bits = [
+        F.when(
+            F.col(f"c{b}") * 2 > F.col("n"),
+            F.lit(1 << b if b < 63 else -(2**63)),
+        ).otherwise(F.lit(0))
+        for b in range(64)
+    ]
+    return counted.select(
+        "id", functools.reduce(operator.add, bits).cast("long").alias("sig")
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -241,7 +370,7 @@ def simhash_neardup_pairs(
     Returns (id1, id2, distance)."""
     if max_distance > 7:
         raise ValueError("8-chunk banding guarantees candidates only for distance <= 7")
-    sigs = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
+    sigs = simhash_signatures(df, id_col, text_col)
     chunks = sigs.select(
         "id",
         "sig",

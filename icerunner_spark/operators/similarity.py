@@ -158,7 +158,21 @@ def cosine_neardup_pairs(
         return df.sparkSession.createDataFrame([], "id1 long, id2 long, cos_sim double")
     planes = _hyperplanes(dim_row["d"], n_planes, seed)
 
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # Normalize each vector ONCE before the pair join so every pair pays a
+    # single dot product instead of dot+2 norms (array lambdas are
+    # interpreted — per-pair work dominates the quadratic stage). The
+    # repartition spreads the pair join across the cluster: embedding
+    # parquet is compact, so the scan alone may give fewer partitions than
+    # cores (measured 20x on local[32] at sf0.1).
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    v = _as_double_array(vec_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a_, x: a_ + x * x))
+    base = df.repartition(spread).select(
+        F.col(id_col).alias("id"),
+        F.when(
+            norm > 0, F.transform(v, lambda x: x / norm)
+        ).otherwise(v).alias("v"),
+    )
     if not exact:
         base = base.withColumn("__b", lsh_signature("v", planes))
     a = base.select(
@@ -174,8 +188,9 @@ def cosine_neardup_pairs(
         joined = a.join(b, (F.col("b1") == F.col("b2")) & cond)
     else:
         joined = a.join(b, cond)
-    return joined.select(
-        "id1",
-        "id2",
-        cosine_similarity(_as_double_array("v1"), _as_double_array("v2")).alias("cos_sim"),
-    ).filter(F.col("cos_sim") >= threshold)
+    dot = F.aggregate(
+        F.zip_with("v1", "v2", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
+    )
+    return joined.select("id1", "id2", dot.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )

@@ -108,3 +108,34 @@ def analyze_documents(
         *[c.alias(name) for name, c in feats.items()],
         F.round(quality_score(text_col), 6).alias("quality"),
     )
+
+
+def winnowing_fingerprint_table(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 8, window: int = 4
+) -> DataFrame:
+    """(id, fps: array<bigint>) winnowing fingerprints (see
+    functions.text.winnowing_fingerprints for the selection scheme).
+
+    Two-stage formulation: the k-gram hash array is materialized in a
+    projection *below* a repartition exchange, and the sliding-window min
+    selection runs above it. Fusing both into one expression makes
+    Catalyst re-derive the hash array for every window position (no CSE
+    inside array lambdas) — O(n_windows * n_grams) hashing per document,
+    measured minutes-vs-seconds at sf0.1. The exchange doubles as the
+    parallelism spread for compact document tables."""
+    from icerunner_spark.functions.text import char_ngrams
+
+    spread = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions(),
+    )
+    hashed = df.repartition(spread, id_col).select(
+        F.col(id_col).alias("id"),
+        F.transform(char_ngrams(text_col, k), lambda g: F.xxhash64(g)).alias("hs"),
+    )
+    n_windows = F.greatest(F.size("hs") - F.lit(window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice("hs", i, window)),
+    )
+    return hashed.select("id", F.array_distinct(mins).alias("fps"))

@@ -812,11 +812,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (generate via banded buckets, verify with
     exact Jaccard on candidates only). Approximate candidate generation =>
     no SQL oracle; the driver records a rows-only check and the pytest
-    suite pins recall against neardup_ngram_jaccard."""
+    suite pins recall against neardup_ngram_jaccard. Threshold 0.5 matches
+    the 16-band x 4-row s-curve midpoint (recall degrades sharply below
+    the banding's design point, so the knobs move together)."""
     from icerunner_spark.operators.dedup import minhash_neardup_pairs
 
     d = _t(spark, sf_dir, "documents")
-    out = minhash_neardup_pairs(d, "doc_id", "text", threshold=0.25)
+    out = minhash_neardup_pairs(d, "doc_id", "text", threshold=0.5)
     return out.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1133,3 +1135,325 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events").withColumn("value", _dec("value"))
     return session_counts(e).drop("session_end")
+
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           GROUPING(o_orderstatus)   AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) + GROUPING() markers.
+    Catalyst expands to one Expand + single hash aggregate — one shuffle
+    for all four groupings, not four passes over the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus)   AS g_status,
+               GROUPING(o_orderpriority) AS g_priority,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "percentiles_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS q50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75,
+           ROUND(quantile_cont(l_extendedprice, 0.90), 6) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). Exact percentile is a sort-based aggregate; at
+    100 TB the swap is one token: percentile_approx (t-digest, mergeable,
+    fixed memory) behind the same column names."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("q50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.90)"), 6).alias("p90_price"),
+    )
+
+
+@register(
+    "map_functions_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: parse the JSON props into map<string,bigint>,
+    aggregate over element_at lookups. The map stays columnar JVM-side;
+    the oracle reads the same values via JSON path."""
+    from pyspark.sql.types import LongType, MapType, StringType
+
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", MapType(StringType(), LongType()))
+    return (
+        e.select("event_type", F.element_at(m, "k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
+@register(
+    "higher_order_array_ops",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_positive,
+           ROUND(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum'), 6) AS sum_sq,
+           ROUND(list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max'), 6) AS max_abs
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+)
+def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter/transform/aggregate) over the
+    embedding vectors — all lambda expressions run inside codegen, no
+    Python. The id filter prunes at the scan."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return e.filter(F.col("vec_id") < 100).select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x), 6
+        ).alias("sum_sq"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))), 6
+        ).alias("max_abs"),
+    )
+
+
+# Non-aligned value bands for the range join: each band explodes into the
+# fixed-width buckets it overlaps; probe rows join on their single bucket,
+# then an exact range filter removes bucket-edge false positives. This
+# turns a nested-loop theta join into a shuffle-free-able equi join — the
+# scale path for range joins (SURVEY §2.B "Range / interval join").
+_VALUE_BANDS = [
+    ("tiny", 0.0, 75.0),
+    ("small", 75.0, 180.0),
+    ("mid", 180.0, 400.0),
+    ("large", 400.0, 1000.0),
+]
+_BUCKET_W = 25.0
+
+
+@register(
+    "range_join_event_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('tiny', 0.0, 75.0), ('small', 75.0, 180.0),
+               ('mid', 180.0, 400.0), ('large', 400.0, 1000.0)
+    )
+    SELECT b.band,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def range_join_event_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join via bucketize-and-explode: bands explode to
+    covered 25-unit buckets (a few rows), events compute one bucket key,
+    equi-join + exact range filter. Catalyst broadcasts the exploded band
+    side; the fallback theta join (the oracle's plan) would be a
+    nested-loop over every (event, band) pair."""
+    e = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_VALUE_BANDS, "band string, lo double, hi double")
+    exploded = bands.select(
+        "band", "lo", "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _BUCKET_W).cast("long"),
+                F.ceil(F.col("hi") / _BUCKET_W).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    probe = e.withColumn("bucket", F.floor(F.col("value") / _BUCKET_W).cast("long"))
+    joined = probe.join(F.broadcast(exploded), "bucket").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _money_sum(_dec("value")).alias("total_value"),
+    )
+
+
+@register(
+    "string_agg_nations",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list -> array_sort -> array_join
+    (Spark's deterministic listagg equivalent; collect_list alone is
+    arrival-ordered and non-deterministic under parallelism — sorting
+    inside the aggregate restores engine-independent output)."""
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "lead_lag_order_gaps",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               lag(o_orderdate)  OVER w AS prev_date,
+               lead(o_orderdate) OVER w AS next_date,
+               ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, quartile,
+           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS days_since_prev,
+           CAST(date_diff('day', o_orderdate, next_date) AS BIGINT) AS days_to_next
+    FROM g
+    WHERE o_custkey < 500
+    """,
+)
+def lead_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions lead/lag/ntile with a deterministic
+    (date, key) ordering. One shuffle on o_custkey serves all three
+    window functions (same window spec => single Window exec)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.filter(F.col("o_custkey") < 500)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).cast("long").alias("days_since_prev"),
+            F.datediff(
+                F.lead("o_orderdate").over(w), F.col("o_orderdate")
+            ).cast("long").alias("days_to_next"),
+        )
+    )
+
+
+@register(
+    "exists_subquery_large_orders",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def exists_subquery_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the spark.sql parser path
+    (the reference's entire query surface is SQL strings via its sql()
+    passthrough, icerunner.py:200-207). Catalyst rewrites both subqueries
+    into semi/anti joins — same physical plan as the DataFrame variant."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, COUNT(*) AS n_customers
+        FROM customer_ex c
+        WHERE EXISTS (SELECT 1 FROM orders_ex o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders_ex o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+@register(
+    "sampled_systematic_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_sampled,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sampled_total
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def sampled_systematic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% systematic sample (key mod 20) + aggregate —
+    the cross-engine-reproducible stand-in for TABLESAMPLE (Bernoulli
+    df.sample(fraction, seed) exists but draws engine-specific randoms,
+    so it can't hash-match an oracle). The modulo predicate still pushes
+    to the scan."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") % 20 == 0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            _money_sum(_dec("o_totalprice")).alias("sampled_total"),
+        )
+    )
+
+
+@register("doc_winnowing_fingerprints")
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via winnowing (rolling-hash min selection,
+    functions.text.winnowing_fingerprints). Fingerprint values are
+    xxhash64-specific => no cross-engine oracle; selection guarantees are
+    pinned in tests/test_operators.py (shared substrings => shared
+    fingerprints)."""
+    from icerunner_spark.operators.text import winnowing_fingerprint_table
+
+    d = _t(spark, sf_dir, "documents")
+    out = winnowing_fingerprint_table(d, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.size("fps").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )

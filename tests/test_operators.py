@@ -115,3 +115,58 @@ def test_asof_backward_tie_inclusive(spark):
         right_values=["v"],
     )
     assert out.first()["v"] == "same"
+
+
+class TestWinnowing:
+    def test_shared_substring_shares_fingerprints(self, spark):
+        from icerunner_spark.functions.text import winnowing_fingerprints
+        from pyspark.sql import functions as F
+
+        shared = "the quick brown fox jumps over the lazy dog near the river bank"
+        docs = spark.createDataFrame(
+            [
+                (1, f"AAA {shared} BBB unrelated tail one"),
+                (2, f"CCC completely different head {shared} DDD"),
+                (3, "nothing in common with the others at all, different words"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: set(r["fps"])
+            for r in docs.select(
+                "doc_id", winnowing_fingerprints("text").alias("fps")
+            ).collect()
+        }
+        # winnowing guarantee: shared substring of len >= k+window-1 (11)
+        # produces common fingerprints between 1 and 2
+        assert len(out[1] & out[2]) >= 5
+        # the unrelated doc shares (almost) nothing
+        assert len(out[1] & out[3]) <= 1
+
+    def test_deterministic(self, spark):
+        from icerunner_spark.functions.text import winnowing_fingerprints
+
+        docs = spark.createDataFrame(
+            [(1, "determinism check text for winnowing")], "doc_id long, text string"
+        )
+        a = docs.select(winnowing_fingerprints("text").alias("f")).collect()[0]["f"]
+        b = docs.select(winnowing_fingerprints("text").alias("f")).collect()[0]["f"]
+        assert a == b and len(a) > 0
+
+    def test_table_variant_matches_column_variant(self, spark):
+        from icerunner_spark.functions.text import winnowing_fingerprints
+        from icerunner_spark.operators.text import winnowing_fingerprint_table
+        from icerunner_spark.sources.testdata import load_table
+
+        d = load_table(spark, "documents", SF).limit(50)
+        col_v = {
+            r["doc_id"]: sorted(r["f"])
+            for r in d.select(
+                "doc_id", winnowing_fingerprints("text").alias("f")
+            ).collect()
+        }
+        tab_v = {
+            r["id"]: sorted(r["fps"])
+            for r in winnowing_fingerprint_table(d, "doc_id", "text").collect()
+        }
+        assert col_v == tab_v

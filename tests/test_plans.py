@@ -1,0 +1,99 @@
+"""Physical-plan assertions (icerunner_spark/plans): the scale properties
+the 100 TB design depends on must hold in the actual Catalyst plans —
+filter pushdown into parquet scans, column pruning, broadcast joins for
+dims, codegen coverage. A regression here is a performance bug even when
+results stay correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icerunner_spark import queries as q
+from icerunner_spark.plans import plan_report
+from icerunner_spark.sources.testdata import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _report(spark, name):
+    return plan_report(q.queries()[name](spark, SF))
+
+
+def test_q6_filters_pushed_and_columns_pruned(spark):
+    r = _report(spark, "q6_revenue_forecast")
+    scan = r.scan_for("lineitem.parquet")
+    assert scan is not None
+    # all four predicates reach the scan
+    pushed = " ".join(scan.pushed_filters)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+    # 16-column fact table, 4-column read
+    assert set(scan.read_columns) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+    }
+    assert r.joins == []
+
+
+def test_q3_broadcasts_dims(spark):
+    r = _report(spark, "q3_shipping_priority")
+    # customer (filtered dim) and orders side must broadcast — no
+    # sort-merge join anywhere in this plan at these sizes
+    assert r.join_strategies == {"BroadcastHashJoin"}
+    cust = r.scan_for("customer.parquet")
+    assert cust is not None and len(cust.read_columns) == 2
+    assert any("c_mktsegment" in f for f in cust.pushed_filters)
+
+
+def test_q5_five_way_join_all_broadcast(spark):
+    r = _report(spark, "q5_region_revenue")
+    assert r.join_strategies == {"BroadcastHashJoin"}
+    assert len(r.joins) == 5
+    # the fact scan reads only join keys + money columns
+    li = r.scan_for("lineitem.parquet")
+    assert li is not None and len(li.read_columns) <= 4
+
+
+def test_semi_join_stays_semi(spark):
+    r = _report(spark, "semi_join_customers_with_open_orders")
+    assert "LeftSemi" in r.text or "left_semi" in r.text.lower()
+
+
+def test_dedup_fingerprint_single_shuffle(spark):
+    """Exact dedup = one hash-agg shuffle on the 8-byte fingerprint; the
+    document text column must not be read past the projection."""
+    r = _report(spark, "dedup_exact_fingerprint")
+    assert r.n_exchanges <= 1, r.text
+    scan = r.scan_for("documents.parquet")
+    assert scan is not None
+    assert "doc_id" in scan.read_columns and "text" in scan.read_columns
+    assert "source" not in scan.read_columns  # pruned
+
+
+def test_codegen_covers_agg_queries(spark):
+    # codegen ids only appear in the AQE *final* plan, so execute first
+    for name in ("q1_pricing_summary", "q6_revenue_forecast"):
+        r = plan_report(q.queries()[name](spark, SF), execute=True)
+        assert r.codegen_stages >= 1, f"{name} has no codegen span"
+
+
+def test_projection_prunes_to_scan(spark):
+    """A 2-column projection over the 16-column lineitem must scan 2."""
+    li = load_table(spark, "lineitem", SF).select("l_orderkey", "l_quantity")
+    r = plan_report(li)
+    scan = r.scan_for("lineitem.parquet")
+    assert scan is not None
+    assert set(scan.read_columns) == {"l_orderkey", "l_quantity"}
+
+
+def test_limit_does_not_full_scan(spark):
+    df = load_table(spark, "lineitem", SF).limit(5)
+    r = plan_report(df)
+    assert "GlobalLimit" in r.text or "CollectLimit" in r.text
+
+
+def test_broadcast_hint_respected(spark):
+    small = load_table(spark, "nation", SF)
+    big = load_table(spark, "customer", SF)
+    j = big.join(F.broadcast(small), big.c_nationkey == small.n_nationkey)
+    r = plan_report(j)
+    assert "BroadcastHashJoin" in r.join_strategies
