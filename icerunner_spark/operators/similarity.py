@@ -194,3 +194,91 @@ def cosine_neardup_pairs(
     return joined.select("id1", "id2", dot.alias("cos_sim")).filter(
         F.col("cos_sim") >= threshold
     )
+
+
+# --------------------------------------------------------------------------- #
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# --------------------------------------------------------------------------- #
+
+
+def _deterministic_centroids(
+    df: DataFrame, *, vec_col: str, id_col: str, n_centroids: int
+) -> list[list[float]]:
+    """Deterministic centroid seed-set: the rows with the smallest
+    xxhash64(id) — a stable pseudo-random sample, identical across runs
+    and engines (a production build would run a few Lloyd iterations from
+    these seeds; selection stays deterministic either way)."""
+    rows = (
+        df.select(F.col(id_col).alias("i"), _as_double_array(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("i").cast("string")), F.col("i"))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = []
+    for r in rows:
+        v = list(r["v"])
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / n for x in v])
+    return cents
+
+
+def _dot_lit(vec: Column, lit_vec: list[float]) -> Column:
+    arr = F.array(*[F.lit(float(x)) for x in lit_vec])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    cell_col: str = "__ivf_cell",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max dot on normalized
+    centroids). At 100 TB this column is the partition key the index is
+    written under — probing then prunes whole partitions at the scan."""
+    v = _as_double_array(vec_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    vn = F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
+    dots = F.array(*[_dot_lit(vn, c) for c in centroids])
+    return df.withColumn(cell_col, F.array_position(dots, F.array_max(dots)) - 1)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    vec_col: str = "embedding",
+    id_cols: tuple[str, ...] = ("vec_id",),
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: score only vectors whose cell is among
+    the ``n_probe`` centroids nearest the query, exact-rescore those.
+    Candidates ~ n_probe/n_centroids of the corpus; recall tracks how
+    clustered the data is (pins in tests/test_operators.py). Precomputed
+    ``__ivf_cell`` columns (ivf_assign, e.g. from a partitioned index
+    table) are reused — then probing is partition pruning, no per-row
+    assignment at query time."""
+    cents = _deterministic_centroids(
+        df, vec_col=vec_col, id_col=id_cols[0], n_centroids=n_centroids
+    )
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = [x / qn for x in query_vec]
+    by_dist = sorted(
+        range(len(cents)),
+        key=lambda i: -sum(a * b for a, b in zip(q, cents[i])),
+    )
+    probes = by_dist[:n_probe]
+
+    cand = df if "__ivf_cell" in df.columns else ivf_assign(df, cents, vec_col=vec_col)
+    cand = cand.filter(F.col("__ivf_cell").isin(probes))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        *id_cols,
+        cosine_similarity(_as_double_array(vec_col), qlit).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), *[F.asc(c) for c in id_cols]).limit(k)

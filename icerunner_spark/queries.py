@@ -1457,3 +1457,50 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("fps").alias("min_fp"),
         F.array_max("fps").alias("max_fp"),
     )
+
+
+@register(
+    "grouped_user_trends",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(regr_slope(value, epoch(ts)), 12) AS slope,
+           ROUND(regr_intercept(value, epoch(ts)), 2) AS intercept,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS mean_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def grouped_user_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregation via applyInPandas (operators.grouped):
+    per-user least-squares value trend, numpy closed form inside the
+    Python worker. The oracle recomputes with SQL regr_slope/intercept —
+    verifying the whole Arrow->pandas->numpy->Arrow round trip
+    numerically. One shuffle on user_id; groups never touch the driver."""
+    from icerunner_spark.operators.grouped import user_value_trends
+
+    e = _t(spark, sf_dir, "events")
+    out = user_value_trends(e)
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("slope", 12).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
+@register("similarity_ann_ivf")
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k (operators.similarity.ivf_topk):
+    deterministic coarse quantizer, probe the n_probe nearest cells,
+    exact rescore. Approximate => rows-only driver check; recall pinned
+    vs brute force in tests/test_operators.py."""
+    from icerunner_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in row["embedding"]]
+    return ivf_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=10, n_centroids=16, n_probe=6
+    ).select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))

@@ -170,3 +170,40 @@ class TestWinnowing:
             for r in winnowing_fingerprint_table(d, "doc_id", "text").collect()
         }
         assert col_v == tab_v
+
+
+class TestIVF:
+    def test_ivf_recall_against_bruteforce(self, spark):
+        from icerunner_spark.operators.similarity import cosine_topk, ivf_topk
+
+        e = load_table(spark, "embeddings", SF)
+        row = e.filter(F.col("vec_id") == 0).first()
+        q = [float(x) for x in row["embedding"]]
+        cand = e.filter(F.col("vec_id") != 0)
+        exact = {r["vec_id"]: r["cos_sim"] for r in cosine_topk(cand, q, k=10).collect()}
+        approx = {
+            r["vec_id"]: r["cos_sim"]
+            for r in ivf_topk(cand, q, k=10, n_centroids=16, n_probe=6).collect()
+        }
+        recall = len(set(exact) & set(approx)) / 10
+        # near-uniform fixture vectors (hard mode): probing 6/16 cells
+        # must find most of the true top-10; rescoring is exact
+        assert recall >= 0.5, f"ivf recall {recall} below pin"
+        for vid in set(exact) & set(approx):
+            assert abs(exact[vid] - approx[vid]) < 1e-12
+
+    def test_ivf_assign_covers_all_cells_input(self, spark):
+        from icerunner_spark.operators.similarity import (
+            _deterministic_centroids,
+            ivf_assign,
+        )
+
+        e = load_table(spark, "embeddings", SF)
+        cents = _deterministic_centroids(
+            e, vec_col="embedding", id_col="vec_id", n_centroids=8
+        )
+        assert len(cents) == 8
+        out = ivf_assign(e, cents)
+        cells = {r["__ivf_cell"] for r in out.select("__ivf_cell").distinct().collect()}
+        assert cells <= set(range(8))
+        assert out.count() == e.count()

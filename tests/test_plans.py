@@ -97,3 +97,27 @@ def test_broadcast_hint_respected(spark):
     j = big.join(F.broadcast(small), big.c_nationkey == small.n_nationkey)
     r = plan_report(j)
     assert "BroadcastHashJoin" in r.join_strategies
+
+
+def test_partition_pruning_on_date_layout(spark, tmp_path):
+    """Date-partitioned layout (sources/layout.py): a one-day filter must
+    prune to that day's partition at planning time."""
+    from icerunner_spark.sources.layout import (
+        read_partitioned,
+        with_date_partition,
+        write_partitioned,
+    )
+
+    events = load_table(spark, "events", SF)
+    path = str(tmp_path / "events_by_date")
+    write_partitioned(
+        with_date_partition(events, "ts"), path, partition_by=["p_date"]
+    )
+    day = read_partitioned(spark, path).filter(F.col("p_date") == "2024-01-05")
+    r = plan_report(day)
+    # partition filter present, and NOT as a pushed data filter
+    assert "PartitionFilters" in r.text
+    assert "p_date" in r.text.split("PartitionFilters", 1)[1].split("\n")[0]
+    # correctness of the pruned read
+    expect = events.filter(F.to_date("ts") == "2024-01-05").count()
+    assert day.count() == expect and expect > 0
