@@ -267,7 +267,9 @@ def minhash_neardup_pairs(
     est = F.size(
         F.filter(F.zip_with("s1", "s2", lambda a, b: a == b), lambda x: x)
     ) / F.lit(n_hashes)
-    margin = 2.5 / (n_hashes ** 0.5)
+    # 2.5 sigma at the worst-case estimator variance sqrt(J(1-J)/k) <=
+    # sqrt(0.25/k): a true-J=threshold pair fails this cut with p ~ 0.6%
+    margin = 2.5 * 0.5 / (n_hashes ** 0.5)
     plausible = (
         cands.join(s1, "id1")
         .join(s2, "id2")

@@ -1490,6 +1490,160 @@ def grouped_user_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------- #
+# Pivot / full outer join / correlated scalar subquery / UDTF — §2.B long tail
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "pivot_revenue_by_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS total_f,
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS total_o,
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS total_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (priority x status revenue matrix). Explicit value list
+    ['F','O','P'] matters at scale: without it Spark runs an extra
+    distinct job over the fact table just to discover column headers.
+    With it, pivot compiles to one hash aggregate with conditional sums —
+    exactly the oracle's CASE WHEN spelling, one shuffle, no extra scan."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(_money_sum(_dec("o_totalprice")))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").alias("total_f"),
+        F.col("O").alias("total_o"),
+        F.col("P").alias("total_p"),
+    )
+
+
+@register(
+    "full_outer_monthly_volumes",
+    oracle="""
+    WITH om AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS order_total
+        FROM orders GROUP BY 1
+    ), sm AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS ym,
+               COUNT(*) AS n_ships,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS ship_qty
+        FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(om.ym, sm.ym) AS ym,
+           COALESCE(om.n_orders, 0) AS n_orders,
+           om.order_total AS order_total,
+           COALESCE(sm.n_ships, 0) AS n_ships,
+           sm.ship_qty AS ship_qty
+    FROM om FULL OUTER JOIN sm ON om.ym = sm.ym
+    """,
+)
+def full_outer_monthly_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join of two pre-aggregated monthly rollups (order
+    revenue vs shipped quantity). Ship months trail order months by ~3
+    months, so the right side genuinely contributes unmatched rows.
+    Scale: both inputs aggregate DOWN to ~|months| rows before the join —
+    the outer join runs on tiny relations (AQE turns it into a broadcast);
+    joining the raw facts first would shuffle everything for nothing."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    om = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _money_sum(_dec("o_totalprice")).alias("order_total"),
+    )
+    sm = li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ym")).agg(
+        F.count(F.lit(1)).alias("n_ships"),
+        _money_sum(_dec("l_quantity")).alias("ship_qty"),
+    )
+    j = om.alias("om").join(sm.alias("sm"), on="ym", how="full_outer")
+    return j.select(
+        # full outer on="ym" coalesces the key for us
+        "ym",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        "order_total",
+        F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+        "ship_qty",
+    )
+
+
+@register(
+    "correlated_scalar_subquery_orders",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_above,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_above
+    FROM orders o
+    WHERE CAST(o.o_totalprice AS DECIMAL(12,2)) *
+          (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) >
+          2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(12,2))) FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def correlated_scalar_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated *scalar* subqueries (aggregate per outer row): orders
+    worth more than 2x their customer's average order. Stated as
+    price*count > 2*sum so the comparison is exact decimal arithmetic on
+    both engines (a double AVG could flip boundary rows). Catalyst
+    de-correlates both subqueries into one aggregate-then-join on
+    o_custkey — the fact table is scanned twice but shuffled once each,
+    no per-row re-execution (the naive nested-loop reading)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_csq")
+    return spark.sql(
+        """
+        SELECT o.o_orderstatus,
+               COUNT(*) AS n_above,
+               CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_above
+        FROM orders_csq o
+        WHERE CAST(o.o_totalprice AS DECIMAL(12,2)) *
+              (SELECT COUNT(*) FROM orders_csq o2 WHERE o2.o_custkey = o.o_custkey) >
+              2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(12,2))) FROM orders_csq o3 WHERE o3.o_custkey = o.o_custkey)
+        GROUP BY o.o_orderstatus
+        """
+    )
+
+
+@register(
+    "udtf_token_explode",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+)
+def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF through the LATERAL join path (functions.udtfs
+    .SplitTokens): one row in, N (pos, token) rows out, computed in the
+    Python worker. The oracle re-derives the same expansion with DuckDB
+    list functions. Scale: the UDTF streams Arrow batches per partition —
+    expansion factor, not table size, bounds task memory. For pure
+    splitting the JVM spelling explode(split()) wins (see
+    text_token_stats); this query is the extension-surface proof."""
+    from icerunner_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    ).createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.token
+        FROM docs_udtf d, LATERAL split_tokens(d.text) s
+        """
+    )
+
+
 @register("similarity_ann_ivf")
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-k (operators.similarity.ivf_topk):

@@ -207,3 +207,30 @@ class TestIVF:
         cells = {r["__ivf_cell"] for r in out.select("__ivf_cell").distinct().collect()}
         assert cells <= set(range(8))
         assert out.count() == e.count()
+
+
+class TestUDTF:
+    def test_split_tokens_matches_jvm_explode(self, spark):
+        """UDTF lateral expansion must equal the JVM explode(split())
+        spelling row-for-row — proving the Python table-function path is
+        a correct (if slower) spelling of the same operator."""
+        from icerunner_spark.functions.udtfs import register_udtfs
+
+        register_udtfs(spark)
+        d = load_table(spark, "documents", SF).filter(F.col("doc_id") < 25)
+        d.createOrReplaceTempView("docs_udtf_t")
+        via_udtf = {
+            (r["doc_id"], r["pos"], r["token"])
+            for r in spark.sql(
+                "SELECT d.doc_id, s.pos, s.token "
+                "FROM docs_udtf_t d, LATERAL split_tokens(d.text) s"
+            ).collect()
+        }
+        via_jvm = {
+            (r["doc_id"], r["pos"], r["token"])
+            for r in d.select(
+                "doc_id",
+                F.posexplode(F.split("text", " ", -1)).alias("pos", "token"),
+            ).collect()
+        }
+        assert via_udtf == via_jvm and len(via_udtf) > 0
