@@ -42,11 +42,16 @@ HEADLINE = [
     "window_tumbling_events",
     "session_window_events",
     "similarity_bruteforce_topk",
+    "similarity_knn_join",
     "dedup_minhash_lsh",
     "text_token_stats",
     "lang_id_documents",
     "dedup_exact_documents",
     "multimodal_byte_features",
+    "grouped_user_trends",
+    "approx_distinct_parts",
+    "pivot_revenue_by_status",
+    "stream_join_view_purchases",
 ]
 
 

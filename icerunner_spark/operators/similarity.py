@@ -196,6 +196,93 @@ def cosine_neardup_pairs(
     )
 
 
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id_col: str = "q_id",
+    corpus_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 6,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Batch ANN k-NN join: for EVERY query vector, its approximate top-k
+    corpus neighbors — the many-to-many companion of ann_lsh_topk (which
+    serves one query).
+
+    Shape: normalize both sides once; signature each corpus vector into a
+    2^n_planes-bucket space; explode each query into its bucket plus all
+    hamming-1 probes; equi-join on the bucket id; one dot product per
+    surviving pair; per-query top-k via a row_number window. Scale notes:
+    the join is an *equi*-join on the bucket (shuffle-hash, no cross
+    product — candidate count ~ (1+n_planes)/2^n_planes of |Q|x|C|);
+    normalization happens below a repartition so each vector pays it once
+    (no CSE across the exchange otherwise); probe signatures are distinct
+    bit-flips, so no pair joins twice and no dedup pass is needed. The
+    window shuffles only scored candidate pairs on q_id, k rows survive
+    per query. Recall pinned vs brute force in tests/test_operators.py."""
+    from pyspark.sql import Window
+
+    dim_row = corpus.select(F.size(_as_double_array(vec_col)).alias("d")).first()
+    if dim_row is None:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {corpus_id_col} long, cos_sim double, rn int"
+        )
+    planes = _hyperplanes(dim_row["d"], n_planes, seed)
+    spread = corpus.sparkSession.sparkContext.defaultParallelism
+
+    def _normed(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
+        v = _as_double_array(vec_col)
+        norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a_, x: a_ + x * x))
+        return df.repartition(spread).select(
+            F.col(id_col).alias(out_id),
+            F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v).alias("v"),
+        )
+
+    c = _normed(corpus, corpus_id_col, "c_id").select(
+        "c_id", F.col("v").alias("cv"), lsh_signature("v", planes).alias("sig")
+    )
+    q = _normed(queries, query_id_col, "q_id_").withColumn(
+        "sig0", lsh_signature("v", planes)
+    )
+    # all bit-flip masks within probe_hamming of the query signature —
+    # XOR with each mask enumerates the probe neighborhood (distinct
+    # masks => distinct probe sigs => no pair ever joins twice)
+    from itertools import combinations
+
+    masks = [0]
+    for h in range(1, probe_hamming + 1):
+        for flips in combinations(range(n_planes), h):
+            m = 0
+            for f in flips:
+                m |= 1 << f
+            masks.append(m)
+    probe_cols = [F.col("sig0").bitwiseXOR(F.lit(m)) for m in masks]
+    qp = q.select(
+        "q_id_",
+        F.col("v").alias("qv"),
+        F.explode(F.array(*probe_cols)).alias("sig"),
+    )
+    pairs = qp.join(c, "sig")
+    dot_ = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
+    )
+    scored = pairs.select("q_id_", "c_id", dot_.alias("cos_sim"))
+    w = Window.partitionBy("q_id_").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("q_id_").alias(query_id_col),
+            F.col("c_id").alias(corpus_id_col),
+            "cos_sim",
+            "rn",
+        )
+    )
+
+
 # --------------------------------------------------------------------------- #
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # --------------------------------------------------------------------------- #

@@ -678,6 +678,65 @@ def cdc_changes_since_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.scan_changes("region_cdc", snap0)
 
 
+@register(
+    "time_travel_snapshot_scan",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10
+    """,
+)
+def time_travel_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the snapshot table format: create a table from
+    nation rows < 10, append the rest, then scan AS OF the first snapshot
+    — which must see exactly the pre-append rows. The reference gets
+    version resolution via DuckDB's unsafe_enable_version_guessing
+    (icerunner.py:76-80, :98); here every snapshot is an explicit
+    manifest, so historical reads are exact file lists, no guessing."""
+    from icerunner_spark.connector import Connector
+
+    wh = os.path.join(
+        "/tmp", "icerunner_tt_demo", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    c = Connector(spark, wh)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    t = c.catalog.table("nation_tt")
+    t.create(nation.filter(F.col("n_nationkey") < 10))
+    snap0 = t.current_snapshot().snapshot_id
+    t.append(nation.filter(F.col("n_nationkey") >= 10))
+    return t.scan(snapshot_id=snap0)
+
+
+@register(
+    "snapshot_history_metadata",
+    oracle="""
+    SELECT * FROM (VALUES (0, 'create'), (1, 'append'), (2, 'append'))
+        AS t(seq, op)
+    """,
+)
+def snapshot_history_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-history metadata table (parity with Iceberg's
+    ``<t>.snapshots``, which the reference queries for its CDC theta-join,
+    icerunner.py:243-252): create + two appends must yield exactly three
+    history rows in commit order. Only the deterministic columns (commit
+    ordinal, operation) are compared — ids and timestamps are
+    run-specific."""
+    from icerunner_spark.connector import Connector
+
+    wh = os.path.join(
+        "/tmp", "icerunner_snaphist_demo", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    c = Connector(spark, wh)
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    t = c.catalog.table("region_hist")
+    t.create(region.filter(F.col("r_regionkey") < 2))
+    t.append(region.filter((F.col("r_regionkey") >= 2) & (F.col("r_regionkey") < 4)))
+    t.append(region.filter(F.col("r_regionkey") >= 4))
+    return t.snapshots_df().select(
+        F.col("sequence").alias("seq"), F.col("operation").alias("op")
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Extensions: dedup / similarity / text (SURVEY §2.C) — more in operators/
 # --------------------------------------------------------------------------- #
@@ -1491,6 +1550,76 @@ def grouped_user_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Approximate / sketch aggregates — the 100 TB cardinality toolbox
+# --------------------------------------------------------------------------- #
+
+
+@register("approx_distinct_parts")  # approximate: rows-only driver check;
+# relative error vs exact COUNT(DISTINCT) pinned in tests/test_operators.py
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-part counts per return flag
+    (approx_count_distinct, rsd=1%). The at-scale spelling of
+    COUNT(DISTINCT): exact distinct re-shuffles the fact table on the
+    distinct key (a second full shuffle); HLL keeps one fixed-size sketch
+    per group, merged map-side — the shuffle carries kilobytes instead of
+    the key universe. Hash-based, no RNG: deterministic for a given
+    input, so the rows-only driver check is stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("hll_sketch_union_parts")  # sketch buffers: rows-only driver check;
+# estimate error + union-vs-global consistency pinned in tests
+def hll_sketch_union_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg /
+    hll_union_agg): build one sketch per order-status group, then union
+    the group sketches into a global estimate WITHOUT rescanning the
+    facts. This is the sketch contract a 100 TB pipeline relies on —
+    per-partition/per-day sketches persisted small and unioned later give
+    any rollup's distinct count from metadata-sized state."""
+    o = _t(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_group.groupBy().agg(
+        F.sum("n_rows").alias("n_rows_total"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custkeys"),
+    )
+
+
+@register("approx_quantiles_totalprice")  # approximate: rows-only driver
+# check; rank error vs exact percentile_disc pinned in tests
+def approx_quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles (percentile_approx,
+    accuracy=10000) of order value per status. Exact percentiles need a
+    full sort per group; GK summaries are fixed-size and merge map-side,
+    so quantiles of a 100 TB column cost one aggregation pass.
+    Deterministic (no sampling) => stable rows-only check."""
+    o = _t(spark, sf_dir, "orders")
+    qs = F.percentile_approx(
+        _dec("o_totalprice").cast("double"),
+        F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]),
+        F.lit(10000),
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(qs.alias("q"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            F.round(F.col("q")[0], 2).alias("p25"),
+            F.round(F.col("q")[1], 2).alias("p50"),
+            F.round(F.col("q")[2], 2).alias("p75"),
+            F.round(F.col("q")[3], 2).alias("p95"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
 # Pivot / full outer join / correlated scalar subquery / UDTF — §2.B long tail
 # --------------------------------------------------------------------------- #
 
@@ -1641,6 +1770,64 @@ def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, s.pos, s.token
         FROM docs_udtf d, LATERAL split_tokens(d.text) s
         """
+    )
+
+
+@register(
+    "stream_join_view_purchases",
+    oracle="""
+    SELECT p.user_id AS user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           epoch_us(v.ts) AS view_us,
+           epoch_us(p.ts) AS purchase_us,
+           ROUND(p.value, 2) AS purchase_value
+    FROM events v
+    JOIN events p
+      ON v.event_type = 'view' AND p.event_type = 'purchase'
+     AND v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+    """,
+)
+def stream_join_view_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join's transformation body
+    (streaming.view_purchase_attribution) run in batch mode — the same
+    function passes tests/test_streaming.py's stream==batch equivalence
+    with multi-micro-batch availableNow execution; here the DuckDB oracle
+    checks the join semantics themselves. Timestamps compare as epoch
+    microseconds (integer ns-div-1000 on both engines — double division
+    drifts +-1 us)."""
+    from icerunner_spark.streaming import view_purchase_attribution
+
+    e = _t(spark, sf_dir, "events")
+    out = view_purchase_attribution(e)
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "purchase_value",
+    )
+
+
+@register("similarity_knn_join")  # approximate: rows-only driver check;
+# recall vs per-query brute force pinned in tests/test_operators.py
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN k-NN join (operators.similarity.knn_join): top-5
+    neighbors for every one of 20 query vectors against the rest of the
+    corpus in ONE bucket-equi-join — the shape embedding dedup/retrieval
+    pipelines run at corpus scale, where per-query loops are impossible."""
+    from icerunner_spark.operators.similarity import knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") >= 20)
+    out = knn_join(queries_df, corpus, k=5, n_planes=6, probe_hamming=2)
+    return out.select(
+        "q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rn"
     )
 
 

@@ -46,3 +46,32 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a hive-partitioned parquet dataset (partition columns come
     back as real columns, usable in filters that prune)."""
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    *,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (hash-clustered) parquet table.
+
+    Bucketing is the co-located-join layout: both fact tables hashed into
+    the same number of buckets on the join key read back pre-partitioned,
+    so the join runs with ZERO shuffle of either side — at 100 TB this is
+    the difference between a join that moves terabytes over the network
+    and one that streams local files (tests/test_plans.py pins the
+    no-Exchange plan). ``sort_by`` additionally pre-sorts within buckets,
+    letting sort-merge joins skip the per-task sort. Bucketed layout
+    requires the table catalog (``saveAsTable``); ``path`` makes it
+    external so tests can point it at a tmp dir."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)

@@ -15,6 +15,7 @@ from icerunner_spark.streaming.pipeline import (
     run_available_now,
     running_user_totals,
     session_counts,
+    view_purchase_attribution,
     windowed_counts,
 )
 
@@ -25,4 +26,5 @@ __all__ = [
     "dedup_stream",
     "running_user_totals",
     "run_available_now",
+    "view_purchase_attribution",
 ]

@@ -121,6 +121,54 @@ def dedup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def view_purchase_attribution(
+    events: DataFrame, *, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval self-join: each purchase attributed to the
+    same user's views in the preceding ``horizon``.
+
+    Both sides carry a watermark and the join predicate bounds
+    ``purchase_ts`` to [view_ts, view_ts + horizon] — together these give
+    the state store an eviction rule (a buffered view can be dropped once
+    the purchase-side watermark passes view_ts + horizon), which is what
+    keeps stream-stream join state finite on an unbounded feed. The
+    horizon must sit inside the watermark delay or matches are lost to
+    early eviction. Same body runs in batch (watermarks are no-ops) —
+    the equivalence test pins stream == batch."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.round(F.col("value"), 2).alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.expr(f"view_ts + INTERVAL {horizon}"))
+    )
+    return v.join(p, cond).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 _TOTALS_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

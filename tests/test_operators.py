@@ -234,3 +234,101 @@ class TestUDTF:
             ).collect()
         }
         assert via_udtf == via_jvm and len(via_udtf) > 0
+
+
+class TestApproxAggregates:
+    def test_hll_distinct_error_pin(self, spark):
+        from icerunner_spark.queries import approx_distinct_parts
+
+        sf_dir = SF
+        got = {
+            r["l_returnflag"]: r["approx_parts"]
+            for r in approx_distinct_parts(spark, sf_dir).collect()
+        }
+        li = load_table(spark, "lineitem", sf_dir)
+        exact = {
+            r["l_returnflag"]: r["exact"]
+            for r in li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("exact"))
+            .collect()
+        }
+        assert set(got) == set(exact)
+        for k in exact:
+            rel = abs(got[k] - exact[k]) / exact[k]
+            assert rel < 0.05, f"{k}: HLL rel error {rel:.3f} exceeds 5%"
+
+    def test_hll_sketch_union_consistency(self, spark):
+        from icerunner_spark.queries import hll_sketch_union_parts
+
+        row = hll_sketch_union_parts(spark, SF).first()
+        o = load_table(spark, "orders", SF)
+        exact = o.select(F.countDistinct("o_custkey")).first()[0]
+        assert row["n_rows_total"] == o.count()
+        rel = abs(row["approx_custkeys"] - exact) / exact
+        assert rel < 0.05, f"unioned sketch rel error {rel:.3f} exceeds 5%"
+
+    def test_approx_quantiles_rank_error(self, spark):
+        from icerunner_spark.queries import approx_quantiles_totalprice
+
+        rows = {r["o_orderstatus"]: r for r in approx_quantiles_totalprice(spark, SF).collect()}
+        o = load_table(spark, "orders", SF).select(
+            "o_orderstatus", F.col("o_totalprice").cast("double").alias("v")
+        )
+        import numpy as np
+
+        pdf = o.toPandas()
+        for status, grp in pdf.groupby("o_orderstatus"):
+            v = np.sort(grp["v"].to_numpy())
+            n = len(v)
+            for q, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")):
+                got = rows[status][col]
+                # GK guarantee: returned value's rank within eps*n of target
+                rank = np.searchsorted(v, got, side="right")
+                assert abs(rank - q * n) <= max(2.0, 1e-3 * n), (
+                    f"{status} {col}: rank {rank} vs target {q * n:.0f} (n={n})"
+                )
+
+
+class TestKnnJoin:
+    def test_knn_join_recall_against_bruteforce(self, spark):
+        from icerunner_spark.operators.similarity import cosine_topk, knn_join
+
+        e = load_table(spark, "embeddings", SF)
+        queries_df = e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        corpus = e.filter(F.col("vec_id") >= 8)
+        got = knn_join(queries_df, corpus, k=5, n_planes=6, probe_hamming=2)
+        by_q = {}
+        for r in got.collect():
+            by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+        recalls = []
+        for qrow in queries_df.collect():
+            exact = {
+                r["vec_id"]
+                for r in cosine_topk(
+                    corpus, [float(x) for x in qrow["embedding"]], k=5
+                ).collect()
+            }
+            approx = by_q.get(qrow["q_id"], set())
+            assert len(approx) <= 5
+            recalls.append(len(exact & approx) / 5)
+        mean_recall = sum(recalls) / len(recalls)
+        # near-uniform fixture vectors (hard mode): 22/64 buckets probed
+        # is ~34% of the corpus; hyperplane locality must beat that
+        assert mean_recall >= 0.5, f"knn_join mean recall {mean_recall:.2f}"
+
+    def test_knn_join_no_duplicate_pairs_and_k_bound(self, spark):
+        from icerunner_spark.operators.similarity import knn_join
+
+        e = load_table(spark, "embeddings", SF)
+        queries_df = e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        corpus = e.filter(F.col("vec_id") >= 8)
+        out = knn_join(queries_df, corpus, k=5).collect()
+        pairs = [(r["q_id"], r["vec_id"]) for r in out]
+        assert len(pairs) == len(set(pairs)), "duplicate candidate pairs"
+        from collections import Counter
+
+        assert all(v <= 5 for v in Counter(p[0] for p in pairs).values())

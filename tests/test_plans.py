@@ -121,3 +121,36 @@ def test_partition_pruning_on_date_layout(spark, tmp_path):
     # correctness of the pruned read
     expect = events.filter(F.to_date("ts") == "2024-01-05").count()
     assert day.count() == expect and expect > 0
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with no
+    Exchange on either side — the co-located-join layout for 100 TB
+    facts (sources/layout.py write_bucketed)."""
+    from icerunner_spark.sources.layout import write_bucketed
+
+    cust = load_table(spark, "customer", SF)
+    orders = load_table(spark, "orders", SF)
+    write_bucketed(
+        cust, "cust_bkt", bucket_by=["c_custkey"], n_buckets=8,
+        sort_by=["c_custkey"], path=str(tmp_path / "cust_bkt"),
+    )
+    write_bucketed(
+        orders, "ord_bkt", bucket_by=["o_custkey"], n_buckets=8,
+        sort_by=["o_custkey"], path=str(tmp_path / "ord_bkt"),
+    )
+    try:
+        c = spark.table("cust_bkt").hint("merge")
+        o = spark.table("ord_bkt").hint("merge")
+        j = c.join(o, c.c_custkey == o.o_custkey).select(
+            "c_custkey", "o_orderkey", "o_totalprice"
+        )
+        r = plan_report(j)
+        assert "SortMergeJoin" in r.join_strategies
+        assert r.n_exchanges == 0, f"bucketed join still shuffles:\n{r.text}"
+        # sanity: the join actually returns the equi-join cardinality
+        expect = cust.join(orders, cust.c_custkey == orders.o_custkey).count()
+        assert j.count() == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cust_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")

@@ -146,3 +146,18 @@ def test_running_user_totals_stateful(spark, events_dir, events_batch, tmp_path)
     assert _rows(final) == _rows(expect)
     # multiple micro-batches really happened: users re-emitted
     assert emitted.count() > final.count()
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir, events_batch, tmp_path):
+    """Stream-stream interval self-join (views -> purchases within 1 h)
+    must emit exactly the batch join's matches: the 1 h horizon sits
+    inside the 2 h watermark, so no match is lost to state eviction."""
+    from icerunner_spark.streaming import view_purchase_attribution
+
+    stream = view_purchase_attribution(read_events_stream(spark, events_dir))
+    out = str(tmp_path / "ssj_out")
+    run_available_now(stream, out)
+    got = spark.read.parquet(out)
+    expect = view_purchase_attribution(events_batch)
+    assert _rows(got) == _rows(expect)
+    assert got.count() > 0
