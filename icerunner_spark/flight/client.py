@@ -55,6 +55,34 @@ def read_table_once(host: str, port: int, table_name: str) -> pa.Table:
     return client.do_get(info.endpoints[0].ticket).read_all()
 
 
+def read_table_parallel(
+    host: str, port: int, table_name: str, *, n_streams: int = 4
+) -> pa.Table:
+    """Read a table through N concurrent slice endpoints (server command
+    ``get_slices``): get_flight_info returns one endpoint per disjoint
+    manifest slice, all pinned to the same snapshot, and a thread pulls
+    each stream. This is the scale read path — k clients (or threads)
+    each move 1/k of the files; a single stream caps throughput at one
+    connection no matter how big the table."""
+    import json as _json
+    from concurrent.futures import ThreadPoolExecutor
+
+    client = flight.connect(f"grpc://{host}:{port}")
+    cmd = {"command": "get_slices", "table": table_name, "n": n_streams}
+    info = client.get_flight_info(
+        flight.FlightDescriptor.for_command(_json.dumps(cmd).encode())
+    )
+
+    def _pull(endpoint: flight.FlightEndpoint) -> pa.Table:
+        # each slice may come from any advertised location; all local here
+        return client.do_get(endpoint.ticket).read_all()
+
+    with ThreadPoolExecutor(max_workers=max(1, len(info.endpoints))) as ex:
+        tables = list(ex.map(_pull, info.endpoints))
+    tables = [t for t in tables if t.num_rows] or tables[:1]
+    return pa.concat_tables(tables)
+
+
 def run_reader(table_name: str, port: int = 8816, interval: float = 1.0,
                host: str = "localhost", max_iterations: int | None = None) -> None:
     """Poll loop: get_flight_info -> do_get -> log row count

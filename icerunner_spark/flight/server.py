@@ -182,6 +182,43 @@ class IceFlightServer(flight.FlightServerBase):
                      ("total_bytes", pa.int64())]
                 ),
             )
+        if op == "get_slices":
+            # Parallel serve path: N endpoints, each ticket a disjoint
+            # round-robin slice of the CURRENT snapshot's manifest, pinned
+            # by snapshot_id so concurrent commits can't tear a read —
+            # every slice resolves the same frozen file list. At 100 TB
+            # this is how a table leaves the server: k clients each pull
+            # 1/k of the files concurrently instead of one serial stream
+            # (the multi-endpoint design SURVEY.md §7 calls for).
+            if table not in self.connector.tables:
+                raise flight.FlightServerError(f"table not found: {table}")
+            n = max(1, int(cmd.get("n", 4)))
+            t = self.connector.table(table)
+            snap = t.current_snapshot()
+            schema = self._table_arrow_schema(table)
+            rows, nbytes = self._table_totals(table)
+            endpoints = [
+                flight.FlightEndpoint(
+                    json.dumps(
+                        {
+                            "command": "get_slice",
+                            "table": table,
+                            "index": i,
+                            "of": n,
+                            "snapshot_id": snap.snapshot_id,
+                        }
+                    ).encode(),
+                    [self._advertised_location()],
+                )
+                for i in range(n)
+            ]
+            return flight.FlightInfo(
+                schema,
+                flight.FlightDescriptor.for_command(json.dumps(cmd).encode()),
+                endpoints,
+                rows,
+                nbytes,
+            )
         raise flight.FlightServerError(f"unknown command: {cmd!r}")
 
     def do_get(self, context, ticket):
@@ -228,6 +265,13 @@ class IceFlightServer(flight.FlightServerBase):
             if not started:
                 raise flight.FlightServerError(f"unknown snapshot: {snapshot_id}")
             return self._stream_files(files, schema)
+        if op == "get_slice":
+            name = cmd["table"]
+            t = self.connector.table(name)
+            snap = t.snapshot_by_id(int(cmd["snapshot_id"]))
+            files = [os.path.join(t.path, f) for f in snap.manifest]
+            i, n = int(cmd["index"]), int(cmd["of"])
+            return self._stream_files(files[i::n], self._table_arrow_schema(name))
         if op == "get_metadata":
             name = cmd["table"]
             rows, nbytes = self._table_totals(name)

@@ -167,3 +167,42 @@ def test_mirror_full_then_incremental(spark, server, tmp_path):
     state = SyncState(target_wh).get_last_sync_state(url, "t_mirror")
     assert state["last_sync_status"] == "success"
     assert state["source_snapshot_id"] == src.get_current_snapshot_id("t")
+
+
+def test_parallel_slice_read(server):
+    """get_slices must return disjoint snapshot-pinned slice endpoints
+    whose union equals the single-stream read."""
+    import json
+
+    from icerunner_spark.flight.client import read_table_parallel
+
+    c = server.connector
+    c.create_table("ps", _writer_table([1, 2], ["a", "b"]))
+    c.insert("ps", _writer_table([3, 4], ["c", "d"]))
+    c.insert("ps", _writer_table([5], ["e"]))
+
+    full = read_table_once("127.0.0.1", server.port, "ps")
+    par = read_table_parallel("127.0.0.1", server.port, "ps", n_streams=3)
+    assert sorted(par.column("id").to_pylist()) == sorted(
+        full.column("id").to_pylist()
+    )
+
+    # more streams than files: still complete, no duplication
+    par_big = read_table_parallel("127.0.0.1", server.port, "ps", n_streams=16)
+    assert sorted(par_big.column("id").to_pylist()) == sorted(
+        full.column("id").to_pylist()
+    )
+
+    # every slice ticket pins the same snapshot id
+    cl = _client(server)
+    info = cl.get_flight_info(
+        flight.FlightDescriptor.for_command(
+            json.dumps({"command": "get_slices", "table": "ps", "n": 3}).encode()
+        )
+    )
+    snaps = {
+        json.loads(ep.ticket.ticket.decode())["snapshot_id"]
+        for ep in info.endpoints
+    }
+    assert len(info.endpoints) == 3 and len(snaps) == 1
+    assert info.total_records == 5

@@ -332,3 +332,46 @@ class TestKnnJoin:
         from collections import Counter
 
         assert all(v <= 5 for v in Counter(p[0] for p in pairs).values())
+
+
+class TestSaltedJoin:
+    def test_salted_join_equals_plain_join(self, spark):
+        from icerunner_spark.operators.skew import salted_join
+
+        e = load_table(spark, "events", SF).select("event_id", "user_id", "value")
+        # synthetic power-law key: ~90% of rows share key 0
+        skewed = e.withColumn(
+            "k",
+            F.when(F.col("event_id") % 10 < 9, F.lit(0)).otherwise(
+                F.col("event_id") % 100
+            ),
+        )
+        dim = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("weight")
+        )
+        plain = skewed.join(dim, "k").select("event_id", "k", "weight")
+        salted = salted_join(
+            skewed, dim, "k", salt_by="event_id", n_salts=8
+        ).select("event_id", "k", "weight")
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
+
+    def test_salt_spreads_hot_key(self, spark):
+        from icerunner_spark.operators.skew import salted_join  # noqa: F401
+
+        e = load_table(spark, "events", SF).select("event_id")
+        hot = e.withColumn("k", F.lit(0))
+        salts = (
+            hot.withColumn(
+                "s", F.pmod(F.xxhash64(F.col("event_id").cast("string")), F.lit(8))
+            )
+            .groupBy("s")
+            .count()
+            .collect()
+        )
+        counts = {r["s"]: r["count"] for r in salts}
+        total = sum(counts.values())
+        assert len(counts) == 8
+        # deterministic hash spread: no salt bucket holds > 2x its share
+        assert max(counts.values()) < 2 * total / 8
