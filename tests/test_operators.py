@@ -375,3 +375,30 @@ class TestSaltedJoin:
         assert len(counts) == 8
         # deterministic hash spread: no salt bucket holds > 2x its share
         assert max(counts.values()) < 2 * total / 8
+
+
+class TestGroupedTrends:
+    def test_vectorized_equals_per_group(self, spark):
+        """mapInPandas whole-partition variant must reproduce the
+        per-group applyInPandas answers (to oracle rounding)."""
+        from icerunner_spark.operators.grouped import (
+            user_value_trends,
+            user_value_trends_vectorized,
+        )
+
+        e = load_table(spark, "events", SF)
+
+        def rounded(df):
+            return {
+                r["user_id"]: (
+                    r["n_events"],
+                    None if r["slope"] is None else round(r["slope"], 12),
+                    None if r["intercept"] is None else round(r["intercept"], 2),
+                    round(r["mean_value"], 6),
+                )
+                for r in df.collect()
+            }
+
+        a = rounded(user_value_trends(e))
+        b = rounded(user_value_trends_vectorized(e))
+        assert a == b
