@@ -18,7 +18,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import udtf
 
 
-@udtf(returnType="pos: bigint, token: string")
+@udtf(returnType="pos: bigint, token: string", useArrow=True)
 class SplitTokens:
     """Emit (position, token) per whitespace token of ``text``.
 
