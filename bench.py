@@ -72,6 +72,10 @@ def main() -> None:
         t0 = time.perf_counter()
         registry[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # each query is timed standalone: drop cached intermediates the
+        # query left behind (e.g. minhash signatures) so storage-memory
+        # pressure from query k doesn't bill a GC storm to query k+1
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -1753,6 +1753,75 @@ def pivot_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_revenue_matrix",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderstatus AS status,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def unpivot_revenue_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): widen revenue to a (priority x status) matrix with
+    pivot, then melt it back to tidy rows — landing exactly on the plain
+    two-key aggregate the oracle computes directly. Round-tripping
+    through both reshapes proves ids/values wiring on each side. Scale:
+    unpivot is a zero-shuffle projection (each row expands to |values|
+    rows map-side)."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(_money_sum(_dec("o_totalprice")))
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderpriority"],
+            values=["F", "O", "P"],
+            variableColumnName="status",
+            valueColumnName="total",
+        )
+        .filter(F.col("total").isNotNull())
+    )
+
+
+@register(
+    "range_frame_rolling_value",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ), 2) AS DOUBLE) AS rolling_1h_value
+    FROM events
+    """,
+)
+def range_frame_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (time-based, not row-based): per user, the
+    value sum over the trailing hour INCLUDING simultaneous events —
+    the frame the rows-based spelling cannot express. Spark's
+    rangeBetween needs a numeric ordering key, so the frame runs over
+    epoch microseconds with a 3.6e9 us lookback — semantically identical
+    to the oracle's INTERVAL frame (ties included on both engines).
+    Scale: one shuffle on user_id, one in-partition sort; frame
+    evaluation is streaming within the sort."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(_dec("value")).over(w), 2).cast("double").alias(
+            "rolling_1h_value"
+        ),
+    )
+
+
+@register(
     "full_outer_monthly_volumes",
     oracle="""
     WITH om AS (
