@@ -196,6 +196,38 @@ def cosine_neardup_pairs(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    q_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-row scale =
+    max|x|/127, stored as ``array<tinyint>`` + one float — a 4x (vs
+    float32) / 8x (vs float64) storage and shuffle-width reduction.
+
+    At 100 TB the embedding column IS most of the table; quantized
+    vectors make candidate generation (LSH/IVF probing, knn_join) move
+    4-8x fewer bytes, with exact re-scoring against the full-precision
+    column only for the few survivors. All JVM-side expressions — the
+    quantize/dequantize round trip never leaves codegen."""
+    v = _as_double_array(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(max_abs > 0, max_abs / F.lit(127.0)).otherwise(F.lit(1.0))
+    return df.withColumn(scale_col, scale).withColumn(
+        q_col,
+        F.transform(v, lambda x: F.round(x / F.col(scale_col)).cast("tinyint")),
+    )
+
+
+def dequantize(q_col: Column | str, scale_col: Column | str) -> Column:
+    """array<double> reconstruction of a quantized embedding."""
+    q = F.col(q_col) if isinstance(q_col, str) else q_col
+    s = F.col(scale_col) if isinstance(scale_col, str) else scale_col
+    return F.transform(q, lambda x: x.cast("double") * s)
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

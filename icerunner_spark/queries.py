@@ -1997,6 +1997,30 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_quantized_topk")  # approximate: rows-only driver
+# check; int8 top-k vs full-precision recall pinned in tests
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over int8-quantized embeddings (operators.similarity
+    .quantize_embeddings): score against the 4-8x-smaller quantized
+    column, the shape a 100 TB corpus scans; the recall-vs-exact pin in
+    tests shows int8 loses almost nothing for cosine ranking."""
+    from icerunner_spark.operators.similarity import (
+        cosine_topk,
+        dequantize,
+        quantize_embeddings,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(x) for x in row["embedding"]]
+    qz = quantize_embeddings(e.filter(F.col("vec_id") != 0)).select(
+        "vec_id", dequantize("q_embedding", "q_scale").alias("embedding")
+    )
+    return cosine_topk(qz, qvec, k=10).select(
+        "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
 @register("similarity_ann_ivf")
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-k (operators.similarity.ivf_topk):

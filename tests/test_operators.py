@@ -402,3 +402,46 @@ class TestGroupedTrends:
         a = rounded(user_value_trends(e))
         b = rounded(user_value_trends_vectorized(e))
         assert a == b
+
+
+class TestQuantization:
+    def test_int8_quantization_roundtrip_error(self, spark):
+        from icerunner_spark.operators.similarity import (
+            dequantize,
+            quantize_embeddings,
+        )
+
+        e = load_table(spark, "embeddings", SF)
+        qz = quantize_embeddings(e)
+        # reconstruction error bounded by scale/2 per element
+        err = qz.select(
+            F.array_max(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    dequantize("q_embedding", "q_scale"),
+                    lambda a, b: F.abs(a - b),
+                )
+            ).alias("max_err"),
+            F.col("q_scale"),
+        )
+        bad = err.filter(F.col("max_err") > F.col("q_scale") * 0.5 + 1e-12)
+        assert bad.count() == 0
+
+    def test_quantized_topk_recall(self, spark):
+        from icerunner_spark.operators.similarity import (
+            cosine_topk,
+            dequantize,
+            quantize_embeddings,
+        )
+
+        e = load_table(spark, "embeddings", SF)
+        row = e.filter(F.col("vec_id") == 0).first()
+        q = [float(x) for x in row["embedding"]]
+        cand = e.filter(F.col("vec_id") != 0)
+        exact = [r["vec_id"] for r in cosine_topk(cand, q, k=10).collect()]
+        qz = quantize_embeddings(cand).select(
+            "vec_id", dequantize("q_embedding", "q_scale").alias("embedding")
+        )
+        approx = [r["vec_id"] for r in cosine_topk(qz, q, k=10).collect()]
+        recall = len(set(exact) & set(approx)) / 10
+        assert recall >= 0.8, f"int8 top-k recall {recall} below pin"
