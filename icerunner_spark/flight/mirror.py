@@ -137,6 +137,31 @@ def perform_sync(
         d = table.to_pydict()
         return {k: v[0] for k, v in d.items() if v}
 
+    def _pinned_full_reader() -> tuple[object, int | None]:
+        """(reader, snapshot_id) for a full-table read, snapshot-pinned when
+        the server supports get_slices (the ticket embeds the id, so the
+        stream and the saved cursor describe the SAME table version —
+        closing the race where rows commit mid-drain and then fall between
+        cursor and stream). Falls back to metadata-BEFORE-read: cursor is
+        then conservative (at-least-once — a concurrent commit re-syncs
+        next pass) instead of lossy (cursor-after-drain skips those rows
+        forever)."""
+        try:
+            info_slices = client.get_flight_info(
+                flight.FlightDescriptor.for_command(
+                    json.dumps(
+                        {"command": "get_slices", "table": source_table, "n": 1}
+                    ).encode()
+                )
+            )
+            ticket = info_slices.endpoints[0].ticket
+            pinned = json.loads(ticket.ticket.decode()).get("snapshot_id")
+            return client.do_get(ticket), pinned
+        except Exception as e:
+            logger.warning("get_slices unsupported (%s); unpinned full read", e)
+            pinned = _safe_source_snapshot(_source_metadata)
+            return client.do_get(endpoint.ticket), pinned
+
     rows_synced = 0
     status = "success"
 
@@ -155,30 +180,34 @@ def perform_sync(
             data_reader = client.do_get(endpoint.ticket)
             sample = pa.Table.from_batches([data_reader.read_chunk().data])
         connector.create_table(target_table, sample.slice(0, 0))
-        rows_synced = _append_stream(
-            client.do_get(endpoint.ticket), connector, target_table, batch_rows
-        )
-        source_snapshot = _safe_source_snapshot(_source_metadata)
+        reader, source_snapshot = _pinned_full_reader()
+        rows_synced = _append_stream(reader, connector, target_table, batch_rows)
     else:
+        # Pin the end snapshot BEFORE reading and bound get_changes to it;
+        # the same id becomes the saved cursor, so rows committed after the
+        # pin are exactly the next pass's delta — no skip, no double-sync.
         source_snapshot = _safe_source_snapshot(_source_metadata)
         if source_snapshot is not None and source_snapshot == last_source_snapshot:
             logger.info("source snapshot unchanged; nothing to sync")
             return 0
         try:
-            changes_reader = _command_reader(
-                client,
-                {
-                    "command": "get_changes",
-                    "table": source_table,
-                    "snapshot_id": last_source_snapshot,
-                },
-            )
+            changes_cmd = {
+                "command": "get_changes",
+                "table": source_table,
+                "snapshot_id": last_source_snapshot,
+            }
+            if source_snapshot is not None:
+                changes_cmd["end_snapshot_id"] = source_snapshot
+            changes_reader = _command_reader(client, changes_cmd)
             rows_synced = _append_stream(changes_reader, connector, target_table, batch_rows)
         except Exception as e:
             # full re-sync fallback — OVERWRITE, never append-duplicate
-            # (reference duplicates all rows here, icerunner.py:1042-1076)
+            # (reference duplicates all rows here, icerunner.py:1042-1076).
+            # The server errors get_changes across overwrite snapshots
+            # (append-only diff contract), which lands here by design.
             logger.warning("incremental sync unavailable (%s); full overwrite sync", e)
-            full = client.do_get(endpoint.ticket).read_all()
+            reader, source_snapshot = _pinned_full_reader()
+            full = reader.read_all()
             from icerunner_spark.connector import arrow_to_df
 
             connector.table(target_table).overwrite(

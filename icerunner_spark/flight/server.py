@@ -252,18 +252,38 @@ class IceFlightServer(flight.FlightServerBase):
                 snapshot_id = None
             else:
                 snapshot_id = int(snapshot_id)
+            end_snapshot_id = cmd.get("end_snapshot_id")
+            end_snapshot_id = None if end_snapshot_id is None else int(end_snapshot_id)
             t = self.connector.table(name)
             schema = self._table_arrow_schema(name)
             snaps = t.snapshots()
             started = snapshot_id is None
+            seen_end = end_snapshot_id is None
             files: list[str] = []
             for s in snaps:
                 if started:
+                    # Mirror IceTable.scan_changes' contract (table.py): an
+                    # overwrite in range invalidates append-only diffing —
+                    # erroring here forces mirror clients onto their
+                    # full-overwrite resync path instead of silently
+                    # appending rows the source logically deleted.
+                    if s.operation == "overwrite":
+                        raise flight.FlightServerError(
+                            "get_changes crosses an overwrite snapshot; "
+                            "incremental diff is append-only — full resync required"
+                        )
                     files.extend(os.path.join(t.path, f) for f in s.added_files)
                 if s.snapshot_id == snapshot_id:
                     started = True
+                if end_snapshot_id is not None and s.snapshot_id == end_snapshot_id:
+                    seen_end = True
+                    break
             if not started:
                 raise flight.FlightServerError(f"unknown snapshot: {snapshot_id}")
+            if not seen_end:
+                raise flight.FlightServerError(
+                    f"unknown end snapshot: {end_snapshot_id}"
+                )
             return self._stream_files(files, schema)
         if op == "get_slice":
             name = cmd["table"]
@@ -295,6 +315,15 @@ class IceFlightServer(flight.FlightServerBase):
             # parity: the reference's do_put does not auto-create
             # (icerunner.py:284-295)
             raise flight.FlightServerError(f"table not found: {name}")
+        from icerunner_spark.connector import arrow_to_df
+
+        # Stage data files per row-capped chunk (constant memory — the
+        # reference buffers the whole upload, icerunner.py:287-291) but
+        # publish ONE snapshot at stream end: an interrupted upload leaves
+        # only orphan files invisible to readers, and a client retry can't
+        # duplicate half-committed chunks.
+        t = self.connector.table(name)
+        staged: list[str] = []
         pending: list[pa.RecordBatch] = []
         pending_rows = 0
         for chunk in reader:
@@ -304,10 +333,16 @@ class IceFlightServer(flight.FlightServerBase):
             pending.append(batch)
             pending_rows += batch.num_rows
             if pending_rows >= self.chunk_rows:
-                self.connector.insert(name, pa.Table.from_batches(pending))
+                staged += t.stage_append(
+                    arrow_to_df(self.connector.spark, pa.Table.from_batches(pending))
+                )
                 pending, pending_rows = [], 0
         if pending:
-            self.connector.insert(name, pa.Table.from_batches(pending))
+            staged += t.stage_append(
+                arrow_to_df(self.connector.spark, pa.Table.from_batches(pending))
+            )
+        if staged:
+            t.publish_append(staged)
 
 
 def serve(

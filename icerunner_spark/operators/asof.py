@@ -50,6 +50,20 @@ def asof_join(
     key, ts = "__asof_key", "__asof_ts"
     side = "__asof_side"  # 0 = right (sorts first on ties), 1 = left
 
+    # A right value name colliding with a left column (or the markers) would
+    # make l_marked/r_marked select two same-named columns — ambiguous-column
+    # failures or silently wrong null-carrying. Fail loudly instead.
+    clash = set(right_values) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"right_values collide with left columns: {sorted(clash)}; "
+            "alias them on the right side before the asof join"
+        )
+    reserved = {key, ts, side}
+    bad = reserved & (set(left.columns) | set(right_values))
+    if bad:
+        raise ValueError(f"column names {sorted(bad)} are reserved by asof_join")
+
     lcols = [c for c in left.columns]
     l_marked = left.select(
         F.col(left_on).alias(key),

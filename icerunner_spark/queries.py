@@ -672,9 +672,9 @@ def json_events_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            COUNT(*) AS n_vecs,
-           ROUND(AVG(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum'))), 6)
+           ROUND(CAST(SUM(CAST(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6)
                AS avg_l2_norm,
-           ROUND(AVG(list_aggregate(embedding::DOUBLE[], 'sum')), 6) AS avg_elem_sum
+           ROUND(CAST(SUM(CAST(list_aggregate(embedding::DOUBLE[], 'sum') AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS avg_elem_sum
     FROM embeddings
     GROUP BY label
     """,
@@ -689,8 +689,10 @@ def array_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     esum = F.aggregate(emb, F.lit(0.0), lambda a, x: a + x)
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg(l2), 6).alias("avg_l2_norm"),
-        F.round(F.avg(esum), 6).alias("avg_elem_sum"),
+        # per-row doubles bit-match across engines; decimal-cast before SUM
+        # makes the aggregation order-independent (no FP association noise)
+        _exact_avg(l2.cast("decimal(27,12)")).alias("avg_l2_norm"),
+        _exact_avg(esum.cast("decimal(27,12)")).alias("avg_elem_sum"),
     )
 
 
@@ -1092,7 +1094,7 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           ROUND(AVG(quality), 6) AS avg_quality,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
            ROUND(MIN(quality), 6) AS min_quality,
            ROUND(MAX(quality), 6) AS max_quality
     FROM q
@@ -1113,7 +1115,7 @@ def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        _exact_avg(F.col("quality").cast("decimal(27,12)")).alias("avg_quality"),
         F.round(F.min("quality"), 6).alias("min_quality"),
         F.round(F.max("quality"), 6).alias("max_quality"),
     )
@@ -1125,9 +1127,9 @@ def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            SUM(len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_tokens,
-           ROUND(AVG(len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))), 6) AS avg_tokens,
+           ROUND(CAST(SUM(len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
            SUM(n_chars) AS total_chars,
-           ROUND(AVG(LENGTH(text)), 6) AS avg_len
+           ROUND(CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*), 6) AS avg_len
     FROM documents
     GROUP BY lang
     """,
@@ -1140,9 +1142,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(tc).alias("total_tokens"),
-        F.round(F.avg(tc), 6).alias("avg_tokens"),
+        # integer-exact SUM / one division: deterministic across partition
+        # orders, unlike AVG(double)'s order-dependent summation
+        _exact_avg(tc).alias("avg_tokens"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg(F.length("text")), 6).alias("avg_len"),
+        _exact_avg(F.length("text")).alias("avg_len"),
     )
 
 
@@ -1153,7 +1157,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_assets,
            SUM(octet_length(encode(text))) AS total_bytes,
            MAX(octet_length(encode(text))) AS max_bytes,
-           ROUND(AVG(octet_length(encode(text))), 6) AS avg_bytes
+           ROUND(CAST(SUM(octet_length(encode(text))) AS DOUBLE) / COUNT(*), 6) AS avg_bytes
     FROM documents
     GROUP BY lang
     """,
@@ -1174,7 +1178,7 @@ def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_assets"),
         F.sum("meta.n_bytes").alias("total_bytes"),
         F.max("meta.n_bytes").alias("max_bytes"),
-        F.round(F.avg("meta.n_bytes"), 6).alias("avg_bytes"),
+        _exact_avg(F.col("meta.n_bytes")).alias("avg_bytes"),
     )
 
 

@@ -57,8 +57,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name not in TABLES:
         raise ValueError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _ns_timestamp_cols(path)
+    if ns_cols:
+        # Harness sessions (driver, notebooks) don't go through session.py;
+        # the conf is runtime-settable, so make every session able to read
+        # the ns-timestamp fixture instead of relying on builder setup.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in _ns_timestamp_cols(path):
+    for c in ns_cols:
         # integer division: long-ns values exceed 2^53, so a double
         # round-trip (col / 1000 -> cast long) is off by ±1 µs
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

@@ -242,6 +242,11 @@ def run_available_now(
         writer = writer.foreachBatch(_sink)
     q = writer.start()
     try:
-        q.awaitTermination(timeout_s)
+        # awaitTermination returns False on timeout — surface it rather than
+        # letting q.stop() silently truncate the drain mid-run.
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"availableNow drain did not finish within {timeout_s}s"
+            )
     finally:
         q.stop()

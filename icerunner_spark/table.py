@@ -239,12 +239,30 @@ class IceTable:
     def append(self, df: DataFrame) -> Snapshot:
         if not self.exists():
             raise NoSuchTableError(self.path)
+        return self.publish_append(self.stage_append(df))
+
+    def stage_append(self, df: DataFrame) -> list[str]:
+        """Write append data files WITHOUT publishing a snapshot. Returns
+        the relative file list; pass the concatenation of one or more
+        staged lists to :meth:`publish_append` to commit them as ONE
+        snapshot. Staged files are invisible to readers until published
+        (manifests are the only read path), so an abandoned stage leaves
+        orphan files for cleanup, never a partially-applied write —
+        the same write-then-commit protocol Iceberg uses."""
+        if not self.exists():
+            raise NoSuchTableError(self.path)
         # Align to table schema by name (reference appends Arrow tables whose
         # schema must match, icerunner.py:163-178; we additionally reorder).
         table_schema = self.schema()
         df = df.select(*[c.name for c in table_schema.fields])
         _, files = self._write_data_files(df)
-        return self._publish("append", files, table_schema.json())
+        return files
+
+    def publish_append(self, files: list[str]) -> Snapshot:
+        """Atomically commit previously staged append files (metadata-only)."""
+        if not self.exists():
+            raise NoSuchTableError(self.path)
+        return self._publish("append", list(files), self.schema().json())
 
     def overwrite(self, df: DataFrame) -> Snapshot:
         """Full replace (new manifest drops previous files logically;

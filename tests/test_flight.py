@@ -206,3 +206,120 @@ def test_parallel_slice_read(server):
     }
     assert len(info.endpoints) == 3 and len(snaps) == 1
     assert info.total_records == 5
+
+
+def test_get_changes_raises_across_overwrite(server):
+    """ADVICE r1: get_changes over a range containing an overwrite snapshot
+    must error (append-only diff contract, like IceTable.scan_changes) so
+    mirror clients fall back to full resync instead of silently diverging."""
+    import json
+
+    from icerunner_spark.connector import arrow_to_df
+
+    c = server.connector
+    c.create_table("ow", _writer_table([1, 2], ["a", "b"]))
+    snap0 = c.get_current_snapshot_id("ow")
+    c.table("ow").overwrite(arrow_to_df(c.spark, _writer_table([9], ["z"])))
+    client = _client(server)
+    cmd = {"command": "get_changes", "table": "ow", "snapshot_id": snap0}
+    info = client.get_flight_info(
+        flight.FlightDescriptor.for_command(json.dumps(cmd).encode())
+    )
+    with pytest.raises(flight.FlightServerError, match="overwrite"):
+        client.do_get(info.endpoints[0].ticket).read_all()
+
+
+def test_get_changes_end_snapshot_bound(server):
+    """get_changes honors end_snapshot_id: rows committed after the pinned
+    end are excluded (the mirror's cursor race fix depends on this)."""
+    import json
+
+    c = server.connector
+    c.create_table("bd", _writer_table([1], ["a"]))
+    snap0 = c.get_current_snapshot_id("bd")
+    c.insert("bd", _writer_table([2], ["b"]))
+    snap1 = c.get_current_snapshot_id("bd")
+    c.insert("bd", _writer_table([3], ["c"]))  # after the pinned end
+
+    client = _client(server)
+    cmd = {
+        "command": "get_changes",
+        "table": "bd",
+        "snapshot_id": snap0,
+        "end_snapshot_id": snap1,
+    }
+    info = client.get_flight_info(
+        flight.FlightDescriptor.for_command(json.dumps(cmd).encode())
+    )
+    out = client.do_get(info.endpoints[0].ticket).read_all()
+    assert sorted(out.column("id").to_pylist()) == [2]
+
+
+def test_mirror_full_resync_after_source_overwrite(spark, server, tmp_path):
+    """ADVICE r1 e2e: source overwrite forces the mirror onto the
+    full-overwrite resync path; the target converges to the source rows
+    (not source-plus-stale-appends)."""
+    src = server.connector
+    src.create_table("t2", _writer_table([1, 2], ["a", "b"]))
+
+    target_wh = str(tmp_path / "target_wh2")
+    url = f"grpc://127.0.0.1:{server.port}/t2"
+    run_mirror(url, target_table="m", warehouse_path=target_wh,
+               continuous=False, spark=spark)
+
+    from icerunner_spark.connector import arrow_to_df
+
+    src.table("t2").overwrite(arrow_to_df(spark, _writer_table([7, 8, 9], ["x", "y", "z"])))
+    run_mirror(url, target_table="m", warehouse_path=target_wh,
+               continuous=False, spark=spark)
+
+    tgt = Connector(spark, target_wh)
+    assert sorted(tgt.query("m").column("id").to_pylist()) == [7, 8, 9]
+    state = SyncState(target_wh).get_last_sync_state(url, "m")
+    assert state["last_sync_status"] == "full_resync"
+    assert state["source_snapshot_id"] == src.get_current_snapshot_id("t2")
+
+    # and the next pass is a clean incremental again
+    src.insert("t2", _writer_table([10], ["w"]))
+    n = run_mirror(url, target_table="m", warehouse_path=target_wh,
+                   continuous=False, spark=spark)
+    assert n == 1
+    assert sorted(tgt.query("m").column("id").to_pylist()) == [7, 8, 9, 10]
+
+
+def test_mirror_initial_sync_pins_snapshot_cursor(spark, server, tmp_path):
+    """The initial full sync records the snapshot id of the version it
+    actually read (pinned via get_slices), not whatever is current after
+    the drain."""
+    src = server.connector
+    src.create_table("pin", _writer_table([1, 2], ["a", "b"]))
+    pinned = src.get_current_snapshot_id("pin")
+
+    target_wh = str(tmp_path / "target_pin")
+    url = f"grpc://127.0.0.1:{server.port}/pin"
+    run_mirror(url, target_table="pin", warehouse_path=target_wh,
+               continuous=False, spark=spark)
+    state = SyncState(target_wh).get_last_sync_state(url, "pin")
+    assert state["source_snapshot_id"] == pinned
+
+
+def test_do_put_commits_single_snapshot(server):
+    """ADVICE r1: a chunked do_put publishes exactly ONE snapshot at stream
+    end — readers never observe a partially-applied upload."""
+    c = server.connector
+    c.create_table("atom", _writer_table([0], ["seed"]))
+    n_before = len(c.table("atom").snapshots())
+
+    # 5 batches, chunk_rows small enough to force multiple staged chunks
+    server.chunk_rows = 2
+    big = pa.table(
+        {
+            "id": pa.array(list(range(1, 10)), pa.int64()),
+            "value": pa.array([f"v{i}" for i in range(1, 10)], pa.string()),
+        }
+    )
+    write_batch("127.0.0.1", server.port, "atom", big)
+    snaps = c.table("atom").snapshots()
+    assert len(snaps) == n_before + 1
+    assert snaps[-1].operation == "append"
+    assert c.count("atom") == 10

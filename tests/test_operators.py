@@ -445,3 +445,19 @@ class TestQuantization:
         approx = [r["vec_id"] for r in cosine_topk(qz, q, k=10).collect()]
         recall = len(set(exact) & set(approx)) / 10
         assert recall >= 0.8, f"int8 top-k recall {recall} below pin"
+
+
+def test_asof_rejects_colliding_right_values(spark):
+    """ADVICE r1: right_values overlapping left columns (or the reserved
+    markers) must fail loudly, not produce ambiguous columns."""
+    from icerunner_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "x")], "k long, t long, v string")
+    right = spark.createDataFrame([(1, 5, "y")], "k long, t long, v string")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left, right,
+            left_on="k", right_on="k",
+            left_time="t", right_time="t",
+            right_values=["v"],
+        )

@@ -153,3 +153,21 @@ def test_concurrent_commit_retry(spark, warehouse):
     assert c.count("t") == 5
     seqs = [s.sequence for s in c.table("t").snapshots()]
     assert seqs == list(range(5))
+
+
+def test_staged_append_publishes_once(spark, warehouse):
+    """stage_append writes files invisibly; publish_append commits them all
+    as one snapshot (the do_put atomicity contract)."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "staged"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    files = []
+    files += t.stage_append(spark.createDataFrame([(2,)], "id long"))
+    files += t.stage_append(spark.createDataFrame([(3,)], "id long"))
+    # staged but unpublished: readers still see only the created row
+    assert t.scan().count() == 1
+    snap = t.publish_append(files)
+    assert snap.operation == "append"
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2, 3]
+    assert len(t.snapshots()) == 2
