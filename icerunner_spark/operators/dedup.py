@@ -10,8 +10,10 @@ Five families, all partition-parallel, none driver-side:
   Candidate generation touches only same-bucket pairs; at 100 TB the
   bucket join replaces the quadratic all-pairs comparison.
 - **SimHash**: 64-bit signature whose hamming distance tracks token-set
-  similarity; near-dup = distance <= k, candidates via 16-bit chunk
-  banding (pigeonhole: distance<=3 over 4 chunks => one chunk equal).
+  similarity; near-dup = distance <= k, candidates via chunk banding
+  (pigeonhole over c chunks: distance <= c-1 => one chunk equal; 8x8-bit
+  chunks for distance <= 7, 4x16-bit for distance <= 3), buckets
+  skew-capped like MinHash's.
 - **embedding cosine**: see operators/similarity.py.
 
 Everything is built from xxhash64 / higher-order array functions — pure
@@ -361,42 +363,81 @@ def simhash_neardup_pairs(
     text_col: str,
     *,
     max_distance: int = 6,
+    chunk_bits: int | None = None,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_distance.
 
     Candidates via the pigeonhole principle: split the 64-bit signature
-    into 8 8-bit chunks; distance <= 7 implies at least one chunk is
-    identical, so only same-chunk-value pairs are compared. (Short
-    documents have small per-bit majority margins, so a few-token edit
-    moves ~4-6 bits — measured on the fixtures — hence the default 6.)
+    into 64/chunk_bits chunks; distance <= n_chunks-1 implies at least
+    one chunk is identical, so only same-chunk-value pairs are compared.
+    ``chunk_bits`` defaults by radius: 16-bit chunks (4 chunks, 65536
+    bucket values per chunk) when max_distance <= 3, else 8-bit chunks
+    (8 chunks, 256 values — needed for the looser distance <= 7
+    guarantee; short fixture documents move ~4-6 bits per small edit,
+    hence the default 6).
+
+    Buckets are built by groupBy(chunk, value) + capped pair expansion —
+    same skew guard as MinHash LSH: with only 2^chunk_bits values per
+    chunk an uncapped self-join degrades toward n^2/2^chunk_bits pairs
+    on a template-heavy corpus, so buckets larger than ``max_bucket``
+    are dropped (a bucket that big means the chunk carries no signal
+    for those docs, not that they're all near-dups).
     Returns (id1, id2, distance)."""
-    if max_distance > 7:
-        raise ValueError("8-chunk banding guarantees candidates only for distance <= 7")
+    if chunk_bits is None:
+        chunk_bits = 16 if max_distance <= 3 else 8
+    if 64 % chunk_bits:
+        raise ValueError("chunk_bits must divide 64")
+    n_chunks = 64 // chunk_bits
+    if max_distance > n_chunks - 1:
+        raise ValueError(
+            f"{n_chunks}-chunk banding guarantees candidates only for "
+            f"distance <= {n_chunks - 1}"
+        )
+    mask = F.lit((1 << chunk_bits) - 1)
     sigs = simhash_signatures(df, id_col, text_col)
     chunks = sigs.select(
-        "id",
-        "sig",
+        F.struct("id", "sig").alias("doc"),
         F.posexplode(
-            F.array(*[F.shiftrightunsigned("sig", 8 * c).bitwiseAND(F.lit(0xFF)) for c in range(8)])
+            F.array(
+                *[
+                    F.shiftrightunsigned("sig", chunk_bits * c).bitwiseAND(mask)
+                    for c in range(n_chunks)
+                ]
+            )
         ).alias("chunk", "cv"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.id") < F.col("b.id")),
+    grouped = (
+        chunks.groupBy("chunk", "cv")
+        .agg(F.collect_list("doc").alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
+    )
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("docs"),
+                            lambda x: F.transform(
+                                F.col("docs"),
+                                lambda y: F.struct(
+                                    x["id"].alias("id1"),
+                                    y["id"].alias("id2"),
+                                    x["sig"].alias("s1"),
+                                    y["sig"].alias("s2"),
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id1"] < p["id2"],
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.sig").alias("s1"),
-            F.col("b.sig").alias("s2"),
-        )
+        .select("p.id1", "p.id2", "p.s1", "p.s2")
         .distinct()
     )
     return (
-        cand.select("id1", "id2", hamming64(F.col("s1"), F.col("s2")).alias("distance"))
+        pairs.select("id1", "id2", hamming64(F.col("s1"), F.col("s2")).alias("distance"))
         .filter(F.col("distance") <= max_distance)
     )

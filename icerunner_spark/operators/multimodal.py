@@ -25,6 +25,7 @@ scale, and it is exercised for real.
 
 from __future__ import annotations
 
+import hashlib
 import math
 import zlib
 from collections.abc import Iterator
@@ -125,6 +126,7 @@ _FEATURE_SCHEMA = StructType(
         StructField("asset_id", LongType()),
         StructField("n_bytes", LongType()),
         StructField("crc32", LongType()),
+        StructField("md5", StringType()),
         StructField("entropy_bits", DoubleType()),
         StructField("ascii_ratio", DoubleType()),
         StructField("null_byte_ratio", DoubleType()),
@@ -155,7 +157,15 @@ def extract_features(assets: DataFrame) -> DataFrame:
                 else:
                     entropy, ascii_ratio, nul_ratio = 0.0, 0.0, 0.0
                 rows.append(
-                    (int(aid), n, zlib.crc32(b), entropy, ascii_ratio, nul_ratio)
+                    (
+                        int(aid),
+                        n,
+                        zlib.crc32(b),
+                        hashlib.md5(b).hexdigest(),
+                        entropy,
+                        ascii_ratio,
+                        nul_ratio,
+                    )
                 )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _FEATURE_SCHEMA.fields]

@@ -77,7 +77,10 @@ def windowed_counts(
         src.groupBy(win.alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # sum in the input type (decimal when the caller pre-casts, for
+            # order-independent exactness), emit double: output type then
+            # matches the oracle's DOUBLE regardless of input type
+            F.round(F.sum("value"), 2).cast("double").alias("total_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -100,7 +103,7 @@ def session_counts(
         src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum("value"), 2).cast("double").alias("total_value"),
         )
         .select(
             "user_id",

@@ -36,7 +36,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     from icerunner_spark import queries as q
-    from tests.oracle_harness import compare, run_oracle
+    from tests.oracle_harness import compare, compare_types, run_oracle_typed
 
     qs = q.queries()
     oracles = q.oracle_sql()
@@ -48,8 +48,10 @@ def main() -> int:
             sdf = qs[name](spark, sf_dir)
             rows = [r.asDict(recursive=True) for r in sdf.collect()]
             if name in oracles:
-                orows = run_oracle(oracles[name], sf_dir)
-                ok, msg = compare(rows, orows)
+                orows, otypes = run_oracle_typed(oracles[name], sf_dir)
+                ok, msg = compare_types(sdf.schema, otypes)
+                if ok:
+                    ok, msg = compare(rows, orows)
                 status = "pass" if ok else f"HASH-FAIL {msg}"
             else:
                 ok = True
