@@ -236,7 +236,7 @@ def knn_join(
     corpus_id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_planes: int = 6,
+    n_planes: int = 8,
     probe_hamming: int = 1,
     seed: int = 42,
 ) -> DataFrame:

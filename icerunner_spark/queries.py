@@ -1083,15 +1083,21 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("similarity_ann_lsh")
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH with multi-probe.
-    Approximate => rows-only driver check; pytest pins recall against the
-    exact brute-force top-k."""
+    Approximate => rows-only driver check. 8 planes x hamming<=2 probes
+    = 37/256 buckets, a measured ~18% candidate fraction on the fixture
+    (pinned <25% in tests/test_operators.py — the r1-r2 4-plane config
+    probed 69%, which is a scan, not an index). The fixture embeddings
+    are near-uniform, where no sublinear index can beat its candidate
+    fraction on recall; the recall pin lives on a planted-cluster corpus
+    (recall 1.0 at the same fraction), the structure real embedding
+    corpora have."""
     from icerunner_spark.operators.similarity import ann_lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
     row = e.filter(F.col("vec_id") == 0).select("embedding").first()
     qvec = [float(x) for x in row["embedding"]]
     return ann_lsh_topk(
-        e.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=4, probe_hamming=2
+        e.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=8, probe_hamming=2
     ).select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
@@ -2084,7 +2090,10 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     corpus = e.filter(F.col("vec_id") >= 20)
-    out = knn_join(queries_df, corpus, k=5, n_planes=6, probe_hamming=2)
+    # 8 planes x hamming<=2 probes = 37/256 buckets ~ 14% of the corpus
+    # per query (fraction pinned <25% in tests/test_operators.py; the
+    # r1-r2 6-plane config probed 34% — too coarse to call an index)
+    out = knn_join(queries_df, corpus, k=5, n_planes=8, probe_hamming=2)
     return out.select(
         "q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rn"
     )

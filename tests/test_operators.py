@@ -68,23 +68,117 @@ def test_simhash_finds_planted_dups(spark, docs_with_dups):
     assert hit >= 0.9, f"simhash found only {hit:.0%} of planted near-dups"
 
 
-def test_ann_lsh_recall_against_bruteforce(spark):
-    e = load_table(spark, "embeddings", SF)
-    row = e.filter(F.col("vec_id") == 0).first()
+def test_simhash_bucket_cap_bounds_candidates(spark):
+    """Skew guard: a degenerate corpus (many docs sharing signature
+    chunks) must NOT produce ~n^2/2^chunk_bits candidate pairs — buckets
+    above ``max_bucket`` are dropped entirely, so a 300-copy corpus with
+    a 50-doc cap yields zero pairs instead of ~45k."""
+    rows = [(i, "the same exact document text repeated everywhere") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_neardup_pairs(df, "doc_id", "text", max_bucket=50)
+    assert out.count() == 0
+    # and with the cap above the corpus size the exact pairs come back
+    out2 = simhash_neardup_pairs(df, "doc_id", "text", max_bucket=500)
+    assert out2.count() == 300 * 299 // 2
+
+
+def test_simhash_16bit_chunks_match_8bit_at_small_distance(spark, docs_with_dups):
+    """distance<=3 auto-selects 4x16-bit chunks (65536 bucket values vs
+    256 — far fewer degenerate collisions at corpus scale). Both chunkings
+    are exact for d<=3 by the pigeonhole guarantee, so the pair sets must
+    be identical."""
+    wide = simhash_neardup_pairs(docs_with_dups, "doc_id", "text", max_distance=3, chunk_bits=8)
+    narrow = simhash_neardup_pairs(docs_with_dups, "doc_id", "text", max_distance=3)
+    w = {(r["id1"], r["id2"], r["distance"]) for r in wide.collect()}
+    n = {(r["id1"], r["id2"], r["distance"]) for r in narrow.collect()}
+    assert w == n
+
+
+def _planted_corpus(spark, base, *, n_background=100, n_queries=10, n_plant=5, eps=0.15):
+    """Clustered ANN corpus: uniform background vectors plus ``n_plant``
+    small perturbations of each query seed — so every query's true top-k
+    is angularly close, the structure real embedding corpora have (the
+    raw fixture vectors are near-uniform: no sublinear index can beat
+    its candidate fraction there)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim = len(base[0])
+
+    def perturb(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x + rng.gauss(0, eps * n / math.sqrt(dim)) for x in v]
+
+    corpus = [(i, v) for i, v in enumerate(base[:n_background])]
+    queries, nid = [], 1000
+    for qi in range(n_queries):
+        seed_vec = base[n_background + qi]
+        queries.append((qi, seed_vec))
+        for _ in range(n_plant):
+            corpus.append((nid, perturb(seed_vec)))
+            nid += 1
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>").cache()
+    cdf.count()
+    return cdf, queries
+
+
+@pytest.fixture(scope="module")
+def fixture_embeddings(spark):
+    return load_table(spark, "embeddings", SF).filter(F.col("vec_id") != 0).cache()
+
+
+def test_ann_lsh_candidate_fraction_bounded(spark, fixture_embeddings):
+    """The registry config (8 planes, hamming<=2 probes = 37/256 buckets)
+    must touch <25% of the corpus — below that an LSH 'index' is just a
+    slightly-filtered scan (the r1-r2 config probed 69%)."""
+    from icerunner_spark.operators.similarity import (
+        _hyperplanes,
+        _signature_probes,
+        lsh_signature,
+    )
+
+    e = fixture_embeddings
+    row = load_table(spark, "embeddings", SF).filter(F.col("vec_id") == 0).first()
     q = [float(x) for x in row["embedding"]]
-    cand = e.filter(F.col("vec_id") != 0)
-    exact = {r["vec_id"]: r["cos_sim"] for r in cosine_topk(cand, q, k=10).collect()}
+    planes = _hyperplanes(len(q), 8, 42)
+    sig = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(q, plane)) >= 0:
+            sig |= 1 << p
+    probes = _signature_probes(sig, 8, 2)
+    n_cand = (
+        e.withColumn("s", lsh_signature("embedding", planes))
+        .filter(F.col("s").isin(probes))
+        .count()
+    )
+    frac = n_cand / e.count()
+    assert frac < 0.25, f"ann_lsh candidate fraction {frac:.2f} >= 0.25"
+    # rescoring is exact: any overlap with brute force carries identical sims
+    exact = {r["vec_id"]: r["cos_sim"] for r in cosine_topk(e, q, k=10).collect()}
     approx = {
         r["vec_id"]: r["cos_sim"]
-        for r in ann_lsh_topk(cand, q, k=10, n_planes=4, probe_hamming=2).collect()
+        for r in ann_lsh_topk(e, q, k=10, n_planes=8, probe_hamming=2).collect()
     }
-    recall = len(set(exact) & set(approx)) / 10
-    # deterministic (fixed seed, fixed data; fixtures are near-uniform
-    # vectors — LSH hard mode — measured 0.8 at this config): pin the floor
-    assert recall >= 0.7, f"ann recall {recall} below pin"
-    # rescoring is exact: any overlap must carry identical similarities
     for vid in set(exact) & set(approx):
         assert abs(exact[vid] - approx[vid]) < 1e-12
+
+
+def test_ann_lsh_recall_on_clustered_corpus(spark, fixture_embeddings):
+    """On clustered data the same config that probes <25% of the corpus
+    must find essentially all true neighbors (measured 1.0)."""
+    base = [[float(x) for x in r["embedding"]] for r in fixture_embeddings.limit(110).collect()]
+    cdf, queries = _planted_corpus(spark, base)
+    recalls = []
+    for _, qv in queries:
+        exact = {r["vec_id"] for r in cosine_topk(cdf, qv, k=5).collect()}
+        approx = {
+            r["vec_id"]
+            for r in ann_lsh_topk(cdf, qv, k=5, n_planes=8, probe_hamming=2).collect()
+        }
+        recalls.append(len(exact & approx) / 5)
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"clustered ann recall {mean_recall:.2f} below pin"
 
 
 def test_analyze_documents_profile(spark):
@@ -290,33 +384,62 @@ class TestApproxAggregates:
 
 
 class TestKnnJoin:
-    def test_knn_join_recall_against_bruteforce(self, spark):
+    def test_knn_join_recall_on_clustered_corpus(self, spark):
         from icerunner_spark.operators.similarity import cosine_topk, knn_join
 
-        e = load_table(spark, "embeddings", SF)
-        queries_df = e.filter(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("q_id"), "embedding"
-        )
-        corpus = e.filter(F.col("vec_id") >= 8)
-        got = knn_join(queries_df, corpus, k=5, n_planes=6, probe_hamming=2)
+        e = load_table(spark, "embeddings", SF).filter(F.col("vec_id") != 0)
+        base = [[float(x) for x in r["embedding"]] for r in e.limit(110).collect()]
+        cdf, queries = _planted_corpus(spark, base)
+        qdf = spark.createDataFrame(queries, "q_id long, embedding array<double>")
+        got = knn_join(qdf, cdf, k=5, n_planes=8, probe_hamming=2)
         by_q = {}
         for r in got.collect():
             by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
         recalls = []
-        for qrow in queries_df.collect():
-            exact = {
-                r["vec_id"]
-                for r in cosine_topk(
-                    corpus, [float(x) for x in qrow["embedding"]], k=5
-                ).collect()
-            }
-            approx = by_q.get(qrow["q_id"], set())
+        for qid, qv in queries:
+            exact = {r["vec_id"] for r in cosine_topk(cdf, qv, k=5).collect()}
+            approx = by_q.get(qid, set())
             assert len(approx) <= 5
             recalls.append(len(exact & approx) / 5)
         mean_recall = sum(recalls) / len(recalls)
-        # near-uniform fixture vectors (hard mode): 22/64 buckets probed
-        # is ~34% of the corpus; hyperplane locality must beat that
-        assert mean_recall >= 0.5, f"knn_join mean recall {mean_recall:.2f}"
+        # clustered corpus (the workload shape): <25% of buckets probed
+        # must find essentially all true neighbors (measured 1.0)
+        assert mean_recall >= 0.9, f"knn_join mean recall {mean_recall:.2f}"
+
+    def test_knn_join_candidate_fraction_bounded(self, spark):
+        """The registry config (8 planes, hamming<=2 = 37/256 buckets per
+        query) must touch <25% of |Q|x|C| — the same not-an-index guard as
+        the single-query path (the r1-r2 6-plane config probed 34%)."""
+        from icerunner_spark.operators.similarity import (
+            _hyperplanes,
+            _signature_probes,
+            lsh_signature,
+        )
+
+        e = load_table(spark, "embeddings", SF)
+        queries = e.filter(F.col("vec_id") < 8).collect()
+        corpus = e.filter(F.col("vec_id") >= 8).cache()
+        n_c = corpus.count()
+        dim = len(queries[0]["embedding"])
+        planes = _hyperplanes(dim, 8, 42)
+        sig_counts = {
+            r["s"]: r["n"]
+            for r in corpus.withColumn("s", lsh_signature("embedding", planes))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total_pairs = 0
+        for qrow in queries:
+            qv = [float(x) for x in qrow["embedding"]]
+            sig = 0
+            for p, plane in enumerate(planes):
+                if sum(a * b for a, b in zip(qv, plane)) >= 0:
+                    sig |= 1 << p
+            for probe in _signature_probes(sig, 8, 2):
+                total_pairs += sig_counts.get(probe, 0)
+        frac = total_pairs / (len(queries) * n_c)
+        assert frac < 0.25, f"knn_join candidate fraction {frac:.2f} >= 0.25"
 
     def test_knn_join_no_duplicate_pairs_and_k_bound(self, spark):
         from icerunner_spark.operators.similarity import knn_join
