@@ -137,15 +137,21 @@ def perform_sync(
         d = table.to_pydict()
         return {k: v[0] for k, v in d.items() if v}
 
-    def _pinned_full_reader() -> tuple[object, int | None]:
-        """(reader, snapshot_id) for a full-table read, snapshot-pinned when
-        the server supports get_slices (the ticket embeds the id, so the
-        stream and the saved cursor describe the SAME table version —
-        closing the race where rows commit mid-drain and then fall between
-        cursor and stream). Falls back to metadata-BEFORE-read: cursor is
-        then conservative (at-least-once — a concurrent commit re-syncs
-        next pass) instead of lossy (cursor-after-drain skips those rows
-        forever)."""
+    def _pinned_full_reader() -> tuple[object, int | None, bool]:
+        """(reader, snapshot_id, pinned) for a full-table read,
+        snapshot-pinned when the server supports get_slices (the ticket
+        embeds the id, so the stream and the saved cursor describe the
+        SAME table version — closing the race where rows commit mid-drain
+        and then fall between cursor and stream).
+
+        Legacy-server fallback (no get_slices): cursor from get_metadata
+        BEFORE the unpinned drain. Rows committed between the pin and the
+        drain then appear in the stream AND in the next pass's
+        get_changes delta — which would append them twice. The caller
+        therefore records an ``*_unpinned`` status, and the NEXT pass
+        repairs by full overwrite resync instead of an incremental append
+        (converging the target exactly; strictly better than the old
+        lossy cursor-after-drain, which skipped those rows forever)."""
         try:
             info_slices = client.get_flight_info(
                 flight.FlightDescriptor.for_command(
@@ -156,11 +162,11 @@ def perform_sync(
             )
             ticket = info_slices.endpoints[0].ticket
             pinned = json.loads(ticket.ticket.decode()).get("snapshot_id")
-            return client.do_get(ticket), pinned
+            return client.do_get(ticket), pinned, True
         except Exception as e:
             logger.warning("get_slices unsupported (%s); unpinned full read", e)
             pinned = _safe_source_snapshot(_source_metadata)
-            return client.do_get(endpoint.ticket), pinned
+            return client.do_get(endpoint.ticket), pinned, False
 
     rows_synced = 0
     status = "success"
@@ -180,8 +186,10 @@ def perform_sync(
             data_reader = client.do_get(endpoint.ticket)
             sample = pa.Table.from_batches([data_reader.read_chunk().data])
         connector.create_table(target_table, sample.slice(0, 0))
-        reader, source_snapshot = _pinned_full_reader()
+        reader, source_snapshot, was_pinned = _pinned_full_reader()
         rows_synced = _append_stream(reader, connector, target_table, batch_rows)
+        if not was_pinned:
+            status = "success_unpinned"
     else:
         # Pin the end snapshot BEFORE reading and bound get_changes to it;
         # the same id becomes the saved cursor, so rows committed after the
@@ -190,7 +198,15 @@ def perform_sync(
         if source_snapshot is not None and source_snapshot == last_source_snapshot:
             logger.info("source snapshot unchanged; nothing to sync")
             return 0
+        # After an unpinned read, the target may hold rows the delta also
+        # covers (see _pinned_full_reader) — an incremental append would
+        # duplicate them, so repair via full overwrite resync instead.
+        prev_unpinned = str(state.get("last_sync_status", "")).endswith("_unpinned")
+        if prev_unpinned:
+            logger.warning("previous sync was unpinned; repairing via full resync")
         try:
+            if prev_unpinned:
+                raise RuntimeError("unpinned predecessor: incremental unsafe")
             changes_cmd = {
                 "command": "get_changes",
                 "table": source_table,
@@ -206,7 +222,7 @@ def perform_sync(
             # The server errors get_changes across overwrite snapshots
             # (append-only diff contract), which lands here by design.
             logger.warning("incremental sync unavailable (%s); full overwrite sync", e)
-            reader, source_snapshot = _pinned_full_reader()
+            reader, source_snapshot, was_pinned = _pinned_full_reader()
             full = reader.read_all()
             from icerunner_spark.connector import arrow_to_df
 
@@ -214,7 +230,7 @@ def perform_sync(
                 arrow_to_df(connector.spark, full)
             )
             rows_synced = full.num_rows
-            status = "full_resync"
+            status = "full_resync" if was_pinned else "full_resync_unpinned"
 
     sync_state.save_sync_state(
         source_url,

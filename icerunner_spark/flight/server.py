@@ -257,6 +257,22 @@ class IceFlightServer(flight.FlightServerBase):
             t = self.connector.table(name)
             schema = self._table_arrow_schema(name)
             snaps = t.snapshots()
+            # validate ids up front so the ordering error is precise: an
+            # end that precedes the start used to surface as a misleading
+            # "unknown snapshot: <start>" (the walk broke at end first)
+            ids = [s.snapshot_id for s in snaps]
+            if snapshot_id is not None and snapshot_id not in ids:
+                raise flight.FlightServerError(f"unknown snapshot: {snapshot_id}")
+            if end_snapshot_id is not None:
+                if end_snapshot_id not in ids:
+                    raise flight.FlightServerError(
+                        f"unknown end snapshot: {end_snapshot_id}"
+                    )
+                if snapshot_id is not None and ids.index(end_snapshot_id) < ids.index(snapshot_id):
+                    raise flight.FlightServerError(
+                        f"end snapshot {end_snapshot_id} precedes start "
+                        f"snapshot {snapshot_id} in table history"
+                    )
             started = snapshot_id is None
             seen_end = end_snapshot_id is None
             files: list[str] = []
@@ -326,21 +342,33 @@ class IceFlightServer(flight.FlightServerBase):
         staged: list[str] = []
         pending: list[pa.RecordBatch] = []
         pending_rows = 0
-        for chunk in reader:
-            batch = chunk.data
-            if batch is None or batch.num_rows == 0:
-                continue
-            pending.append(batch)
-            pending_rows += batch.num_rows
-            if pending_rows >= self.chunk_rows:
+        try:
+            for chunk in reader:
+                batch = chunk.data
+                if batch is None or batch.num_rows == 0:
+                    continue
+                pending.append(batch)
+                pending_rows += batch.num_rows
+                if pending_rows >= self.chunk_rows:
+                    staged += t.stage_append(
+                        arrow_to_df(self.connector.spark, pa.Table.from_batches(pending))
+                    )
+                    pending, pending_rows = [], 0
+            if pending:
                 staged += t.stage_append(
                     arrow_to_df(self.connector.spark, pa.Table.from_batches(pending))
                 )
-                pending, pending_rows = [], 0
-        if pending:
-            staged += t.stage_append(
-                arrow_to_df(self.connector.spark, pa.Table.from_batches(pending))
-            )
+        except Exception:
+            # a failed upload (client abort, schema mismatch on a later
+            # chunk) must not leak its staged-but-unpublished files —
+            # best-effort delete; anything that survives a crash here is
+            # caught by IceTable.remove_orphans()
+            for f in staged:
+                try:
+                    os.remove(os.path.join(t.path, f))
+                except OSError:
+                    pass
+            raise
         if staged:
             t.publish_append(staged)
 

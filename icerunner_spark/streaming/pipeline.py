@@ -246,8 +246,12 @@ def run_available_now(
     q = writer.start()
     try:
         # awaitTermination returns False on timeout — surface it rather than
-        # letting q.stop() silently truncate the drain mid-run.
-        if not q.awaitTermination(timeout_s):
+        # letting q.stop() silently truncate the drain mid-run. timeout_s=None
+        # means wait-forever: awaitTermination(None) blocks until done and
+        # returns None, which must not be read as a timeout.
+        if timeout_s is None:
+            q.awaitTermination()
+        elif not q.awaitTermination(timeout_s):
             raise TimeoutError(
                 f"availableNow drain did not finish within {timeout_s}s"
             )

@@ -270,6 +270,97 @@ class IceTable:
         _, files = self._write_data_files(df)
         return self._publish("overwrite", files, df.schema.json(), replace_manifest=True)
 
+    # ---------- maintenance (Iceberg: expire_snapshots / remove_orphan_files) ----------
+
+    def expire_snapshots(self, *, keep_last: int = 1) -> list[str]:
+        """Drop all but the newest ``keep_last`` snapshots and delete the
+        data files no surviving snapshot references. Time travel to the
+        expired snapshots is gone afterwards — the same contract as
+        Iceberg's ``expire_snapshots``. Returns the deleted relative
+        file paths. Pure driver-side metadata + unlink — never touches
+        live data files (they are still in a kept manifest)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return []
+        expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+        keep_files: set[str] = set()
+        for s in kept:
+            keep_files.update(s.manifest)
+            keep_files.update(s.added_files)
+        removed: list[str] = []
+        for s in expired:
+            for f in set(s.manifest) | set(s.added_files):
+                if f in keep_files or f in removed:
+                    continue
+                try:
+                    os.remove(os.path.join(self.path, f))
+                    removed.append(f)
+                except FileNotFoundError:
+                    pass
+        for s in expired:
+            try:
+                os.remove(self._snapshot_path(s.sequence))
+            except FileNotFoundError:
+                pass
+        self._prune_empty_data_dirs()
+        return sorted(removed)
+
+    def remove_orphans(self, *, older_than_s: float = 3600.0) -> list[str]:
+        """Delete data files referenced by NO snapshot (e.g. staged
+        appends whose upload died before publish). ``older_than_s``
+        guards in-flight stages: files younger than it are kept, like
+        Iceberg's remove_orphan_files timestamp cutoff. Returns the
+        deleted relative paths."""
+        referenced: set[str] = set()
+        for s in self.snapshots():
+            referenced.update(s.manifest)
+            referenced.update(s.added_files)
+        cutoff = time.time() - older_than_s
+        removed: list[str] = []
+        for root, _dirs, files in os.walk(self.data_dir):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, self.path)
+                if rel in referenced:
+                    continue
+                try:
+                    if os.path.getmtime(full) <= cutoff:
+                        os.remove(full)
+                        removed.append(rel)
+                except FileNotFoundError:
+                    pass
+        self._prune_empty_data_dirs()
+        return sorted(removed)
+
+    def _prune_empty_data_dirs(self, *, min_age_s: float = 3600.0) -> None:
+        """Remove commit dirs that hold no parquet (only _SUCCESS markers).
+        The age guard keeps in-progress writes safe: a Spark write dir
+        briefly contains only _temporary entries before the parquet files
+        land."""
+        if not os.path.isdir(self.data_dir):
+            return
+        import shutil as _shutil
+
+        cutoff = time.time() - min_age_s
+        for entry in os.listdir(self.data_dir):
+            d = os.path.join(self.data_dir, entry)
+            if not os.path.isdir(d):
+                continue
+            names = os.listdir(d)
+            if any(f.endswith(".parquet") for f in names):
+                continue
+            if any(f.startswith("_temporary") for f in names):
+                continue
+            try:
+                if os.path.getmtime(d) <= cutoff:
+                    _shutil.rmtree(d, ignore_errors=True)
+            except FileNotFoundError:
+                pass
+
     # ---------- public read API ----------
 
     def _read_files(self, files: list[str]) -> DataFrame:
@@ -306,9 +397,25 @@ class IceTable:
         raises, as the diff is no longer append-only (Iceberg's incremental
         read has the same restriction)."""
         snaps = self.snapshots()
+        # up-front id validation: distinguishes "end precedes start" from
+        # "snapshot unknown" (the walk below would otherwise report the
+        # start as missing when the end merely came first in history)
+        ids = [s.snapshot_id for s in snaps]
+        if start_snapshot_id is not None and start_snapshot_id not in ids:
+            raise ValueError(f"start snapshot {start_snapshot_id} not found")
+        if end_snapshot_id is not None:
+            if end_snapshot_id not in ids:
+                raise ValueError(f"end snapshot {end_snapshot_id} not found")
+            if (
+                start_snapshot_id is not None
+                and ids.index(end_snapshot_id) < ids.index(start_snapshot_id)
+            ):
+                raise ValueError(
+                    f"end snapshot {end_snapshot_id} precedes start "
+                    f"snapshot {start_snapshot_id} in table history"
+                )
         started = start_snapshot_id is None
         files: list[str] = []
-        seen_end = end_snapshot_id is None
         for snap in snaps:
             if started:
                 if snap.operation == "overwrite":
@@ -320,12 +427,7 @@ class IceTable:
             if snap.snapshot_id == start_snapshot_id:
                 started = True
             if end_snapshot_id is not None and snap.snapshot_id == end_snapshot_id:
-                seen_end = True
                 break
-        if not started:
-            raise ValueError(f"start snapshot {start_snapshot_id} not found")
-        if not seen_end:
-            raise ValueError(f"end snapshot {end_snapshot_id} not found")
         return self._read_files(files)
 
     def snapshots_df(self) -> DataFrame:

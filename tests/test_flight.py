@@ -4,6 +4,8 @@ get_flight_info without materialization, the mirror command protocol
 
 from __future__ import annotations
 
+import json
+
 import pyarrow as pa
 import pyarrow.flight as flight
 import pytest
@@ -323,3 +325,90 @@ def test_do_put_commits_single_snapshot(server):
     assert len(snaps) == n_before + 1
     assert snaps[-1].operation == "append"
     assert c.count("atom") == 10
+
+
+def test_do_put_failure_cleans_staged_files(server, monkeypatch):
+    """ADVICE r2: an upload that dies after some chunks were staged must
+    not leak the staged parquet under data/ — the server deletes them and
+    re-raises; no snapshot is published."""
+    from icerunner_spark.table import IceTable
+
+    c = server.connector
+    c.create_table("clean", _writer_table([0], ["seed"]))
+    server.chunk_rows = 2
+    orig = IceTable.stage_append
+    calls = {"n": 0}
+
+    def flaky(self, df):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("synthetic disk-full")
+        return orig(self, df)
+
+    monkeypatch.setattr(IceTable, "stage_append", flaky)
+    big = pa.table(
+        {
+            "id": pa.array(list(range(1, 10)), pa.int64()),
+            "value": pa.array([f"v{i}" for i in range(1, 10)], pa.string()),
+        }
+    )
+    with pytest.raises(flight.FlightError):
+        client = _client(server)
+        writer, _ = client.do_put(
+            flight.FlightDescriptor.for_path(b"clean"), big.schema
+        )
+        # stream 2-row batches so the server stages multiple chunks; the
+        # second stage_append raises mid-stream
+        with writer:
+            for batch in big.to_batches(max_chunksize=2):
+                writer.write_batch(batch)
+            writer.done_writing()
+    monkeypatch.undo()
+    t = c.table("clean")
+    assert len(t.snapshots()) == 1  # nothing published
+    assert c.count("clean") == 1
+    # nothing leaked: the staged chunk's files were removed by the server
+    assert t.remove_orphans(older_than_s=0.0) == []
+
+
+def test_get_changes_end_before_start_error(server):
+    """ADVICE r2: end-before-start gets a dedicated ordering error, not a
+    misleading 'unknown snapshot: <start>'."""
+    c = server.connector
+    c.create_table("ord", _writer_table([1], ["a"]))
+    s0 = c.get_current_snapshot_id("ord")
+    c.insert("ord", _writer_table([2], ["b"]))
+    s1 = c.get_current_snapshot_id("ord")
+    client = _client(server)
+    cmd = {"command": "get_changes", "table": "ord", "snapshot_id": s1,
+           "end_snapshot_id": s0}
+    with pytest.raises(flight.FlightError, match="precedes"):
+        client.do_get(flight.Ticket(json.dumps(cmd).encode())).read_all()
+
+
+def test_mirror_repairs_after_unpinned_sync(spark, server, tmp_path):
+    """ADVICE r2: a pass whose predecessor used an unpinned full read must
+    NOT append the incremental delta (possible duplicates) — it repairs by
+    full overwrite resync."""
+    from icerunner_spark.flight.mirror import SyncState, run_mirror
+
+    c = server.connector
+    c.create_table("rep", _writer_table([1, 2], ["a", "b"]))
+    target_wh = str(tmp_path / "wh_rep")
+    url = f"grpc://127.0.0.1:{server.port}/rep"
+    run_mirror(url, target_table="rep", warehouse_path=target_wh,
+               continuous=False, spark=spark)
+    st = SyncState(target_wh)
+    state = st.get_last_sync_state(url, "rep")
+    # simulate a legacy-server first pass (no get_slices -> unpinned read)
+    state["last_sync_status"] = "success_unpinned"
+    st.save_sync_state(url, "rep", state)
+    c.insert("rep", _writer_table([3], ["c"]))
+    run_mirror(url, target_table="rep", warehouse_path=target_wh,
+               continuous=False, spark=spark)
+    state2 = st.get_last_sync_state(url, "rep")
+    assert state2["last_sync_status"] == "full_resync"  # repaired, re-pinned
+    from icerunner_spark.connector import Connector
+
+    tc = Connector(spark, target_wh)
+    assert sorted(tc.query("rep").column("id").to_pylist()) == [1, 2, 3]

@@ -171,3 +171,58 @@ def test_staged_append_publishes_once(spark, warehouse):
     assert snap.operation == "append"
     assert sorted(r.id for r in t.scan().collect()) == [1, 2, 3]
     assert len(t.snapshots()) == 2
+
+
+def test_scan_changes_end_before_start_error(spark, warehouse):
+    """ADVICE r2: end-before-start must raise a dedicated ordering error,
+    not a misleading 'start not found'."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "ordering"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    s0 = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    s1 = t.current_snapshot().snapshot_id
+    with pytest.raises(ValueError, match="precedes"):
+        t.scan_changes(s1, s0)
+    with pytest.raises(ValueError, match="not found"):
+        t.scan_changes(123456789, None)
+
+
+def test_expire_snapshots_drops_history_and_files(spark, warehouse):
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "expire"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    t.overwrite(spark.createDataFrame([(10,), (11,)], "id long"))
+    t.append(spark.createDataFrame([(12,)], "id long"))
+    assert len(t.snapshots()) == 4
+    removed = t.expire_snapshots(keep_last=2)
+    # the files from before the overwrite are referenced by no kept
+    # snapshot -> physically deleted; live data is untouched
+    assert removed, "expected pre-overwrite files to be deleted"
+    assert len(t.snapshots()) == 2
+    assert sorted(r.id for r in t.scan().collect()) == [10, 11, 12]
+    for f in removed:
+        assert not os.path.exists(os.path.join(t.path, f))
+    # expiring everything but the current snapshot is a no-op second time
+    assert t.expire_snapshots(keep_last=2) == []
+
+
+def test_remove_orphans_deletes_unpublished_stages(spark, warehouse):
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "orphans"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    staged = t.stage_append(spark.createDataFrame([(2,)], "id long"))
+    for f in staged:
+        assert os.path.exists(os.path.join(t.path, f))
+    # fresh files survive the default age guard (in-flight stage safety)
+    assert t.remove_orphans() == []
+    removed = t.remove_orphans(older_than_s=0.0)
+    assert sorted(removed) == sorted(staged)
+    for f in staged:
+        assert not os.path.exists(os.path.join(t.path, f))
+    # published data untouched
+    assert t.scan().count() == 1
