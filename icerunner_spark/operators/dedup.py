@@ -280,12 +280,14 @@ def minhash_neardup_pairs(
     )
     # exact verify: shuffle-hash joins on the id (hash lookup, no sort of
     # the big shingle arrays; both sides partition by id so this scales
-    # out — broadcast would cap at driver memory on a real corpus)
+    # out — broadcast would cap at driver memory on a real corpus).
+    # Cached: the g1/g2 join sides are two lineages of this same frame —
+    # without the cache each side recomputes the full ngram explode.
     grams = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, id_col
     ).select(
         F.col(id_col).alias("id"), F.array_distinct(char_ngrams(text_col, shingle)).alias("g")
-    )
+    ).cache()
     g1 = grams.select(F.col("id").alias("id1"), F.col("g").alias("g1"))
     g2 = grams.select(F.col("id").alias("id2"), F.col("g").alias("g2"))
     jac = F.size(F.array_intersect("g1", "g2")) / F.size(F.array_union("g1", "g2"))

@@ -44,19 +44,25 @@ def test_dedup_exact_keeps_one_per_text(spark):
 
 
 def test_minhash_recall_against_exact(spark, docs_with_dups):
+    """EXACT set equality at the registry config (k=48, bands=12): the
+    dedup_minhash_lsh driver oracle IS the exact inverted-index
+    formulation, so any missed pair is a correctness break, not a tuning
+    regression. (Holds because every true fixture pair measures J>=0.92,
+    far above the 12x4 banding's ~0.54 s-curve midpoint.)"""
     exact = {
         (r["id1"], r["id2"])
         for r in ngram_jaccard_pairs(docs_with_dups, "doc_id", "text", threshold=0.5).collect()
     }
     approx = {
         (r["id1"], r["id2"])
-        for r in minhash_neardup_pairs(docs_with_dups, "doc_id", "text", threshold=0.5).collect()
+        for r in minhash_neardup_pairs(
+            docs_with_dups, "doc_id", "text", n_hashes=48, bands=12, threshold=0.5
+        ).collect()
     }
     assert exact, "fixture must contain near-dup pairs"
-    # verify step means precision is exact
-    assert approx <= exact or all(p in exact for p in approx)
-    recall = len(approx & exact) / len(exact)
-    assert recall >= 0.9, f"minhash recall {recall:.2f} below pin"
+    assert approx == exact, (
+        f"missed={sorted(exact - approx)[:5]} extra={sorted(approx - exact)[:5]}"
+    )
 
 
 def test_simhash_finds_planted_dups(spark, docs_with_dups):
