@@ -288,7 +288,9 @@ class IceFlightServer(flight.FlightServerBase):
                             "get_changes crosses an overwrite snapshot; "
                             "incremental diff is append-only — full resync required"
                         )
-                    files.extend(os.path.join(t.path, f) for f in s.added_files)
+                    if s.operation != "replace":
+                        # 'replace' = compaction, same rows -> no delta
+                        files.extend(os.path.join(t.path, f) for f in s.added_files)
                 if s.snapshot_id == snapshot_id:
                     started = True
                 if end_snapshot_id is not None and s.snapshot_id == end_snapshot_id:

@@ -71,3 +71,36 @@ def winnowing_fingerprints(
         lambda i: F.array_min(F.slice(hashes, i, window)),
     )
     return F.array_distinct(mins)
+
+
+# --------------------------------------------------------------------------- #
+# PII redaction (SURVEY.md §2.C text analysis — training-corpus scrubbing)
+# --------------------------------------------------------------------------- #
+
+# Patterns restricted to syntax Java regex and RE2 (the DuckDB oracle
+# engine) interpret identically: character classes, bounded repetition,
+# non-capturing groups, \b word boundaries — no lookaround, no backrefs.
+# Order matters (applied sequentially, same order in both engines): email
+# before phone so user@123-456-7890.com never half-matches as a phone.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"(?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails / SSNs / phone numbers / IPv4 addresses with typed
+    placeholder tokens. Pure JVM regexp_replace chain — codegen, no UDF,
+    order-deterministic, scan-speed at 100 TB (narrow map, no shuffle)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """{kind: count-of-matches} columns for auditing what redaction hit."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {kind: F.regexp_count(c, F.lit(pat)) for kind, pat, _ in PII_PATTERNS}

@@ -2150,6 +2150,186 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# PII redaction — SURVEY §2.C text analysis (training-corpus scrubbing)
+# --------------------------------------------------------------------------- #
+
+
+def _pii_oracle() -> str:
+    """Oracle assembled from the SAME pattern table the operator uses —
+    one source of truth for the regex chain and its order."""
+    from icerunner_spark.functions.text import PII_PATTERNS
+
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    return f"""
+    SELECT doc_id,
+           md5({red}) AS redacted_md5,
+           {counts}
+    FROM documents
+    """
+
+
+@register("pii_redact_documents", oracle=_pii_oracle())
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions.text.redact_pii): emails / SSNs / phone
+    numbers / IPv4 addresses replaced by typed placeholder tokens, plus
+    per-kind match counts for auditing. A pure JVM regexp_replace chain —
+    codegen, narrow map, no shuffle: scan-speed at 100 TB. Patterns are
+    restricted to the Java-regex/RE2 common subset so the DuckDB oracle
+    evaluates the identical chain; planted-PII exactness is pinned in
+    tests/test_operators.py."""
+    from icerunner_spark.functions.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    cols = [
+        F.col("doc_id"),
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+    ]
+    for kind, cnt in pii_counts("text").items():
+        cols.append(cnt.alias(f"n_{kind}"))
+    return d.select(*cols)
+
+
+@register(
+    "snapshot_compaction_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def snapshot_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (IceTable.compact — Iceberg
+    rewrite_data_files parity): build a table through several small
+    appends, compact into one right-sized file, and scan — rows must be
+    byte-identical to the uncompacted source. The 'replace' snapshot
+    carries no delta, so CDC readers skip it (pinned in
+    tests/test_table.py)."""
+    from icerunner_spark.connector import Connector
+
+    wh = os.path.join(
+        "/tmp", "icerunner_compact_demo", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).filter(F.col("o_orderkey") < 500)
+    t = c.catalog.table("orders_compact")
+    t.create(orders.filter(F.col("o_orderkey") < 100))
+    t.append(orders.filter((F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 300)))
+    t.append(orders.filter(F.col("o_orderkey") >= 300))
+    files_before = len(t.current_snapshot().manifest)
+    t.compact()
+    assert len(t.current_snapshot().manifest) <= files_before
+    return t.scan()
+
+
+# --------------------------------------------------------------------------- #
+# Composed training-corpus cleaning pipeline — SURVEY §2.C flagship
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, lang, text,
+               len(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS n_punct,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+               len(list_filter(regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'),
+                   x -> list_contains(['and','auf','con','dans','das','de','der','die','est','et','ein','el','en','for','für','is','ist','it','in','la','le','los','mit','nicht','of','por','pour','que','sur','that','the','to','un','und','was','y','不','了','人','在','我','是','有','的','和','这'], x))) AS n_stop
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, text,
+               LEAST(n_tokens / 100.0, 1.0) * 0.4
+               + GREATEST(0.0, 1.0 - (n_punct * 1.0 / n_chars) * 5) * 0.2
+               + GREATEST(0.0, 1.0 - (n_digit * 1.0 / n_chars) * 5) * 0.2
+               + LEAST((n_stop * 1.0 / n_tokens) * 4, 1.0) * 0.2 AS quality
+        FROM feats
+        WHERE n_chars > 0 AND n_tokens > 0
+    ),
+    qual AS (SELECT * FROM scored WHERE quality >= 0.5),
+    keep_exact AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM qual
+        GROUP BY lower(regexp_replace(text, '\\s+', ' ', 'g'))
+    ),
+    survivors AS (
+        SELECT q.doc_id, q.lang, q.text, q.quality
+        FROM qual q JOIN keep_exact k ON q.doc_id = k.doc_id
+    ),
+    norm AS (
+        SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+        FROM survivors
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS gram
+        FROM norm, LATERAL (SELECT unnest(generate_series(1, GREATEST(length(t) - 4, 1))) AS i) s
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    neardup_losers AS (
+        SELECT DISTINCT b.doc_id
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        JOIN sizes s1 ON s1.doc_id = a.doc_id
+        JOIN sizes s2 ON s2.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, s1.sz, s2.sz
+        HAVING COUNT(*) * 1.0 / (s1.sz + s2.sz - COUNT(*)) >= 0.5
+    )
+    SELECT s.doc_id, s.lang, ROUND(s.quality, 6) AS quality
+    FROM survivors s
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM neardup_losers)
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning in ONE declarative plan:
+    quality-score filter (>= 0.5) -> exact dedup (min-id per normalized
+    text) -> near-dup removal (MinHash-LSH generate + exact-Jaccard
+    verify; a doc loses to any smaller-id near-dup). The oracle replays
+    the identical pipeline with the exact inverted-index formulation —
+    valid because the LSH stage's recall is exact-set-pinned
+    (test_minhash_recall_against_exact).
+
+    Scale shape: the quality filter is a scan-speed narrow map that
+    PRUNES the corpus before anything shuffles; exact dedup shuffles
+    8-byte fingerprints, not text; only the (filtered) survivor set pays
+    the near-dup pipeline. Each later stage touches less data — at
+    100 TB this ordering is the difference between a running pipeline
+    and an impossible one."""
+    from icerunner_spark.functions.text import fingerprint64, token_count
+    from icerunner_spark.operators.dedup import minhash_neardup_pairs
+    from icerunner_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    qual = (
+        d.filter((F.length("text") > 0) & (token_count("text") > 0))
+        .withColumn("quality", quality_score("text"))
+        .filter(F.col("quality") >= 0.5)
+    )
+    keep = (
+        qual.groupBy(fingerprint64("text").alias("__fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = qual.join(keep, "doc_id", "left_semi").cache()
+    pairs = minhash_neardup_pairs(
+        survivors, "doc_id", "text", n_hashes=48, bands=12, threshold=0.5
+    )
+    losers = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    return (
+        survivors.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", F.round("quality", 6).alias("quality"))
+    )
+
+
+# --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #
 # The driver value-hash-checks exactly the FIRST 50 registered queries
@@ -2170,6 +2350,13 @@ _TAIL_ORDER = [
     "lead_lag_order_gaps",       # windows: topk + running + range_frame in
     "multimodal_frame_sample",   # multimodal: asset_stats + byte_features in
     "string_agg_nations",        # array/agg: array_norms + higher_order in
+    "anti_join_customers_without_orders",  # semi/anti: semi_join in window
+    "quality_score_documents",   # text: lang_id + token_stats in window, and
+    #                              corpus_clean_pipeline exercises the same
+    #                              quality formula end-to-end
+    "snapshot_compaction_roundtrip",  # snapshots: cdc + time_travel +
+    #                              flight_roundtrip in window; pytest pins
+    #                              the replace/CDC contract
     # approximate by design — no deterministic cross-engine oracle exists:
     "dedup_simhash",
     "similarity_ann_lsh",

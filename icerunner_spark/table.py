@@ -272,6 +272,25 @@ class IceTable:
 
     # ---------- maintenance (Iceberg: expire_snapshots / remove_orphan_files) ----------
 
+    def compact(self, *, target_file_rows: int = 1_000_000) -> Snapshot:
+        """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
+        the current row set into ceil(rows/target_file_rows) right-sized
+        files and commit a ``replace`` snapshot with identical rows.
+        ``replace`` snapshots add no rows, so incremental reads
+        (:meth:`scan_changes`, Flight get_changes) SKIP them instead of
+        erroring — the same contract as Iceberg's incremental read over
+        rewrite snapshots. Old files stay on disk for time travel until
+        :meth:`expire_snapshots`."""
+        if target_file_rows < 1:
+            raise ValueError("target_file_rows must be >= 1")
+        df = self.scan()
+        n_files = max(1, -(-df.count() // target_file_rows))
+        _, files = self._write_data_files(df.repartition(n_files))
+        return self._publish(
+            "replace", files, self.schema().json(), replace_manifest=True,
+            summary={"compacted_to_files": str(len(files))},
+        )
+
     def expire_snapshots(self, *, keep_last: int = 1) -> list[str]:
         """Drop all but the newest ``keep_last`` snapshots and delete the
         data files no surviving snapshot references. Time travel to the
@@ -423,7 +442,10 @@ class IceTable:
                         "scan_changes crosses an overwrite snapshot; "
                         "incremental diff is append-only"
                     )
-                files.extend(snap.added_files)
+                if snap.operation != "replace":
+                    # 'replace' = compaction: same rows, no delta (Iceberg
+                    # parity — incremental reads skip rewrite snapshots)
+                    files.extend(snap.added_files)
             if snap.snapshot_id == start_snapshot_id:
                 started = True
             if end_snapshot_id is not None and snap.snapshot_id == end_snapshot_id:

@@ -590,3 +590,27 @@ def test_asof_rejects_colliding_right_values(spark):
             left_time="t", right_time="t",
             right_values=["v"],
         )
+
+
+def test_pii_redaction_on_planted_pii(spark):
+    from icerunner_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (0, "contact john.doe+spam@corp-mail.example.com or call 555-867-5309 x2"),
+        (1, "ssn 123-45-6789 leaked from 192.168.1.254 at 3pm"),
+        (2, "+1 (415) 555-1234 is the hotline; backup 415.555.9876"),
+        (3, "nothing sensitive here, just 42 numbers and words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = pii_counts("text")
+    out = df.select(
+        "doc_id",
+        redact_pii("text").alias("red"),
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert "<EMAIL>" in by_id[0]["red"] and "@" not in by_id[0]["red"]
+    assert by_id[1]["n_ssn"] == 1 and "<SSN>" in by_id[1]["red"]
+    assert by_id[1]["n_ipv4"] == 1 and "192.168" not in by_id[1]["red"]
+    assert by_id[2]["n_phone"] == 2 and by_id[2]["red"].count("<PHONE>") == 2
+    assert by_id[3]["red"] == rows[3][1]  # clean text passes through untouched

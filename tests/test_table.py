@@ -226,3 +226,28 @@ def test_remove_orphans_deletes_unpublished_stages(spark, warehouse):
         assert not os.path.exists(os.path.join(t.path, f))
     # published data untouched
     assert t.scan().count() == 1
+
+
+def test_compact_preserves_rows_and_cdc_skips_replace(spark, warehouse):
+    """Small-file compaction (Iceberg rewrite_data_files parity): rows
+    identical, fewer files, and incremental reads SKIP the replace
+    snapshot — appends before and after it still diff correctly."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "compact"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    s0 = t.current_snapshot().snapshot_id
+    # many tiny appends -> many small files
+    for i in range(2, 6):
+        t.append(spark.createDataFrame([(i,)], "id long"))
+    files_before = len(t.current_snapshot().manifest)
+    snap = t.compact()
+    assert snap.operation == "replace"
+    assert len(t.current_snapshot().manifest) < files_before
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2, 3, 4, 5]
+    # CDC from s0 across the compaction: exactly the appended rows, once
+    t.append(spark.createDataFrame([(6,)], "id long"))
+    changed = sorted(r.id for r in t.scan_changes(s0).collect())
+    assert changed == [2, 3, 4, 5, 6]
+    # time travel to the pre-compaction snapshot still works
+    assert t.scan(snapshot_id=s0).count() == 1
