@@ -2329,6 +2329,75 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "null_semantics_orders",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               NULLIF(o_orderpriority, '1-URGENT') AS prio,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders
+    )
+    SELECT COALESCE(prio, '<urgent>') AS prio_label,
+           COUNT(*) AS n_all,
+           COUNT(prio) AS n_nonnull,
+           CAST(ROUND(SUM(price), 2) AS DOUBLE) AS total_price
+    FROM o
+    GROUP BY prio
+    ORDER BY prio_label NULLS FIRST
+    """,
+)
+def null_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics end-to-end: NULLIF manufactures nulls, grouping
+    keeps the null group, COUNT(col) skips nulls while COUNT(*) doesn't,
+    COALESCE labels the output. Verifies the engine's three-valued logic
+    matches ANSI exactly — a correctness corner every SQL surface must
+    get right."""
+    o = _t(spark, sf_dir, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return (
+        o.select(prio.alias("prio"), _dec("o_totalprice").alias("price"))
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count("prio").alias("n_nonnull"),
+            _money_sum(F.col("price")).alias("total_price"),
+        )
+        .select(
+            F.coalesce("prio", F.lit("<urgent>")).alias("prio_label"),
+            "n_all",
+            "n_nonnull",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "pagination_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination (ORDER BY + LIMIT/OFFSET) on a unique sort
+    key — deterministic page 3. Spark plans this as a global sort +
+    CollectLimit(60) then a driver-side skip of 40: fine for UI-page
+    offsets; at deep offsets the right pattern is keyset pagination
+    (WHERE o_orderkey > last_seen ORDER BY LIMIT n), which is a pushed
+    range filter instead of a growing offset."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", F.col("o_totalprice").cast("double"))
+        .orderBy("o_orderkey")
+        .offset(40)
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #

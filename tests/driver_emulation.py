@@ -23,12 +23,17 @@ from pyspark.sql import SparkSession
 
 def main() -> int:
     pattern = sys.argv[1] if len(sys.argv) > 1 else ""
-    sf_dir = "/root/testdata/sf0.01"
+    sf_dir = os.environ.get("EMUL_SF_DIR", "/root/testdata/sf0.01")
     # Deliberately vanilla: mirrors the driver harness, NOT session.py.
+    # EMUL_MASTER / EMUL_SHUFFLE let CI sweep adversarial configs (odd
+    # core/partition counts shake out partition-order nondeterminism that
+    # a fixed local[8]/8 would mask).
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(os.environ.get("EMUL_MASTER", "local[8]"))
         .appName("driver_emulation")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config(
+            "spark.sql.shuffle.partitions", os.environ.get("EMUL_SHUFFLE", "8")
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "6g")
         .getOrCreate()
