@@ -54,6 +54,8 @@ HEADLINE = [
     "approx_distinct_parts",
     "pivot_revenue_by_status",
     "stream_join_view_purchases",
+    "pii_redact_documents",
+    "corpus_clean_pipeline",
 ]
 
 
