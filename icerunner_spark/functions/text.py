@@ -73,6 +73,46 @@ def winnowing_fingerprints(
     return F.array_distinct(mins)
 
 
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """array<string> of overlapping word n-grams (space-joined token runs).
+
+    The unit of test-set decontamination and repetition analysis: built
+    from ``tokens()`` so the tokenization convention is shared with
+    ``token_count``. Documents shorter than n tokens yield one (short)
+    gram — both engines of the oracle pair apply the same rule. Pure
+    higher-order array expressions: narrow map, no UDF, no shuffle.
+    """
+    toks = tokens(text)
+    n_grams = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def md5_bucket(key: Column | str, salt: str) -> Column:
+    """First 8 hex chars of md5(key || '-' || salt) — a deterministic,
+    engine-portable uniform hash in ['00000000','ffffffff'].
+
+    Used for stratified sampling and shard assignment where the SAME
+    decision must reproduce on any engine (the DuckDB oracle compares
+    lexicographically on the identical hex string, so no integer-width
+    or hash-seed divergence is possible). Unlike xxhash64, md5 is
+    seed-free and bit-identical everywhere."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat(c.cast("string"), F.lit("-" + salt))), 1, 8)
+
+
+def rate_to_hex_threshold(rate: float) -> str:
+    """Map a sampling rate in [0,1] to the md5_bucket hex threshold such
+    that P(md5_bucket(k) < threshold) == rate for uniform hashes."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    scaled = int(rate * 0x100000000)
+    # "g" sorts after every hex digit, making rate=1.0 keep everything.
+    return "g" if scaled >= 0x100000000 else format(scaled, "08x")
+
+
 # --------------------------------------------------------------------------- #
 # PII redaction (SURVEY.md §2.C text analysis — training-corpus scrubbing)
 # --------------------------------------------------------------------------- #

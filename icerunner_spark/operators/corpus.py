@@ -1,0 +1,232 @@
+"""Corpus-construction operators: near-dup cluster resolution, test-set
+decontamination, stratified domain mixing, repetition quality signals.
+
+These close the loop the pairwise dedup operators (``operators.dedup``)
+open: LSH/Jaccard emit *pairs*, but a training pipeline must pick ONE
+canonical document per duplicate cluster, drop documents that leak the
+eval set, and mix domains at target rates. None of this exists in the
+reference (icerunner.py delegates all querying to DuckDB and has no
+corpus tooling); SURVEY.md §2.C mandates it for the 100 TB target.
+
+Scale notes:
+- The duplicate graph is tiny relative to the corpus (only near-dup
+  pairs survive LSH), so iterating over it is cheap even at 100 TB of
+  text; each label-propagation round shuffles the EDGE set, never the
+  documents.
+- Decontamination broadcasts the eval-set n-grams (eval sets are MBs,
+  corpora are TBs) so the corpus side stays a narrow map + one
+  broadcast-hash semi-join — no corpus shuffle at all.
+- Stratified sampling is a pure narrow filter on a deterministic
+  md5-derived hex bucket: reproducible on any engine, no RNG state,
+  no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from icerunner_spark.functions.text import (
+    md5_bucket,
+    rate_to_hex_threshold,
+    tokens,
+    word_ngrams,
+)
+
+
+# --------------------------------------------------------------------------- #
+# Connected components over the near-dup pair graph
+# --------------------------------------------------------------------------- #
+
+
+def connected_components(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for the undirected graph given by ``pairs``;
+    component = minimum node id reachable from the node.
+
+    Min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbors until fixpoint. Converges in
+    O(component diameter) rounds — near-dup clusters are dense (LSH
+    links most members pairwise), so diameters are small in practice;
+    ``max_iter`` bounds pathological chains. Each round is one shuffle
+    of the edge set (by dst) plus one of the label set (by node), both
+    proportional to the PAIR graph, not the corpus. ``localCheckpoint``
+    truncates the lineage each round so the plan doesn't grow
+    quadratically. (For adversarial long-chain graphs the
+    large-star/small-star variant [Kiveris et al., "Connected
+    Components in MapReduce and Beyond"] converges in O(log n) rounds;
+    the propagation loop below is the same join shape, so it slots in
+    without changing callers.)
+
+    Nodes appearing in no pair are absent from the result — callers
+    treat missing as singleton (see ``resolve_near_duplicates``).
+    """
+    edges = (
+        pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+        .union(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def resolve_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Attach ``cluster_id`` / ``is_canonical`` to every document.
+
+    cluster_id = min document id in the document's near-dup component
+    (own id for singletons); the cluster's minimum-id member is the
+    canonical survivor. Filtering ``is_canonical`` yields exactly one
+    document per duplicate cluster — the dedup DELETE step a training
+    pipeline actually executes, downstream of any pair generator
+    (MinHash-LSH, SimHash, exact Jaccard).
+    """
+    comp = connected_components(pairs, id1, id2, max_iter=max_iter)
+    joined = df.join(comp, df[id_col] == comp.node, "left")
+    return joined.select(
+        df["*"],
+        F.coalesce(comp.component, df[id_col]).alias("cluster_id"),
+    ).withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+
+
+# --------------------------------------------------------------------------- #
+# Test-set decontamination
+# --------------------------------------------------------------------------- #
+
+
+def ngram_overlap_flags(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+) -> DataFrame:
+    """Per-corpus-document count of word n-grams shared with an eval set.
+
+    The standard contamination test (GPT-3 appendix C / PaLM-style):
+    a training document leaks a benchmark if it shares any length-n
+    token run with it. The eval side is collapsed to DISTINCT n-grams
+    and broadcast (eval sets are ~MBs against a ~TB corpus); the corpus
+    side is a narrow explode + broadcast-hash join + re-aggregate on
+    doc id — the corpus text itself never shuffles. Returns
+    (id_col, overlap_grams, contaminated).
+    """
+    eval_grams = (
+        eval_df.select(F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap_grams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("overlap_grams", F.lit(0)).alias("overlap_grams"),
+        )
+        .withColumn("contaminated", F.col("overlap_grams") > 0)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Stratified sampling / domain mixing
+# --------------------------------------------------------------------------- #
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    *,
+    salt: str = "mix",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling at target rates.
+
+    Domain mixing for training corpora: keep a document iff its
+    md5-derived hex bucket sorts below the stratum's threshold. The
+    decision depends only on (key, salt, rate): re-running the
+    pipeline, re-partitioning, or re-computing on another engine keeps
+    the SAME documents — unlike ``df.sample`` whose output depends on
+    partition layout. Pure narrow filter, codegen, no shuffle.
+    """
+    bucket = md5_bucket(key_col, salt)
+    threshold: Column = F.lit(rate_to_hex_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(stratum_col) == stratum, F.lit(rate_to_hex_threshold(rate))
+        ).otherwise(threshold)
+    return df.where(bucket < threshold)
+
+
+# --------------------------------------------------------------------------- #
+# Repetition quality signals (Gopher-style)
+# --------------------------------------------------------------------------- #
+
+
+def repetition_cols(text_col: str) -> dict[str, Column]:
+    """Within-document repetition ratios (Gopher/MassiveText quality
+    filters): fraction of duplicate tokens and duplicate word 2-grams.
+    High values mark boilerplate / generated spam for the quality
+    gate. Pure higher-order array expressions — scan-speed, no UDF."""
+    toks = tokens(text_col)
+    grams2 = word_ngrams(text_col, 2)
+    dup_ratio = lambda arr: F.when(  # noqa: E731 — local shaping helper
+        F.size(arr) > 0,
+        1.0 - F.size(F.array_distinct(arr)) / F.size(arr),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_tokens": F.size(toks),
+        "dup_token_ratio": dup_ratio(toks),
+        "dup_2gram_ratio": dup_ratio(grams2),
+    }

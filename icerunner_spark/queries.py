@@ -2399,11 +2399,310 @@ def pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Corpus construction: cluster resolution, decontamination, domain mixing,
+# repetition quality, shard assignment, sequence packing — SURVEY §2.C
+# --------------------------------------------------------------------------- #
+
+
+@register(
+    "dedup_cluster_resolution",
+    oracle="""
+    WITH RECURSIVE norm AS (
+        SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS gram
+        FROM norm, LATERAL (SELECT unnest(generate_series(1, GREATEST(length(t) - 4, 1))) AS i) s
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id1, id2
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.25
+    ),
+    edges AS (SELECT id1 AS s, id2 AS d FROM pairs UNION SELECT id2, id1 FROM pairs),
+    reach(node, label) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_id,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d
+    LEFT JOIN comp c ON c.node = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: pairwise dedup emits edges, but the
+    pipeline must keep exactly one document per duplicate component.
+    Exact Jaccard pairs (same formulation as neardup_ngram_jaccard) feed
+    min-label-propagation connected components; cluster_id = min doc_id
+    in the component, its holder is the canonical survivor. The oracle
+    replays the component closure with a recursive CTE. Scale: the label
+    iteration shuffles only the PAIR graph (tiny vs the corpus); docs
+    join the final labels once. SURVEY §2.C near-dup family."""
+    from icerunner_spark.operators.corpus import resolve_near_duplicates
+    from icerunner_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.25)
+    resolved = resolve_near_duplicates(docs.select("doc_id"), pairs, "doc_id")
+    return resolved.select("doc_id", "cluster_id", "is_canonical").orderBy("doc_id")
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, GREATEST(len(t) - 7, 1) + 1),
+                   i -> array_to_string(t[i:i+7], ' '))) AS grams
+        FROM toks
+    ),
+    eval_grams AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 37 = 0
+    ),
+    hits AS (
+        SELECT c.doc_id, COUNT(*) AS overlap
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 37 <> 0) c
+        JOIN eval_grams e ON c.gram = e.gram
+        GROUP BY 1
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN h.overlap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(SUM(COALESCE(h.overlap, 0)) AS BIGINT) AS total_overlap_grams
+    FROM documents d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 37 <> 0
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag corpus documents sharing any word
+    8-gram with a held-out eval set (every 37th doc stands in for the
+    benchmark). Eval n-grams are DISTINCT'd and BROADCAST — eval sets
+    are MBs against a TB corpus, so the corpus side is a narrow explode
+    + broadcast-hash join and the corpus text never shuffles. Output is
+    the per-source contamination audit. SURVEY §2.C text analysis."""
+    from icerunner_spark.operators.corpus import ngram_overlap_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    flags = ngram_overlap_flags(corpus, eval_df, "doc_id", "text", n=8)
+    return (
+        corpus.select("doc_id", "source")
+        .join(flags, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+            F.sum("overlap_grams").cast("long").alias("total_overlap_grams"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "stratified_sample_documents",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || '-mix'), 1, 8) <
+          CASE lang WHEN 'en' THEN '80000000'
+                    WHEN 'es' THEN 'c0000000'
+                    WHEN 'zh' THEN '40000000'
+                    ELSE 'g' END
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: deterministic per-language downsampling (en 50%,
+    es 75%, zh 25%, rest 100%) via an md5-derived hex bucket — the keep
+    decision depends only on (doc_id, salt, rate), so re-runs, engine
+    swaps, and repartitions keep the SAME documents, unlike df.sample
+    whose draw depends on partition layout. Pure narrow codegen filter:
+    no shuffle, no RNG state, safe at any scale. SURVEY §2.C."""
+    from icerunner_spark.operators.corpus import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "lang", {"en": 0.5, "es": 0.75, "zh": 0.25}, "doc_id", salt="mix"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "repetition_quality_documents",
+    oracle="""
+    WITH toks AS (
+        SELECT lang,
+               regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT lang, t,
+               list_transform(range(1, GREATEST(len(t) - 1, 1) + 1),
+                              i -> array_to_string(t[i:i+1], ' ')) AS g2
+        FROM toks
+    ),
+    per_doc AS (
+        SELECT lang,
+               len(t) AS n_tokens,
+               CASE WHEN len(t) > 0
+                    THEN 1.0 - len(list_distinct(t)) * 1.0 / len(t)
+                    ELSE 0.0 END AS dup_token_ratio,
+               CASE WHEN len(g2) > 0
+                    THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2)
+                    ELSE 0.0 END AS dup_2gram_ratio
+        FROM g
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(dup_token_ratio), 6) AS avg_dup_token_ratio,
+           ROUND(AVG(dup_2gram_ratio), 6) AS avg_dup_2gram_ratio
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def repetition_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters: within-document duplicate
+    token and duplicate 2-gram fractions — the quality signals that
+    catch boilerplate and generated spam. Pure higher-order array
+    expressions per document (scan-speed narrow map), then one hash agg
+    by language. SURVEY §2.C text analysis."""
+    from icerunner_spark.operators.corpus import repetition_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = repetition_cols("text")
+    return (
+        docs.select(
+            "lang",
+            cols["n_tokens"].alias("n_tokens"),
+            cols["dup_token_ratio"].alias("dup_token_ratio"),
+            cols["dup_2gram_ratio"].alias("dup_2gram_ratio"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("dup_token_ratio"), 6).alias("avg_dup_token_ratio"),
+            F.round(F.avg("dup_2gram_ratio"), 6).alias("avg_dup_2gram_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "shard_assignment_stats",
+    oracle="""
+    WITH sharded AS (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-shard'), 1, 8)) AS BIGINT)
+                   % 16 AS shard,
+               n_chars
+        FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM sharded
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding: the global-shuffle step that
+    scatters a corpus into N training shards. shard(doc) is a pure
+    function of doc_id (md5 hex → int % 16), so shard membership is
+    reproducible across runs and engines — a requirement for resumable
+    pipelines and cross-engine audits. In production this column feeds
+    repartition(N, shard) + partitioned write; here the query audits
+    the balance (16 near-equal shards). SURVEY §2.C layout for scale."""
+    from icerunner_spark.functions.text import md5_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(md5_bucket("doc_id", "shard"), 16, 10).cast("bigint") % 16
+    ).alias("shard")
+    return (
+        docs.select(shard, "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register("sequence_packing_stats")
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing audit: FFD bin-packing of documents into
+    512-token training sequences inside 8 deterministic hash buckets
+    (operators/packing.py). Output: per-bucket document/sequence counts
+    and fill efficiency. No SQL oracle — bin packing is imperative by
+    nature — so correctness is pinned in pytest (budget respected,
+    every doc packed once, determinism, FFD quality bound) and the
+    driver records a rows-only check. SURVEY §2.C."""
+    from icerunner_spark.functions.text import token_count
+    from icerunner_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=512, n_buckets=8)
+    return (
+        packed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.max("seq_id") + 1).alias("n_seqs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .withColumn(
+            "avg_fill",
+            F.round(F.col("total_tokens") / (F.col("n_seqs") * 512), 6),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #
 # The driver value-hash-checks exactly the FIRST 50 registered queries
-# (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 56 of
-# the 65 registered queries carry a deterministic DuckDB oracle, so ordering
+# (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 66 of
+# the 76 registered queries carry a deterministic DuckDB oracle, so ordering
 # chooses which 50 get value-checked:
 #   - the 9 approximate-by-design queries go last — their driver row could
 #     only ever be a rows-only "no_oracle" check (their correctness is
@@ -2436,6 +2735,7 @@ _TAIL_ORDER = [
     "hll_sketch_union_parts",
     "approx_quantiles_totalprice",
     "doc_winnowing_fingerprints",
+    "sequence_packing_stats",
 ]
 
 for _n in _TAIL_ORDER:

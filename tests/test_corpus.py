@@ -1,0 +1,219 @@
+"""Corpus-construction operators: connected components / cluster
+resolution, decontamination, stratified sampling, repetition signals,
+and sequence packing (operators/corpus.py, operators/packing.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from icerunner_spark.functions.text import md5_bucket, rate_to_hex_threshold
+from icerunner_spark.operators.corpus import (
+    connected_components,
+    ngram_overlap_flags,
+    resolve_near_duplicates,
+    stratified_sample,
+)
+from icerunner_spark.operators.packing import pack_sequences
+from icerunner_spark.plans import plan_report
+from icerunner_spark.sources.testdata import load_table
+
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+# --------------------------------------------------------------------------- #
+# connected components
+# --------------------------------------------------------------------------- #
+
+
+def test_connected_components_basic(spark):
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id1", "id2"],
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain(spark):
+    # a 30-node path is the propagation worst case: needs ~diameter rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id1", "id2"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs, max_iter=40).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 31
+
+
+def test_resolve_near_duplicates_singletons_and_canonicals(spark):
+    docs = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(1, 5), (5, 7)], ["id1", "id2"])
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in resolve_near_duplicates(docs, pairs, "doc_id").collect()
+    }
+    # cluster {1,5,7} -> canonical 1; everything else is its own singleton
+    assert rows[1] == (1, True)
+    assert rows[5] == (1, False)
+    assert rows[7] == (1, False)
+    for i in (0, 2, 3, 4, 6):
+        assert rows[i] == (i, True)
+    # exactly one canonical per cluster
+    canon = [d for d, (_, c) in rows.items() if c]
+    assert sorted(canon) == [0, 1, 2, 3, 4, 6]
+
+
+# --------------------------------------------------------------------------- #
+# decontamination
+# --------------------------------------------------------------------------- #
+
+
+def test_ngram_overlap_flags_planted(spark):
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta suffix tail"),  # shares 4-gram
+            (2, "totally unrelated words here none shared"),
+            (3, "alpha beta gamma delta epsilon zeta verbatim copy"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["overlap_grams"], r["contaminated"])
+        for r in ngram_overlap_flags(corpus, eval_df, "doc_id", "text", n=4).collect()
+    }
+    assert got[1] == (1, True)  # "alpha beta gamma delta"
+    assert got[2] == (0, False)
+    assert got[3][0] == 3  # three overlapping distinct 4-grams
+    assert got[3][1] is True
+
+
+def test_ngram_overlap_plan_broadcasts_eval(spark):
+    docs = load_table(spark, "documents", SF_MEDIUM)
+    eval_df = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    report = plan_report(ngram_overlap_flags(corpus, eval_df, "doc_id", "text"))
+    assert "BroadcastHashJoin" in report.text  # corpus must not shuffle on gram
+
+
+# --------------------------------------------------------------------------- #
+# stratified sampling
+# --------------------------------------------------------------------------- #
+
+
+def test_rate_to_hex_threshold_bounds():
+    assert rate_to_hex_threshold(0.0) == "00000000"
+    assert rate_to_hex_threshold(0.5) == "80000000"
+    assert rate_to_hex_threshold(1.0) == "g"
+    with pytest.raises(ValueError):
+        rate_to_hex_threshold(1.5)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = load_table(spark, "documents", SF_MEDIUM)
+    rates = {"en": 0.5, "zh": 0.2}
+    kept = stratified_sample(docs, "lang", rates, "doc_id")
+    again = stratified_sample(docs, "lang", rates, "doc_id")
+    a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in again.select("doc_id").collect())
+    assert a == b  # decision depends only on (key, salt, rate)
+
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # md5 is uniform: expected rate +/- 4 sigma binomial tolerance
+    for lang, rate in rates.items():
+        n, k = totals[lang], got.get(lang, 0)
+        sigma = math.sqrt(n * rate * (1 - rate))
+        assert abs(k - n * rate) <= 4 * sigma + 1, (lang, k, n)
+    # unlisted strata keep everything
+    for lang in set(totals) - set(rates):
+        assert got[lang] == totals[lang]
+
+
+def test_md5_bucket_engine_portable(spark):
+    # the same (key, salt) must produce the same hex on any engine:
+    # mirror the DuckDB oracle expression byte for byte
+    import duckdb
+
+    rows = spark.range(0, 50).select(
+        F.col("id"), md5_bucket("id", "mix").alias("h")
+    ).collect()
+    con = duckdb.connect()
+    for r in rows:
+        (dh,) = con.execute(
+            "SELECT substr(md5(CAST(? AS VARCHAR) || '-mix'), 1, 8)", [r["id"]]
+        ).fetchone()
+        assert dh == r["h"]
+
+
+# --------------------------------------------------------------------------- #
+# sequence packing
+# --------------------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    docs = load_table(spark, "documents", SF_MEDIUM).select(
+        "doc_id", F.greatest(F.length("text") / 4, F.lit(1)).cast("long").alias("n_tokens")
+    )
+    return (
+        pack_sequences(docs, "doc_id", "n_tokens", budget=128, n_buckets=4)
+        .collect(),
+        {r["doc_id"]: r["n_tokens"] for r in docs.collect()},
+    )
+
+
+def test_packing_budget_respected(packed):
+    rows, _ = packed
+    fills: dict[tuple, int] = {}
+    for r in rows:
+        fills[(r["bucket"], r["seq_id"])] = fills.get((r["bucket"], r["seq_id"]), 0) + r["n_tokens"]
+    for (b, s), fill in fills.items():
+        if fill > 128:
+            # only allowed for a single oversized doc in its own sequence
+            members = [r for r in rows if r["bucket"] == b and r["seq_id"] == s]
+            assert len(members) == 1 and members[0]["n_tokens"] > 128
+
+
+def test_packing_every_doc_exactly_once(packed):
+    rows, docs = packed
+    assert sorted(r["doc_id"] for r in rows) == sorted(docs)
+
+
+def test_packing_offsets_consistent(packed):
+    rows, _ = packed
+    by_seq: dict[tuple, list] = {}
+    for r in rows:
+        by_seq.setdefault((r["bucket"], r["seq_id"]), []).append(r)
+    for members in by_seq.values():
+        members.sort(key=lambda r: r["offset"])
+        pos = 0
+        for m in members:
+            assert m["offset"] == pos
+            pos += m["n_tokens"]
+
+
+def test_packing_quality_and_determinism(spark, packed):
+    rows, docs = packed
+    # FFD quality: per bucket, n_seqs <= ceil(11/9 * optimal) + 1
+    per_bucket: dict[int, list] = {}
+    for r in rows:
+        per_bucket.setdefault(r["bucket"], []).append(r)
+    for b, members in per_bucket.items():
+        total = sum(min(r["n_tokens"], 128) for r in members)
+        oversized = sum(1 for r in members if r["n_tokens"] > 128)
+        optimal = math.ceil(total / 128)
+        n_seqs = len({r["seq_id"] for r in members})
+        assert n_seqs <= math.ceil(optimal * 11 / 9) + 1 + oversized, b
+    # determinism across a re-run
+    docs_df = load_table(spark, "documents", SF_MEDIUM).select(
+        "doc_id", F.greatest(F.length("text") / 4, F.lit(1)).cast("long").alias("n_tokens")
+    )
+    again = pack_sequences(docs_df, "doc_id", "n_tokens", budget=128, n_buckets=4).collect()
+    key = lambda r: (r["bucket"], r["seq_id"], r["doc_id"], r["offset"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again))
