@@ -2697,6 +2697,127 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_resolution",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
+    ),
+    edges AS (SELECT id1 AS s, id2 AS d FROM pairs UNION SELECT id2, id1 FROM pairs),
+    reach(node, label) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT v.vec_id,
+           COALESCE(c.component, v.vec_id) AS cluster_id,
+           COALESCE(c.component, v.vec_id) = v.vec_id AS is_canonical
+    FROM embeddings v
+    LEFT JOIN comp c ON c.node = v.vec_id
+    ORDER BY v.vec_id
+    """,
+)
+def semantic_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication end-to-end: embedding-cosine
+    near-dup pairs (>= 0.8) -> connected components -> one canonical
+    vector per semantic cluster. Exact pair generation here so the
+    recursive-CTE oracle can verify the closure; the 100 TB path swaps
+    the pair stage for the LSH/IVF-bucketed generators
+    (operators/similarity.py) with the SAME downstream resolution —
+    candidate generation and cluster resolution compose orthogonally.
+    SURVEY §2.C similarity + dedup families."""
+    from icerunner_spark.operators.corpus import resolve_near_duplicates
+    from icerunner_spark.operators.similarity import cosine_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(e, threshold=0.8, exact=True).select("id1", "id2")
+    resolved = resolve_near_duplicates(e.select("vec_id"), pairs, "vec_id")
+    return resolved.select("vec_id", "cluster_id", "is_canonical").orderBy("vec_id")
+
+
+@register(
+    "ranking_family_orders",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    QUALIFY NTILE(4) OVER w = 4
+    ORDER BY o_orderkey
+    """,
+)
+def ranking_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking window family: NTILE / PERCENT_RANK /
+    CUME_DIST over a deterministic (totalprice, orderkey) order,
+    filtered to the top quartile (the DataFrame filter is Spark's
+    QUALIFY equivalent). One shuffle on the partition key; rank
+    functions are a single window pass. SURVEY §2.B window functions."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .where(F.col("quartile") == 4)
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "snapshot_merge_upsert",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey < 400
+    ),
+    updates AS (
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice * 2 AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 600
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice FROM updates
+    UNION ALL
+    SELECT b.o_orderkey, b.o_custkey, b.o_totalprice
+    FROM base b
+    WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    """,
+)
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO round-trip (IceTable.merge — Iceberg copy-on-write
+    upsert parity): create a table from orders < 400, merge doubled-price
+    updates for keys 200-600 (overlap updates, tail inserts), scan. The
+    oracle replays the upsert relationally. Matched rows take the update,
+    unmatched keep the base row, new keys insert — DELETE/UPDATE
+    semantics pinned further in tests/test_table.py."""
+    from icerunner_spark.connector import Connector
+
+    wh = os.path.join(
+        "/tmp", "icerunner_merge_demo", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double")
+    )
+    t = c.catalog.table("orders_merge")
+    t.create(orders.filter(F.col("o_orderkey") < 400))
+    updates = orders.filter(
+        (F.col("o_orderkey") >= 200) & (F.col("o_orderkey") < 600)
+    ).withColumn("o_totalprice", (F.col("o_totalprice") * 2).cast("double"))
+    t.merge(updates, ["o_orderkey"])
+    return t.scan()
+
+
 # --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #

@@ -51,6 +51,7 @@ import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -269,6 +270,55 @@ class IceTable:
         physical files stay for time travel until expire_snapshots)."""
         _, files = self._write_data_files(df)
         return self._publish("overwrite", files, df.schema.json(), replace_manifest=True)
+
+    def merge(self, updates: DataFrame, key_cols: list[str]) -> Snapshot:
+        """Upsert (Iceberg ``MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN
+        NOT MATCHED THEN INSERT`` parity, copy-on-write): rows in
+        ``updates`` replace current rows with the same key; unmatched
+        keys insert. Duplicate keys WITHIN ``updates`` are rejected —
+        Iceberg raises on multiple matches, and silently keeping an
+        arbitrary one would be nondeterministic.
+
+        Copy-on-write here rewrites the whole table; Iceberg's
+        implementation prunes the rewrite to files containing matched
+        keys (plus optional merge-on-read delete files) — that file-level
+        pruning is the documented swap-in (SCALE.md), same commit
+        semantics."""
+        if not self.exists():
+            raise NoSuchTableError(self.path)
+        if not key_cols:
+            raise ValueError("merge requires at least one key column")
+        dupes = (
+            updates.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1).count()
+        )
+        if dupes:
+            raise ValueError("updates contain duplicate merge keys")
+        table_schema = self.schema()
+        updates = updates.select(*[c.name for c in table_schema.fields])
+        kept = self.scan().join(
+            updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        )
+        _, files = self._write_data_files(kept.unionByName(updates))
+        return self._publish(
+            "overwrite", files, table_schema.json(), replace_manifest=True,
+            summary={"operation_detail": "merge"},
+        )
+
+    def delete_where(self, condition) -> Snapshot:
+        """Row-level DELETE (Iceberg ``DELETE FROM ... WHERE`` parity,
+        copy-on-write): keep only rows NOT matching ``condition`` (a
+        Column or SQL string) and commit an ``overwrite`` snapshot.
+        Iceberg prunes the rewrite to affected files / writes positional
+        deletes; the full rewrite here has identical read semantics."""
+        if not self.exists():
+            raise NoSuchTableError(self.path)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        kept = self.scan().where(~cond)
+        _, files = self._write_data_files(kept)
+        return self._publish(
+            "overwrite", files, self.schema().json(), replace_manifest=True,
+            summary={"operation_detail": "delete"},
+        )
 
     # ---------- maintenance (Iceberg: expire_snapshots / remove_orphan_files) ----------
 

@@ -251,3 +251,54 @@ def test_compact_preserves_rows_and_cdc_skips_replace(spark, warehouse):
     assert changed == [2, 3, 4, 5, 6]
     # time travel to the pre-compaction snapshot still works
     assert t.scan(snapshot_id=s0).count() == 1
+
+
+def test_merge_upsert_semantics(spark, warehouse):
+    """MERGE (copy-on-write upsert): matched keys take the update row,
+    unmatched base rows survive, new keys insert; exactly one snapshot;
+    time travel sees the pre-merge state."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "merge"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string"))
+    s0 = t.current_snapshot().snapshot_id
+    t.merge(
+        spark.createDataFrame([(2, "B"), (4, "D")], "id long, v string"), ["id"]
+    )
+    got = sorted((r.id, r.v) for r in t.scan().collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c"), (4, "D")]
+    assert t.current_snapshot().operation == "overwrite"
+    assert len(t.snapshots()) == 2
+    # pre-merge state intact via time travel
+    old = sorted((r.id, r.v) for r in t.scan(snapshot_id=s0).collect())
+    assert old == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_merge_rejects_duplicate_update_keys(spark, warehouse):
+    import os
+
+    import pytest as _pytest
+
+    t = IceTable(spark, os.path.join(warehouse, "merge_dup"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with _pytest.raises(ValueError, match="duplicate merge keys"):
+        t.merge(
+            spark.createDataFrame([(2, "x"), (2, "y")], "id long, v string"), ["id"]
+        )
+
+
+def test_delete_where_semantics(spark, warehouse):
+    """DELETE FROM ... WHERE (copy-on-write): matching rows gone, others
+    byte-identical; accepts a SQL-string or Column predicate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = IceTable(spark, os.path.join(warehouse, "delete"))
+    t.create(
+        spark.createDataFrame([(i, i % 2 == 0) for i in range(10)], "id long, even boolean")
+    )
+    t.delete_where("even")
+    assert sorted(r.id for r in t.scan().collect()) == [1, 3, 5, 7, 9]
+    t.delete_where(F.col("id") > 5)
+    assert sorted(r.id for r in t.scan().collect()) == [1, 3, 5]
