@@ -432,18 +432,25 @@ class IceTable:
 
     # ---------- public read API ----------
 
-    def _read_files(self, files: list[str]) -> DataFrame:
-        schema = self.schema()
+    def _read_files(
+        self, files: list[str], schema: StructType | None = None
+    ) -> DataFrame:
+        schema = schema or self.schema()
         if not files:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.path, f) for f in files]
         # Explicit schema: skips footer-merging inference and keeps the scan
-        # plan stable across snapshots.
+        # plan stable across snapshots. Columns the schema has but a file
+        # lacks read as NULL; columns a file has but the schema dropped are
+        # ignored — which is what makes add_column/drop_column metadata-only.
         return self.spark.read.schema(schema).parquet(*paths)
 
     def scan(self, snapshot_id: int | None = None) -> DataFrame:
         """Read the table at the current (or a given) snapshot. Returns a
-        lazy DataFrame — filters/projections push into the parquet scan."""
+        lazy DataFrame — filters/projections push into the parquet scan.
+        Time travel reads with the SNAPSHOT's schema (Iceberg semantics:
+        each snapshot pins its schema id), so a later add/drop_column
+        doesn't rewrite history."""
         snap = (
             self.current_snapshot()
             if snapshot_id is None
@@ -451,7 +458,51 @@ class IceTable:
         )
         if snap is None:
             raise NoSuchTableError(self.path)
-        return self._read_files(snap.manifest)
+        return self._read_files(
+            snap.manifest, StructType.fromJson(json.loads(snap.schema_json))
+        )
+
+    # ---------- schema evolution (Iceberg ALTER TABLE parity) ----------
+
+    def add_column(self, name: str, dtype: str) -> Snapshot:
+        """Metadata-only ADD COLUMN (Iceberg `ALTER TABLE ... ADD COLUMN`):
+        publishes an `alter` snapshot whose schema gains a nullable column;
+        no data file is touched — existing files read the column as NULL.
+        Later appends must supply it. `dtype` is a Spark DDL type string
+        ("double", "array<string>", ...)."""
+        from pyspark.sql.types import StructField, _parse_datatype_string
+
+        schema = self.schema()
+        if name in {f.name for f in schema.fields}:
+            raise ValueError(f"column already exists: {name}")
+        new_schema = StructType(
+            schema.fields + [StructField(name, _parse_datatype_string(dtype), True)]
+        )
+        # added_files=[] + inherit manifest: an `alter` snapshot carries no
+        # row delta, so incremental readers (scan_changes / Flight
+        # get_changes) pass through it emitting nothing — same contract as
+        # `replace`.
+        return self._publish(
+            "alter", [], new_schema.json(),
+            summary={"operation_detail": f"add_column {name} {dtype}"},
+        )
+
+    def drop_column(self, name: str) -> Snapshot:
+        """Metadata-only DROP COLUMN: the schema loses the field; data
+        files keep the bytes (ignored by the explicit-schema read) until
+        a compact/overwrite rewrites them. Renames are NOT supported:
+        this format maps columns by name, and a safe rename needs
+        Iceberg's field-id indirection — documented limitation."""
+        schema = self.schema()
+        if name not in {f.name for f in schema.fields}:
+            raise ValueError(f"no such column: {name}")
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        new_schema = StructType([f for f in schema.fields if f.name != name])
+        return self._publish(
+            "alter", [], new_schema.json(),
+            summary={"operation_detail": f"drop_column {name}"},
+        )
 
     def scan_changes(
         self, start_snapshot_id: int | None, end_snapshot_id: int | None = None

@@ -302,3 +302,51 @@ def test_delete_where_semantics(spark, warehouse):
     assert sorted(r.id for r in t.scan().collect()) == [1, 3, 5, 7, 9]
     t.delete_where(F.col("id") > 5)
     assert sorted(r.id for r in t.scan().collect()) == [1, 3, 5]
+
+
+def test_schema_evolution_add_and_drop(spark, warehouse):
+    """Metadata-only ADD/DROP COLUMN (Iceberg ALTER parity): old files
+    read the new column as NULL, time travel keeps the old schema, and
+    incremental reads cross the alter snapshot without emitting rows."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "evolve"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    s0 = t.current_snapshot().snapshot_id
+
+    t.add_column("score", "double")
+    assert [f.name for f in t.schema().fields] == ["id", "v", "score"]
+    # existing files: new column reads as NULL
+    got = {r.id: r.score for r in t.scan().collect()}
+    assert got == {1: None, 2: None}
+    # time travel to before the alter: old schema, no `score`
+    assert [f.name for f in t.scan(snapshot_id=s0).schema.fields] == ["id", "v"]
+
+    # appends after evolution carry the column; old rows stay NULL
+    t.append(spark.createDataFrame([(3, "c", 0.5)], "id long, v string, score double"))
+    got = {r.id: r.score for r in t.scan().collect()}
+    assert got == {1: None, 2: None, 3: 0.5}
+
+    # CDC from s0 across the alter: exactly the appended row, once
+    changed = t.scan_changes(s0).collect()
+    assert [(r.id, r.score) for r in changed] == [(3, 0.5)]
+
+    # drop: schema loses the field, bytes in files are ignored
+    t.drop_column("score")
+    assert [f.name for f in t.schema().fields] == ["id", "v"]
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2, 3]
+
+
+def test_schema_evolution_errors(spark, warehouse):
+    import os
+
+    import pytest as _pytest
+
+    t = IceTable(spark, os.path.join(warehouse, "evolve_err"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    with _pytest.raises(ValueError, match="already exists"):
+        t.add_column("id", "long")
+    with _pytest.raises(ValueError, match="no such column"):
+        t.drop_column("nope")
+    with _pytest.raises(ValueError, match="only column"):
+        t.drop_column("id")
