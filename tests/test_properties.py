@@ -98,3 +98,83 @@ class TestMinhashProperty:
         for i in range(len(docs)):
             orig, dup = sigs.get(i), sigs.get(1000 + i)
             assert orig == dup, f"doc {i}: signature not text-deterministic"
+
+
+# --------------------------------------------------------------------------- #
+# Connected components vs a union-find oracle; packing invariants
+# --------------------------------------------------------------------------- #
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # always attach the larger root under the smaller, so every
+            # component's root IS its minimum node id
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in list(parent)}
+
+
+class TestConnectedComponentsProperties:
+    @settings(max_examples=10, deadline=None)
+    @given(edges=_edges)
+    def test_matches_union_find(self, spark, edges):
+        from icerunner_spark.operators.corpus import connected_components
+
+        expected = _union_find_components(edges)
+        pairs = spark.createDataFrame(edges, ["id1", "id2"])
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs, max_iter=40).collect()
+        }
+        assert got == expected
+
+
+_token_rows = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(1, 200)),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[0],
+)
+
+
+class TestPackingProperties:
+    @settings(max_examples=10, deadline=None)
+    @given(rows=_token_rows)
+    def test_packing_invariants(self, spark, rows):
+        from icerunner_spark.operators.packing import pack_sequences
+
+        docs = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+        out = pack_sequences(docs, "doc_id", "n_tokens", budget=128, n_buckets=3).collect()
+        # every doc exactly once, token counts preserved
+        assert sorted(r["doc_id"] for r in out) == sorted(r[0] for r in rows)
+        assert {r["doc_id"]: r["n_tokens"] for r in out} == dict(rows)
+        # budget respected except single oversized docs; offsets are a
+        # contiguous nonoverlapping layout within each sequence
+        by_seq: dict[tuple, list] = {}
+        for r in out:
+            by_seq.setdefault((r["bucket"], r["seq_id"]), []).append(r)
+        for members in by_seq.values():
+            total = sum(m["n_tokens"] for m in members)
+            if total > 128:
+                assert len(members) == 1 and members[0]["n_tokens"] > 128
+            spans = sorted((m["offset"], m["offset"] + m["n_tokens"]) for m in members)
+            pos = 0
+            for lo, hi in spans:
+                assert lo == pos
+                pos = hi
