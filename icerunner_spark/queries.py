@@ -2818,6 +2818,54 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan()
 
 
+@register(
+    "try_arithmetic_orders",
+    oracle="""
+    WITH t AS (
+        SELECT TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_digit,
+               CASE WHEN o_custkey % 7 = 0 THEN NULL
+                    ELSE CAST(o_totalprice AS DOUBLE) / (o_custkey % 7)
+               END AS safe_div
+        FROM orders
+    )
+    SELECT prio_digit,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN safe_div IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+           CAST(ROUND(SUM(CAST(ROUND(safe_div, 6) AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_safe_div
+    FROM t
+    GROUP BY prio_digit
+    ORDER BY prio_digit
+    """,
+)
+def try_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic: TRY_CAST parses the priority
+    digit, try_divide returns NULL on the zero denominators instead of
+    raising (Spark 4 runs ANSI by default — plain `/` would fail the
+    whole job on one bad row; at 100 TB, one poisoned row must never
+    kill a pipeline). The oracle mirrors try_divide with an explicit
+    zero-guard CASE since DuckDB division raises too. Per-row 6dp round
+    + decimal SUM keeps the aggregate order-independent."""
+    o = _t(spark, sf_dir, "orders")
+    safe_div = F.try_divide(
+        F.col("o_totalprice").cast("double"), (F.col("o_custkey") % 7).cast("double")
+    )
+    return (
+        o.select(
+            F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+            safe_div.alias("safe_div"),
+        )
+        .groupBy("prio_digit")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("safe_div").isNull().cast("long")).alias("n_div_null"),
+            F.round(F.sum(F.round("safe_div", 6).cast("decimal(24,6)")), 2)
+            .cast("double")
+            .alias("sum_safe_div"),
+        )
+        .orderBy("prio_digit")
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #
