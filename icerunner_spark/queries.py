@@ -2866,6 +2866,64 @@ def try_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_clean_oracle() -> str:
+    """Oracle assembled from the SAME pattern/stopword tables the
+    operators use — one source of truth across engines."""
+    from icerunner_spark.functions.text import PII_PATTERNS
+    from icerunner_spark.operators.text import STOPWORDS
+
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    pii_sum = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    stops = ",".join(
+        f"'{w}'" for w in sorted({w for ws in STOPWORDS.values() for w in ws})
+    )
+    tok = r"regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')"
+    return f"""
+    WITH feats AS (
+        SELECT doc_id, lang, text,
+               len({tok}) AS n_tokens,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS n_punct,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+               len(list_filter({tok}, x -> list_contains([{stops}], x))) AS n_stop
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, text, n_tokens,
+               LEAST(n_tokens / 100.0, 1.0) * 0.4
+               + GREATEST(0.0, 1.0 - (n_punct * 1.0 / n_chars) * 5) * 0.2
+               + GREATEST(0.0, 1.0 - (n_digit * 1.0 / n_chars) * 5) * 0.2
+               + LEAST((n_stop * 1.0 / n_tokens) * 4, 1.0) * 0.2 AS quality
+        FROM feats
+        WHERE n_chars > 0 AND n_tokens > 0
+    )
+    SELECT doc_id, lang,
+           ROUND(quality, 6) AS quality,
+           md5({red}) AS redacted_md5,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST({pii_sum} AS BIGINT) AS n_pii
+    FROM scored
+    WHERE quality >= 0.5
+    """
+
+
+@register("stream_corpus_clean", oracle=_stream_clean_oracle())
+def stream_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion: the stateless clean stage (quality
+    gate + PII redaction + token audit) whose body runs unchanged as a
+    batch projection or an append-mode stream over arriving document
+    files — stream==batch equivalence pinned in tests/test_streaming.py.
+    Entirely narrow: cleaning happens at scan speed as documents land,
+    before anything shuffles. SURVEY §2.B streaming + §2.C text."""
+    from icerunner_spark.streaming.pipeline import clean_documents
+
+    return clean_documents(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #

@@ -61,6 +61,66 @@ def read_events_stream(
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+# Physical schema of the documents fixture (plain types, no ns timestamps).
+_DOCS_FILE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, docs_dir: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a directory of documents parquet files —
+    the ingestion shape of a continuously-crawled corpus."""
+    return (
+        spark.readStream.schema(_DOCS_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(docs_dir)
+    )
+
+
+def clean_documents(docs: DataFrame, *, min_quality: float = 0.5) -> DataFrame:
+    """Stateless corpus-clean stage: quality gate + PII redaction + token
+    audit. Entirely narrow (no shuffle, no state), so the SAME body runs
+    as a batch projection or a streaming map with append-mode semantics
+    — documents are cleaned as they arrive, at scan speed. Stateful
+    stages (exact/near dedup) belong downstream on the compacted store,
+    where `dedup_stream` / the batch dedup operators handle them with
+    bounded state.
+
+    Emits doc_id, lang, quality (6dp), redacted_md5, n_tokens, n_pii.
+    """
+    from icerunner_spark.functions.text import pii_counts, redact_pii, token_count
+    from icerunner_spark.operators.text import quality_score
+
+    counts = list(pii_counts("text").values())
+    n_pii = counts[0]
+    for c in counts[1:]:
+        n_pii = n_pii + c
+    return (
+        docs.withColumn("__q", quality_score("text"))
+        .filter(
+            (F.length("text") > 0)
+            & (token_count("text") > 0)
+            & (F.col("__q") >= min_quality)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.round("__q", 6).alias("quality"),
+            F.md5(redact_pii("text")).alias("redacted_md5"),
+            token_count("text").cast("long").alias("n_tokens"),
+            n_pii.cast("long").alias("n_pii"),
+        )
+    )
+
+
 def windowed_counts(
     events: DataFrame,
     *,

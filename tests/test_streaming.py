@@ -161,3 +161,35 @@ def test_stream_stream_join_equals_batch(spark, events_dir, events_batch, tmp_pa
     expect = view_purchase_attribution(events_batch)
     assert _rows(got) == _rows(expect)
     assert got.count() > 0
+
+
+@pytest.fixture(scope="module")
+def documents_dir(spark, tmp_path_factory):
+    """Documents fixture split into 3 parquet files — a stand-in for a
+    continuously-arriving crawl feed (no event time: the clean stage is
+    stateless, so arrival order is irrelevant)."""
+    d = str(tmp_path_factory.mktemp("docs_stream") / "documents")
+    import time
+
+    raw = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    for i in range(3):
+        raw.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        time.sleep(0.05)
+    return d
+
+
+def test_clean_documents_stream_equals_batch(spark, documents_dir, tmp_path):
+    from icerunner_spark.streaming.pipeline import (
+        clean_documents,
+        read_documents_stream,
+    )
+
+    stream = clean_documents(read_documents_stream(spark, documents_dir))
+    out = str(tmp_path / "clean_out")
+    run_available_now(stream, out)
+    got = spark.read.parquet(out)
+    expect = clean_documents(spark.read.parquet(documents_dir))
+    assert _rows(got) == _rows(expect)
+    assert 0 < got.count() < spark.read.parquet(documents_dir).count()
