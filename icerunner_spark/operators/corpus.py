@@ -45,27 +45,35 @@ def connected_components(
     id2: str = "id2",
     *,
     max_iter: int = 25,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """(node, component) for the undirected graph given by ``pairs``;
     component = minimum node id reachable from the node.
 
-    Min-label propagation: every node repeatedly adopts the smallest
-    label among itself and its neighbors until fixpoint. Converges in
-    O(component diameter) rounds — near-dup clusters are dense (LSH
-    links most members pairwise), so diameters are small in practice;
-    ``max_iter`` bounds pathological chains. Each round is one shuffle
-    of the edge set (by dst) plus one of the label set (by node), both
-    proportional to the PAIR graph, not the corpus. ``localCheckpoint``
-    truncates the lineage each round so the plan doesn't grow
-    quadratically. (For adversarial long-chain graphs the
-    large-star/small-star variant [Kiveris et al., "Connected
-    Components in MapReduce and Beyond"] converges in O(log n) rounds;
-    the propagation loop below is the same join shape, so it slots in
-    without changing callers.)
+    Two algorithms, same contract:
 
-    Nodes appearing in no pair are absent from the result — callers
-    treat missing as singleton (see ``resolve_near_duplicates``).
+    - ``"propagation"`` (default): min-label propagation — every node
+      repeatedly adopts the smallest label among itself and its
+      neighbors until fixpoint. O(component diameter) rounds; near-dup
+      clusters are dense (LSH links most members pairwise), so
+      diameters are small in practice and each round is cheap (one
+      shuffle of the edge set + one of the label set).
+    - ``"two-phase"``: alternating large-star/small-star contractions
+      (Kiveris et al., "Connected Components in MapReduce and
+      Beyond") — O(log n) rounds regardless of diameter. The scale
+      choice when the graph can contain long chains (e.g. transitive
+      near-dup edges at loose thresholds).
+
+    Both iterate over the PAIR graph only, never the corpus, and
+    ``localCheckpoint`` each round so the plan doesn't grow
+    quadratically. Nodes appearing in no pair are absent from the
+    result — callers treat missing as singleton (see
+    ``resolve_near_duplicates``).
     """
+    if algorithm == "two-phase":
+        return _cc_two_phase(pairs, id1, id2, max_iter=max_iter)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm: {algorithm}")
     edges = (
         pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
         .union(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
@@ -102,6 +110,64 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _cc_two_phase(
+    pairs: DataFrame, id1: str, id2: str, *, max_iter: int
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.).
+
+    Maintains a directed edge set (child -> tentative parent). Each round:
+
+    - large-star: every node u connects its STRICTLY LARGER neighbors to
+      m(u) = min(neighbors(u) ∪ {u}) — halves long chains;
+    - small-star: every node u connects its smaller-or-equal neighbors
+      (and itself) to m(u) — flattens local stars.
+
+    Both steps are a groupBy-min plus one join over the edge set.
+    Converges (edge set fixpoint) in O(log n) rounds; the fixpoint is a
+    star forest where every node points at its component's minimum id.
+    """
+    edges = (
+        pairs.select(F.col(id1).alias("u"), F.col(id2).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        nbr = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = nbr.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        keep = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        out = (
+            nbr.where(keep)
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        if not large:
+            # small-star also links each node itself to its minimum —
+            # without this, a node whose neighbors are all smaller would
+            # drop off the graph and split its component
+            out = out.unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(max_iter):
+        new_edges = star(star(edges, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            or edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    # fixpoint is a star forest: u -> root. Roots map to themselves.
+    roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    children = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return children.unionByName(roots).distinct()
 
 
 def resolve_near_duplicates(

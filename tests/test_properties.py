@@ -131,7 +131,7 @@ def _union_find_components(edges):
 
 
 class TestConnectedComponentsProperties:
-    @settings(max_examples=10, deadline=None)
+    @settings(max_examples=8, deadline=None)
     @given(edges=_edges)
     def test_matches_union_find(self, spark, edges):
         from icerunner_spark.operators.corpus import connected_components
@@ -141,6 +141,21 @@ class TestConnectedComponentsProperties:
         got = {
             r["node"]: r["component"]
             for r in connected_components(pairs, max_iter=40).collect()
+        }
+        assert got == expected
+
+    @settings(max_examples=8, deadline=None)
+    @given(edges=_edges)
+    def test_two_phase_matches_union_find(self, spark, edges):
+        from icerunner_spark.operators.corpus import connected_components
+
+        expected = _union_find_components(edges)
+        pairs = spark.createDataFrame(edges, ["id1", "id2"])
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                pairs, max_iter=12, algorithm="two-phase"
+            ).collect()
         }
         assert got == expected
 
