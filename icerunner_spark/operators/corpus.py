@@ -276,6 +276,47 @@ def stratified_sample(
 
 
 # --------------------------------------------------------------------------- #
+# Context-window chunking
+# --------------------------------------------------------------------------- #
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows (context-window
+    chunking: the preprocessing step for embedding long documents or
+    splitting them to a model's sequence length; ``pack_sequences`` then
+    bins the short pieces). Chunk k covers tokens
+    [k*(chunk-overlap), k*(chunk-overlap)+chunk).
+
+    Pure higher-order array expressions + posexplode: a narrow map —
+    each document expands to ~n_tokens/(chunk-overlap) rows with no
+    shuffle, so chunking streams at scan speed at any corpus size.
+    Returns (id_col, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    if chunk_tokens <= overlap:
+        raise ValueError("chunk_tokens must exceed overlap")
+    step = chunk_tokens - overlap
+    toks = tokens(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(step))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "__chunk"),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "__chunk").alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # Repetition quality signals (Gopher-style)
 # --------------------------------------------------------------------------- #
 

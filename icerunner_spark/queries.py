@@ -2924,6 +2924,40 @@ def stream_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_documents(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "chunk_documents_windows",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+           CAST(len(t[CAST(s AS INT):CAST(s + 63 AS INT)]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(t[CAST(s AS INT):CAST(s + 63 AS INT)], ' ')) AS chunk_md5
+    FROM toks,
+         LATERAL (SELECT unnest(range(1, GREATEST(len(t), 1) + 1, 48)) AS s) g
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows with 16-token overlap
+    (stride 48) — the split-long-documents step before embedding or
+    sequence packing. Narrow posexplode over HOF arrays: no shuffle,
+    scan-speed expansion. SURVEY §2.C."""
+    from icerunner_spark.operators.corpus import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    out = chunk_documents(d, "doc_id", "text", chunk_tokens=64, overlap=16)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
 # --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #

@@ -217,3 +217,43 @@ def test_packing_quality_and_determinism(spark, packed):
     again = pack_sequences(docs_df, "doc_id", "n_tokens", budget=128, n_buckets=4).collect()
     key = lambda r: (r["bucket"], r["seq_id"], r["doc_id"], r["offset"])  # noqa: E731
     assert sorted(map(key, rows)) == sorted(map(key, again))
+
+
+# --------------------------------------------------------------------------- #
+# chunking
+# --------------------------------------------------------------------------- #
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from icerunner_spark.operators.corpus import chunk_documents
+
+    # letter-only words: the token regex splits "w1" into two tokens
+    import itertools
+
+    words_src = ["".join(p) for p in itertools.product("abcdefghij", repeat=2)]
+    text = " ".join(words_src[:100])
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", chunk_tokens=10, overlap=4).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # stride 6 over 100 tokens -> ceil(100/6) = 17 chunk starts
+    assert len(rows) == 17
+    toks_seen = set()
+    prev_tail = None
+    for r in rows:
+        words = r["chunk_text"].split(" ")
+        assert r["n_chunk_tokens"] == len(words) <= 10
+        if prev_tail is not None:
+            assert words[:4] == prev_tail  # 4-token overlap with previous
+        prev_tail = words[6:10] if len(words) == 10 else None
+        toks_seen.update(words)
+    assert len(toks_seen) == 100  # every token appears in some chunk
+
+
+def test_chunk_documents_rejects_bad_config(spark):
+    from icerunner_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="exceed overlap"):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
