@@ -219,11 +219,15 @@ def ngram_overlap_flags(
     doc id — the corpus text itself never shuffles. Returns
     (id_col, overlap_grams, contaminated).
     """
+    spread = corpus.sparkSession.sparkContext.defaultParallelism
     eval_grams = (
         eval_df.select(F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"))
         .distinct()
     )
-    corpus_grams = corpus.select(
+    # repartition before the gram explode: single-file fixtures scan as one
+    # partition, serializing the per-doc n-gram build (no-op rebalance when
+    # the corpus is already partitioned)
+    corpus_grams = corpus.repartition(spread, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
     )

@@ -73,8 +73,13 @@ def ngram_jaccard_pairs(
     so shingles above ``max_doc_freq`` would be dropped in a production
     tuning pass — kept exact here because the oracle must match.
     Returns (id1, id2, jaccard)."""
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    # repartition before the gram explode: the small single-file fixture
+    # scans as ONE partition, serializing the per-doc shingle work (at
+    # corpus scale the input arrives already partitioned and this is a
+    # cheap rebalance)
     grams = (
-        df.select(
+        df.repartition(spread, id_col).select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(char_ngrams(text_col, n))).alias("gram"),
         )

@@ -2606,8 +2606,12 @@ def repetition_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     cols = repetition_cols("text")
+    spread = spark.sparkContext.defaultParallelism
     return (
-        docs.select(
+        # repartition first: the HOF dup-ratio arrays are compute-dense and
+        # the single-file fixture scans as one partition (measured 17s -> ~1s)
+        docs.repartition(spread, "doc_id")
+        .select(
             "lang",
             cols["n_tokens"].alias("n_tokens"),
             cols["dup_token_ratio"].alias("dup_token_ratio"),
