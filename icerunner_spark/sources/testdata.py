@@ -68,6 +68,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # integer division: long-ns values exceed 2^53, so a double
         # round-trip (col / 1000 -> cast long) is off by ±1 µs
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # timestamp[us] parquet columns without UTC adjustment arrive as
+    # TIMESTAMP_NTZ under Spark 4's NTZ inference; normalize to session-UTC
+    # TimestampType so every consumer (unix_micros, watermarks, window())
+    # sees one timestamp type regardless of how the fixture was written.
+    # Under the UTC session zone this cast is instant-preserving.
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

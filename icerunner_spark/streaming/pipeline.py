@@ -31,18 +31,21 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Physical parquet schema of the events fixture under nanosAsLong
-# (ts is timestamp[ns] on disk -> long): see sources/testdata.py.
-_EVENTS_FILE_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_ts_physical_type(events_dir: str) -> str:
+    """Peek at one data file to learn how ``ts`` is physically stored.
+    File-source streams require an explicit schema, and the fixture has
+    shipped both as timestamp[ns] (readable only as long under
+    ``nanosAsLong``) and as timestamp[us] (read as TIMESTAMP_NTZ) — the
+    declared schema must match the file or the column is misread."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(events_dir, "**", "*.parquet"), recursive=True))
+    if not files:
+        return "ntz"
+    t = str(pq.read_schema(files[0]).field("ts").type)
+    return "long_ns" if t.startswith("timestamp[ns") else "ntz"
 
 
 def read_events_stream(
@@ -50,15 +53,37 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over a directory of events parquet files.
     ``maxFilesPerTrigger`` forces multi-micro-batch execution so tests
-    exercise real incremental state updates, not one giant batch."""
+    exercise real incremental state updates, not one giant batch.
+    ``ts`` is normalized to session-UTC TimestampType whatever its
+    physical storage, matching the batch loader (sources/testdata.py)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ts_kind = _events_ts_physical_type(events_dir)
+    ts_field = (
+        StructField("ts", LongType())
+        if ts_kind == "long_ns"
+        else StructField("ts", TimestampNTZType())
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            ts_field,
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
     raw = (
-        spark.readStream.schema(_EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(events_dir)
     )
-    # integer division (`div`), not `/`: ns epochs exceed 2^53, the double
-    # path truncates wrong by ±1 µs (see sources/testdata.py)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_kind == "long_ns":
+        # integer division (`div`), not `/`: ns epochs exceed 2^53, the double
+        # path truncates wrong by ±1 µs (see sources/testdata.py)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # Physical schema of the documents fixture (plain types, no ns timestamps).
