@@ -13,6 +13,7 @@ factory — this script is the regression gate for that class of bug.
 from __future__ import annotations
 
 import os
+import re
 import sys
 import traceback
 
@@ -47,7 +48,7 @@ def main() -> int:
     oracles = q.oracle_sql()
     failed: list[str] = []
     for name in sorted(qs):
-        if pattern and pattern not in name:
+        if pattern and not re.search(pattern, name):
             continue
         try:
             sdf = qs[name](spark, sf_dir)
