@@ -412,3 +412,62 @@ def test_mirror_repairs_after_unpinned_sync(spark, server, tmp_path):
 
     tc = Connector(spark, target_wh)
     assert sorted(tc.query("rep").column("id").to_pylist()) == [1, 2, 3]
+
+
+def test_python_datasource_parallel_read(spark, server):
+    """spark.read.format("icerunner_flight"): executors pull disjoint
+    snapshot-pinned slices in parallel — result equals a direct read,
+    partition count equals the server's slice count."""
+    import pyarrow.compute as pc
+
+    from icerunner_spark.sources.flight_source import register_flight_source
+
+    c = server.connector
+    n = 5000
+    data = pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "value": pa.array([f"v{i % 97}" for i in range(n)], pa.string()),
+        }
+    )
+    c.create_table("pds", data)
+    # several snapshots -> several files -> real slicing
+    c.insert("pds", _writer_table([n, n + 1], ["x", "y"]))
+
+    register_flight_source(spark)
+    url = f"grpc://127.0.0.1:{server.port}/pds"
+    df = (
+        spark.read.format("icerunner_flight")
+        .option("url", url)
+        .option("slices", "3")
+        .load()
+    )
+    assert df.schema.fieldNames() == ["id", "value"]
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == n + 2
+    got_sum = df.agg({"id": "sum"}).collect()[0][0]
+    direct = c.query("pds")
+    assert got_sum == pc.sum(direct.column("id")).as_py()
+    # projection/filter still correct through the python source
+    assert (
+        df.filter("id >= 4998").count() == 4
+    )  # 4998, 4999 from the base table + the 2 appended rows
+
+
+def test_python_datasource_legacy_single_endpoint(spark, server):
+    """A url whose server lacks get_slices (simulated via table option on
+    the for_path fallback) still reads: one partition, same rows."""
+    from icerunner_spark.sources.flight_source import FlightDataSource
+
+    c = server.connector
+    c.create_table("pds1", _writer_table([1, 2, 3], ["a", "b", "c"]))
+    spark.dataSource.register(FlightDataSource)
+    df = (
+        spark.read.format("icerunner_flight")
+        .option("url", f"grpc://127.0.0.1:{server.port}")
+        .option("table", "pds1")
+        .option("slices", "1")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 1
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
