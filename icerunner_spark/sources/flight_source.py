@@ -23,7 +23,14 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 
@@ -88,13 +95,139 @@ class FlightTableReader(DataSourceReader):
             yield chunk.data
 
 
+class FlightCDCStreamReader(DataSourceStreamReader):
+    """Structured-Streaming source over the Flight CDC protocol: stream
+    OFFSETS ARE SNAPSHOT IDS. The first microbatch reads the full table
+    through N slice tickets pinned to the latest snapshot; every later
+    batch is one ``get_changes(start, end)`` delta — exactly the mirror's
+    incremental cursor (flight/mirror.py), but with Spark's checkpoint
+    as the durable cursor store and executors doing the pulling. This is
+    the SURVEY §1.1 'Structured Streaming upgrade path' made real.
+
+    Append-only contract: if the range crosses an ``overwrite`` snapshot
+    the server refuses (same as scan_changes) and the query fails rather
+    than silently dropping the overwrite — restart the stream with a
+    fresh checkpoint to re-baseline."""
+
+    _NONE = -1  # sentinel: nothing consumed yet / empty table
+
+    def __init__(self, options):
+        self._host, self._port, self._table, self._n = _parse(options)
+
+    def _uri(self) -> str:
+        return f"grpc://{self._host}:{self._port}"
+
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": self._NONE}
+
+    def latestOffset(self) -> dict:
+        import pyarrow.flight as flight
+
+        client = flight.connect(self._uri())
+        ticket = json.dumps({"command": "get_metadata", "table": self._table})
+        meta = client.do_get(flight.Ticket(ticket.encode())).read_all()
+        sid = meta.column("snapshot_id").to_pylist()[0]
+        return {"snapshot_id": self._NONE if sid is None else int(sid)}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["snapshot_id"]), int(end["snapshot_id"])
+        if e == self._NONE or s == e:
+            return []
+        if s == self._NONE:
+            # initial load: slice tickets crafted with the EXPLICIT end
+            # snapshot (round-robin i::n needs no file count), so a commit
+            # racing the planner cannot leak rows into this batch that the
+            # next get_changes delta would repeat.
+            return [
+                FlightSlicePartition(
+                    self._uri(),
+                    json.dumps(
+                        {
+                            "command": "get_slice",
+                            "table": self._table,
+                            "index": i,
+                            "of": self._n,
+                            "snapshot_id": e,
+                        }
+                    ).encode(),
+                )
+                for i in range(self._n)
+            ]
+        return [
+            FlightSlicePartition(
+                self._uri(),
+                json.dumps(
+                    {
+                        "command": "get_changes",
+                        "table": self._table,
+                        "snapshot_id": s,
+                        "end_snapshot_id": e,
+                    }
+                ).encode(),
+            )
+        ]
+
+    def read(self, partition: FlightSlicePartition):
+        import pyarrow.flight as flight
+
+        client = flight.connect(partition.uri)
+        for chunk in client.do_get(flight.Ticket(partition.ticket)):
+            yield chunk.data
+
+    def commit(self, end: dict) -> None:
+        pass  # the checkpoint is the cursor; the server keeps no reader state
+
+
+class FlightCommit(WriterCommitMessage):
+    def __init__(self, rows: int):
+        self.rows = rows
+
+
+class FlightArrowWriter(DataSourceArrowWriter):
+    """Append path: every task opens its own ``do_put`` stream and ships
+    its Arrow batches; the server stages per stream and commits ONE
+    snapshot at stream end, so a write lands as one snapshot per task.
+    At-least-once on task retry (a retried task re-puts its partition) —
+    same contract as the reference's chunked mirror appends
+    (icerunner.py:1107-1134); exact-once needs the engine-managed table
+    path (connector/IceTable), not the wire path.
+
+    Deployment note: writer tasks block on the server's commit. If the
+    Flight server shares the writing cluster's task slots (single-process
+    demos), keep writer parallelism below the slot count or the blocked
+    put tasks can starve the server's own insert job — in production the
+    server is a separate process and this cannot happen."""
+
+    def __init__(self, options):
+        self._host, self._port, self._table, _ = _parse(options)
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.flight as flight
+
+        client = flight.connect(f"grpc://{self._host}:{self._port}")
+        descriptor = flight.FlightDescriptor.for_path(self._table.encode())
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                writer, _ = client.do_put(descriptor, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is not None:
+            writer.close()
+        return FlightCommit(rows)
+
+
 class FlightDataSource(DataSource):
     """``format("icerunner_flight")`` — options:
 
     - ``url`` (required): ``grpc://host:port/table``
     - ``table``: overrides the table from the url path
     - ``slices``: requested parallelism (server may return fewer; default 8)
-    """
+
+    Batch read, streaming CDC read (``spark.readStream``, offsets =
+    snapshot ids), and append write (``df.write.mode("append")``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -115,6 +248,18 @@ class FlightDataSource(DataSource):
 
     def reader(self, schema: StructType) -> FlightTableReader:
         return FlightTableReader(self.options)
+
+    def streamReader(self, schema: StructType) -> FlightCDCStreamReader:
+        return FlightCDCStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> FlightArrowWriter:
+        if overwrite:
+            raise ValueError(
+                "icerunner_flight is append-only over the wire; use the "
+                "engine-managed table path (Connector/IceTable.overwrite) "
+                "for replacement semantics"
+            )
+        return FlightArrowWriter(self.options)
 
 
 def register_flight_source(spark) -> None:

@@ -471,3 +471,78 @@ def test_python_datasource_legacy_single_endpoint(spark, server):
     )
     assert df.rdd.getNumPartitions() == 1
     assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
+
+
+def test_python_datasource_stream_cdc(spark, server, tmp_path):
+    """readStream over Flight CDC: offsets are snapshot ids. Round 1
+    (availableNow) loads the full table; rows appended between rounds
+    arrive in round 2 as a get_changes delta — the checkpoint is the
+    durable cursor, executors pull the data."""
+    from icerunner_spark.sources.flight_source import register_flight_source
+
+    c = server.connector
+    c.create_table("cdcstream", _writer_table([1, 2], ["a", "b"]))
+    register_flight_source(spark)
+    url = f"grpc://127.0.0.1:{server.port}/cdcstream"
+    out = str(tmp_path / "cdc_out")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    def run_round():
+        q = (
+            spark.readStream.format("icerunner_flight")
+            .option("url", url)
+            .option("slices", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_round()
+    got1 = spark.read.parquet(out)
+    assert sorted(r["id"] for r in got1.collect()) == [1, 2]
+
+    c.insert("cdcstream", _writer_table([3], ["c"]))
+    c.insert("cdcstream", _writer_table([4], ["d"]))
+    run_round()
+    got2 = spark.read.parquet(out)
+    # exactly the delta arrived — nothing re-read, nothing lost
+    assert sorted(r["id"] for r in got2.collect()) == [1, 2, 3, 4]
+
+    run_round()  # no new snapshot -> no new rows
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_python_datasource_append_write(spark, server):
+    """df.write.format("icerunner_flight"): each task do_puts its
+    partition; rows land on the server (overwrite mode refused)."""
+    from icerunner_spark.sources.flight_source import register_flight_source
+
+    c = server.connector
+    c.create_table("wsink", _writer_table([0], ["seed"]))
+    register_flight_source(spark)
+    url = f"grpc://127.0.0.1:{server.port}/wsink"
+
+    # 2 writer partitions on the local[4] test session: do_put tasks BLOCK
+    # until the in-process server's insert job finishes, so the writer may
+    # never occupy every task slot when server and cluster share one
+    # scheduler (production serves from a separate process; see
+    # FlightArrowWriter docstring).
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(1, 101)], "id: long, value: string"
+    ).repartition(2)
+    df.write.format("icerunner_flight").option("url", url).mode("append").save()
+
+    out = c.query("wsink")
+    assert out.num_rows == 101
+    assert sorted(out.column("id").to_pylist()) == list(range(101))
+
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="append-only"):
+        df.write.format("icerunner_flight").option("url", url).mode(
+            "overwrite"
+        ).save()
