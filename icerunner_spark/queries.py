@@ -3920,12 +3920,82 @@ def segment_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gap_fill_interpolate",
+    oracle="""
+    WITH src AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               SUM(CAST(value AS DECIMAL(12,2))) AS v, COUNT(*) AS n
+        FROM events WHERE user_id % 25 = 0 GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM src GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    joined AS (
+        SELECT s.user_id, s.h, src.v, COALESCE(src.n, 0) AS n_events
+        FROM spine s LEFT JOIN src ON src.user_id = s.user_id AND src.h = s.h
+    )
+    SELECT user_id, h AS hour_ts, n_events,
+           CAST(ROUND(COALESCE(v, 0), 2) AS DOUBLE) AS hour_value,
+           CAST(ROUND(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS carried_value
+    FROM joined
+    """,
+)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill (the hypertable 'time_bucket +
+    locf' primitive): hourly per-user buckets, a generated dense hour
+    spine per user, and forward-filled values over the gaps
+    (last-observation-carried-forward via last(ignorenulls) over an
+    unbounded-preceding frame). Scale: the spine is sequence()+explode —
+    rows materialize only for each user's own [min,max] hour range, never
+    a global calendar cross join; everything shuffles once on user_id and
+    the fill is a streaming frame inside that partition's sort."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    src = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(_dec("value")).alias("v"), F.count(F.lit(1)).alias("n"))
+    spine = (
+        src.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(src, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").alias("hour_ts"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.round(F.coalesce("v", F.lit(0).cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("hour_value"),
+        F.round(F.last("v", ignorenulls=True).over(w), 2)
+        .cast("double")
+        .alias("carried_value"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #
 # The driver value-hash-checks exactly the FIRST 50 registered queries
-# (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 93 of
-# the 103 registered queries carry a deterministic DuckDB oracle, so ordering
+# (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 94 of
+# the 104 registered queries carry a deterministic DuckDB oracle, so ordering
 # chooses which 50 get value-checked:
 #   - the 10 approximate-by-design queries go last — their driver row could
 #     only ever be a rows-only "no_oracle" check (their correctness is

@@ -350,3 +350,26 @@ def test_schema_evolution_errors(spark, warehouse):
         t.drop_column("nope")
     with _pytest.raises(ValueError, match="only column"):
         t.drop_column("id")
+
+
+def test_fixture_loader_normalizes_timestamps(spark):
+    """Fixture parquet has shipped ts columns as timestamp[ns] (long under
+    nanosAsLong) and as timestamp[us] (TIMESTAMP_NTZ under Spark 4's
+    inference). Whatever the physical storage, load_table must hand every
+    consumer session-UTC TimestampType — unix_micros, watermarks and
+    window() all reject NTZ, so drift here breaks half the registry."""
+    from pyspark.sql.types import TimestampType
+
+    from icerunner_spark.sources.testdata import TABLES, load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for name in TABLES:
+            df = load_table(spark, name, sf)
+            for f in df.schema.fields:
+                assert not f.dataType.typeName().startswith("timestamp_ntz"), (
+                    f"{sf}/{name}.{f.name} leaked TIMESTAMP_NTZ"
+                )
+                if "date" in f.name or f.name == "ts":
+                    assert isinstance(f.dataType, TimestampType), (
+                        f"{sf}/{name}.{f.name} is {f.dataType}"
+                    )
