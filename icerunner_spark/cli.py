@@ -38,6 +38,11 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("-i", "--interval", type=float, default=60.0)
     m.add_argument("-b", "--batch-size", type=int, default=100_000, help="rows per append")
     m.add_argument("--one-time", action="store_true")
+    m.add_argument(
+        "--streaming",
+        action="store_true",
+        help="replicate via a Structured Streaming CDC query (checkpoint = cursor)",
+    )
 
     args = p.parse_args(argv)
 
@@ -63,8 +68,17 @@ def main(argv: list[str] | None = None) -> int:
         run_writer(args.table_name, port=args.port, interval=args.interval)
         return 0
     if args.mode == "mirror":
-        from icerunner_spark.flight.mirror import run_mirror
+        from icerunner_spark.flight.mirror import run_mirror, run_mirror_streaming
 
+        if args.streaming:
+            run_mirror_streaming(
+                args.source,
+                target_table=args.target_table,
+                warehouse_path=args.warehouse,
+                interval=args.interval,
+                continuous=not args.one_time,
+            )
+            return 0
         run_mirror(
             args.source,
             target_table=args.target_table,

@@ -295,3 +295,78 @@ def run_mirror(
             break
         time.sleep(interval)
     return total
+
+
+def run_mirror_streaming(
+    source_url: str,
+    target_table: str | None = None,
+    warehouse_path: str = "warehouse",
+    interval: float = 60.0,
+    continuous: bool = False,
+    spark=None,
+    timeout_s: float | None = None,
+) -> int:
+    """Mirror as a Structured Streaming query over the CDC data source
+    (sources/flight_source.py): the stream's snapshot-id offsets replace
+    the JSON sync-state cursor, and the query CHECKPOINT under
+    ``<warehouse>/sync_state/`` is the durable replication state — kill
+    the process anywhere and the next run resumes from the last committed
+    snapshot, exactly-once into the target table per microbatch commit.
+
+    One-shot (``continuous=False``) uses availableNow (drain to the
+    source's current snapshot, then stop); continuous polls every
+    ``interval`` seconds. Returns rows appended this invocation."""
+    from icerunner_spark.session import get_spark
+    from icerunner_spark.sources.flight_source import register_flight_source
+
+    spark = spark or get_spark(app_name="icerunner_mirror_stream")
+    register_flight_source(spark)
+    connector = Connector(spark, warehouse_path)
+
+    host, port = parse_flight_url(source_url)
+    source_table = flight_url_table(source_url)
+    if not source_table:
+        tables = get_remote_tables(flight.connect(f"grpc://{host}:{port}"))
+        if not tables:
+            raise RuntimeError(f"no tables discoverable at {source_url}")
+        source_table = tables[0]
+    target = target_table or source_table
+
+    key = hashlib.md5(source_url.encode()).hexdigest()[:8]
+    ckpt = os.path.join(
+        connector.catalog.warehouse_path, "sync_state", f"stream_{key}_{target}"
+    )
+
+    synced = {"rows": 0}
+
+    def _sink(batch_df, batch_id):  # runs on the driver per microbatch
+        n = batch_df.count()
+        if n == 0:
+            return
+        t = connector.catalog.table(target)
+        if not t.exists():
+            t.create(batch_df)
+        else:
+            t.append(batch_df)
+        synced["rows"] += n
+        logger.info("mirror-stream batch %d: %d rows -> %s", batch_id, n, target)
+
+    url = f"grpc://{host}:{port}/{source_table}"
+    writer = (
+        spark.readStream.format("icerunner_flight")
+        .option("url", url)
+        .load()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+    )
+    if continuous:
+        q = writer.trigger(processingTime=f"{interval} seconds").start()
+        q.awaitTermination(timeout_s)
+        q.stop()
+    else:
+        q = writer.trigger(availableNow=True).start()
+        if not q.awaitTermination(timeout_s or 300):
+            q.stop()
+            raise TimeoutError("mirror stream did not drain in time")
+    logger.info("sync complete: %d rows (streaming)", synced["rows"])
+    return synced["rows"]

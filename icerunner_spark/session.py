@@ -28,6 +28,11 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    # Engine-written parquet must be int64 µs, not legacy INT96: pyarrow
+    # reads INT96 back as timestamp[ns], which the Flight serve path would
+    # then stream to consumers that reject ns (Spark's Arrow conversion,
+    # DuckDB µs semantics). µs on disk keeps every boundary µs.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Spark 4 refuses TIMESTAMP(NANOS) parquet columns outright; read them as
     # long nanoseconds and convert at the source layer (sources/testdata.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",

@@ -44,6 +44,28 @@ class FlightSlicePartition(InputPartition):
         self.ticket = ticket
 
 
+def _normalize_batch(batch):
+    """Cast ns-timestamp columns to µs: legacy servers (or INT96 parquet
+    read through pyarrow) stream timestamp[ns] batches, which Spark's
+    Arrow conversion rejects outright. µs is lossless for every value the
+    engine writes (µs-aligned) and truncates sub-µs the same way the
+    parquet reader would."""
+    import pyarrow as pa
+
+    cols, fields, changed = [], [], False
+    for field, col in zip(batch.schema, batch.columns):
+        t = field.type
+        if pa.types.is_timestamp(t) and t.unit == "ns":
+            t = pa.timestamp("us", tz=t.tz)
+            col = col.cast(t)
+            changed = True
+        cols.append(col)
+        fields.append(pa.field(field.name, t, field.nullable))
+    if not changed:
+        return batch
+    return pa.RecordBatch.from_arrays(cols, schema=pa.schema(fields))
+
+
 def _parse(options) -> tuple[str, int, str, int]:
     from icerunner_spark.flight.client import flight_url_table, parse_flight_url
 
@@ -92,7 +114,7 @@ class FlightTableReader(DataSourceReader):
 
         client = flight.connect(partition.uri)
         for chunk in client.do_get(flight.Ticket(partition.ticket)):
-            yield chunk.data
+            yield _normalize_batch(chunk.data)
 
 
 class FlightCDCStreamReader(DataSourceStreamReader):
@@ -172,7 +194,7 @@ class FlightCDCStreamReader(DataSourceStreamReader):
 
         client = flight.connect(partition.uri)
         for chunk in client.do_get(flight.Ticket(partition.ticket)):
-            yield chunk.data
+            yield _normalize_batch(chunk.data)
 
     def commit(self, end: dict) -> None:
         pass  # the checkpoint is the cursor; the server keeps no reader state
@@ -238,13 +260,20 @@ class FlightDataSource(DataSource):
         # catalog (flight/server.py), never by materializing data — the
         # reference's schema-via-full-scan quirk (icerunner.py:306) is
         # exactly what this avoids.
+        import pyarrow as pa
         import pyarrow.flight as flight
         from pyspark.sql.pandas.types import from_arrow_schema
 
         host, port, table, _ = _parse(self.options)
         client = flight.connect(f"grpc://{host}:{port}")
         info = client.get_flight_info(flight.FlightDescriptor.for_path(table.encode()))
-        return from_arrow_schema(info.schema)
+        fields = [
+            pa.field(f.name, pa.timestamp("us", tz=f.type.tz), f.nullable)
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+            else f
+            for f in info.schema
+        ]
+        return from_arrow_schema(pa.schema(fields))
 
     def reader(self, schema: StructType) -> FlightTableReader:
         return FlightTableReader(self.options)

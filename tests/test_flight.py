@@ -546,3 +546,28 @@ def test_python_datasource_append_write(spark, server):
         df.write.format("icerunner_flight").option("url", url).mode(
             "overwrite"
         ).save()
+
+
+def test_mirror_streaming_incremental(spark, server, tmp_path):
+    """run_mirror_streaming: the stream checkpoint is the replication
+    cursor — first run full-loads, second run moves only the delta,
+    third run is a no-op."""
+    from icerunner_spark.connector import Connector
+    from icerunner_spark.flight.mirror import run_mirror_streaming
+
+    c = server.connector
+    c.create_table("ms", _writer_table([1, 2], ["a", "b"]))
+    wh = str(tmp_path / "wh_ms")
+    url = f"grpc://127.0.0.1:{server.port}/ms"
+
+    assert run_mirror_streaming(url, warehouse_path=wh, spark=spark) == 2
+    tc = Connector(spark, wh)
+    assert sorted(tc.query("ms").column("id").to_pylist()) == [1, 2]
+
+    c.insert("ms", _writer_table([3], ["c"]))
+    assert run_mirror_streaming(url, warehouse_path=wh, spark=spark) == 1
+    assert sorted(tc.query("ms").column("id").to_pylist()) == [1, 2, 3]
+
+    assert run_mirror_streaming(url, warehouse_path=wh, spark=spark) == 0
+    # target took exactly one snapshot per non-empty batch
+    assert len(tc.table("ms").snapshots()) == 2
