@@ -4085,12 +4085,81 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One live in-process Flight server per (process, sf_dir) for the federated
+# query: the data source reads lazily at collect time, so unlike
+# flight_roundtrip_nation the server must outlive query construction. A
+# long-running server is also the realistic shape — this is a client-side
+# cache, not server state.
+_FED_SERVERS: dict[str, tuple[object, int]] = {}
+
+
+def _federated_flight_server(spark: SparkSession, sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    from icerunner_spark.connector import Connector
+    from icerunner_spark.flight.server import IceFlightServer
+
+    key = os.path.normpath(sf_dir)
+    if key not in _FED_SERVERS:
+        wh = os.path.join(
+            "/tmp", "icerunner_flight_fed", os.path.basename(key)
+        )
+        shutil.rmtree(wh, ignore_errors=True)
+        c = Connector(spark, wh)
+        c.create_table(
+            "nation_fed", pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        )
+        srv = IceFlightServer(c, host="127.0.0.1", port=0)
+        _FED_SERVERS[key] = (srv, srv.port)
+    return _FED_SERVERS[key][1]
+
+
+@register(
+    "flight_federated_join",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_acctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def flight_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated query: the nation dimension arrives over the wire through
+    the Flight DATA SOURCE (spark.read.format("icerunner_flight") — each
+    task streams its slice from a live server) and joins a local parquet
+    fact inside one Catalyst plan. Proves the serve path composes with
+    the optimizer: the remote dim broadcasts like any other dim, and the
+    result must equal the all-local oracle join."""
+    from icerunner_spark.sources.flight_source import register_flight_source
+
+    register_flight_source(spark)
+    port = _federated_flight_server(spark, sf_dir)
+    nation = (
+        spark.read.format("icerunner_flight")
+        .option("url", f"grpc://127.0.0.1:{port}/nation_fed")
+        .option("slices", "1")
+        .load()
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(nation), c.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _money_sum(_dec("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #
 # The driver value-hash-checks exactly the FIRST 50 registered queries
-# (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 95 of
-# the 105 registered queries carry a deterministic DuckDB oracle, so ordering
+# (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 96 of
+# the 106 registered queries carry a deterministic DuckDB oracle, so ordering
 # chooses which 50 get value-checked:
 #   - the 10 approximate-by-design queries go last — their driver row could
 #     only ever be a rows-only "no_oracle" check (their correctness is
