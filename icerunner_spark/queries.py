@@ -4154,12 +4154,47 @@ def flight_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "high_water_marks_users",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, value,
+               CASE WHEN MAX(value) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR value > MAX(value) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+               THEN 1 ELSE 0 END AS breach
+        FROM events
+    )
+    SELECT user_id,
+           CAST(ROUND(MAX(value), 2) AS DOUBLE) AS high_water,
+           CAST(SUM(breach) AS BIGINT) AS n_breaches
+    FROM marked GROUP BY user_id
+    """,
+)
+def high_water_marks_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user high-water-mark tracking: the running maximum in event
+    order and how many events set a new record (first event counts). The
+    running-max-over-preceding-rows + strict-increase-detection window
+    pattern; `streaming/pipeline.py high_water_marks_stream` is the same
+    operator as a transformWithStateInPandas stateful processor (two
+    scalars of state per key). One shuffle on user_id; the frame is
+    streaming within the partition sort."""
+    from icerunner_spark.streaming.pipeline import high_water_marks
+
+    return high_water_marks(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #
 # The driver value-hash-checks exactly the FIRST 50 registered queries
-# (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 96 of
-# the 106 registered queries carry a deterministic DuckDB oracle, so ordering
+# (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 97 of
+# the 107 registered queries carry a deterministic DuckDB oracle, so ordering
 # chooses which 50 get value-checked:
 #   - the 10 approximate-by-design queries go last — their driver row could
 #     only ever be a rows-only "no_oracle" check (their correctness is

@@ -11,6 +11,8 @@ a custom stateful operator — the primitives a continuously-ingesting
 
 from icerunner_spark.streaming.pipeline import (
     dedup_stream,
+    high_water_marks,
+    high_water_marks_stream,
     read_events_stream,
     run_available_now,
     running_user_totals,
@@ -21,6 +23,8 @@ from icerunner_spark.streaming.pipeline import (
 
 __all__ = [
     "read_events_stream",
+    "high_water_marks",
+    "high_water_marks_stream",
     "windowed_counts",
     "session_counts",
     "dedup_stream",

@@ -342,3 +342,99 @@ def run_available_now(
             )
     finally:
         q.stop()
+
+
+def high_water_marks(events: DataFrame) -> DataFrame:
+    """Batch form of the high-water-mark tracker: per user, the running
+    maximum of ``value`` in (ts, event_id) order and how many events set
+    a new maximum (the first event always counts). The streaming twin is
+    ``high_water_marks_stream`` — same outputs per user at stream end."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("value").over(w)
+    breach = F.when(
+        prev_max.isNull() | (F.col("value") > prev_max), 1
+    ).otherwise(0)
+    return (
+        events.withColumn("__breach", breach)
+        .groupBy("user_id")
+        .agg(
+            F.round(F.max("value"), 2).cast("double").alias("high_water"),
+            F.sum("__breach").cast("long").alias("n_breaches"),
+        )
+    )
+
+
+_HW_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("high_water", DoubleType()),
+        StructField("n_breaches", LongType()),
+    ]
+)
+
+
+def high_water_marks_stream(events: DataFrame) -> DataFrame:
+    """The same tracker as a ``transformWithStateInPandas`` stateful
+    processor (Spark 4's arbitrary-state API, successor to
+    applyInPandasWithState): one ValueState cell per user holding
+    (current max, breach count); every micro-batch a user appears in
+    re-emits their cumulative row, so the LAST row per user equals the
+    batch answer. State is two scalars per key in the state store
+    (RocksDB provider required by the API) — bounded forever.
+
+    In-batch order is pinned to (ts, event_id) and the test fixture's
+    files are time-contiguous, so cross-batch arrival order matches
+    event-time order — the same total order the batch window uses.
+
+    Environment note: transformWithState's Python state server speaks
+    protobuf; containers without ``google.protobuf`` cannot run it (the
+    equivalence test importorskips), but the operator itself is complete
+    — ``running_user_totals`` (applyInPandasWithState) is the
+    protobuf-free stateful alternative this container can execute."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class HighWater(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "hw", "mx double, n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                mx, n = self._state.get()
+            else:
+                mx, n = None, 0
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                fv = float(v)
+                if mx is None or fv > mx:
+                    mx = fv
+                    n += 1
+            self._state.update((mx, n))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "high_water": [round(mx, 2)],
+                    "n_breaches": [int(n)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        HighWater(),
+        outputStructType=_HW_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
