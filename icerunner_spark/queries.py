@@ -3487,10 +3487,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): IN-subquery with HAVING
-    over a grouped sum → aggregate lineitem once, filter, semi-join the
-    qualifying orderkeys back (shuffle on l_orderkey both times — the
-    same key, so AQE reuses the exchange), then re-aggregate with the
-    customer dimension broadcast."""
+    over a grouped sum → aggregate lineitem once, filter to the tiny
+    qualifying-orderkey list (broadcast semi join back — lineitem itself
+    never shuffles for the filter), then re-aggregate with the customer
+    dimension broadcast. At a scale where the qualifying list outgrows
+    broadcast, both sides hash on l_orderkey — the same key the final
+    aggregation groups on, so the partitioning carries through."""
     l = _t(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
@@ -3641,7 +3643,9 @@ def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window-free double aggregation — per-(order, supplier) last ship
     date, then per-order max + supplier count — so the 'this supplier
     shipped last among ≥2' predicate is a join filter, not a correlated
-    re-scan. Both groupBys hash on l_orderkey → one exchange feeds both."""
+    re-scan. The first aggregate hashes on (l_orderkey, l_suppkey), the
+    per-order rollup on l_orderkey — two bounded shuffles of key+date
+    pairs, never of raw lineitems twice."""
     l = _t(spark, sf_dir, "lineitem")
     os_ = l.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("supp_last")
