@@ -4355,12 +4355,66 @@ def filtered_aggregates_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hybrid_retrieval_rerank",
+    oracle="""
+    WITH cand AS (
+        SELECT doc_id,
+               len(list_intersect(list_distinct(regexp_extract_all(lower(text),
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')),
+                   ['join','hash','scan'])) AS n_terms
+        FROM documents
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT c.doc_id, CAST(c.n_terms AS BIGINT) AS n_query_terms,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.doc_id, q
+    WHERE c.n_terms >= 2
+    ORDER BY cos_sim DESC, c.doc_id LIMIT 15
+    """,
+)
+def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid search — the retrieve-then-rerank pipeline every
+    RAG/search stack runs: a cheap lexical stage prunes the corpus (docs
+    matching ≥2 of the query terms, scan-speed filter), then only the
+    candidates pay the dense stage (exact embedding cosine against the
+    broadcast query vector). At 100 TB the lexical stage is the point:
+    the expensive vector math touches a candidate set, never the corpus.
+    Top-k tie-broken on (rounded score, doc_id)."""
+    from icerunner_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    terms = F.array(F.lit("join"), F.lit("hash"), F.lit("scan"))
+    cand = d.select(
+        "doc_id",
+        F.size(F.array_intersect(F.array_distinct(tokens("text")), terms)).alias(
+            "n_terms"
+        ),
+    ).filter(F.col("n_terms") >= 2)
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    qvec = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
+    return (
+        cand.join(F.broadcast(e), cand.doc_id == e.vec_id)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "doc_id",
+            F.col("n_terms").alias("n_query_terms"),
+            F.round(cosine_similarity("emb", "qv"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(15)
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #
 # The driver value-hash-checks exactly the FIRST 50 registered queries
-# (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 101 of
-# the 111 registered queries carry a deterministic DuckDB oracle, so ordering
+# (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 102 of
+# the 112 registered queries carry a deterministic DuckDB oracle, so ordering
 # chooses which 50 get value-checked:
 #   - the 10 approximate-by-design queries go last — their driver row could
 #     only ever be a rows-only "no_oracle" check (their correctness is
