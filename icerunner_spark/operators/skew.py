@@ -19,7 +19,7 @@ side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SALT = "__salt"
@@ -49,3 +49,37 @@ def salted_join(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return salted.join(replicated, on + [_SALT], how).drop(_SALT)
+
+
+def capped_topk_per_key(
+    df: DataFrame,
+    key: str | list[str],
+    order_by: list,
+    k: int,
+    *,
+    salt_by: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exact top-k rows per key, robust to hot keys (the two-phase cap
+    `per_source_caps` documents): phase 1 ranks within (key, salt) and
+    keeps k rows per salt — a hot key's rows spread over n_salts tasks,
+    so no single task ever sorts a whole mega-key — phase 2 ranks the
+    ≤ k·n_salts survivors per key exactly. Identical output to the
+    single-phase window (any global top-k row is also top-k within its
+    salt partition; pytest pins the equality), with per-task work bounded
+    by max(|key|/n_salts, k·n_salts) instead of |key|.
+
+    ``order_by`` must totally order rows (include a unique tiebreaker) —
+    same requirement the single-phase form has for determinism. The rank
+    column is exposed as ``rk``."""
+    keys = [key] if isinstance(key, str) else list(key)
+    salt = F.pmod(F.xxhash64(F.col(salt_by).cast("string")), F.lit(n_salts))
+    w1 = Window.partitionBy(*keys, _SALT).orderBy(*order_by)
+    pre = (
+        df.withColumn(_SALT, salt)
+        .withColumn("__rk1", F.row_number().over(w1))
+        .filter(F.col("__rk1") <= k)
+        .drop("__rk1", _SALT)
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    return pre.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= k)

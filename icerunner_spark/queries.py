@@ -3769,9 +3769,10 @@ def per_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document caps (corpus-mixing control: no source may
     contribute more than K docs, keeping the longest first): rank within
     source, keep rk <= K. One shuffle on source; a hot domain is exactly
-    the rank-skew case — at production scale cap hot sources in two
-    phases (random pre-cap to ~4K per partition, then exact rank) so no
-    single reducer sees a whole mega-domain. Deterministic tie-break by
+    the rank-skew case — `operators/skew.py capped_topk_per_key` is the
+    two-phase form for that regime (salted pre-cap, then exact rank over
+    ≤ k·n_salts survivors; equality-pinned against this single-phase
+    window in tests/test_operators.py). Deterministic tie-break by
     doc_id."""
     d = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")

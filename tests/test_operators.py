@@ -614,3 +614,27 @@ def test_pii_redaction_on_planted_pii(spark):
     assert by_id[1]["n_ipv4"] == 1 and "192.168" not in by_id[1]["red"]
     assert by_id[2]["n_phone"] == 2 and by_id[2]["red"].count("<PHONE>") == 2
     assert by_id[3]["red"] == rows[3][1]  # clean text passes through untouched
+
+
+def test_capped_topk_two_phase_equals_single_phase(spark):
+    """Two-phase hot-key cap == single-phase window top-k, row for row —
+    the equality that makes the skew-safe form a drop-in."""
+    from pyspark.sql import Window
+
+    from icerunner_spark.operators.skew import capped_topk_per_key
+    from icerunner_spark.sources.testdata import load_table
+
+    d = load_table(spark, "documents", "/root/testdata/sf0.01")
+    order = [F.desc("n_chars"), F.asc("doc_id")]
+    two = capped_topk_per_key(
+        d, "source", order, 10, salt_by="doc_id", n_salts=4
+    ).select("doc_id", "source", "rk")
+    w = Window.partitionBy("source").orderBy(*order)
+    one = (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "source", "rk")
+    )
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
+    # every key hit its cap (sources have >=25 docs at sf0.01)
+    assert two.count() == two.select("source").distinct().count() * 10
