@@ -401,3 +401,118 @@ def ivf_topk(
         cosine_similarity(_as_double_array(vec_col), qlit).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), *[F.asc(c) for c in id_cols]).limit(k)
+
+
+# --------------------------------------------------------------------------- #
+# Product quantization (PQ)
+# --------------------------------------------------------------------------- #
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    n_codes: int = 16,
+) -> list[list[list[float]]]:
+    """PQ codebooks: the embedding space split into ``m`` subspaces, each
+    with ``n_codes`` centroids taken from a deterministic seed sample
+    (smallest xxhash64(id) rows — same selection rule as IVF's coarse
+    quantizer, identical across runs/engines; production would run a few
+    Lloyd iterations per subspace from these seeds). Returns
+    ``codebooks[s][j]`` = centroid j of subspace s. Driver-side cost is
+    ``n_codes`` rows — bounded like the IVF seed collect."""
+    rows = (
+        df.select(F.col(id_col).alias("i"), _as_double_array(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("i").cast("string")), F.col("i"))
+        .limit(n_codes)
+        .collect()
+    )
+    dim = len(rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [[float(x) for x in r["v"][s * sub : (s + 1) * sub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode each vector as ``m`` centroid indices (nearest by L2 within
+    each subspace): dim×float64 → m×int — a 64-128x width cut for the
+    fixture's 64-dim vectors at m=4. Pure codegen expressions:
+    ||x_s - c_j||² is minimized as -2·x_s·c_j + ||c_j||² (the ||x_s||²
+    term is constant per row), argmin via array_position(array_min)."""
+    v = _as_double_array(vec_col)
+    sub = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        subv = F.slice(v, s * sub + 1, sub)
+        dists = F.array(
+            *[
+                -2.0 * _dot_lit(subv, c) + F.lit(float(sum(x * x for x in c)))
+                for c in book
+            ]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    k: int = 10,
+    rerank: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays full-precision,
+    candidates are scored from their PQ codes through an m×n_codes
+    lookup table (lut[s][j] = q_s·c_sj, literal arrays — no join, no
+    shuffle beyond the final TakeOrdered), then the top k·rerank
+    candidates are rescored with exact cosine on the full vectors and
+    the true top-k returned. At corpus scale the scan reads m ints per
+    row instead of the embedding column; only k·rerank rows touch full
+    precision."""
+    books = codebooks or pq_train_codebooks(
+        df, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes
+    )
+    sub = len(books[0][0])
+    enc = pq_encode(df, books, vec_col=vec_col)
+    approx = None
+    for s, book in enumerate(books):
+        q_s = query_vec[s * sub : (s + 1) * sub]
+        lut = F.array(
+            *[F.lit(float(sum(a * b for a, b in zip(q_s, c)))) for c in book]
+        )
+        term = F.element_at(lut, F.element_at("pq_code", s + 1) + 1)
+        approx = term if approx is None else approx + term
+    cands = (
+        enc.withColumn("__adc", approx)
+        .orderBy(F.desc("__adc"), id_col)
+        .limit(k * rerank)
+        .drop("__adc", "pq_code")
+    )
+    from icerunner_spark.functions.vector import cosine_similarity
+
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cands.withColumn("cos_sim", cosine_similarity(_as_double_array(vec_col), qcol))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+        .select(id_col, "cos_sim")
+    )

@@ -4410,14 +4410,37 @@ def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_pq_topk")  # approximate: rows-only driver check;
+# code determinism + recall (uniform hard mode AND clustered corpus)
+# pinned in tests/test_operators.py::TestProductQuantization
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators.similarity.pq_topk): vectors
+    stored as m=4 centroid indices (64-128x narrower than the embedding
+    column), scored by asymmetric distance through an m×16 literal
+    lookup table — no join, no shuffle before the TakeOrdered — then the
+    top candidates exact-rescored on full vectors. The compression tier
+    between int8 (similarity_quantized_topk) and IVF cell pruning
+    (similarity_ann_ivf); at corpus scale the ADC scan reads 16 bytes
+    per row instead of 256."""
+    from icerunner_spark.operators.similarity import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in row["embedding"]]
+    out = pq_topk(
+        e.filter(F.col("vec_id") != 0), q, k=10, rerank=16
+    )
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 # --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #
 # The driver value-hash-checks exactly the FIRST 50 registered queries
 # (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 102 of
-# the 112 registered queries carry a deterministic DuckDB oracle, so ordering
+# the 113 registered queries carry a deterministic DuckDB oracle, so ordering
 # chooses which 50 get value-checked:
-#   - the 10 approximate-by-design queries go last — their driver row could
+#   - the 11 approximate-by-design queries go last — their driver row could
 #     only ever be a rows-only "no_oracle" check (their correctness is
 #     pinned in pytest against exact baselines instead);
 #   - 10 oracle-paired queries whose operator category already has another
@@ -4443,6 +4466,7 @@ _TAIL_ORDER = [
     "similarity_ann_lsh",
     "similarity_knn_join",
     "similarity_quantized_topk",
+    "similarity_pq_topk",
     "similarity_ann_ivf",
     "approx_distinct_parts",
     "hll_sketch_union_parts",
