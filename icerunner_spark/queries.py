@@ -4433,12 +4433,59 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+@register(
+    "importance_sample_documents",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source, n_chars,
+               CAST(LEAST(FLOOR(LEAST(n_chars / 200.0, 1.0) * 4294967296),
+                          4294967295) AS BIGINT) AS th_int
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM w
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || '-imp'), 1, 8) <
+              lpad(lower(to_hex(th_int)), 8, '0')
+    )
+    SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM kept GROUP BY source
+    """,
+)
+def importance_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (importance) sampling: each document's acceptance
+    probability is its own weight — here length-proportional,
+    min(n_chars/200, 1) — decided by comparing a deterministic md5
+    bucket against the weight scaled into hex space. Same reproducibility
+    contract as stratified_sample_documents (the decision depends only on
+    (doc_id, salt, weight), never on partition layout), but with a
+    per-ROW rate instead of a per-stratum rate — the upsample/downsample
+    primitive behind quality- or temperature-weighted corpus mixing.
+    Pure narrow codegen filter; nothing shuffles until the tiny
+    per-source rollup."""
+    from icerunner_spark.functions.text import md5_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars") / 200.0, F.lit(1.0))
+    th_int = F.least(
+        F.floor(weight * F.lit(4294967296.0)), F.lit(4294967295)
+    ).cast("long")
+    th_hex = F.lpad(F.lower(F.hex(th_int)), 8, "0")
+    return (
+        d.filter(md5_bucket("doc_id", "imp") < th_hex)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #
 # The driver value-hash-checks exactly the FIRST 50 registered queries
-# (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 102 of
-# the 113 registered queries carry a deterministic DuckDB oracle, so ordering
+# (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 103 of
+# the 114 registered queries carry a deterministic DuckDB oracle, so ordering
 # chooses which 50 get value-checked:
 #   - the 11 approximate-by-design queries go last — their driver row could
 #     only ever be a rows-only "no_oracle" check (their correctness is
