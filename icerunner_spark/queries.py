@@ -4480,12 +4480,62 @@ def importance_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gaps_islands_streaks",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS island
+        FROM events
+    ),
+    streaks AS (
+        SELECT user_id, event_type, island, COUNT(*) AS streak_len
+        FROM ordered GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type,
+           CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+           COUNT(*) AS n_streaks
+    FROM streaks
+    GROUP BY 1, 2
+    HAVING MAX(streak_len) >= 4
+    """,
+)
+def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive same-type runs per user via the
+    row_number-difference idiom (global rank minus per-type rank is
+    constant within a run), then run-length stats. The value-gap twin of
+    session windows (time-gap), used for streak/run analytics over
+    training telemetry. Both window ranks share the user_id partition —
+    one shuffle, two in-partition sorts, then a tiny rollup."""
+    e = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    island = (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias(
+        "island"
+    )
+    streaks = (
+        e.select("user_id", "event_type", island)
+        .groupBy("user_id", "event_type", "island")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return (
+        streaks.groupBy("user_id", "event_type")
+        .agg(
+            F.max("streak_len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .filter(F.col("longest_streak") >= 4)
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #
 # The driver value-hash-checks exactly the FIRST 50 registered queries
-# (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 103 of
-# the 114 registered queries carry a deterministic DuckDB oracle, so ordering
+# (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 104 of
+# the 115 registered queries carry a deterministic DuckDB oracle, so ordering
 # chooses which 50 get value-checked:
 #   - the 11 approximate-by-design queries go last — their driver row could
 #     only ever be a rows-only "no_oracle" check (their correctness is
