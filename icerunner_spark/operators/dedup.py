@@ -94,8 +94,8 @@ def ngram_jaccard_pairs(
     sz1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
     sz2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
     return (
-        inter.join(F.broadcast(sz1), "id1")
-        .join(F.broadcast(sz2), "id2")
+        inter.join(sz1, "id1")
+        .join(sz2, "id2")
         .select(
             "id1",
             "id2",

@@ -120,6 +120,52 @@ def plan_report(df: DataFrame, *, execute: bool = False) -> PlanReport:
     return rep
 
 
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+_LIMIT_NODES = ("CollectLimit", "GlobalLimit", "LocalLimit", "TakeOrderedAndProject")
+_TABLE_RE = re.compile(r"(\w+)\.parquet")
+
+
+def forced_broadcast_tables(df: DataFrame) -> set[str]:
+    """Tables scanned under a *planned* BroadcastExchange with nothing
+    bounding their cardinality on the way up.
+
+    Reads ``queryExecution().sparkPlan()`` — the static physical plan
+    BEFORE adaptive execution, so with
+    ``spark.sql.autoBroadcastJoinThreshold=-1`` every BroadcastExchange
+    in it can only come from an explicit ``F.broadcast()`` / SQL hint
+    (AQE runtime conversions never appear here). A broadcast subtree is
+    *bounded* — and therefore scale-safe regardless of what it scans —
+    if an Aggregate or Limit sits between the exchange and the scan
+    (scalar/constant-group aggregates, top-k seeds). Anything else that
+    scans an SF-proportional table is a forced broadcast that OOMs the
+    driver at the 100 TB design point; this returns those table names
+    so tests can pin the set empty.
+    """
+    text = df._jdf.queryExecution().sparkPlan().toString()
+    lines = []
+    for raw in text.splitlines():
+        stripped = raw.lstrip(" :+-*(0123456789)")
+        depth = len(raw) - len(stripped)
+        lines.append((depth, stripped))
+    offenders: set[str] = set()
+    for i, (depth, content) in enumerate(lines):
+        if not content.startswith("BroadcastExchange"):
+            continue
+        subtree = []
+        for d2, c2 in lines[i + 1:]:
+            if d2 <= depth:
+                break
+            subtree.append(c2)
+        bounded = any(
+            c.startswith(_AGG_NODES) or c.startswith(_LIMIT_NODES) for c in subtree
+        )
+        if bounded:
+            continue
+        for c in subtree:
+            offenders.update(_TABLE_RE.findall(c))
+    return offenders
+
+
 def _first_group(pattern: str, s: str) -> str | None:
     m = re.search(pattern, s, re.DOTALL)
     return m.group(1) if m else None

@@ -207,16 +207,18 @@ def distinct_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape. Scale: customer (filtered on segment) broadcasts
-    against orders; orders⋈lineitem is the one real shuffle, on the join
-    key both sides. Segment/date filters push down before the joins."""
+    """TPC-H Q3 shape. Scale: customer is SF-proportional, so no forced
+    broadcast hint — AQE converts the join to broadcast at runtime when
+    the filtered build side is actually small, and degrades to a shuffle
+    join at 100 TB; orders⋈lineitem is the one unavoidable shuffle, on
+    the join key both sides. Segment/date filters push down first."""
     cutoff = F.lit("1998-03-15").cast("timestamp")
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_money_sum(_dec("l_extendedprice") * (1 - _dec("l_discount", 4, 2))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -239,9 +241,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join. Scale: region/nation/supplier/customer
-    are dimension-sized → broadcast; the only big shuffle is
-    orders⋈lineitem. Join order mirrors what Catalyst+AQE would pick."""
+    """TPC-H Q5 shape: 6-way join. Scale: region/nation are constant-size
+    → broadcast hints; customer/supplier grow with SF so they carry NO
+    hint (AQE broadcasts them at runtime while small, shuffles at 100 TB);
+    the only big shuffle is orders⋈lineitem. Join order mirrors what
+    Catalyst+AQE would pick."""
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -250,9 +254,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -304,8 +308,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, s.s_suppkey == l.l_suppkey)
         .join(F.broadcast(n1), F.col("n1_key") == s.s_nationkey)
         .join(F.broadcast(n2), F.col("n2_key") == c.c_nationkey)
         .filter(F.col("n1_key") != F.col("n2_key"))
@@ -345,7 +349,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -2325,12 +2329,11 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    # Broadcast the kept-id list: without the hint the semi join shuffles
-    # the survivor TEXT on doc_id; with it the corpus never shuffles in
-    # the exact-dedup stage (keep is 8-byte ids — at production scale this
-    # becomes a bloom/semi pushdown, never a text exchange). Measured
-    # ~1.6x on the whole pipeline.
-    survivors = qual.join(F.broadcast(keep), "doc_id", "left_semi").cache()
+    # Shuffle semi-join on the kept-id list (NO broadcast hint: keep is
+    # one id per distinct document — corpus cardinality — so a forced
+    # broadcast is a driver OOM at 100 TB). AQE still runtime-broadcasts
+    # it while it fits; past that both sides hash on the 8-byte doc_id.
+    survivors = qual.join(keep, "doc_id", "left_semi").cache()
     pairs = minhash_neardup_pairs(
         survivors, "doc_id", "text", n_hashes=48, bands=12, threshold=0.5
     )
@@ -3010,7 +3013,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (min-cost supplier per part): the correlated
     min-subquery is rewritten as MIN over a partition window on the
     aggregated part×supplier costs — one shuffle on l_partkey instead of a
-    per-row re-aggregation. part/supplier/nation are dims → broadcast.
+    per-row re-aggregation. nation is constant-size → broadcast hint;
+    part/supplier scale with SF so they are unhinted (AQE decides).
     Exact-decimal equality picks the minimum, so ties keep all winners
     deterministically on both engines."""
     l = _t(spark, sf_dir, "lineitem")
@@ -3026,8 +3030,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     return (
-        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             "p_partkey",
@@ -3122,10 +3126,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _dec("l_extendedprice") * (1 - _dec("l_discount", 4, 2))
     flat = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("n1_key") == c.c_nationkey)
         .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
-        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(s, s.s_suppkey == l.l_suppkey)
         .join(F.broadcast(n2), F.col("n2_key") == s.s_nationkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
@@ -3180,8 +3184,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * _dec("l_quantity") * F.lit("0.5").cast("decimal(2,1)")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
@@ -3218,7 +3222,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     v = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("val"))
@@ -3325,14 +3329,15 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promotion effect): single-row conditional-share
-    aggregate over a month of shipments; part broadcasts, the month filter
+    aggregate over a month of shipments; part joins unhinted (AQE picks
+    broadcast while it fits, shuffle-hash at 100 TB), the month filter
     pushes into the scan. Exact decimal sums, one double division."""
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
     )
     p = _t(spark, sf_dir, "part")
     vol = _dec("l_extendedprice") * (1 - _dec("l_discount", 4, 2))
-    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+    joined = l.join(p, l.l_partkey == p.p_partkey).select(
         vol.alias("vol"), (F.col("p_type") == "PROMO").alias("is_promo")
     )
     promo = F.sum(
@@ -3383,7 +3388,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -3409,8 +3414,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (supplier counts by part attributes): DISTINCT
     aggregation after an exclusion NOT-IN subquery (suppliers in deficit
-    stand in for the missing 'complaints' comment filter) → broadcast
-    anti join; part's brand/size filters prune before the fact join."""
+    stand in for the missing 'complaints' comment filter) → anti join,
+    unhinted so AQE broadcasts the deficit list only while it is small;
+    part's brand/size filters prune before the fact join."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -3420,8 +3426,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -3458,7 +3464,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
     return (
         l.join(pa, l.l_partkey == pa.pa_partkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(p, l.l_partkey == p.p_partkey)
         .filter(_dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg(
             _money_sum(_dec("l_extendedprice")).alias("small_qty_revenue"),
@@ -3488,11 +3494,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): IN-subquery with HAVING
     over a grouped sum → aggregate lineitem once, filter to the tiny
-    qualifying-orderkey list (broadcast semi join back — lineitem itself
-    never shuffles for the filter), then re-aggregate with the customer
-    dimension broadcast. At a scale where the qualifying list outgrows
-    broadcast, both sides hash on l_orderkey — the same key the final
-    aggregation groups on, so the partitioning carries through."""
+    qualifying-orderkey list (semi join back, AQE runtime-broadcasts it
+    while small — lineitem itself never shuffles for the filter), then
+    re-aggregate with customer joined unhinted. At a scale where the
+    qualifying list outgrows broadcast, both sides hash on l_orderkey —
+    the same key the final aggregation groups on, so the partitioning
+    carries through."""
     l = _t(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
@@ -3505,7 +3512,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(big, "l_orderkey", "left_semi")
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "c_custkey",
             "c_name",
@@ -3556,7 +3563,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 40)
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             _money_sum(
@@ -3605,7 +3612,7 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     qualifying = (
         sq.join(tq, sq.l_partkey == tq.tq_partkey)
-        .join(F.broadcast(p), sq.l_partkey == p.p_partkey)
+        .join(p, sq.l_partkey == p.p_partkey)
         .filter(F.col("supp_qty") * 10 > F.col("tot_qty"))
         .select("l_suppkey")
     )
@@ -3659,7 +3666,7 @@ def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         os_.join(agg, os_.l_orderkey == agg.agg_orderkey)
         .filter((F.col("supp_last") == F.col("order_last")) & (F.col("n_supps") >= 2))
         .join(o, os_.l_orderkey == o.o_orderkey, "left_semi")
-        .join(F.broadcast(s), os_.l_suppkey == s.s_suppkey)
+        .join(s, os_.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -4398,7 +4405,7 @@ def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qvec = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
     return (
-        cand.join(F.broadcast(e), cand.doc_id == e.vec_id)
+        cand.join(e, cand.doc_id == e.vec_id)
         .crossJoin(F.broadcast(qvec))
         .select(
             "doc_id",
@@ -4534,7 +4541,7 @@ def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "argmax_user_events",
     oracle="""
     WITH e AS (
-        SELECT *, CAST(value AS DECIMAL(12,2)) * 1000000 + event_id AS ord
+        SELECT *, CAST(value AS DECIMAL(12,2)) * 100000000 + event_id AS ord
         FROM events WHERE user_id % 30 = 0
     )
     SELECT user_id,
@@ -4549,11 +4556,14 @@ def argmax_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax/argmin aggregates (max_by/min_by ↔ DuckDB arg_max/arg_min):
     the highest-value event's attributes per user in ONE aggregation pass
     — no self-join back to the winning row, no window+filter. The
-    ordering key is an exact decimal composite (value·10⁶ + event_id) so
-    ties are impossible and both engines pick the identical winner.
-    Single map-side-combinable hash aggregate."""
+    ordering key is an exact decimal composite (value·10⁸ + event_id):
+    value has 2 decimals, so distinct values are ≥10⁶ apart in ord-space
+    while event_id stays well below 10⁶ at any fixture SF — (value,
+    event_id) pairs can never collide or invert the value-first order,
+    and both engines pick the identical winner. Single
+    map-side-combinable hash aggregate."""
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 30 == 0)
-    ord_ = (_dec("value") * 1000000 + F.col("event_id")).alias("ord")
+    ord_ = (_dec("value") * 100000000 + F.col("event_id")).alias("ord")
     e = e.withColumn("ord", ord_)
     return e.groupBy("user_id").agg(
         F.max_by("event_type", F.col("ord")).alias("top_type"),

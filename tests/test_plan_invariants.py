@@ -22,7 +22,7 @@ from __future__ import annotations
 import pytest
 
 from icerunner_spark import queries as q
-from icerunner_spark.plans.introspect import plan_report
+from icerunner_spark.plans.introspect import forced_broadcast_tables, plan_report
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -62,3 +62,32 @@ def test_lineitem_scans_are_column_pruned(reports):
 def test_every_query_plans(reports):
     # building the report implies analysis+optimization succeeded
     assert len(reports) == len(ALL)
+
+# Tables whose size is proportional to the scale factor: forcing these
+# into a BroadcastExchange is a driver OOM at the 100 TB design point.
+# Constant-size dims (nation=25 rows, region=5) and bounded derivations
+# (scalar aggregates, top-k seeds) may broadcast freely.
+SF_PROPORTIONAL = {
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+}
+
+
+def test_no_forced_broadcast_of_sf_proportional_tables(spark):
+    """With autoBroadcastJoinThreshold=-1 the static plan contains a
+    BroadcastExchange ONLY where an explicit hint forced one — so any
+    SF-proportional table scanned un-bounded beneath one is a hint that
+    would OOM at scale (AQE converting a small side at runtime is fine
+    and invisible to this check)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    offenders = {}
+    try:
+        for name in ALL:
+            df = q.queries()[name](spark, SF_DIR)
+            bad = forced_broadcast_tables(df) & SF_PROPORTIONAL
+            if bad:
+                offenders[name] = sorted(bad)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert not offenders, f"forced broadcasts of SF-proportional tables: {offenders}"
