@@ -311,7 +311,12 @@ def run_mirror_streaming(
     the JSON sync-state cursor, and the query CHECKPOINT under
     ``<warehouse>/sync_state/`` is the durable replication state — kill
     the process anywhere and the next run resumes from the last committed
-    snapshot, exactly-once into the target table per microbatch commit.
+    snapshot. foreachBatch alone is only at-least-once (a crash between
+    the append and Spark's checkpoint commit replays the microbatch), so
+    the sink stamps ``(mirror_stream, mirror_batch_id)`` into each target
+    snapshot's summary and skips batch ids at or below the stream's
+    high-water mark on replay — idempotent appends make the end-to-end
+    delivery exactly-once.
 
     One-shot (``continuous=False``) uses availableNow (drain to the
     source's current snapshot, then stop); continuous polls every
@@ -339,17 +344,41 @@ def run_mirror_streaming(
 
     synced = {"rows": 0}
 
+    def _applied_high_water(t) -> int:
+        """Highest mirror_batch_id this stream has committed to the
+        target (scan of snapshot summaries — metadata-only, cheap at
+        mirror cadence; foreign snapshots without our stamp are skipped)."""
+        last = -1
+        for s in t.snapshots():
+            if s.summary.get("mirror_stream") == key:
+                b = s.summary.get("mirror_batch_id")
+                if b is not None:
+                    last = max(last, int(b))
+        return last
+
     def _sink(batch_df, batch_id):  # runs on the driver per microbatch
-        n = batch_df.count()
-        if n == 0:
-            return
         t = connector.catalog.table(target)
-        if not t.exists():
-            t.create(batch_df)
-        else:
-            t.append(batch_df)
-        synced["rows"] += n
-        logger.info("mirror-stream batch %d: %d rows -> %s", batch_id, n, target)
+        if t.exists() and batch_id <= _applied_high_water(t):
+            # crash-replay of a batch whose append already committed:
+            # skipping it is what turns at-least-once into exactly-once
+            logger.info("mirror-stream batch %d already applied; skipping", batch_id)
+            return
+        # persist: the count action and the append's parquet write would
+        # otherwise each re-pull the whole batch from the Flight server
+        batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n == 0:
+                return
+            stamp = {"mirror_stream": key, "mirror_batch_id": str(batch_id)}
+            if not t.exists():
+                t.create(batch_df, summary=stamp)
+            else:
+                t.append(batch_df, summary=stamp)
+            synced["rows"] += n
+            logger.info("mirror-stream batch %d: %d rows -> %s", batch_id, n, target)
+        finally:
+            batch_df.unpersist()
 
     url = f"grpc://{host}:{port}/{source_table}"
     writer = (

@@ -95,7 +95,12 @@ class FlightTableReader(DataSourceReader):
             info = client.get_flight_info(
                 flight.FlightDescriptor.for_command(json.dumps(cmd).encode())
             )
-        except Exception:
+        except (flight.FlightServerError, flight.FlightInternalError):
+            # legacy server that doesn't speak get_slices — fall back to
+            # the single for_path endpoint. Connection-level errors
+            # (FlightUnavailableError, FlightTimedOutError) propagate:
+            # masking them here would resurface as a confusing secondary
+            # failure on the fallback path.
             info = client.get_flight_info(
                 flight.FlightDescriptor.for_path(self._table.encode())
             )

@@ -388,9 +388,15 @@ def high_water_marks_stream(events: DataFrame) -> DataFrame:
     batch answer. State is two scalars per key in the state store
     (RocksDB provider required by the API) — bounded forever.
 
-    In-batch order is pinned to (ts, event_id) and the test fixture's
-    files are time-contiguous, so cross-batch arrival order matches
-    event-time order — the same total order the batch window uses.
+    Ordering contract: in-batch order is pinned to (ts, event_id), but
+    CROSS-batch order is whatever the source delivers — n_breaches is
+    therefore arrival-order-defined, not event-time-defined. It equals
+    the batch twin only when microbatches arrive in event-time order
+    (true for the file source over time-contiguous files, and for any
+    log-ordered source like Kafka-per-key); an out-of-order source needs
+    a watermark + event-time buffer in front of this operator, which
+    would trade the bounded two-scalar state for a buffer of in-flight
+    rows.
 
     Environment note: transformWithState's Python state server speaks
     protobuf; containers without ``google.protobuf`` cannot run it (the

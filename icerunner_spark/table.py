@@ -228,19 +228,22 @@ class IceTable:
 
     # ---------- public write API ----------
 
-    def create(self, df: DataFrame, *, overwrite_ok: bool = False) -> Snapshot:
+    def create(
+        self, df: DataFrame, *, overwrite_ok: bool = False,
+        summary: dict | None = None,
+    ) -> Snapshot:
         if self.exists() and not overwrite_ok:
             raise ValueError(f"table already exists: {self.path}")
         _, files = self._write_data_files(df)
         return self._publish(
             "create", files, df.schema.json(), replace_manifest=True,
-            summary={"added_rows_estimated": None},
+            summary={"added_rows_estimated": None, **(summary or {})},
         )
 
-    def append(self, df: DataFrame) -> Snapshot:
+    def append(self, df: DataFrame, *, summary: dict | None = None) -> Snapshot:
         if not self.exists():
             raise NoSuchTableError(self.path)
-        return self.publish_append(self.stage_append(df))
+        return self.publish_append(self.stage_append(df), summary=summary)
 
     def stage_append(self, df: DataFrame) -> list[str]:
         """Write append data files WITHOUT publishing a snapshot. Returns
@@ -259,11 +262,18 @@ class IceTable:
         _, files = self._write_data_files(df)
         return files
 
-    def publish_append(self, files: list[str]) -> Snapshot:
-        """Atomically commit previously staged append files (metadata-only)."""
+    def publish_append(
+        self, files: list[str], *, summary: dict | None = None
+    ) -> Snapshot:
+        """Atomically commit previously staged append files (metadata-only).
+        ``summary`` entries land in the snapshot's summary dict — writers
+        use this to stamp application-level idempotency markers (e.g. the
+        mirror's microbatch id) that survive crashes with the commit."""
         if not self.exists():
             raise NoSuchTableError(self.path)
-        return self._publish("append", list(files), self.schema().json())
+        return self._publish(
+            "append", list(files), self.schema().json(), summary=summary
+        )
 
     def overwrite(self, df: DataFrame) -> Snapshot:
         """Full replace (new manifest drops previous files logically;

@@ -571,3 +571,33 @@ def test_mirror_streaming_incremental(spark, server, tmp_path):
     assert run_mirror_streaming(url, warehouse_path=wh, spark=spark) == 0
     # target took exactly one snapshot per non-empty batch
     assert len(tc.table("ms").snapshots()) == 2
+
+
+def test_mirror_streaming_replay_is_idempotent(spark, server, tmp_path):
+    """foreachBatch is at-least-once: a crash between the target append
+    and Spark's checkpoint commit replays the microbatch on restart. The
+    sink stamps (mirror_stream, mirror_batch_id) into snapshot summaries
+    and skips already-applied ids, so the replay must NOT duplicate rows.
+    Simulated here the worst way possible: wipe the checkpoint entirely
+    (offsets AND batch ids reset to zero) and re-run."""
+    import shutil
+
+    from icerunner_spark.connector import Connector
+    from icerunner_spark.flight.mirror import run_mirror_streaming
+
+    c = server.connector
+    c.create_table("msr", _writer_table([1, 2, 3], ["a", "b", "c"]))
+    wh = str(tmp_path / "wh_msr")
+    url = f"grpc://127.0.0.1:{server.port}/msr"
+
+    assert run_mirror_streaming(url, warehouse_path=wh, spark=spark) == 3
+    tc = Connector(spark, wh)
+    snaps_before = len(tc.table("msr").snapshots())
+
+    # lose the checkpoint: the source replays from snapshot 0 with
+    # batch_id 0 — the stamped high-water mark must swallow it
+    ckpt_root = str(tmp_path / "wh_msr" / "sync_state")
+    shutil.rmtree(ckpt_root)
+    assert run_mirror_streaming(url, warehouse_path=wh, spark=spark) == 0
+    assert sorted(tc.query("msr").column("id").to_pylist()) == [1, 2, 3]
+    assert len(tc.table("msr").snapshots()) == snaps_before
