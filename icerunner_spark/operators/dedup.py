@@ -136,6 +136,60 @@ def minhash_signature(text_col: str, *, n_hashes: int = 64, shingle: int = 5) ->
     return F.aggregate(grams, init, fold)
 
 
+def ngram_sets(
+    df: DataFrame, id_col: str, text_col: str, *, shingle: int = 5
+) -> DataFrame:
+    """(id, g: array<string>) — each document's DISTINCT n-gram set,
+    spread across the session's parallelism. This is the one
+    text-derived frame the whole near-dup pipeline shares: cache it and
+    both the MinHash signature build and the exact-Jaccard verify read
+    the arrays instead of re-deriving shingles from raw text (the
+    re-derivation was ~a full corpus pass — the single biggest lever in
+    corpus_clean_pipeline).
+
+    Repartitioned before the shingle build: document tables are compact
+    on disk (a few MB of parquet can hold the whole corpus slice), so
+    the scan may yield fewer partitions than cores while the per-row
+    work is scan-disproportionate — without the spread, one task
+    shingles everything (measured 20x on local[32])."""
+    spread = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions(),
+    )
+    return df.repartition(spread, id_col).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(char_ngrams(text_col, shingle)).alias("g"),
+    )
+
+
+def minhash_signatures_from_grams(grams: DataFrame, *, n_hashes: int = 64) -> DataFrame:
+    """(id, sig: array<bigint>) from an :func:`ngram_sets` frame via the
+    aggregate formulation: explode the gram arrays, project k seeded
+    xxhash64 columns (whole-stage codegen), take k ``min`` aggregates
+    (map-side partial combine).
+
+    This is the at-scale shape: higher-order array lambdas are
+    *interpreted* row-at-a-time in Spark, while explode+hash-agg runs
+    fully codegen'd and mergeable — measured ~10x over a single-fold
+    column version at sf0.1 (and the partial aggregation means only k
+    longs per doc cross the shuffle)."""
+    exploded = grams.select("id", F.explode("g").alias("gram"))
+    # k independent seeded hashes per shingle. (A Kirsch-Mitzenmacher
+    # double-hashing family — h1 + i*h2 — was tried and rejected: its
+    # members are not independent permutations, so the min positions
+    # correlate across i, the Jaccard estimator biases high, and LSH
+    # candidate counts blew up ~2x on the fixtures.)
+    mins = exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64("gram", F.lit(s))).alias(f"m{s}")
+            for s in range(n_hashes)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"m{s}") for s in range(n_hashes)]).alias("sig")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -144,43 +198,13 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle: int = 5,
 ) -> DataFrame:
-    """(id, sig: array<bigint>) via the aggregate formulation: explode
-    distinct shingles, project k seeded xxhash64 columns (whole-stage
-    codegen), take k ``min`` aggregates (map-side partial combine).
-
-    This is the at-scale shape: higher-order array lambdas are
-    *interpreted* row-at-a-time in Spark, while explode+hash-agg runs
-    fully codegen'd and mergeable — measured another ~10x over the
-    single-fold column version at sf0.1 (and the partial aggregation
-    means only k longs per doc cross the shuffle).
-
-    The input is repartitioned to the session's parallelism before the
-    explode: document tables are compact on disk (a few MB of parquet can
-    hold the whole corpus slice), so the scan may yield fewer partitions
-    than cores while the work per row (k hashes x hundreds of shingles)
-    is scan-disproportionate — without the spread, one task hashes
-    everything (measured 20x on local[32])."""
-    spread = max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        df.rdd.getNumPartitions(),
-    )
-    grams = df.repartition(spread, id_col).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(char_ngrams(text_col, shingle))).alias("gram"),
-    )
-    # k independent seeded hashes per shingle. (A Kirsch-Mitzenmacher
-    # double-hashing family — h1 + i*h2 — was tried and rejected: its
-    # members are not independent permutations, so the min positions
-    # correlate across i, the Jaccard estimator biases high, and LSH
-    # candidate counts blew up ~2x on the fixtures.)
-    mins = grams.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64("gram", F.lit(s))).alias(f"m{s}")
-            for s in range(n_hashes)
-        ]
-    )
-    return mins.select(
-        "id", F.array(*[F.col(f"m{s}") for s in range(n_hashes)]).alias("sig")
+    """(id, sig) straight from text — :func:`ngram_sets` piped into
+    :func:`minhash_signatures_from_grams`. Standalone entry point for
+    callers that only need signatures; pipelines that also verify
+    exactly should build (and cache) the gram frame once and use the
+    ``_from_grams`` form for both stages."""
+    return minhash_signatures_from_grams(
+        ngram_sets(df, id_col, text_col, shingle=shingle), n_hashes=n_hashes
     )
 
 
@@ -220,18 +244,26 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bh"),
     )
-    grouped = buckets.groupBy("band", "bh").agg(F.collect_list("id").alias("ids"))
+    grouped = buckets.groupBy("band", "bh").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
+    )
     grouped = grouped.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    # upper-triangle expansion over the sorted id list: element i pairs
+    # with the slice AFTER it, so only i<j pairs are ever materialized —
+    # half the structs of the all-pairs+filter form, and no filter pass
+    # (array lambdas are interpreted, so the constant factor matters in
+    # the skew-capped worst case of max_bucket² structs per bucket).
+    ids = F.col("ids")
     pairs = grouped.select(
         F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x: F.transform(F.col("ids"), lambda y: F.struct(x.alias("id1"), y.alias("id2"))),
-                    )
-                ),
-                lambda p: p["id1"] < p["id2"],
+            F.flatten(
+                F.transform(
+                    ids,
+                    lambda x, i: F.transform(
+                        F.slice(ids, i + F.lit(2), F.size(ids)),
+                        lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                    ),
+                )
             )
         ).alias("p")
     ).select("p.id1", "p.id2").distinct()
@@ -252,13 +284,13 @@ def minhash_neardup_pairs(
     the standard generate-then-verify near-dup pipeline. Only candidate
     pairs pay the exact comparison. Returns (id1, id2, jaccard).
 
-    The signature DataFrame is computed once and cached (k longs per doc —
-    tiny next to the corpus) and feeds candidate generation AND the
-    estimate prefilter; without the cache each downstream lineage would
-    recompute the full shingle explode+agg."""
-    sigs = minhash_signatures(
-        df, id_col, text_col, n_hashes=n_hashes, shingle=shingle
-    ).cache()
+    Two shared frames, each computed once and cached: the n-gram sets
+    (feeding BOTH the signature build and the exact verify — shingling
+    raw text is a full corpus pass, paying it twice measured ~25% of
+    the whole clean pipeline) and the signatures (k longs per doc,
+    feeding candidate generation AND the estimate prefilter)."""
+    grams = ngram_sets(df, id_col, text_col, shingle=shingle).cache()
+    sigs = minhash_signatures_from_grams(grams, n_hashes=n_hashes).cache()
     cands = minhash_lsh_candidates(
         df, id_col, text_col, n_hashes=n_hashes, bands=bands, shingle=shingle,
         sigs=sigs,
@@ -285,17 +317,20 @@ def minhash_neardup_pairs(
     )
     # exact verify: shuffle-hash joins on the id (hash lookup, no sort of
     # the big shingle arrays; both sides partition by id so this scales
-    # out — broadcast would cap at driver memory on a real corpus).
-    # Cached: the g1/g2 join sides are two lineages of this same frame —
-    # without the cache each side recomputes the full ngram explode.
-    grams = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
-    ).select(
-        F.col(id_col).alias("id"), F.array_distinct(char_ngrams(text_col, shingle)).alias("g")
-    ).cache()
-    g1 = grams.select(F.col("id").alias("id1"), F.col("g").alias("g1"))
-    g2 = grams.select(F.col("id").alias("id2"), F.col("g").alias("g2"))
-    jac = F.size(F.array_intersect("g1", "g2")) / F.size(F.array_union("g1", "g2"))
+    # out — broadcast would cap at driver memory on a real corpus). The
+    # g1/g2 sides are two lineages of the SAME cached gram frame the
+    # signatures were built from — no re-shingling. |A∪B| comes from
+    # |A|+|B|-|A∩B| (the gram arrays are distinct by construction), so
+    # only ONE O(n) array op per candidate pair — array_union would be a
+    # second full hash pass for a number the sizes already determine.
+    g1 = grams.select(
+        F.col("id").alias("id1"), F.col("g").alias("g1"), F.size("g").alias("n1")
+    )
+    g2 = grams.select(
+        F.col("id").alias("id2"), F.col("g").alias("g2"), F.size("g").alias("n2")
+    )
+    inter = F.size(F.array_intersect("g1", "g2"))
+    jac = inter / (F.col("n1") + F.col("n2") - inter)
     return (
         plausible.join(g1.hint("shuffle_hash"), "id1")
         .join(g2.hint("shuffle_hash"), "id2")

@@ -2319,10 +2319,19 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    # cache() the scored survivors-of-the-quality-gate: BOTH the exact-
+    # dedup keep-list and the survivor set derive from it, and the
+    # regex-heavy quality stage is ~40% of the whole pipeline — uncached
+    # it runs twice (once per branch). Projected to the four columns the
+    # rest of the pipeline reads; MEMORY_AND_DISK (Spark's DataFrame
+    # default) spills rather than OOMs when a corpus slice outgrows
+    # executor storage memory.
     qual = (
         d.filter((F.length("text") > 0) & (token_count("text") > 0))
         .withColumn("quality", quality_score("text"))
         .filter(F.col("quality") >= 0.5)
+        .select("doc_id", "lang", "text", "quality")
+        .cache()
     )
     keep = (
         qual.groupBy(fingerprint64("text").alias("__fp"))
