@@ -45,6 +45,8 @@ HEADLINE = [
     "session_window_events",
     "similarity_bruteforce_topk",
     "similarity_knn_join",
+    "similarity_pq_topk",
+    "similarity_ann_ivf",
     "dedup_minhash_lsh",
     "text_token_stats",
     "lang_id_documents",

@@ -104,16 +104,38 @@ class IceFlightServer(flight.FlightServerBase):
         reader = dataset.scanner(batch_size=self.chunk_rows).to_reader()
         return flight.RecordBatchStream(reader)
 
-    def _stream_df(self, df) -> flight.RecordBatchStream:
-        # Batch-granular driver transfer (Arrow collect); for full-table
-        # reads use the file-streaming path instead, which never
-        # materializes.
-        try:
-            batches = df._collect_as_arrow()  # PySpark classic, batch list
-            schema = batches[0].schema if batches else _spark_schema_to_arrow(df.schema)
-            return flight.GeneratorStream(schema, iter(batches))
-        except Exception:
-            return flight.RecordBatchStream(df.toArrow())
+    def _stream_df(self, df) -> flight.GeneratorStream:
+        # SQL-ticket serve path: NEVER materialize the result in server
+        # memory. Spark executes the query and spills the result to
+        # parquet (a distributed write — executors stream partitions to
+        # disk), then the server file-streams it exactly like a
+        # full-table read: memory is bounded by chunk_rows regardless of
+        # result size, and `SELECT *` on a huge table costs disk, not
+        # server RAM. The spill dir is deleted when the client drains or
+        # abandons the stream (generator finalization).
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="iceflight-sqlres-")
+        out = os.path.join(tmp, "result")
+        df.write.mode("overwrite").parquet(out)
+        files = sorted(
+            os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+        )
+        schema = pq.read_schema(files[0]) if files else _spark_schema_to_arrow(df.schema)
+
+        def gen():
+            try:
+                if not files:
+                    yield pa.RecordBatch.from_pylist([], schema=schema)
+                    return
+                dataset = pads.dataset(files, format="parquet", schema=schema)
+                for batch in dataset.scanner(batch_size=self.chunk_rows).to_reader():
+                    yield batch
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        return flight.GeneratorStream(schema, gen())
 
     # ------------------------------------------------------------------ #
     # Flight verbs

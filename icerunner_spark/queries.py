@@ -4639,24 +4639,92 @@ def funnel_steps_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #
 # The driver value-hash-checks exactly the FIRST 50 registered queries
-# (CORRECTNESS_r{1,2}.json keys == names[:50], verified both rounds). 106 of
-# the 117 registered queries carry a deterministic DuckDB oracle, so ordering
-# chooses which 50 get value-checked:
-#   - the 11 approximate-by-design queries go last — their driver row could
-#     only ever be a rows-only "no_oracle" check (their correctness is
-#     pinned in pytest against exact baselines instead);
-#   - 10 oracle-paired queries whose operator category already has another
-#     green in-window representative sit just behind the window (still
-#     value-checked locally by tests/driver_emulation.py every run).
+# (CORRECTNESS_r{1,2,3}.json keys == names[:50], verified every round). 100+
+# of the registered queries carry a deterministic DuckDB oracle, so ordering
+# chooses which 50 get value-checked. _WINDOW_ORDER makes that choice
+# explicit (round-4 verdict item 5 rotated 10 long-stable near-isomorphic
+# join/agg shapes out so tail queries earn driver-grade proof; the rotated-
+# out ten stay value-checked locally by tests/driver_emulation.py every
+# run). Everything not listed in _WINDOW_ORDER or _TAIL_ORDER keeps its
+# registration order between the two; the approximate-by-design queries go
+# last — their driver row could only ever be a rows-only "no_oracle" check
+# (their correctness is pinned in pytest against exact baselines instead).
+_WINDOW_ORDER = [
+    "q1_pricing_summary",
+    "q6_revenue_forecast",
+    "distinct_agg_lineitem",
+    "q7_nation_volume",
+    "q17_small_quantity_revenue",   # r4 rotation: TPC-H correlated-scalar shape
+    "q21_last_shipper",             # r4 rotation: EXISTS/NOT-EXISTS multi-join
+    "theta_join_acctbal_dominance",
+    "window_topk_orders_per_customer",
+    "window_running_revenue",
+    "grouping_sets_orders",
+    "setops_multiset_quantities",   # r4 rotation: INTERSECT/EXCEPT ALL bags
+    "lateral_topk_per_nation",      # r4 rotation: LATERAL per-group top-k
+    "scalar_string_math_part",
+    "json_events_extract",
+    "array_embedding_norms",
+    "asof_join_events_to_orders",
+    "cdc_changes_since_snapshot",
+    "time_travel_snapshot_scan",
+    "flight_roundtrip_nation",
+    "snapshot_history_metadata",
+    "dedup_exact_documents",
+    "similarity_bruteforce_topk",
+    "neardup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "embedding_cosine_neardup",
+    "lang_id_documents",
+    "text_token_stats",
+    "multimodal_byte_features",
+    "window_tumbling_events",
+    "session_window_events",
+    "percentiles_lineitem",
+    "map_functions_events",
+    "higher_order_array_ops",
+    "range_join_event_bands",
+    "exists_subquery_large_orders",
+    "sampled_systematic_agg",
+    "grouped_user_trends",
+    "pivot_revenue_by_status",
+    "full_outer_monthly_volumes",
+    "correlated_scalar_subquery_orders",
+    "udtf_token_explode",
+    "stream_join_view_purchases",
+    "pii_redact_documents",
+    "corpus_clean_pipeline",
+    "filtered_aggregates_orders",   # r4 rotation: aggregate FILTER clause
+    "gap_fill_interpolate",         # r4 rotation: sequence + interpolation
+    "bm25_retrieval",               # r4 rotation: corpus-stats retrieval
+    "gaps_islands_streaks",         # r4 rotation: gaps-and-islands windows
+    "argmax_user_events",           # r4 rotation: max_by/min_by argmax
+    "funnel_steps_users",           # r4 rotation: conditional-MIN funnel
+]
+assert len(_WINDOW_ORDER) == 50
+
 _TAIL_ORDER = [
-    # oracle-paired category-duplicates (locally green, window overflow):
+    # oracle-paired category-duplicates (locally green, window overflow).
+    # r4 rotated OUT of the window (near-isomorphic to an in-window shape,
+    # driver-green since r1-r3):
+    "q3_shipping_priority",         # join+agg: q7/q21 in window
+    "q5_region_revenue",            # 6-way join: q7/q21 in window
+    "q10_returned_items",           # join+agg: q7 in window
+    "semi_join_customers_with_open_orders",  # semi: q21 EXISTS in window
+    "topk_expensive_orders",        # top-k: window_topk + lateral_topk in
+    "setops_customer_order_status", # setops: setops_multiset in window
+    "rollup_order_status",          # rollup: grouping_sets in window
+    "unpivot_revenue_matrix",       # pivot family: pivot_revenue in window
+    "multimodal_asset_stats",       # multimodal: byte_features in window
+    "range_frame_rolling_value",    # windows: topk + running + gaps in
+    # tail since r3:
     "dedup_exact_fingerprint",   # dedup-exact: dedup_exact_documents in window
-    "cube_lineitem_flags",       # rollup/cube/sets: rollup + grouping_sets in
+    "cube_lineitem_flags",       # rollup/cube/sets: grouping_sets in window
     "date_parts_orders",         # scalar date/math: scalar_string_math_part in
-    "lead_lag_order_gaps",       # windows: topk + running + range_frame in
-    "multimodal_frame_sample",   # multimodal: asset_stats + byte_features in
+    "lead_lag_order_gaps",       # windows: topk + running + gaps in
+    "multimodal_frame_sample",   # multimodal: byte_features in window
     "string_agg_nations",        # array/agg: array_norms + higher_order in
-    "anti_join_customers_without_orders",  # semi/anti: semi_join in window
+    "anti_join_customers_without_orders",  # anti: q21 NOT EXISTS in window
     "quality_score_documents",   # text: lang_id + token_stats in window, and
     #                              corpus_clean_pipeline exercises the same
     #                              quality formula end-to-end
@@ -4677,10 +4745,20 @@ _TAIL_ORDER = [
     "sequence_packing_stats",
 ]
 
+_reordered: dict[str, QueryFn] = {}
+for _n in _WINDOW_ORDER:
+    _reordered[_n] = _QUERIES[_n]
+for _n in _QUERIES:  # mid-section: registration order, no driver row
+    if _n not in _reordered and _n not in _TAIL_ORDER:
+        _reordered[_n] = _QUERIES[_n]
 for _n in _TAIL_ORDER:
-    _QUERIES[_n] = _QUERIES.pop(_n)  # reinsert at the end, in _TAIL_ORDER order
+    _reordered[_n] = _QUERIES[_n]
+assert len(_reordered) == len(_QUERIES)
+_QUERIES.clear()
+_QUERIES.update(_reordered)
 
 # every window slot must be hash-checkable — catch drift at import time
 _window = list(_QUERIES)[:50]
+assert _window == _WINDOW_ORDER
 _unoracled = [n for n in _window if n not in _ORACLES]
 assert not _unoracled, f"no-oracle queries inside the driver window: {_unoracled}"

@@ -5,6 +5,7 @@ get_flight_info without materialization, the mirror command protocol
 from __future__ import annotations
 
 import json
+import os
 
 import pyarrow as pa
 import pyarrow.flight as flight
@@ -135,6 +136,50 @@ def test_sql_ticket(server):
     out = client.do_get(info.endpoints[0].ticket).read_all()
     assert out.column("value").to_pylist() == ["a", "b"]
     assert out.column("n").to_pylist() == [2, 1]
+
+
+def test_sql_ticket_streams_without_materializing(server):
+    """SQL-ticket serve path pin: the result reaches the client in
+    chunk_rows-bounded batches via the parquet spill path — the server
+    never holds the full result in memory (no _collect_as_arrow /
+    toArrow on the serve path) — and the spill directory is deleted
+    once the stream is drained."""
+    import glob
+    import json
+    import tempfile
+
+    c = server.connector
+    n = 10_000
+    server.chunk_rows = 1_000
+    c.create_table(
+        "big",
+        pa.table(
+            {
+                "id": pa.array(range(n), pa.int64()),
+                "value": pa.array([f"v{i % 7}" for i in range(n)], pa.string()),
+            }
+        ),
+    )
+    client = _client(server)
+    cmd = {"sql": "SELECT id, value FROM big"}
+    info = client.get_flight_info(flight.FlightDescriptor.for_command(json.dumps(cmd).encode()))
+    reader = client.do_get(info.endpoints[0].ticket)
+    sizes, total = [], 0
+    while True:
+        try:
+            batch = reader.read_chunk().data
+        except StopIteration:
+            break
+        if batch is None:
+            break
+        sizes.append(batch.num_rows)
+        total += batch.num_rows
+    assert total == n
+    assert max(sizes) <= server.chunk_rows  # memory ceiling per batch
+    assert len(sizes) >= n // server.chunk_rows  # actually chunked
+    # spill dir cleaned up after the stream is drained
+    leftovers = glob.glob(os.path.join(tempfile.gettempdir(), "iceflight-sqlres-*"))
+    assert leftovers == []
 
 
 def test_mirror_full_then_incremental(spark, server, tmp_path):
