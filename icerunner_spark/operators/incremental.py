@@ -1,0 +1,354 @@
+"""Incremental (CDC-driven) corpus deduplication — SURVEY.md §2.C dedup
+mandate composed with the snapshot table format's append-only CDC cursor
+(``IceTable.scan_changes``; reference CDC surface at icerunner.py:209-259).
+
+The operator a production 100 TB pipeline actually runs daily: dedup only
+the newly-appended document rows against persisted dedup state, instead of
+re-running exact/LSH dedup over the full corpus. Cost scales with the
+DELTA (plus the state rows its LSH buckets touch), not the corpus.
+
+Keep semantics — greedy-by-id ("first seen wins")
+------------------------------------------------
+A document is kept iff it does not duplicate any KEPT document with a
+smaller id. This rule is *prefix-decomposable*: whether a document is
+kept depends only on smaller-id documents, so for an append-only table
+with monotonically increasing ids,
+
+    full_greedy(prior ∪ delta)  ==  full_greedy(prior) ∪ incremental(kept(prior), delta)
+
+exactly — pinned in tests/test_corpus.py. Component-min-id semantics
+(``operators.corpus.resolve_near_duplicates``) are NOT incremental: a
+later doc can bridge two previously-distinct clusters and retro-drop an
+already-shipped document. For EXACT duplication the two rules coincide
+(exact equality is transitive, so every group's min id wins either way);
+they differ only for near-dup relations, which is why the incremental
+near-dup path below implements the greedy rule.
+
+Prior-DROPPED documents never matter under the greedy rule (a doc is
+only ever dropped by a KEPT smaller doc), so the persisted state is just
+the retained docs' signatures — the state table a daily pipeline keeps
+anyway, and it SHRINKS relative to raw corpus history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from icerunner_spark.functions.text import fingerprint64
+from icerunner_spark.operators.dedup import (
+    minhash_signatures_from_grams,
+    ngram_sets,
+)
+
+
+# --------------------------------------------------------------------------- #
+# exact (fingerprint) incremental dedup
+# --------------------------------------------------------------------------- #
+
+
+def exact_dedup_state(kept: DataFrame, text_col: str) -> DataFrame:
+    """Dedup state for the exact path: the distinct 64-bit fingerprints of
+    the retained corpus — 8 bytes per kept document, the frame a daily
+    pipeline persists (partitioned by fingerprint range) between runs."""
+    return kept.select(fingerprint64(text_col).alias("fp")).distinct()
+
+
+def incremental_exact_dedup(
+    delta: DataFrame, state_fps: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Rows of ``delta`` that survive exact dedup against prior state:
+    the minimum-id row of each within-delta fingerprint group, minus any
+    fingerprint already present in ``state_fps`` (one shuffle on the
+    8-byte fingerprint for the delta group-by, one anti-join against the
+    state — the document text never shuffles; at scale both sides
+    partition by fingerprint so the anti-join co-locates)."""
+    fp = fingerprint64(text_col).alias("fp")
+    winners = (
+        delta.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .join(state_fps, "fp", "left_anti")
+        .select(id_col)
+    )
+    return delta.join(winners, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------- #
+# greedy keep-rule over a verified pair graph
+# --------------------------------------------------------------------------- #
+
+
+def greedy_dropped_ids(pairs: DataFrame, *, max_iter: int = 50) -> DataFrame:
+    """(id) of documents DROPPED by the greedy-by-id rule, given verified
+    near-dup ``pairs`` (id1 < id2).
+
+    Round structure (classic parallel greedy maximal-independent-set
+    simulation, iterating over the PAIR graph only — never the corpus):
+
+    - a node with no surviving in-edge (no undecided smaller neighbor)
+      is decided KEPT;
+    - every larger neighbor of a newly-kept node is decided DROPPED;
+    - edges incident to decided nodes leave the graph (a dropped doc
+      cannot drop anyone under the greedy rule).
+
+    Each round is two joins + a distinct over the shrinking edge set,
+    ``localCheckpoint``-ed so the plan stays flat. Rounds are bounded by
+    the longest kept/dropped dependency chain — near-dup graphs are
+    locally dense, so this converges in a handful of rounds.
+    """
+    edges = (
+        pairs.select(F.col("id1").alias("u"), F.col("id2").alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = pairs.sparkSession
+    dropped = spark.createDataFrame([], "id bigint").localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        if edges.isEmpty():
+            break
+        targets = edges.select(F.col("v").alias("id")).distinct()
+        # kept this round: edge sources that are nobody's larger endpoint
+        kept_now = edges.select(F.col("u").alias("id")).distinct().join(
+            targets, "id", "left_anti"
+        )
+        drop_now = (
+            edges.join(kept_now.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        dropped = dropped.union(drop_now).localCheckpoint(eager=True)
+        decided = kept_now.union(drop_now)
+        edges = (
+            edges.join(decided.withColumnRenamed("id", "u"), "u", "left_anti")
+            .join(decided.withColumnRenamed("id", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return dropped.distinct()
+
+
+# --------------------------------------------------------------------------- #
+# MinHash-LSH incremental near-dup dedup
+# --------------------------------------------------------------------------- #
+
+
+def minhash_dedup_state(
+    kept: DataFrame, id_col: str, text_col: str, *, n_hashes: int = 64,
+    shingle: int = 5,
+) -> DataFrame:
+    """(id, sig) MinHash signatures of the retained corpus — the near-dup
+    dedup state a daily pipeline persists between runs (k longs per kept
+    doc; at scale stored bucketed by band hash so an incremental run
+    reads only the buckets its delta touches)."""
+    return minhash_signatures_from_grams(
+        ngram_sets(kept, id_col, text_col, shingle=shingle), n_hashes=n_hashes
+    )
+
+
+def incremental_minhash_dedup(
+    prior_kept: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 5,
+    threshold: float = 0.4,
+    max_bucket: int = 200,
+    state_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Rows of ``delta`` surviving greedy near-dup dedup against the
+    retained prior corpus and each other.
+
+    Contract: ids are append-monotone (every delta id exceeds every
+    prior id) — what an append-only documents table with a sequence- or
+    snapshot-derived id column provides naturally. Under that contract
+    the result equals the delta slice of a full-corpus greedy re-dedup
+    (module docstring; pinned in tests).
+
+    Scale shape: only the DELTA is shingled/signed from text. Prior
+    signatures come from the persisted ``state_sigs`` (recomputed here
+    if absent); band buckets are built for prior ∪ delta but buckets
+    containing no delta doc are discarded before any pair expansion —
+    with the state table physically bucketed by (band, band_hash),
+    that's a partition-pruned read of the touched buckets, not a state
+    scan. Candidate pairs always involve a delta doc; the exact-Jaccard
+    verify then re-shingles only the ≤ candidate-many prior docs
+    (semi-join on the prior corpus), so verify cost is candidate-bounded
+    too. Greedy resolution: a delta doc adjacent to any verified prior
+    doc drops immediately (prior kept docs are all smaller-id and final);
+    the survivors' delta-delta subgraph goes through
+    :func:`greedy_dropped_ids`.
+
+    One caveat on the full==incremental equivalence: the ``max_bucket``
+    skew cap sees smaller buckets here (prior KEPT ∪ delta) than a full
+    re-dedup does (every doc ever seen), so a bucket straddling the cap
+    can differ. Both runs stay within the greedy contract; the
+    equivalence tests pin with caps the fixtures never hit.
+    """
+    if n_hashes % bands:
+        raise ValueError("bands must divide n_hashes")
+    rows_per_band = n_hashes // bands
+
+    delta_grams = ngram_sets(delta, id_col, text_col, shingle=shingle).cache()
+    delta_sigs = minhash_signatures_from_grams(delta_grams, n_hashes=n_hashes)
+    prior_sigs = (
+        state_sigs
+        if state_sigs is not None
+        else minhash_dedup_state(
+            prior_kept, id_col, text_col, n_hashes=n_hashes, shingle=shingle
+        )
+    )
+
+    def band_buckets(sigs: DataFrame, is_delta: bool) -> DataFrame:
+        return sigs.select(
+            "id",
+            F.lit(is_delta).alias("is_delta"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bh"),
+        )
+
+    buckets = band_buckets(prior_sigs, False).unionByName(
+        band_buckets(delta_sigs, True)
+    )
+    grouped = (
+        buckets.groupBy("band", "bh")
+        .agg(
+            F.array_sort(F.collect_list("id")).alias("ids"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("is_delta"), F.col("id")))
+            ).alias("delta_ids"),
+        )
+        # delta-touched, non-degenerate buckets only: everything else is
+        # pruned before any pair expansion
+        .filter(
+            (F.size("delta_ids") >= 1)
+            & (F.size("ids") >= 2)
+            & (F.size("ids") <= max_bucket)
+        )
+    )
+    # pairs (smaller id, delta id): each delta doc pairs with every
+    # smaller bucket-mate — prior docs are all smaller by the monotone-id
+    # contract; delta-delta pairs orient id1 < id2 automatically
+    ids, dids = F.col("ids"), F.col("delta_ids")
+    cand = (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        dids,
+                        lambda d: F.transform(
+                            F.filter(ids, lambda x: x < d),
+                            lambda x: F.struct(x.alias("id1"), d.alias("id2")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id1", "p.id2")
+        .distinct()
+    )
+    # signature-estimate prefilter — the SAME deterministic cut
+    # minhash_neardup_pairs applies (2.5σ below threshold): signatures
+    # are identical between a full and an incremental run, so the filter
+    # decides every shared pair identically and the full==incremental
+    # equivalence is preserved while the expensive verify only sees
+    # plausible pairs.
+    all_sigs = prior_sigs.unionByName(delta_sigs)
+    s1 = all_sigs.select(F.col("id").alias("id1"), F.col("sig").alias("s1"))
+    s2 = delta_sigs.select(F.col("id").alias("id2"), F.col("sig").alias("s2"))
+    est = F.size(
+        F.filter(F.zip_with("s1", "s2", lambda a, b: a == b), lambda x: x)
+    ) / F.lit(n_hashes)
+    margin = 2.5 * 0.5 / (n_hashes ** 0.5)
+    cand = (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(est >= F.lit(threshold - margin))
+        .select("id1", "id2")
+    )
+    # exact-Jaccard verify. id2 is always a delta doc; id1 may be prior
+    # (re-shingle only the candidate prior docs via a semi-join — delta-
+    # scaled, not corpus-scaled) or delta (grams already cached).
+    prior_cand = (
+        prior_kept.join(
+            cand.select(F.col("id1").alias(id_col)).distinct(), id_col, "left_semi"
+        )
+    )
+    prior_cand_grams = ngram_sets(prior_cand, id_col, text_col, shingle=shingle)
+    all_grams = prior_cand_grams.unionByName(delta_grams)
+    g1 = all_grams.select(
+        F.col("id").alias("id1"), F.col("g").alias("g1"), F.size("g").alias("n1")
+    )
+    g2 = delta_grams.select(
+        F.col("id").alias("id2"), F.col("g").alias("g2"), F.size("g").alias("n2")
+    )
+    inter = F.size(F.array_intersect("g1", "g2"))
+    jac = inter / (F.col("n1") + F.col("n2") - inter)
+    verified = (
+        cand.join(g1.hint("shuffle_hash"), "id1")
+        .join(g2.hint("shuffle_hash"), "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    # greedy resolution
+    max_prior = F.broadcast(
+        prior_kept.agg(F.max(id_col).alias("__max_prior"))
+    )
+    v = verified.crossJoin(max_prior).localCheckpoint(eager=True)
+    dropped_by_prior = (
+        v.filter(F.col("id1") <= F.col("__max_prior"))
+        .select(F.col("id2").alias("id"))
+        .distinct()
+    )
+    delta_pairs = (
+        v.filter(F.col("id1") > F.col("__max_prior"))
+        .select("id1", "id2")
+        .join(dropped_by_prior.withColumnRenamed("id", "id1"), "id1", "left_anti")
+        .join(dropped_by_prior.withColumnRenamed("id", "id2"), "id2", "left_anti")
+    )
+    dropped = dropped_by_prior.union(greedy_dropped_ids(delta_pairs))
+    return delta.join(
+        dropped.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+
+
+def greedy_minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 5,
+    threshold: float = 0.4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Full-corpus greedy near-dup dedup: MinHash-LSH verified pairs
+    (operators.dedup.minhash_neardup_pairs) resolved by the greedy-by-id
+    rule. The batch twin of :func:`incremental_minhash_dedup` — running
+    it over prior ∪ delta must equal running it over prior and then the
+    incremental operator over delta (the equivalence tests pin)."""
+    from icerunner_spark.operators.dedup import minhash_neardup_pairs
+
+    pairs = minhash_neardup_pairs(
+        df,
+        id_col,
+        text_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle=shingle,
+        threshold=threshold,
+    )
+    dropped = greedy_dropped_ids(pairs.select("id1", "id2"))
+    return df.join(dropped.withColumnRenamed("id", id_col), id_col, "left_anti")

@@ -879,6 +879,138 @@ def snapshot_history_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_dedup_cdc",
+    oracle="""
+    WITH k AS (SELECT CAST(MAX(doc_id) * 0.8 AS BIGINT) AS k FROM documents),
+    base AS (SELECT d.* FROM documents d, k WHERE d.doc_id < k.k),
+    delta AS (
+        SELECT d.* FROM documents d, k WHERE d.doc_id >= k.k
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+        FROM base WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT d.doc_id + 2000000 AS doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM documents d, k WHERE d.doc_id >= k.k AND d.doc_id % 11 = 0
+    ),
+    delta_nt AS (
+        SELECT doc_id, source, n_chars,
+               lower(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+        FROM delta
+    ),
+    winners AS (SELECT nt, MIN(doc_id) AS doc_id FROM delta_nt GROUP BY nt),
+    prior_nt AS (
+        SELECT DISTINCT lower(regexp_replace(text, '\\s+', ' ', 'g')) AS nt
+        FROM base
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM winners w
+    JOIN delta_nt d ON d.doc_id = w.doc_id
+    WHERE w.nt NOT IN (SELECT nt FROM prior_nt)
+    """,
+)
+def incremental_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup over the table format's CDC cursor — the
+    operator a production pipeline runs daily: dedup only the
+    newly-appended rows against persisted fingerprint state instead of
+    re-running dedup over the whole corpus (reference CDC anchor
+    icerunner.py:209-259; operators/incremental.py).
+
+    The corpus table is created from the first 80% of documents, then an
+    append batch arrives containing (a) the remaining documents, (b)
+    re-issued exact copies of some prior docs under new ids — dups
+    against the PRIOR corpus, must drop, and (c) second copies of some
+    batch docs — WITHIN-delta dups, min id wins. ``scan_changes`` reads
+    exactly the appended files; the dedup joins the delta's 8-byte
+    fingerprints against state built from the prior snapshot. The oracle
+    replays both snapshots and the keep-rule in DuckDB, grouping on the
+    normalized text itself (hash-agnostic).
+
+    Scale shape: the state is one fingerprint per retained doc; the
+    delta group-by and the state anti-join both shuffle fingerprints
+    only, never document text — cost scales with the delta."""
+    from icerunner_spark.connector import Connector
+    from icerunner_spark.operators.incremental import (
+        exact_dedup_state,
+        incremental_exact_dedup,
+    )
+
+    wh = os.path.join(
+        "/tmp", "icerunner_incdedup_demo", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    kdf = F.broadcast(d.agg(F.expr("cast(max(doc_id) * 0.8 as bigint)").alias("k")))
+    d = d.crossJoin(kdf)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    base = d.filter(F.col("doc_id") < F.col("k")).select(cols)
+    tail = d.filter(F.col("doc_id") >= F.col("k")).select(cols)
+    delta = tail.unionByName(
+        base.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    ).unionByName(
+        tail.filter(F.col("doc_id") % 11 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+    )
+    c = Connector(spark, wh)
+    t = c.catalog.table("corpus_inc")
+    t.create(base)
+    snap0 = t.current_snapshot().snapshot_id
+    t.append(delta)
+    state = exact_dedup_state(t.scan(snapshot_id=snap0), "text")
+    survivors = incremental_exact_dedup(
+        t.scan_changes(snap0), state, "doc_id", "text"
+    )
+    return survivors.select("doc_id", "source", "n_chars")
+
+
+@register("incremental_neardup_cdc")
+def incremental_neardup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup (MinHash-LSH) dedup over the CDC cursor: the
+    greedy-by-id twin of ``incremental_dedup_cdc`` for non-exact
+    duplicates. Prior corpus = first 80% of documents, greedy-deduped;
+    the appended delta is near-dup-checked against the retained prior
+    docs (dropping any delta doc that verifies >= threshold against
+    one) and then within itself. No cross-engine oracle — near-dup
+    verification needs MinHash/shingle machinery DuckDB lacks — so the
+    driver row is rows-only; tests/test_corpus.py pins the result
+    equal to a full-corpus greedy re-dedup (prefix decomposability).
+
+    Scale shape: only the delta is shingled from raw text; prior
+    signatures come from persisted state; LSH buckets with no delta
+    member are pruned before pair expansion, and the exact verify
+    re-shingles only candidate prior docs (semi-join) — everything is
+    delta-proportional (operators/incremental.py)."""
+    from icerunner_spark.connector import Connector
+    from icerunner_spark.operators.incremental import (
+        greedy_minhash_dedup,
+        incremental_minhash_dedup,
+        minhash_dedup_state,
+    )
+
+    wh = os.path.join(
+        "/tmp", "icerunner_incneardup_demo", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents")
+    kdf = F.broadcast(d.agg(F.expr("cast(max(doc_id) * 0.8 as bigint)").alias("k")))
+    d = d.crossJoin(kdf)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    base = d.filter(F.col("doc_id") < F.col("k")).select(cols)
+    tail = d.filter(F.col("doc_id") >= F.col("k")).select(cols)
+    c = Connector(spark, wh)
+    t = c.catalog.table("corpus_nd_inc")
+    t.create(base)
+    snap0 = t.current_snapshot().snapshot_id
+    t.append(tail)
+    prior_kept = greedy_minhash_dedup(t.scan(snapshot_id=snap0), "doc_id", "text")
+    state = minhash_dedup_state(prior_kept, "doc_id", "text")
+    survivors = incremental_minhash_dedup(
+        prior_kept, t.scan_changes(snap0), "doc_id", "text", state_sigs=state
+    )
+    return survivors.select("doc_id", "source")
+
+
 # --------------------------------------------------------------------------- #
 # Extensions: dedup / similarity / text (SURVEY §2.C) — more in operators/
 # --------------------------------------------------------------------------- #
@@ -4689,7 +4821,7 @@ _WINDOW_ORDER = [
     "grouped_user_trends",
     "pivot_revenue_by_status",
     "full_outer_monthly_volumes",
-    "correlated_scalar_subquery_orders",
+    "incremental_dedup_cdc",        # r4 new: CDC-cursor incremental dedup
     "udtf_token_explode",
     "stream_join_view_purchases",
     "pii_redact_documents",
@@ -4717,6 +4849,7 @@ _TAIL_ORDER = [
     "unpivot_revenue_matrix",       # pivot family: pivot_revenue in window
     "multimodal_asset_stats",       # multimodal: byte_features in window
     "range_frame_rolling_value",    # windows: topk + running + gaps in
+    "correlated_scalar_subquery_orders",  # correlated scalar: q17 in window
     # tail since r3:
     "dedup_exact_fingerprint",   # dedup-exact: dedup_exact_documents in window
     "cube_lineitem_flags",       # rollup/cube/sets: grouping_sets in window
@@ -4743,6 +4876,7 @@ _TAIL_ORDER = [
     "approx_quantiles_totalprice",
     "doc_winnowing_fingerprints",
     "sequence_packing_stats",
+    "incremental_neardup_cdc",  # greedy==full pinned in tests/test_corpus.py
 ]
 
 _reordered: dict[str, QueryFn] = {}

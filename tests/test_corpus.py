@@ -257,3 +257,107 @@ def test_chunk_documents_rejects_bad_config(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="exceed overlap"):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+# --------------------------------------------------------------------------- #
+# incremental dedup (operators/incremental.py)
+# --------------------------------------------------------------------------- #
+
+
+def test_greedy_dropped_ids_chain(spark):
+    """Greedy-by-id on a path 1-2-3-4: 1 kept, 2 dropped (dups kept 1),
+    3 kept (its only smaller neighbor 2 was DROPPED — component-min-id
+    semantics would wrongly drop it), 4 dropped (dups kept 3)."""
+    from icerunner_spark.operators.incremental import greedy_dropped_ids
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id1", "id2"])
+    got = {r["id"] for r in greedy_dropped_ids(pairs).collect()}
+    assert got == {2, 4}
+
+
+def test_greedy_dropped_ids_triangle_and_star(spark):
+    from icerunner_spark.operators.incremental import greedy_dropped_ids
+
+    # triangle {1,2,3}: only 1 survives; star 10-{11,12,13}: only 10 survives
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (10, 13)], ["id1", "id2"]
+    )
+    got = {r["id"] for r in greedy_dropped_ids(pairs).collect()}
+    assert got == {2, 3, 11, 12, 13}
+
+
+def test_greedy_dropped_ids_empty(spark):
+    from icerunner_spark.operators.incremental import greedy_dropped_ids
+
+    pairs = spark.createDataFrame([], "id1 bigint, id2 bigint")
+    assert greedy_dropped_ids(pairs).count() == 0
+
+
+def test_incremental_exact_dedup_equals_full(spark):
+    """Prefix decomposability of the exact path, with manufactured dups:
+    copies of prior docs (must drop against state) and within-delta
+    copies (min id wins), same construction as the registry query."""
+    from icerunner_spark.operators.dedup import dedup_exact
+    from icerunner_spark.operators.incremental import (
+        exact_dedup_state,
+        incremental_exact_dedup,
+    )
+
+    docs = load_table(spark, "documents", SF_MEDIUM)
+    k = int(docs.agg(F.max("doc_id")).first()[0] * 0.8)
+    prior = docs.filter(F.col("doc_id") < k)
+    tail = docs.filter(F.col("doc_id") >= k)
+    delta = tail.unionByName(
+        prior.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    ).unionByName(
+        tail.filter(F.col("doc_id") % 11 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 2000000
+        )
+    )
+    full = dedup_exact(prior.unionByName(delta), "text", "doc_id")
+    full_delta_ids = {
+        r["doc_id"] for r in full.filter(F.col("doc_id") >= k).collect()
+    }
+    inc = incremental_exact_dedup(
+        delta, exact_dedup_state(prior, "text"), "doc_id", "text"
+    )
+    inc_ids = {r["doc_id"] for r in inc.select("doc_id").collect()}
+    assert inc_ids == full_delta_ids
+    # the manufactured dups actually exercised both drop rules
+    assert not any(i >= 1000000 for i in inc_ids)
+    assert len(inc_ids) == tail.count()
+
+
+def test_incremental_minhash_dedup_equals_full(spark):
+    """Prefix decomposability of the greedy near-dup path: incremental
+    dedup of the delta against retained-prior state equals the delta
+    slice of a full-corpus greedy re-dedup, and the retained prior is
+    itself the prior slice of the full result."""
+    from icerunner_spark.operators.incremental import (
+        greedy_minhash_dedup,
+        incremental_minhash_dedup,
+        minhash_dedup_state,
+    )
+
+    docs = load_table(spark, "documents", SF_MEDIUM)
+    k = int(docs.agg(F.max("doc_id")).first()[0] * 0.8)
+    prior = docs.filter(F.col("doc_id") < k)
+    delta = docs.filter(F.col("doc_id") >= k)
+
+    full = greedy_minhash_dedup(docs, "doc_id", "text")
+    full_ids = {r["doc_id"] for r in full.select("doc_id").collect()}
+
+    prior_kept = greedy_minhash_dedup(prior, "doc_id", "text")
+    prior_ids = {r["doc_id"] for r in prior_kept.select("doc_id").collect()}
+    assert prior_ids == {i for i in full_ids if i < k}
+
+    state = minhash_dedup_state(prior_kept, "doc_id", "text")
+    inc = incremental_minhash_dedup(
+        prior_kept, delta, "doc_id", "text", state_sigs=state
+    )
+    inc_ids = {r["doc_id"] for r in inc.select("doc_id").collect()}
+    assert inc_ids == {i for i in full_ids if i >= k}
+    # the fixture has real cross/within-delta near-dups: some doc dropped
+    assert len(inc_ids) < delta.count()
