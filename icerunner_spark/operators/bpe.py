@@ -1,0 +1,123 @@
+"""Iterated BPE tokenizer training (SURVEY.md §2.C vocab/token-stats
+family; closes the loop that ``bpe_pair_frequencies`` opens — that query
+is one merge-selection round, this trains N merges).
+
+Scale shape — the industrial BPE-trainer decomposition:
+
+1. ONE corpus pass collapses the text to a word-frequency table
+   (distinct word, count). At 100 TB of text the word table is
+   vocab-sized (millions of rows, not billions) — this is the only
+   stage that touches documents.
+2. Each merge round then iterates over the WORD table only: count
+   adjacent symbol pairs weighted by word frequency (explode +
+   map-side-combinable sum), pick the argmax pair with a deterministic
+   lexicographic tie-break, and apply the merge to every word's symbol
+   array with a greedy left-to-right fold (pure higher-order
+   ``F.aggregate`` — no UDF). The per-round driver transfer is ONE row
+   (the winning pair); the word table is ``localCheckpoint``-ed each
+   round so 32 rounds don't stack 32 plans.
+
+Determinism: ties on pair frequency break lexicographically on
+(left, right), and the merge fold is greedy left-to-right
+non-overlapping — both rules mirrored by the pure-Python reference
+implementation the tests pin against ("aaa" + merge (a,a) -> [aa, a]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icerunner_spark.functions.text import tokens
+
+
+def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, cnt) — the one corpus-scaled pass of BPE training. Token
+    skew (stopwords shared by every doc) is absorbed by the partial
+    aggregate; only (word, partial-count) rows shuffle."""
+    spread = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions(),
+    )
+    return (
+        df.repartition(spread)
+        .select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _merge_fold(syms, left: str, right: str):
+    """Greedy left-to-right non-overlapping merge of adjacent (left,
+    right) symbol occurrences, as a single ``F.aggregate`` fold: append
+    each symbol unless it completes the pair with the accumulator's
+    last element, in which case the last element is replaced by the
+    merged symbol. A just-merged symbol can't re-merge as the RIGHT
+    half (it no longer equals ``left``), which is exactly the classic
+    BPE application order."""
+    merged = F.lit(left + right)
+
+    def step(acc, x):
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right))
+        )
+        return F.when(
+            hit,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def bpe_train(
+    words: DataFrame, n_merges: int, *, min_freq: int = 2
+) -> list[tuple[str, str, int]]:
+    """Train ``n_merges`` BPE merges over a (word, cnt) frequency table.
+    Returns the learned merge table [(left, right, pair_freq)] in merge
+    order. Stops early when no adjacent pair reaches ``min_freq``."""
+    syms = F.split(F.col("word"), "")  # characters
+    state = words.select("word", "cnt", syms.alias("syms")).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        n = F.size("syms")
+        pair_arr = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice("syms", 1, n - 1),
+                F.slice("syms", 2, n - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        best = (
+            state.select(F.explode(pair_arr).alias("p"), "cnt")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .first()
+        )
+        if best is None or best["n"] < min_freq:
+            break
+        merges.append((best["l"], best["r"], int(best["n"])))
+        state = state.withColumn(
+            "syms", _merge_fold(F.col("syms"), best["l"], best["r"])
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_train_corpus(
+    spark: SparkSession, df: DataFrame, text_col: str, n_merges: int
+) -> DataFrame:
+    """End-to-end: corpus -> word frequencies -> trained merge table as a
+    DataFrame (rank, left, right, merged, pair_freq)."""
+    merges = bpe_train(word_frequencies(df, text_col), n_merges)
+    rows = [
+        (i, left, right, left + right, freq)
+        for i, (left, right, freq) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, pair_freq bigint"
+    )

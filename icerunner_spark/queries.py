@@ -4392,6 +4392,23 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE tokenizer TRAINING (32 merge rounds) — closes the
+    loop ``bpe_pair_frequencies`` opens. One corpus pass builds the
+    word-frequency table; each round then counts adjacent symbol pairs
+    over that vocab-sized table (map-side-combinable sum), picks the
+    argmax pair with a lexicographic tie-break, and re-tokenizes via a
+    greedy left-to-right ``F.aggregate`` fold — no UDF, one driver row
+    per round. No SQL oracle (32-round iteration isn't expressible);
+    tests/test_operators.py pins the full merge table against a
+    pure-Python BPE reference. See operators/bpe.py."""
+    from icerunner_spark.operators.bpe import bpe_train_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_train_corpus(spark, d, "text", 32)
+
+
 @register(
     "setops_multiset_quantities",
     oracle="""
@@ -4877,6 +4894,7 @@ _TAIL_ORDER = [
     "doc_winnowing_fingerprints",
     "sequence_packing_stats",
     "incremental_neardup_cdc",  # greedy==full pinned in tests/test_corpus.py
+    "bpe_train_merges",         # pinned against a pure-Python BPE reference
 ]
 
 _reordered: dict[str, QueryFn] = {}

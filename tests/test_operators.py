@@ -695,3 +695,78 @@ class TestProductQuantization:
             recalls.append(len(exact & approx) / 5)
         mean_recall = sum(recalls) / len(recalls)
         assert mean_recall >= 0.9, f"clustered pq recall {mean_recall:.2f} below pin"
+
+
+# --------------------------------------------------------------------------- #
+# BPE tokenizer training (operators/bpe.py)
+# --------------------------------------------------------------------------- #
+
+
+def _python_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str, int]]:
+    """Classic reference BPE trainer: word counts, then per-round argmax
+    pair (count desc, lexicographic tie-break) and greedy left-to-right
+    non-overlapping merge application. Mirrors the tokenization of
+    functions.text.tokens."""
+    import collections
+    import re
+
+    token_re = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+    wc = collections.Counter()
+    for t in texts:
+        wc.update(token_re.findall(t.lower()))
+    words = {w: (list(w), c) for w, c in wc.items()}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pc = collections.Counter()
+        for _, (syms, c) in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        mx = max(pc.values())
+        if mx < 2:
+            break
+        left, right = sorted(p for p, n in pc.items() if n == mx)[0]
+        merges.append((left, right, mx))
+        m = left + right
+        for w, (syms, c) in words.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = m
+                else:
+                    out.append(s)
+            words[w] = (out, c)
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from icerunner_spark.operators.bpe import bpe_train_corpus
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    got = [
+        (r["left"], r["right"], r["pair_freq"])
+        for r in bpe_train_corpus(spark, docs, "text", 32).orderBy("rank").collect()
+    ]
+    want = _python_bpe([r["text"] for r in docs.select("text").collect()], 32)
+    assert got == want
+    assert len(got) == 32
+
+
+def test_bpe_merge_fold_overlap(spark):
+    """Greedy left-to-right: 'aaa' under merge (a,a) becomes [aa, a] —
+    a just-merged symbol must not re-merge as the right half."""
+    from icerunner_spark.operators.bpe import _merge_fold
+
+    df = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
+    out = df.select(_merge_fold(F.col("syms"), "a", "a").alias("m")).first()["m"]
+    assert out == ["aa", "a"]
+
+
+def test_bpe_train_early_stop(spark):
+    """Every pair unique -> frequencies of 1 -> min_freq=2 stops at 0."""
+    from icerunner_spark.operators.bpe import bpe_train, word_frequencies
+
+    df = spark.createDataFrame([(1, "ab cd ef")], ["i", "text"])
+    merges = bpe_train(word_frequencies(df, "text"), 8)
+    assert merges == []
