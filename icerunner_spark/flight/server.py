@@ -83,11 +83,100 @@ class IceFlightServer(flight.FlightServerBase):
             raise flight.FlightServerError(f"table not found: {name}")
         return [os.path.join(t.path, f) for f in snap.manifest]
 
+    @staticmethod
+    def _resolved_groups(t, files_rel, snap, mappings=None):
+        """Group table-relative data files by physical column layout,
+        resolved through the snapshot's field ids (table.py field-id
+        indirection): each group is ``(abs_files, [(physical_name_or_None,
+        logical_name), ...])``. One group with identity names = the
+        common no-rename case."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(_json.loads(snap.schema_json))
+        logical = [f.name for f in schema.fields]
+        fid = snap.field_ids
+        mappings = snap.file_mappings if mappings is None else mappings
+        from icerunner_spark.table import _commit_dir_of
+
+        groups: dict = {}
+        for f in files_rel:
+            m = mappings.get(_commit_dir_of(f))
+            key = (
+                tuple(logical)
+                if m is None
+                else tuple(m.get(str(fid.get(n))) for n in logical)
+            )
+            groups.setdefault(key, []).append(os.path.join(t.path, f))
+        return schema, [(fs, list(zip(k, logical))) for k, fs in groups.items()]
+
+    def _logical_arrow_schema(self, t, snap) -> pa.Schema:
+        """Arrow schema under the snapshot's LOGICAL column names. Types
+        come from a parquet footer where a file exists (fidelity with what
+        the stream will carry), falling back to the Spark->Arrow mapping
+        for columns no file has yet (fresh add_column) or empty tables."""
+        schema, groups = self._resolved_groups(t, snap.manifest, snap)
+        spark_arrow = _spark_schema_to_arrow(schema)
+        fields = []
+        footer_cache: dict = {}
+        for i, fld in enumerate(schema.fields):
+            typ = None
+            for files, pairs in groups:
+                p = pairs[i][0]
+                if p is not None and files:
+                    if files[0] not in footer_cache:
+                        footer_cache[files[0]] = pq.read_schema(files[0])
+                    typ = footer_cache[files[0]].field(p).type
+                    break
+            fields.append(
+                pa.field(fld.name, typ if typ is not None else spark_arrow.field(i).type)
+            )
+        return pa.schema(fields)
+
     def _table_arrow_schema(self, name: str) -> pa.Schema:
-        files = self._table_files(name)
-        if files:
-            return pq.read_schema(files[0])
-        return _spark_schema_to_arrow(self.connector.table(name).schema())
+        t = self.connector.table(name)
+        snap = t.current_snapshot()
+        if snap is None:
+            raise flight.FlightServerError(f"table not found: {name}")
+        return self._logical_arrow_schema(t, snap)
+
+    def _stream_resolved(self, t, files_rel, snap, mappings=None):
+        """File-stream ``files_rel`` under the snapshot's logical names.
+        No schema evolution in play -> the zero-copy single-dataset path.
+        Otherwise: one dataset scan per physical layout, each batch's
+        columns renamed (zero-copy — Arrow rename is metadata) / padded
+        with typed nulls to the logical schema. Memory stays bounded by
+        chunk_rows either way."""
+        schema, groups = self._resolved_groups(t, files_rel, snap, mappings)
+        identity = all(p == l for _, pairs in groups for p, l in pairs)
+        if len(groups) <= 1 and identity:
+            files = groups[0][0] if groups else []
+            arrow_schema = (
+                pq.read_schema(files[0]) if files else _spark_schema_to_arrow(schema)
+            )
+            return self._stream_files(files, arrow_schema)
+        out_schema = self._logical_arrow_schema(t, snap)
+
+        def gen():
+            for files, pairs in groups:
+                if not files:
+                    continue
+                footer = pq.read_schema(files[0])
+                phys = [p for p, _ in pairs if p is not None]
+                read_schema = pa.schema([footer.field(p) for p in phys])
+                idx = {p: i for i, p in enumerate(phys)}
+                dataset = pads.dataset(files, format="parquet", schema=read_schema)
+                for batch in dataset.scanner(batch_size=self.chunk_rows).to_reader():
+                    arrays = [
+                        batch.column(idx[p])
+                        if p is not None
+                        else pa.nulls(batch.num_rows, type=out_schema.field(l).type)
+                        for p, l in pairs
+                    ]
+                    yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+        return flight.GeneratorStream(out_schema, gen())
 
     def _table_totals(self, name: str) -> tuple[int, int]:
         """(rows, bytes) from parquet footers — metadata only, no scan."""
@@ -252,7 +341,11 @@ class IceFlightServer(flight.FlightServerBase):
         except (UnicodeDecodeError, json.JSONDecodeError, ValueError):
             # raw table-name ticket (reference parity, icerunner.py:272-282)
             name = raw.decode()
-            return self._stream_files(self._table_files(name), self._table_arrow_schema(name))
+            t = self.connector.table(name)
+            snap = t.current_snapshot()
+            if snap is None:
+                raise flight.FlightServerError(f"table not found: {name}")
+            return self._stream_resolved(t, snap.manifest, snap)
 
         if "sql" in cmd:
             return self._stream_df(self.connector.sql_df(cmd["sql"]))
@@ -298,6 +391,10 @@ class IceFlightServer(flight.FlightServerBase):
             started = snapshot_id is None
             seen_end = end_snapshot_id is None
             files: list[str] = []
+            # physical-name mappings come from the CONTRIBUTING snapshots
+            # (a later compaction prunes replaced dirs from current's map)
+            mappings: dict = {}
+            ctx = None
             for s in snaps:
                 if started:
                     # Mirror IceTable.scan_changes' contract (table.py): an
@@ -312,11 +409,18 @@ class IceFlightServer(flight.FlightServerBase):
                         )
                     if s.operation != "replace":
                         # 'replace' = compaction, same rows -> no delta
-                        files.extend(os.path.join(t.path, f) for f in s.added_files)
+                        files.extend(s.added_files)
+                        for f in s.added_files:
+                            from icerunner_spark.table import _commit_dir_of
+
+                            d = _commit_dir_of(f)
+                            if d in s.file_mappings:
+                                mappings[d] = s.file_mappings[d]
                 if s.snapshot_id == snapshot_id:
                     started = True
                 if end_snapshot_id is not None and s.snapshot_id == end_snapshot_id:
                     seen_end = True
+                    ctx = s
                     break
             if not started:
                 raise flight.FlightServerError(f"unknown snapshot: {snapshot_id}")
@@ -324,14 +428,14 @@ class IceFlightServer(flight.FlightServerBase):
                 raise flight.FlightServerError(
                     f"unknown end snapshot: {end_snapshot_id}"
                 )
-            return self._stream_files(files, schema)
+            ctx = ctx or t.current_snapshot()
+            return self._stream_resolved(t, files, ctx, mappings)
         if op == "get_slice":
             name = cmd["table"]
             t = self.connector.table(name)
             snap = t.snapshot_by_id(int(cmd["snapshot_id"]))
-            files = [os.path.join(t.path, f) for f in snap.manifest]
             i, n = int(cmd["index"]), int(cmd["of"])
-            return self._stream_files(files[i::n], self._table_arrow_schema(name))
+            return self._stream_resolved(t, snap.manifest[i::n], snap)
         if op == "get_metadata":
             name = cmd["table"]
             rows, nbytes = self._table_totals(name)

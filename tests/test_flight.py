@@ -646,3 +646,40 @@ def test_mirror_streaming_replay_is_idempotent(spark, server, tmp_path):
     assert run_mirror_streaming(url, warehouse_path=wh, spark=spark) == 0
     assert sorted(tc.query("msr").column("id").to_pylist()) == [1, 2, 3]
     assert len(tc.table("msr").snapshots()) == snaps_before
+
+
+def test_do_get_serves_renamed_columns(spark, server):
+    """Schema evolution over the wire: after rename/add, do_get streams
+    LOGICAL column names — pre-rename files resolve through the field-id
+    mapping, files lacking a later-added column pad typed nulls."""
+    c = server.connector
+    c.create_table("evolved", _writer_table([1, 2], ["a", "b"]))
+    t = c.table("evolved")
+    t.rename_column("value", "label")
+    t.add_column("score", "double")
+    t.append(
+        spark.createDataFrame([(3, "c", 0.5)], "id long, label string, score double")
+    )
+
+    out = read_table_once("127.0.0.1", server.port, "evolved")
+    assert out.schema.names == ["id", "label", "score"]
+    rows = {r["id"]: (r["label"], r["score"]) for r in out.to_pylist()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5)}
+
+    # get_schema command reports the logical names too
+    client = _client(server)
+    info = client.get_flight_info(
+        flight.FlightDescriptor.for_command(
+            json.dumps({"command": "get_schema", "table": "evolved"}).encode()
+        )
+    )
+    assert info.schema.names == ["id", "label", "score"]
+
+    # CDC across the rename: only the post-rename append, logical names
+    reader = client.do_get(
+        flight.Ticket(
+            json.dumps({"command": "get_changes", "table": "evolved"}).encode()
+        )
+    )
+    got = reader.read_all()
+    assert got.schema.names == ["id", "label", "score"]

@@ -352,6 +352,88 @@ def test_schema_evolution_errors(spark, warehouse):
         t.drop_column("id")
 
 
+def test_rename_column_metadata_only(spark, warehouse):
+    """Iceberg RENAME COLUMN parity via field-id indirection: files
+    written under the old name keep resolving after the rename (no data
+    rewrite), new appends write under the new name, time travel to a
+    pre-rename snapshot still reads the OLD name, and CDC across the
+    rename stitches both physical layouts."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "rename"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    s0 = t.current_snapshot().snapshot_id
+
+    t.rename_column("v", "label")
+    assert [f.name for f in t.schema().fields] == ["id", "label"]
+    # pre-rename files resolve through the id mapping
+    assert {r.id: r.label for r in t.scan().collect()} == {1: "a", 2: "b"}
+    # time travel: the old snapshot pins the old name
+    old = t.scan(snapshot_id=s0)
+    assert [f.name for f in old.schema.fields] == ["id", "v"]
+    assert {r.id: r.v for r in old.collect()} == {1: "a", 2: "b"}
+
+    # post-rename append writes physical files under the NEW name;
+    # one logical table spans both layouts
+    t.append(spark.createDataFrame([(3, "c")], "id long, label string"))
+    assert {r.id: r.label for r in t.scan().collect()} == {1: "a", 2: "b", 3: "c"}
+
+    # CDC from before the rename: both the pre-rename rows' file layout
+    # and the post-rename one come back under the current logical name
+    t2 = IceTable(spark, os.path.join(warehouse, "rename"))  # fresh handle
+    changed = t2.scan_changes(s0).collect()
+    assert [(r.id, r.label) for r in changed] == [(3, "c")]
+
+    # a filter on the logical name pushes into the parquet scan AS the
+    # physical name (the alias projection is transparent to Catalyst)
+    plan = t.scan().where("label = 'a'")._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(v,a)" in plan or "EqualTo(label,a)" in plan
+
+    # rename errors
+    with pytest.raises(ValueError, match="no such column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("id", "label")
+    with pytest.raises(ValueError, match="invalid column name"):
+        t.rename_column("id", "bad name")
+
+
+def test_readd_dropped_column_does_not_resurrect(spark, warehouse):
+    """A re-added column name allocates a FRESH field id, so bytes
+    written under the dropped id stay invisible — the Iceberg guarantee
+    name-mapped formats can't give."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "readd"))
+    t.create(spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, score double"))
+    t.drop_column("score")
+    t.add_column("score", "double")
+    # old files DID contain a physical `score`, but under the retired id:
+    # the re-added column must read NULL, not 10.0/20.0
+    assert {r.id: r.score for r in t.scan().collect()} == {1: None, 2: None}
+    # and new writes land under the new id
+    t.append(spark.createDataFrame([(3, 30.0)], "id long, score double"))
+    assert {r.id: r.score for r in t.scan().collect()} == {1: None, 2: None, 3: 30.0}
+
+
+def test_rename_then_compact_restores_single_layout(spark, warehouse):
+    """Compaction rewrites all rows under the CURRENT names: afterwards
+    the id-resolved read collapses back to one physical group (one scan
+    relation in the plan) and rows are unchanged."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "rename_compact"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.rename_column("v", "label")
+    t.append(spark.createDataFrame([(2, "b")], "id long, label string"))
+    # two physical layouts before compaction -> plan is a union
+    assert "Union" in t.scan()._jdf.queryExecution().optimizedPlan().toString()
+    t.compact()
+    assert {r.id: r.label for r in t.scan().collect()} == {1: "a", 2: "b"}
+    # single layout again: no union of scans
+    assert "Union" not in t.scan()._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_fixture_loader_normalizes_timestamps(spark):
     """Fixture parquet has shipped ts columns as timestamp[ns] (long under
     nanosAsLong) and as timestamp[us] (TIMESTAMP_NTZ under Spark 4's
