@@ -89,6 +89,88 @@ def _append_stream(
     return total
 
 
+def _source_fields(client: flight.FlightClient, source_table: str):
+    """Source schema via the get_schema command as ``[(field_id_or_None,
+    name, arrow_type)]`` in schema order. Field ids ride in Arrow field
+    metadata (``ICE:field_id``, flight/server.py); a server that doesn't
+    send them yields ids of None and the caller falls back to name-diffs."""
+    reader = _command_reader(
+        client, {"command": "get_schema", "table": source_table}
+    )
+    out = []
+    for f in reader.schema:
+        fid = None
+        if f.metadata and b"ICE:field_id" in f.metadata:
+            try:
+                fid = int(f.metadata[b"ICE:field_id"].decode())
+            except ValueError:
+                fid = None
+        out.append((fid, f.name, f.type))
+    return out
+
+
+def _arrow_type_ddl(arrow_type) -> str:
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    return from_arrow_type(arrow_type).simpleString()
+
+
+def _evolve_target_schema(
+    fields, prev_ids: dict | None, connector: Connector, target_table: str
+) -> None:
+    """Replay the source's schema evolution onto the mirror target,
+    metadata-only. ``fields`` is the source's current [(id, name, type)];
+    ``prev_ids`` is {id(str): name} recorded at the last sync — the names
+    the TARGET currently carries. Drops first, then renames (through
+    temp names, so swap-renames can't collide), then adds. Raises on
+    anything it can't express (no ids on either side plus an ambiguous
+    drop+add, which could be a rename) — the caller falls back to a full
+    overwrite resync, which converges regardless."""
+    t = connector.table(target_table)
+    tgt_names = [f.name for f in t.schema().fields]
+    cur_names = [n for _, n, _ in fields]
+    has_ids = bool(fields) and all(i is not None for i, _, _ in fields)
+    if has_ids and prev_ids:
+        cur = {str(i): (n, typ) for i, n, typ in fields}
+        if {f: n for f, (n, _t) in cur.items()} == prev_ids:
+            return  # no id-level change (a name-set compare would miss a swap-rename)
+        for fid, old_name in prev_ids.items():
+            if fid not in cur:
+                if old_name not in tgt_names:
+                    raise RuntimeError(
+                        f"target out of step: expected column {old_name}"
+                    )
+                t.drop_column(old_name)
+        renames = [
+            (prev_ids[fid], n, fid)
+            for fid, (n, _typ) in cur.items()
+            if fid in prev_ids and prev_ids[fid] != n
+        ]
+        for old, _new, fid in renames:
+            t.rename_column(old, f"__mirror_tmp_{fid}")
+        for _old, new, fid in renames:
+            t.rename_column(f"__mirror_tmp_{fid}", new)
+        for fid, (n, typ) in cur.items():
+            if fid not in prev_ids:
+                t.add_column(n, _arrow_type_ddl(typ))
+    else:
+        if set(cur_names) == set(tgt_names):
+            return  # without ids a same-name-set change is undetectable
+        added = [n for n in cur_names if n not in tgt_names]
+        removed = [n for n in tgt_names if n not in cur_names]
+        if added and removed:
+            raise RuntimeError(
+                "ambiguous schema change without field ids (possible rename)"
+            )
+        for n in removed:
+            t.drop_column(n)
+        for _fid, n, typ in fields:
+            if n in added:
+                t.add_column(n, _arrow_type_ddl(typ))
+    if {f.name for f in t.schema().fields} != set(cur_names):
+        raise RuntimeError("schema sync did not converge")
+
+
 def _command_reader(client: flight.FlightClient, cmd: dict):
     info = client.get_flight_info(
         flight.FlightDescriptor.for_command(json.dumps(cmd).encode())
@@ -170,6 +252,16 @@ def perform_sync(
 
     rows_synced = 0
     status = "success"
+    src_fields = None
+
+    def _fetch_source_fields():
+        nonlocal src_fields
+        if src_fields is None:
+            try:
+                src_fields = _source_fields(client, source_table)
+            except Exception as e:  # legacy server without get_schema
+                logger.warning("get_schema unavailable for field ids: %s", e)
+        return src_fields
 
     if target_table not in connector.tables:
         # new target: schema via get_schema command, fallback to a sampled
@@ -207,6 +299,15 @@ def perform_sync(
         try:
             if prev_unpinned:
                 raise RuntimeError("unpinned predecessor: incremental unsafe")
+            # Replay source schema evolution (rename/add/drop since the
+            # saved field-id map) onto the target BEFORE draining the
+            # delta — metadata-only, so a rename with no new rows still
+            # converges without moving data. Anything inexpressible
+            # raises into the full-resync fallback below.
+            if _fetch_source_fields() is not None:
+                _evolve_target_schema(
+                    src_fields, state.get("source_field_ids"), connector, target_table
+                )
             changes_cmd = {
                 "command": "get_changes",
                 "table": source_table,
@@ -232,6 +333,7 @@ def perform_sync(
             rows_synced = full.num_rows
             status = "full_resync" if was_pinned else "full_resync_unpinned"
 
+    _fetch_source_fields()
     sync_state.save_sync_state(
         source_url,
         target_table,
@@ -241,6 +343,13 @@ def perform_sync(
             "target_snapshot_id": connector.get_current_snapshot_id(target_table),
             "rows_synced": rows_synced,
             "last_sync_status": status,
+            # id->name map of the source schema this pass synced to; the
+            # next pass diffs against it to replay schema evolution
+            "source_field_ids": (
+                {str(i): n for i, n, _t in src_fields}
+                if src_fields and all(i is not None for i, _, _ in src_fields)
+                else None
+            ),
         },
     )
     logger.info("sync complete: %d rows (%s)", rows_synced, status)

@@ -129,8 +129,18 @@ class IceFlightServer(flight.FlightServerBase):
                         footer_cache[files[0]] = pq.read_schema(files[0])
                     typ = footer_cache[files[0]].field(p).type
                     break
+            # Advertise the stable field id as Arrow field metadata (the
+            # same trick as parquet's PARQUET:field_id): mirror clients
+            # diff ids across syncs to replay renames/adds/drops on their
+            # target metadata-only instead of a full resync.
+            fid = snap.field_ids.get(fld.name)
+            meta = {b"ICE:field_id": str(fid).encode()} if fid is not None else None
             fields.append(
-                pa.field(fld.name, typ if typ is not None else spark_arrow.field(i).type)
+                pa.field(
+                    fld.name,
+                    typ if typ is not None else spark_arrow.field(i).type,
+                    metadata=meta,
+                )
             )
         return pa.schema(fields)
 

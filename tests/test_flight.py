@@ -683,3 +683,79 @@ def test_do_get_serves_renamed_columns(spark, server):
     )
     got = reader.read_all()
     assert got.schema.names == ["id", "label", "score"]
+
+
+def test_mirror_replays_schema_evolution(spark, server, tmp_path):
+    """Source schema evolution reaches the mirror target METADATA-ONLY:
+    a rename with no new rows converges without moving data; add_column
+    appears on the target and subsequent deltas carry it."""
+    src = server.connector
+    src.create_table("ev", _writer_table([1, 2], ["a", "b"]))
+    target_wh = str(tmp_path / "target_wh")
+    url = f"grpc://127.0.0.1:{server.port}/ev"
+
+    n1 = run_mirror(url, target_table="ev_m", warehouse_path=target_wh,
+                    continuous=False, spark=spark)
+    assert n1 == 2
+    tgt = Connector(spark, target_wh)
+
+    # metadata-only rename at source, no appends -> mirror syncs the
+    # rename, moves ZERO rows, and data remains queryable under the new name
+    src.table("ev").rename_column("value", "label")
+    n2 = run_mirror(url, target_table="ev_m", warehouse_path=target_wh,
+                    continuous=False, spark=spark)
+    assert n2 == 0
+    assert [f.name for f in tgt.table("ev_m").schema().fields] == ["id", "label"]
+    assert sorted(tgt.query("ev_m").column("label").to_pylist()) == ["a", "b"]
+    state = SyncState(target_wh).get_last_sync_state(url, "ev_m")
+    assert state["last_sync_status"] == "success"
+
+    # add_column + append -> only the delta moves, new column lands
+    src.table("ev").add_column("score", "double")
+    src.table("ev").append(
+        spark.createDataFrame([(3, "c", 0.5)], "id long, label string, score double")
+    )
+    n3 = run_mirror(url, target_table="ev_m", warehouse_path=target_wh,
+                    continuous=False, spark=spark)
+    assert n3 == 1
+    out = {r["id"]: (r["label"], r["score"]) for r in tgt.query("ev_m").to_pylist()}
+    assert out == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5)}
+
+    # drop at source -> target drops it too, no rows move
+    src.table("ev").drop_column("score")
+    n4 = run_mirror(url, target_table="ev_m", warehouse_path=target_wh,
+                    continuous=False, spark=spark)
+    assert n4 == 0
+    assert [f.name for f in tgt.table("ev_m").schema().fields] == ["id", "label"]
+
+
+def test_mirror_swap_rename_converges(spark, server, tmp_path):
+    """A swap-rename (a<->b) leaves the name SET unchanged — only the
+    field-id diff can see it. The temp-name two-phase rename must land
+    both columns correctly."""
+    src = server.connector
+    src.create_table(
+        "sw",
+        pa.table({
+            "id": pa.array([1], pa.int64()),
+            "a": pa.array(["va"], pa.string()),
+            "b": pa.array(["vb"], pa.string()),
+        }),
+    )
+    target_wh = str(tmp_path / "target_wh")
+    url = f"grpc://127.0.0.1:{server.port}/sw"
+    run_mirror(url, target_table="sw_m", warehouse_path=target_wh,
+               continuous=False, spark=spark)
+
+    t = src.table("sw")
+    t.rename_column("a", "__swap_tmp")
+    t.rename_column("b", "a")
+    t.rename_column("__swap_tmp", "b")
+    run_mirror(url, target_table="sw_m", warehouse_path=target_wh,
+               continuous=False, spark=spark)
+
+    tgt = Connector(spark, target_wh)
+    row = tgt.query("sw_m").to_pylist()[0]
+    # source now has a='vb', b='va'; the mirror must agree
+    src_row = src.query("sw").to_pylist()[0]
+    assert (row["a"], row["b"]) == (src_row["a"], src_row["b"]) == ("vb", "va")
