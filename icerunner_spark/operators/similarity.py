@@ -21,6 +21,9 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -358,11 +361,28 @@ def ivf_assign(
     """Assign every vector to its nearest centroid (max dot on normalized
     centroids). At 100 TB this column is the partition key the index is
     written under — probing then prunes whole partitions at the scan."""
-    v = _as_double_array(vec_col)
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    vn = F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
-    dots = F.array(*[_dot_lit(vn, c) for c in centroids])
-    return df.withColumn(cell_col, F.array_position(dots, F.array_max(dots)) - 1)
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (n_centroids, dim), unit rows
+
+    # Arrow-batched BLAS: one (batch x dim) @ (dim x n_centroids) matmul per
+    # Arrow batch. The earlier pure-Catalyst formulation (an n_centroids-way
+    # array of aggregate/zip_with dots over literal arrays) exceeded codegen
+    # limits and fell back to interpreted eval — ~1000x slower per row than
+    # the matmul, and the gap widens with n_centroids. Ties break to the
+    # lowest cell index (np.argmax == first max), matching the old
+    # array_position semantics; zero-norm vectors land in cell 0 likewise.
+    @pandas_udf("int")
+    def _nearest_cell(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="int32")
+        E = np.stack(v.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(E, axis=1)
+        norms[norms == 0.0] = 1.0
+        sims = (E / norms[:, None]) @ C.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return df.withColumn(cell_col, _nearest_cell(F.col(vec_col)))
 
 
 def ivf_topk(
@@ -448,24 +468,31 @@ def pq_encode(
 ) -> DataFrame:
     """Encode each vector as ``m`` centroid indices (nearest by L2 within
     each subspace): dim×float64 → m×int — a 64-128x width cut for the
-    fixture's 64-dim vectors at m=4. Pure codegen expressions:
-    ||x_s - c_j||² is minimized as -2·x_s·c_j + ||c_j||² (the ||x_s||²
-    term is constant per row), argmin via array_position(array_min)."""
-    v = _as_double_array(vec_col)
-    sub = len(codebooks[0][0])
-    codes = []
-    for s, book in enumerate(codebooks):
-        subv = F.slice(v, s * sub + 1, sub)
-        dists = F.array(
-            *[
-                -2.0 * _dot_lit(subv, c) + F.lit(float(sum(x * x for x in c)))
-                for c in book
-            ]
-        )
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-    return df.withColumn(code_col, F.array(*codes))
+    fixture's 64-dim vectors at m=4. Arrow-batched numpy: per batch, one
+    subspace matmul each, minimizing ||x_s - c_j||² as -2·x_s·c_j +
+    ||c_j||² (the ||x_s||² term is constant per row); argmin ties break
+    to the lowest code index, same as the previous
+    array_position(array_min) formulation (which fell out of codegen at
+    m×n_codes literal dot products and ran interpreted)."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, sub)
+    m = B.shape[0]
+    sub = B.shape[2]
+
+    @pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        E = np.stack(v.to_numpy()).astype(np.float64)
+        out = np.empty((len(E), m), dtype=np.int32)
+        for s in range(m):
+            sub_e = E[:, s * sub : (s + 1) * sub]
+            d = -2.0 * (sub_e @ B[s].T) + (B[s] * B[s]).sum(axis=1)
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return df.withColumn(code_col, _codes(F.col(vec_col)))
 
 
 def pq_topk(
