@@ -58,6 +58,8 @@ HEADLINE = [
     "stream_join_view_purchases",
     "pii_redact_documents",
     "corpus_clean_pipeline",
+    "unigram_logprob_quality",
+    "token_budget_mixture",
 ]
 
 

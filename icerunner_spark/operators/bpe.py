@@ -25,6 +25,8 @@ implementation the tests pin against ("aaa" + merge (a,a) -> [aa, a]).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -121,3 +123,71 @@ def bpe_train_corpus(
     return spark.createDataFrame(
         rows, "rank int, left string, right string, merged string, pair_freq bigint"
     )
+
+
+# --------------------------------------------------------------------------- #
+# Encoding (applying a trained merge table)
+# --------------------------------------------------------------------------- #
+
+
+def apply_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """Pure-Python twin of :func:`_merge_fold` — greedy left-to-right
+    non-overlapping merge of adjacent (left, right). Shared by the
+    executor-side encoder and the test reference so the two can never
+    drift."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode one word by replaying the merge table in rank order —
+    exactly the sequence of folds training applied, so a word seen in
+    training encodes to its final training-time symbols."""
+    syms = list(word)
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        syms = apply_merge(syms, left, right)
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame, text_col: str, merges: list[tuple[str, str]], *,
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize documents with a TRAINED merge table: regex word split
+    (functions.text.tokens semantics), each word replayed through the
+    merges. Arrow-batched pandas UDF with a per-batch word cache — BPE
+    merge replay is inherently sequential per word, but Zipf's law makes
+    the cache absorb almost all words, so per-batch cost is ~(distinct
+    words x merges), not (tokens x merges). Executor-parallel over
+    partitions; the merge table (KBs) ships in the UDF closure."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    from icerunner_spark.functions.text import _TOKEN_RE
+
+    pairs = [(left, right) for left, right, *_ in merges]
+    pat = re.compile(_TOKEN_RE)
+
+    @pandas_udf("array<string>")
+    def _enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            doc: list[str] = []
+            for w in pat.findall((t or "").lower()):
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = encode_word(w, pairs)
+                doc.extend(hit)
+            out.append(doc)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))

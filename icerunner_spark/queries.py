@@ -4785,6 +4785,135 @@ def funnel_steps_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Unigram LM quality scoring — SURVEY §2.C quality filtering
+# --------------------------------------------------------------------------- #
+
+_TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@register(
+    "unigram_logprob_quality",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS w
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, w, COUNT(*) AS k FROM tok GROUP BY doc_id, w
+    ),
+    freq AS (SELECT w, CAST(SUM(k) AS BIGINT) AS c FROM per_doc GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM freq)
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_tokens,
+           ROUND(SUM(k * LN(c / t)) / SUM(k), 6) AS mean_logprob
+    FROM per_doc JOIN freq USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram language-model quality score: each doc's
+    mean token log-probability under the corpus's own unigram
+    distribution — the classic cheap perplexity proxy a training-data
+    pipeline uses to rank/flag atypical documents (boilerplate, garbled
+    encodings score low).
+
+    Scale shape: tokens collapse to (doc_id, word, k) FIRST (map-side
+    combinable — stopword skew is absorbed before anything wide
+    shuffles), the frequency table is vocab-sized (Heaps' law: sublinear
+    in corpus size), and the per-doc score is one hash aggregate. The
+    freq join carries no broadcast hint — AQE runtime-broadcasts the
+    vocab while it fits and degrades to a shuffle join (with skew
+    splitting) past that. The total-count scalar is a 1-row cross join.
+    Rounding to 6dp absorbs sub-ulp libm/log differences between
+    engines; counts and the division are exact."""
+    from icerunner_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    per_doc = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("k"))
+    freq = per_doc.groupBy("w").agg(F.sum("k").alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("t"))
+    scored = per_doc.join(freq, "w").crossJoin(F.broadcast(tot))
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("k") * F.log(F.col("c") / F.col("t"))) / F.sum("k"), 6
+        ).alias("mean_logprob"),
+    )
+
+
+@register(
+    "token_budget_mixture",
+    oracle=f"""
+    SELECT lang, doc_id, n_tok, cum_tokens FROM (
+        SELECT lang, doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS cum_tokens
+        FROM (
+            SELECT lang, doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS BIGINT) AS n_tok
+            FROM documents
+        )
+    ) WHERE cum_tokens <= 3000
+    """,
+)
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling to a per-source token budget: each language
+    stratum contributes documents (in deterministic md5 shuffle order)
+    until its token budget is exhausted — how a training run caps each
+    domain/language's contribution without a driver-side loop.
+
+    Scale shape: one narrow map for token counts, one window per stratum
+    (running token total in md5 order — the same engine-portable
+    determinism rule as the sharding/sampling queries), one filter. The
+    per-stratum window is the only shuffle; budget enforcement is exact,
+    order-stable, and restart-safe because the acceptance order is a pure
+    function of doc_id."""
+    from pyspark.sql.window import Window
+
+    from icerunner_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "doc_id",
+        token_count("text").cast("long").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    w = Window.partitionBy("lang").orderBy("__h", "doc_id")
+    out = base.withColumn("cum_tokens", F.sum("n_tok").over(w))
+    return out.filter(F.col("cum_tokens") <= 3000).select(
+        "lang", "doc_id", "n_tok", "cum_tokens"
+    )
+
+
+@register("bpe_encode_documents")  # iterative training + sequential merge
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: train 16 BPE merges on the corpus
+    (operators.bpe.bpe_train_corpus), then encode every document with
+    the learned table — the produce-training-tokens step that follows
+    bpe_train_merges. Encoding is an Arrow-batched pandas UDF with a
+    per-batch word cache (Zipf absorbs almost all lookups); the merge
+    table ships in the closure (KBs). No SQL oracle (iterative train +
+    sequential merge replay); rows-only driver check, with the encoder
+    pinned against a pure-Python reference and the
+    round-trip/consistency invariants in tests/test_operators.py."""
+    from icerunner_spark.operators.bpe import bpe_encode, bpe_train, word_frequencies
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(word_frequencies(d, "text"), 16)
+    enc = bpe_encode(d, "text", [(le, r) for le, r, _ in merges])
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe_tokens"),
+        F.md5(F.concat_ws("", "bpe_tokens")).alias("tokens_md5"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #
 # The driver value-hash-checks exactly the FIRST 50 registered queries
@@ -4895,6 +5024,7 @@ _TAIL_ORDER = [
     "sequence_packing_stats",
     "incremental_neardup_cdc",  # greedy==full pinned in tests/test_corpus.py
     "bpe_train_merges",         # pinned against a pure-Python BPE reference
+    "bpe_encode_documents",     # encoder pinned against the same reference
 ]
 
 _reordered: dict[str, QueryFn] = {}

@@ -770,3 +770,46 @@ def test_bpe_train_early_stop(spark):
     df = spark.createDataFrame([(1, "ab cd ef")], ["i", "text"])
     merges = bpe_train(word_frequencies(df, "text"), 8)
     assert merges == []
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """The Spark encoder (pandas UDF) must replay the merge table exactly
+    like the shared pure-Python encode_word — and encoding a training
+    word must reproduce its final training-time segmentation."""
+    import re
+
+    from icerunner_spark.functions.text import _TOKEN_RE
+    from icerunner_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        encode_word,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    merges = [
+        (le, r)
+        for le, r, _f in bpe_train(word_frequencies(docs, "text"), 16)
+    ]
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_encode(docs, "text", merges).select("doc_id", "bpe_tokens").collect()
+    }
+    pat = re.compile(_TOKEN_RE)
+    for r in docs.select("doc_id", "text").collect():
+        want = []
+        for w in pat.findall(r["text"].lower()):
+            want.extend(encode_word(w, merges))
+        assert got[r["doc_id"]] == want, r["doc_id"]
+        # lossless: concatenating the symbols restores the tokens
+        assert "".join(want) == "".join(pat.findall(r["text"].lower()))
+
+
+def test_bpe_encode_word_merge_order():
+    """Merge rank order matters: (a,b) then (ab,c) compounds, and an
+    earlier merge can enable a later one."""
+    from icerunner_spark.operators.bpe import encode_word
+
+    assert encode_word("abc", [("a", "b"), ("ab", "c")]) == ["abc"]
+    assert encode_word("abc", [("ab", "c"), ("a", "b")]) == ["ab", "c"]
+    assert encode_word("aaa", [("a", "a")]) == ["aa", "a"]
