@@ -301,6 +301,11 @@ def knn_join(
         F.explode(F.array(*probe_cols)).alias("sig"),
     )
     pairs = qp.join(c, "sig")
+    # per-pair dot stays Catalyst: a single zip_with fold over 64 doubles
+    # beat an Arrow-batched einsum pandas UDF by ~25% end-to-end here
+    # (worker round-trip dominates at pair cardinality) — the opposite of
+    # the n_centroids-way matmuls in ivf/pq, where the literal expression
+    # tree fell out of codegen and numpy won ~10x
     dot_ = F.aggregate(
         F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x
     )
