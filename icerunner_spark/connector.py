@@ -75,14 +75,20 @@ class Connector:
 
     # -- writes ------------------------------------------------------ #
 
-    def create_table(self, table_name: str, data: pa.Table) -> bool:
+    def create_table(
+        self, table_name: str, data: pa.Table,
+        partition_by: list[str] | None = None,
+    ) -> bool:
         """Create from the first batch's schema and load it — the
         create-on-first-put flow (icerunner.py:133-161). Idempotent:
-        returns True if the table already exists."""
+        returns True if the table already exists. ``partition_by``
+        identity-partitions the table (hive-style layout, partition-
+        pruned scans; beyond reference parity — it creates every table
+        unpartitioned, icerunner.py:154-157)."""
         t = self.catalog.table(table_name)
         if t.exists():
             return True
-        t.create(arrow_to_df(self.spark, data))
+        t.create(arrow_to_df(self.spark, data), partition_by=partition_by)
         return True
 
     def insert(self, table_name: str, data: pa.Table) -> bool:

@@ -277,7 +277,15 @@ def perform_sync(
             logger.warning("get_schema unsupported (%s); sampling data", e)
             data_reader = client.do_get(endpoint.ticket)
             sample = pa.Table.from_batches([data_reader.read_chunk().data])
-        connector.create_table(target_table, sample.slice(0, 0))
+        # replicate the source's partition layout, not just its rows
+        # (partition_spec rides get_metadata; legacy servers omit it)
+        try:
+            spec = json.loads(_source_metadata().get("partition_spec") or "[]")
+        except Exception:
+            spec = []
+        connector.create_table(
+            target_table, sample.slice(0, 0), partition_by=spec or None
+        )
         reader, source_snapshot, was_pinned = _pinned_full_reader()
         rows_synced = _append_stream(reader, connector, target_table, batch_rows)
         if not was_pinned:

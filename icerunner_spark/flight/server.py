@@ -84,12 +84,32 @@ class IceFlightServer(flight.FlightServerBase):
         return [os.path.join(t.path, f) for f in snap.manifest]
 
     @staticmethod
+    def _partition_values(relpath: str, spec: list) -> tuple:
+        """Parse hive-style ``col=value`` path segments of one data file
+        (``data/snap-x/lang=en/part-*.parquet`` -> ``("en",)`` for spec
+        ["lang"]). Values are constant per file by construction."""
+        from urllib.parse import unquote
+
+        vals: dict = {}
+        for seg in relpath.replace(os.sep, "/").split("/")[2:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                vals[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                )
+        return tuple(vals.get(c) for c in spec)
+
+    @staticmethod
     def _resolved_groups(t, files_rel, snap, mappings=None):
         """Group table-relative data files by physical column layout,
         resolved through the snapshot's field ids (table.py field-id
-        indirection): each group is ``(abs_files, [(physical_name_or_None,
-        logical_name), ...])``. One group with identity names = the
-        common no-rename case."""
+        indirection), and by partition values for partitioned tables:
+        each group is ``(abs_files, [(physical_name_or_None,
+        logical_name), ...], {partition_col: value_str})``. Partition
+        columns are marked physical-None (they live in the paths, not the
+        files) and their group-constant values ride in the dict. One
+        group with identity names = the common unpartitioned no-rename
+        case."""
         import json as _json
 
         from pyspark.sql.types import StructType
@@ -97,19 +117,25 @@ class IceFlightServer(flight.FlightServerBase):
         schema = StructType.fromJson(_json.loads(snap.schema_json))
         logical = [f.name for f in schema.fields]
         fid = snap.field_ids
+        spec = list(getattr(snap, "partition_spec", []) or [])
         mappings = snap.file_mappings if mappings is None else mappings
         from icerunner_spark.table import _commit_dir_of
 
         groups: dict = {}
         for f in files_rel:
             m = mappings.get(_commit_dir_of(f))
-            key = (
-                tuple(logical)
-                if m is None
-                else tuple(m.get(str(fid.get(n))) for n in logical)
+            key = tuple(
+                None
+                if n in spec
+                else (n if m is None else m.get(str(fid.get(n))))
+                for n in logical
             )
-            groups.setdefault(key, []).append(os.path.join(t.path, f))
-        return schema, [(fs, list(zip(k, logical))) for k, fs in groups.items()]
+            pvals = IceFlightServer._partition_values(f, spec) if spec else ()
+            groups.setdefault((key, pvals), []).append(os.path.join(t.path, f))
+        return schema, [
+            (fs, list(zip(k, logical)), dict(zip(spec, pv)))
+            for (k, pv), fs in groups.items()
+        ]
 
     def _logical_arrow_schema(self, t, snap) -> pa.Schema:
         """Arrow schema under the snapshot's LOGICAL column names. Types
@@ -122,7 +148,7 @@ class IceFlightServer(flight.FlightServerBase):
         footer_cache: dict = {}
         for i, fld in enumerate(schema.fields):
             typ = None
-            for files, pairs in groups:
+            for files, pairs, _pvals in groups:
                 p = pairs[i][0]
                 if p is not None and files:
                     if files[0] not in footer_cache:
@@ -159,7 +185,9 @@ class IceFlightServer(flight.FlightServerBase):
         with typed nulls to the logical schema. Memory stays bounded by
         chunk_rows either way."""
         schema, groups = self._resolved_groups(t, files_rel, snap, mappings)
-        identity = all(p == l for _, pairs in groups for p, l in pairs)
+        identity = all(
+            p == l for _, pairs, _pv in groups for p, l in pairs
+        ) and not any(pv for _f, _p, pv in groups)
         if len(groups) <= 1 and identity:
             files = groups[0][0] if groups else []
             arrow_schema = (
@@ -168,8 +196,14 @@ class IceFlightServer(flight.FlightServerBase):
             return self._stream_files(files, arrow_schema)
         out_schema = self._logical_arrow_schema(t, snap)
 
+        def _const(val_str, n, typ):
+            """Group-constant partition column as a typed Arrow array."""
+            if val_str is None:
+                return pa.nulls(n, type=typ)
+            return pa.array([val_str] * n, type=pa.string()).cast(typ)
+
         def gen():
-            for files, pairs in groups:
+            for files, pairs, pvals in groups:
                 if not files:
                     continue
                 footer = pq.read_schema(files[0])
@@ -178,12 +212,15 @@ class IceFlightServer(flight.FlightServerBase):
                 idx = {p: i for i, p in enumerate(phys)}
                 dataset = pads.dataset(files, format="parquet", schema=read_schema)
                 for batch in dataset.scanner(batch_size=self.chunk_rows).to_reader():
-                    arrays = [
-                        batch.column(idx[p])
-                        if p is not None
-                        else pa.nulls(batch.num_rows, type=out_schema.field(l).type)
-                        for p, l in pairs
-                    ]
+                    arrays = []
+                    for p, l in pairs:
+                        typ = out_schema.field(l).type
+                        if p is not None:
+                            arrays.append(batch.column(idx[p]))
+                        elif l in pvals:
+                            arrays.append(_const(pvals[l], batch.num_rows, typ))
+                        else:
+                            arrays.append(pa.nulls(batch.num_rows, type=typ))
                     yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
         return flight.GeneratorStream(out_schema, gen())
@@ -300,7 +337,8 @@ class IceFlightServer(flight.FlightServerBase):
                 cmd,
                 pa.schema(
                     [("snapshot_id", pa.int64()), ("total_rows", pa.int64()),
-                     ("total_bytes", pa.int64())]
+                     ("total_bytes", pa.int64()),
+                     ("partition_spec", pa.string())]
                 ),
             )
         if op == "get_slices":
@@ -450,12 +488,18 @@ class IceFlightServer(flight.FlightServerBase):
             name = cmd["table"]
             rows, nbytes = self._table_totals(name)
             snap_id = self.connector.get_current_snapshot_id(name)
+            spec = self.connector.table(name).partition_spec()
             return flight.RecordBatchStream(
                 pa.table(
                     {
                         "snapshot_id": pa.array([snap_id], pa.int64()),
                         "total_rows": pa.array([rows], pa.int64()),
                         "total_bytes": pa.array([nbytes], pa.int64()),
+                        # mirror clients replicate the layout, not just
+                        # the rows (table.py partition_spec)
+                        "partition_spec": pa.array(
+                            [json.dumps(spec)], pa.string()
+                        ),
                     }
                 )
             )

@@ -4784,6 +4784,53 @@ def funnel_steps_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "partitioned_table_prune",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+               AS total_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def partitioned_table_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec demo on the snapshot table format: write orders
+    into a table identity-partitioned by o_orderpriority, then aggregate
+    ONE priority — the scan rebuilds the partition column from the
+    hive-style paths and Catalyst prunes every other partition at
+    planning (PartitionFilters; physical numFiles/numPartitions pins in
+    tests/test_table.py). At 100 TB this layout IS the index: the filter
+    costs zero IO for the excluded partitions, through time travel and
+    CDC reads too. The reference creates every table unpartitioned
+    (icerunner.py:154-157)."""
+    from icerunner_spark.connector import Connector
+
+    wh = os.path.join(
+        "/tmp", "icerunner_part_demo", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    t = c.catalog.table("orders_part")
+    t.create(orders, partition_by=["o_orderpriority"])
+    return (
+        t.scan()
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Unigram LM quality scoring — SURVEY §2.C quality filtering
 # --------------------------------------------------------------------------- #

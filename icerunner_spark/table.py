@@ -83,6 +83,12 @@ class Snapshot:
     field_ids: dict = field(default_factory=dict)  # logical name -> id
     next_field_id: int = 1
     file_mappings: dict = field(default_factory=dict)  # commit dir -> {id: name}
+    # Identity partition spec (Iceberg partition-spec parity, minus
+    # transforms — derive transform columns with e.g.
+    # sources.layout.with_date_partition before writing). Data files land
+    # under hive-style ``col=value/`` directories; scans rebuild the
+    # columns from the paths and Catalyst prunes partitions at planning.
+    partition_spec: list = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -99,6 +105,7 @@ class Snapshot:
                 "field_ids": self.field_ids,
                 "next_field_id": self.next_field_id,
                 "file_mappings": self.file_mappings,
+                "partition_spec": self.partition_spec,
             }
         )
 
@@ -125,6 +132,7 @@ class Snapshot:
             field_ids=field_ids,
             next_field_id=d.get("next_field_id", 1 + max(field_ids.values(), default=0)),
             file_mappings=d.get("file_mappings", {}),
+            partition_spec=d.get("partition_spec", []),
         )
 
 
@@ -220,6 +228,10 @@ class IceTable:
             raise NoSuchTableError(self.path)
         return StructType.fromJson(json.loads(snap.schema_json))
 
+    def partition_spec(self) -> list[str]:
+        snap = self.current_snapshot()
+        return list(snap.partition_spec) if snap else []
+
     # ---------- commit protocol ----------
 
     def _publish(
@@ -232,6 +244,7 @@ class IceTable:
         max_retries: int = 20,
         summary: dict | None = None,
         evolve=None,
+        partition_spec: list | None = None,
     ) -> Snapshot:
         """Optimistically commit a new snapshot referencing already-written
         data files. Pure metadata — safe to retry without rewriting data.
@@ -252,10 +265,16 @@ class IceTable:
                 field_ids = {n: i + 1 for i, n in enumerate(names)}
                 next_id = len(names) + 1
                 mappings: dict = {}
+                spec = list(partition_spec or [])
             else:
                 field_ids = dict(parent.field_ids)
                 next_id = parent.next_field_id
                 mappings = dict(parent.file_mappings)
+                spec = (
+                    list(partition_spec)
+                    if partition_spec is not None
+                    else list(parent.partition_spec)
+                )
             if evolve is not None:
                 field_ids, next_id = evolve(field_ids, next_id)
             # Stamp the physical name each field id was written under for
@@ -290,6 +309,7 @@ class IceTable:
                 field_ids=field_ids,
                 next_field_id=next_id,
                 file_mappings=mappings,
+                partition_spec=spec,
             )
             try:
                 with open(self._snapshot_path(seq), "x") as f:
@@ -303,17 +323,27 @@ class IceTable:
             return snap
         raise CommitConflict(f"gave up after {max_retries} retries: {self.path}")
 
-    def _write_data_files(self, df: DataFrame) -> tuple[str, list[str]]:
+    def _write_data_files(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> tuple[str, list[str]]:
         """Distributed parquet write of one commit's data into a fresh
-        subdirectory; returns (dirname, relative file list)."""
+        subdirectory; returns (dirname, relative file list). With
+        ``partition_by``, files land under hive-style ``col=value/``
+        subdirectories of the commit dir (the partition columns live in
+        the paths, not the files — Spark's partitioned writer)."""
         commit_dir = f"snap-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.data_dir, commit_dir)
-        df.write.mode("error").parquet(out)
-        files = [
-            os.path.join("data", commit_dir, f)
-            for f in os.listdir(out)
-            if f.endswith(".parquet")
-        ]
+        w = df.write.mode("error")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(out)
+        files = []
+        for root, _dirs, names in os.walk(out):
+            for f in names:
+                if f.endswith(".parquet"):
+                    files.append(
+                        os.path.relpath(os.path.join(root, f), self.path)
+                    )
         files.sort()
         return commit_dir, files
 
@@ -321,16 +351,21 @@ class IceTable:
 
     def create(
         self, df: DataFrame, *, overwrite_ok: bool = False,
-        summary: dict | None = None,
+        summary: dict | None = None, partition_by: list[str] | None = None,
     ) -> Snapshot:
         if self.exists() and not overwrite_ok:
             raise ValueError(f"table already exists: {self.path}")
         names = [f.name for f in df.schema.fields]
-        _, files = self._write_data_files(df)
+        partition_by = list(partition_by or [])
+        missing = [c for c in partition_by if c not in names]
+        if missing:
+            raise ValueError(f"partition columns not in schema: {missing}")
+        _, files = self._write_data_files(df, partition_by)
         return self._publish(
             "create", files, df.schema.json(), replace_manifest=True,
             summary={"added_rows_estimated": None, **(summary or {})},
             evolve=lambda fids, nid: _reconcile_ids(fids, nid, names),
+            partition_spec=partition_by,
         )
 
     def append(self, df: DataFrame, *, summary: dict | None = None) -> Snapshot:
@@ -352,7 +387,7 @@ class IceTable:
         # schema must match, icerunner.py:163-178; we additionally reorder).
         table_schema = self.schema()
         df = df.select(*[c.name for c in table_schema.fields])
-        _, files = self._write_data_files(df)
+        _, files = self._write_data_files(df, self.partition_spec())
         return files
 
     def publish_append(
@@ -370,12 +405,16 @@ class IceTable:
 
     def overwrite(self, df: DataFrame) -> Snapshot:
         """Full replace (new manifest drops previous files logically;
-        physical files stay for time travel until expire_snapshots)."""
+        physical files stay for time travel until expire_snapshots).
+        The partition spec carries over when the new schema still has the
+        partition columns; otherwise the table becomes unpartitioned."""
         names = [f.name for f in df.schema.fields]
-        _, files = self._write_data_files(df)
+        spec = [c for c in self.partition_spec() if c in names]
+        _, files = self._write_data_files(df, spec)
         return self._publish(
             "overwrite", files, df.schema.json(), replace_manifest=True,
             evolve=lambda fids, nid: _reconcile_ids(fids, nid, names),
+            partition_spec=spec,
         )
 
     def merge(self, updates: DataFrame, key_cols: list[str]) -> Snapshot:
@@ -405,7 +444,9 @@ class IceTable:
         kept = self.scan().join(
             updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
         )
-        _, files = self._write_data_files(kept.unionByName(updates))
+        _, files = self._write_data_files(
+            kept.unionByName(updates), self.partition_spec()
+        )
         return self._publish(
             "overwrite", files, table_schema.json(), replace_manifest=True,
             summary={"operation_detail": "merge"},
@@ -421,7 +462,7 @@ class IceTable:
             raise NoSuchTableError(self.path)
         cond = F.expr(condition) if isinstance(condition, str) else condition
         kept = self.scan().where(~cond)
-        _, files = self._write_data_files(kept)
+        _, files = self._write_data_files(kept, self.partition_spec())
         return self._publish(
             "overwrite", files, self.schema().json(), replace_manifest=True,
             summary={"operation_detail": "delete"},
@@ -442,7 +483,14 @@ class IceTable:
             raise ValueError("target_file_rows must be >= 1")
         df = self.scan()
         n_files = max(1, -(-df.count() // target_file_rows))
-        _, files = self._write_data_files(df.repartition(n_files))
+        spec = self.partition_spec()
+        # co-locate each partition's rows before the partitioned write so
+        # compaction yields right-sized files per partition, not
+        # n_files x n_partitions splinters
+        repartitioned = (
+            df.repartition(n_files, *spec) if spec else df.repartition(n_files)
+        )
+        _, files = self._write_data_files(repartitioned, spec)
         return self._publish(
             "replace", files, self.schema().json(), replace_manifest=True,
             summary={"compacted_to_files": str(len(files))},
@@ -546,6 +594,7 @@ class IceTable:
         *,
         field_ids: dict | None = None,
         file_mappings: dict | None = None,
+        partition_spec: list | None = None,
     ) -> DataFrame:
         """Read data files resolving columns BY FIELD ID: each file group's
         physical column names come from its commit's ``file_mappings``
@@ -559,7 +608,7 @@ class IceTable:
         logical field claims (dropped, or a retired id under a re-added
         name) are never selected — which is what makes
         add/drop/rename_column metadata-only and resurrection-proof."""
-        if schema is None or field_ids is None:
+        if schema is None or field_ids is None or partition_spec is None:
             snap = self.current_snapshot()
             if snap is None:
                 raise NoSuchTableError(self.path)
@@ -567,28 +616,49 @@ class IceTable:
             field_ids = field_ids if field_ids is not None else snap.field_ids
             if file_mappings is None:
                 file_mappings = snap.file_mappings
+            if partition_spec is None:
+                partition_spec = snap.partition_spec
         if not files:
             return self.spark.createDataFrame([], schema)
         file_mappings = file_mappings or {}
+        partition_spec = partition_spec or []
         from pyspark.sql.types import StructField
 
         # Legacy fallback (no mapping recorded): physical name == logical.
         default_key = tuple(f.name for f in schema.fields)
-        groups: dict[tuple, list[str]] = {}
-        for f in files:
-            m = file_mappings.get(_commit_dir_of(f))
-            key = (
+
+        def _resolved(m):
+            return (
                 default_key
                 if m is None
                 else tuple(m.get(str(field_ids.get(fld.name))) for fld in schema.fields)
             )
-            groups.setdefault(key, []).append(f)
+
+        # Partitioned tables read per commit dir: partition columns live in
+        # the hive-style paths, so each read needs that dir as basePath for
+        # Spark to rebuild them (and to PRUNE them — filters on partition
+        # columns become PartitionFilters over the listed files, zero IO
+        # for excluded partitions). Unpartitioned tables group by resolved
+        # physical layout instead, which collapses a never-renamed table to
+        # ONE scan over all commits.
+        groups: dict = {}
+        if partition_spec:
+            for f in files:
+                d = _commit_dir_of(f)
+                groups.setdefault((d, _resolved(file_mappings.get(d))), []).append(f)
+        else:
+            for f in files:
+                key = _resolved(file_mappings.get(_commit_dir_of(f)))
+                groups.setdefault((None, key), []).append(f)
         parts = []
-        for key, fs in groups.items():
+        for (d, key), fs in groups.items():
             paths = [os.path.join(self.path, p) for p in fs]
             # Explicit schema: skips footer-merging inference and keeps the
             # scan plan stable; a physical column absent from a file reads
-            # as NULL (how add_column stays metadata-only).
+            # as NULL (how add_column stays metadata-only). Partition
+            # columns keep their logical name in the read schema (renames
+            # of partition columns are rejected) and resolve from the
+            # directory path, not the file.
             read_schema = StructType(
                 [
                     StructField(phys, fld.dataType, True)
@@ -596,7 +666,12 @@ class IceTable:
                     if phys is not None
                 ]
             )
-            df = self.spark.read.schema(read_schema).parquet(*paths)
+            reader = self.spark.read.schema(read_schema)
+            if d is not None:
+                reader = reader.option(
+                    "basePath", os.path.join(self.data_dir, d)
+                )
+            df = reader.parquet(*paths)
             cols = [
                 F.col(phys).alias(fld.name)
                 if phys is not None
@@ -627,6 +702,7 @@ class IceTable:
             StructType.fromJson(json.loads(snap.schema_json)),
             field_ids=snap.field_ids,
             file_mappings=snap.file_mappings,
+            partition_spec=snap.partition_spec,
         )
 
     # ---------- schema evolution (Iceberg ALTER TABLE parity) ----------
@@ -666,6 +742,8 @@ class IceTable:
             raise ValueError(f"no such column: {name}")
         if len(schema.fields) == 1:
             raise ValueError("cannot drop the only column")
+        if name in self.partition_spec():
+            raise ValueError(f"cannot drop partition column: {name}")
         new_schema = StructType([f for f in schema.fields if f.name != name])
         return self._publish(
             "alter", [], new_schema.json(),
@@ -690,6 +768,12 @@ class IceTable:
         names = {f.name for f in schema.fields}
         if old not in names:
             raise ValueError(f"no such column: {old}")
+        if old in self.partition_spec():
+            # partition values live in directory names keyed by the
+            # column name; a safe rename needs spec evolution (rewrite or
+            # spec-versioned path parsing) — explicit, like Iceberg
+            # requiring REPLACE PARTITION FIELD
+            raise ValueError(f"cannot rename partition column: {old}")
         if new in names:
             raise ValueError(f"column already exists: {new}")
         if not new or not new.isidentifier():
@@ -771,6 +855,7 @@ class IceTable:
             StructType.fromJson(json.loads(ctx.schema_json)),
             field_ids=ctx.field_ids,
             file_mappings=mappings,
+            partition_spec=ctx.partition_spec,
         )
 
     def snapshots_df(self) -> DataFrame:

@@ -759,3 +759,63 @@ def test_mirror_swap_rename_converges(spark, server, tmp_path):
     # source now has a='vb', b='va'; the mirror must agree
     src_row = src.query("sw").to_pylist()[0]
     assert (row["a"], row["b"]) == (src_row["a"], src_row["b"]) == ("vb", "va")
+
+
+def test_do_get_serves_partitioned_table(spark, server):
+    """Partition columns live in the directory paths, not the parquet
+    files — the server must rebuild them as group-constant columns when
+    streaming, including through get_changes."""
+    from icerunner_spark.table import IceTable
+
+    c = server.connector
+    t = IceTable(spark, c.catalog.table_path("ptab"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "en", "a"), (2, "de", "b")], "id long, lang string, text string"
+        ),
+        partition_by=["lang"],
+    )
+    s0 = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([(3, "en", "c")], "id long, lang string, text string"))
+
+    out = read_table_once("127.0.0.1", server.port, "ptab")
+    assert set(out.schema.names) == {"id", "lang", "text"}
+    rows = {r["id"]: r["lang"] for r in out.to_pylist()}
+    assert rows == {1: "en", 2: "de", 3: "en"}
+
+    client = _client(server)
+    reader = client.do_get(
+        flight.Ticket(
+            json.dumps(
+                {"command": "get_changes", "table": "ptab", "snapshot_id": s0}
+            ).encode()
+        )
+    )
+    got = reader.read_all().to_pylist()
+    assert [(r["id"], r["lang"]) for r in got] == [(3, "en")]
+
+
+def test_mirror_replicates_partition_spec(spark, server, tmp_path):
+    """The mirror target is created with the SOURCE's partition spec
+    (get_metadata advertises it), so the replica prunes like the
+    original."""
+    from icerunner_spark.table import IceTable
+
+    c = server.connector
+    t = IceTable(spark, c.catalog.table_path("psrc"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "en", "a"), (2, "de", "b")], "id long, lang string, text string"
+        ),
+        partition_by=["lang"],
+    )
+    target_wh = str(tmp_path / "target_wh")
+    url = f"grpc://127.0.0.1:{server.port}/psrc"
+    n = run_mirror(url, target_table="psrc_m", warehouse_path=target_wh,
+                   continuous=False, spark=spark)
+    assert n == 2
+    tgt = Connector(spark, target_wh)
+    assert tgt.table("psrc_m").partition_spec() == ["lang"]
+    assert {r["id"]: r["lang"] for r in tgt.query("psrc_m").to_pylist()} == {
+        1: "en", 2: "de"
+    }

@@ -455,3 +455,120 @@ def test_fixture_loader_normalizes_timestamps(spark):
                     assert isinstance(f.dataType, TimestampType), (
                         f"{sf}/{name}.{f.name} is {f.dataType}"
                     )
+
+
+def _scan_metrics(df) -> dict:
+    """Execution metrics of the (single) parquet scan in an EXECUTED df."""
+    def walk(node):
+        if "Scan" in node.nodeName():
+            m = node.metrics()
+            it = m.keysIterator()
+            out = {}
+            while it.hasNext():
+                k = it.next()
+                out[k] = m.apply(k).value()
+            return out
+        ch = node.children()
+        for i in range(ch.size()):
+            got = walk(ch.apply(i))
+            if got:
+                return got
+        return None
+    return walk(df._jdf.queryExecution().executedPlan()) or {}
+
+
+def test_partitioned_create_scan_and_prune(spark, warehouse):
+    """Identity partition spec: files land under hive-style col=value
+    dirs, scans rebuild the partition column from the path, and a filter
+    on it becomes a PartitionFilter — zero IO for excluded partitions."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "part"))
+    df = spark.createDataFrame(
+        [(1, "en", "a"), (2, "de", "b"), (3, "en", "c"), (4, "fr", "d")],
+        "id long, lang string, text string",
+    )
+    t.create(df, partition_by=["lang"])
+    assert t.partition_spec() == ["lang"]
+
+    out = {r.id: r.lang for r in t.scan().collect()}
+    assert out == {1: "en", 2: "de", 3: "en", 4: "fr"}
+
+    pruned = t.scan().where("lang = 'en'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    assert sorted(r.id for r in pruned.collect()) == [1, 3]
+    # physical proof: of the 4 written files (3 partitions), the executed
+    # scan read only the lang=en partition's files
+    metrics = _scan_metrics(pruned)
+    assert metrics["numPartitions"] == 1
+    assert metrics["numFiles"] == 2
+
+    with pytest.raises(ValueError, match="partition columns not in schema"):
+        IceTable(spark, os.path.join(warehouse, "part_bad")).create(
+            df, partition_by=["nope"]
+        )
+
+
+def test_partitioned_append_cdc_and_compact(spark, warehouse):
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "part_cdc"))
+    t.create(
+        spark.createDataFrame([(1, "en", "a")], "id long, lang string, text string"),
+        partition_by=["lang"],
+    )
+    s0 = t.current_snapshot().snapshot_id
+    t.append(
+        spark.createDataFrame(
+            [(2, "de", "b"), (3, "en", "c")], "id long, lang string, text string"
+        )
+    )
+    # CDC sees only the appended rows, with partition values restored
+    changed = {(r.id, r.lang) for r in t.scan_changes(s0).collect()}
+    assert changed == {(2, "de"), (3, "en")}
+
+    # compaction keeps rows, spec, and pruning
+    t.compact()
+    assert t.partition_spec() == ["lang"]
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2, 3]
+    pruned = t.scan().where("lang = 'de'")
+    assert [r.id for r in pruned.collect()] == [2]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+    # merge/delete keep the layout
+    t.merge(
+        spark.createDataFrame([(3, "en", "c2")], "id long, lang string, text string"),
+        ["id"],
+    )
+    assert {r.id: r.text for r in t.scan().collect()} == {1: "a", 2: "b", 3: "c2"}
+    t.delete_where("lang = 'de'")
+    assert sorted(r.id for r in t.scan().collect()) == [1, 3]
+
+
+def test_partition_column_evolution_guards(spark, warehouse):
+    """Partition values are keyed by column name in the paths: renaming
+    or dropping the partition column is rejected; other columns still
+    evolve freely on a partitioned table."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "part_evolve"))
+    t.create(
+        spark.createDataFrame([(1, "en", "a")], "id long, lang string, text string"),
+        partition_by=["lang"],
+    )
+    with pytest.raises(ValueError, match="cannot rename partition column"):
+        t.rename_column("lang", "language")
+    with pytest.raises(ValueError, match="cannot drop partition column"):
+        t.drop_column("lang")
+    # non-partition columns: full evolution on the partitioned read path
+    t.rename_column("text", "body")
+    t.add_column("score", "double")
+    t.append(
+        spark.createDataFrame(
+            [(2, "de", "b", 0.5)], "id long, lang string, body string, score double"
+        )
+    )
+    rows = {r.id: (r.lang, r.body, r.score) for r in t.scan().collect()}
+    assert rows == {1: ("en", "a", None), 2: ("de", "b", 0.5)}
