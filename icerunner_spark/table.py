@@ -468,6 +468,56 @@ class IceTable:
             summary={"operation_detail": "delete"},
         )
 
+    # ---------- named refs (Iceberg tag parity) ----------
+
+    def _ref_path(self, name: str) -> str:
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_.\-]*", name or ""):
+            raise ValueError(f"invalid ref name: {name!r}")
+        return os.path.join(self.metadata_dir, f"ref-{name}.json")
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Immutable named ref to a snapshot (Iceberg `ALTER TABLE ...
+        CREATE TAG` parity): pins the snapshot for `scan(tag=...)` and
+        protects it (and its files) from expire_snapshots. O_EXCL create
+        — tags cannot be silently retargeted; drop and recreate."""
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else self.snapshot_by_id(snapshot_id)
+        )
+        if snap is None:
+            raise NoSuchTableError(self.path)
+        with open(self._ref_path(name), "x") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "snapshot_id": snap.snapshot_id,
+                        "created_ms": int(time.time() * 1000),
+                    }
+                )
+            )
+
+    def drop_tag(self, name: str) -> None:
+        try:
+            os.remove(self._ref_path(name))
+        except FileNotFoundError:
+            raise ValueError(f"no such tag: {name}") from None
+
+    def tags(self) -> dict:
+        """{tag name: snapshot_id}."""
+        if not os.path.isdir(self.metadata_dir):
+            return {}
+        out = {}
+        for f in os.listdir(self.metadata_dir):
+            if f.startswith("ref-") and f.endswith(".json"):
+                with open(os.path.join(self.metadata_dir, f)) as fh:
+                    out[f[len("ref-") : -len(".json")]] = json.load(fh)[
+                        "snapshot_id"
+                    ]
+        return out
+
     # ---------- maintenance (Iceberg: expire_snapshots / remove_orphan_files) ----------
 
     def compact(self, *, target_file_rows: int = 1_000_000) -> Snapshot:
@@ -498,17 +548,22 @@ class IceTable:
 
     def expire_snapshots(self, *, keep_last: int = 1) -> list[str]:
         """Drop all but the newest ``keep_last`` snapshots and delete the
-        data files no surviving snapshot references. Time travel to the
-        expired snapshots is gone afterwards — the same contract as
-        Iceberg's ``expire_snapshots``. Returns the deleted relative
-        file paths. Pure driver-side metadata + unlink — never touches
-        live data files (they are still in a kept manifest)."""
+        data files no surviving snapshot references. Snapshots pinned by
+        a tag SURVIVE regardless of age (Iceberg retention semantics:
+        refs protect history) — drop the tag first to let them expire.
+        Time travel to the expired snapshots is gone afterwards — the
+        same contract as Iceberg's ``expire_snapshots``. Returns the
+        deleted relative file paths. Pure driver-side metadata + unlink —
+        never touches live data files (they are still in a kept
+        manifest)."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         snaps = self.snapshots()
         if len(snaps) <= keep_last:
             return []
-        expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+        tagged = set(self.tags().values())
+        expired = [s for s in snaps[:-keep_last] if s.snapshot_id not in tagged]
+        kept = [s for s in snaps if s.snapshot_id in tagged] + snaps[-keep_last:]
         keep_files: set[str] = set()
         for s in kept:
             keep_files.update(s.manifest)
@@ -684,12 +739,22 @@ class IceTable:
             out = out.unionByName(p)
         return out
 
-    def scan(self, snapshot_id: int | None = None) -> DataFrame:
-        """Read the table at the current (or a given) snapshot. Returns a
-        lazy DataFrame — filters/projections push into the parquet scan.
-        Time travel reads with the SNAPSHOT's schema (Iceberg semantics:
-        each snapshot pins its schema id), so a later add/drop_column
-        doesn't rewrite history."""
+    def scan(
+        self, snapshot_id: int | None = None, *, tag: str | None = None
+    ) -> DataFrame:
+        """Read the table at the current (or a given) snapshot, or at a
+        named tag (`VERSION AS OF 'tag'` parity). Returns a lazy
+        DataFrame — filters/projections push into the parquet scan. Time
+        travel reads with the SNAPSHOT's schema (Iceberg semantics: each
+        snapshot pins its schema id), so a later add/drop_column doesn't
+        rewrite history."""
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or tag, not both")
+            refs = self.tags()
+            if tag not in refs:
+                raise ValueError(f"no such tag: {tag}")
+            snapshot_id = refs[tag]
         snap = (
             self.current_snapshot()
             if snapshot_id is None

@@ -572,3 +572,37 @@ def test_partition_column_evolution_guards(spark, warehouse):
     )
     rows = {r.id: (r.lang, r.body, r.score) for r in t.scan().collect()}
     assert rows == {1: ("en", "a", None), 2: ("de", "b", 0.5)}
+
+
+def test_tags_pin_snapshots_and_survive_expiry(spark, warehouse):
+    """Iceberg tag parity: a named ref reads via scan(tag=...), protects
+    its snapshot (and data files) from expire_snapshots, and cannot be
+    silently retargeted."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "tags"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    t.create_tag("v1")
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    t.append(spark.createDataFrame([(3,)], "id long"))
+
+    assert [r.id for r in t.scan(tag="v1").collect()] == [1]
+    assert t.tags().keys() == {"v1"}
+
+    # expiry keeps the tagged snapshot alive even though keep_last=1
+    t.expire_snapshots(keep_last=1)
+    assert [r.id for r in t.scan(tag="v1").collect()] == [1]
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2, 3]
+
+    # tags are immutable: re-creating raises; drop then expire removes it
+    with pytest.raises(FileExistsError):
+        t.create_tag("v1")
+    with pytest.raises(ValueError, match="no such tag"):
+        t.scan(tag="v2")
+    with pytest.raises(ValueError, match="invalid ref name"):
+        t.create_tag("../escape")
+    t.drop_tag("v1")
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="no such tag"):
+        t.scan(tag="v1")
+    assert len(t.snapshots()) == 1
