@@ -923,6 +923,57 @@ class IceTable:
             partition_spec=ctx.partition_spec,
         )
 
+    def files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """Data-file inventory of a snapshot (parity with Iceberg's
+        ``<t>.files`` metadata table): path, partition values, row count
+        and size from parquet footers — driver-side metadata only, no
+        data scan. The row/byte numbers are what a planner needs to spot
+        skew and small-file problems before compacting."""
+        import pyarrow.parquet as _pq
+
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else self.snapshot_by_id(snapshot_id)
+        )
+        if snap is None:
+            raise NoSuchTableError(self.path)
+        spec = list(snap.partition_spec)
+        rows = []
+        for rel in snap.manifest:
+            full = os.path.join(self.path, rel)
+            meta = _pq.read_metadata(full)
+            parts = {}
+            for seg in rel.replace(os.sep, "/").split("/")[2:-1]:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    parts[k] = v
+            rows.append(
+                (
+                    rel,
+                    _commit_dir_of(rel),
+                    {c: parts.get(c) for c in spec},
+                    meta.num_rows,
+                    os.path.getsize(full),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "file_path string, commit_dir string, partition map<string,string>, "
+            "record_count long, file_size_bytes long",
+        )
+
+    def partitions_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """Per-partition rollup of :meth:`files_df` (Iceberg
+        ``<t>.partitions`` parity): file/row/byte counts per partition
+        tuple — the skew report for a partitioned table."""
+        f = self.files_df(snapshot_id)
+        return f.groupBy("partition").agg(
+            F.count(F.lit(1)).alias("file_count"),
+            F.sum("record_count").alias("record_count"),
+            F.sum("file_size_bytes").alias("total_size_bytes"),
+        )
+
     def snapshots_df(self) -> DataFrame:
         """Snapshot history as a DataFrame (parity with Iceberg's
         ``<t>.snapshots`` metadata table, SURVEY.md §1.1)."""

@@ -606,3 +606,38 @@ def test_tags_pin_snapshots_and_survive_expiry(spark, warehouse):
     with pytest.raises(ValueError, match="no such tag"):
         t.scan(tag="v1")
     assert len(t.snapshots()) == 1
+
+
+def test_files_and_partitions_metadata_tables(spark, warehouse):
+    """Iceberg .files/.partitions metadata-table parity: footer-derived
+    file inventory and per-partition rollup, no data scan."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "meta_tables"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "en"), (2, "de"), (3, "en")], "id long, lang string"
+        ),
+        partition_by=["lang"],
+    )
+    s0 = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([(4, "fr")], "id long, lang string"))
+
+    files = t.files_df().collect()
+    assert sum(r.record_count for r in files) == 4
+    assert all(r.file_size_bytes > 0 for r in files)
+    assert {r.partition["lang"] for r in files} == {"en", "de", "fr"}
+
+    parts = {r.partition["lang"]: r.record_count for r in t.partitions_df().collect()}
+    assert parts == {"en": 2, "de": 1, "fr": 1}
+
+    # snapshot-pinned inventory: the first snapshot has no fr partition
+    old = {r.partition["lang"] for r in t.files_df(snapshot_id=s0).collect()}
+    assert old == {"en", "de"}
+
+    # unpartitioned table: empty partition map, same totals
+    u = IceTable(spark, os.path.join(warehouse, "meta_tables_u"))
+    u.create(spark.createDataFrame([(1,), (2,)], "id long"))
+    fu = u.files_df().collect()
+    assert sum(r.record_count for r in fu) == 2
+    assert all(dict(r.partition) == {} for r in fu)
