@@ -226,11 +226,17 @@ class IceFlightServer(flight.FlightServerBase):
         return flight.GeneratorStream(out_schema, gen())
 
     def _table_totals(self, name: str) -> tuple[int, int]:
-        """(rows, bytes) from parquet footers — metadata only, no scan."""
+        """(rows, bytes) from parquet footers — metadata only, no scan.
+        Pending merge-on-read delete files subtract their positions from
+        the row total (each delete row names one deleted data row)."""
         rows = bytes_ = 0
         for f in self._table_files(name):
             rows += pq.read_metadata(f).num_rows
             bytes_ += os.path.getsize(f)
+        t = self.connector.table(name)
+        snap = t.current_snapshot()
+        for f in snap.delete_files if snap else []:
+            rows -= pq.read_metadata(os.path.join(t.path, f)).num_rows
         return rows, bytes_
 
     def _stream_files(self, files: list[str], schema: pa.Schema) -> flight.RecordBatchStream:
@@ -354,6 +360,10 @@ class IceFlightServer(flight.FlightServerBase):
             n = max(1, int(cmd.get("n", 4)))
             t = self.connector.table(table)
             snap = t.current_snapshot()
+            if snap is not None and snap.delete_files:
+                # manifest slicing can't honor pending merge-on-read
+                # deletes; degrade to ONE delete-applied endpoint
+                n = 1
             schema = self._table_arrow_schema(table)
             rows, nbytes = self._table_totals(table)
             endpoints = [
@@ -393,6 +403,13 @@ class IceFlightServer(flight.FlightServerBase):
             snap = t.current_snapshot()
             if snap is None:
                 raise flight.FlightServerError(f"table not found: {name}")
+            if snap.delete_files:
+                # pending merge-on-read deletes need the (file, pos)
+                # anti-join — Spark applies it and the result
+                # file-streams from a parquet spill (same bounded-memory
+                # path as SQL tickets). Compaction materializes the
+                # deletes and restores zero-copy manifest streaming.
+                return self._stream_df(t._scan_snapshot(snap))
             return self._stream_resolved(t, snap.manifest, snap)
 
         if "sql" in cmd:
@@ -450,9 +467,9 @@ class IceFlightServer(flight.FlightServerBase):
                     # erroring here forces mirror clients onto their
                     # full-overwrite resync path instead of silently
                     # appending rows the source logically deleted.
-                    if s.operation == "overwrite":
+                    if s.operation in ("overwrite", "delete"):
                         raise flight.FlightServerError(
-                            "get_changes crosses an overwrite snapshot; "
+                            "get_changes crosses an overwrite/delete snapshot; "
                             "incremental diff is append-only — full resync required"
                         )
                     if s.operation != "replace":
@@ -483,6 +500,11 @@ class IceFlightServer(flight.FlightServerBase):
             t = self.connector.table(name)
             snap = t.snapshot_by_id(int(cmd["snapshot_id"]))
             i, n = int(cmd["index"]), int(cmd["of"])
+            if snap.delete_files:
+                # deletes pending: the manifest under-describes the rows,
+                # so get_slices advertised ONE slice; serve the full
+                # delete-applied scan from a spill
+                return self._stream_df(t._scan_snapshot(snap))
             return self._stream_resolved(t, snap.manifest[i::n], snap)
         if op == "get_metadata":
             name = cmd["table"]

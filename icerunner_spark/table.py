@@ -89,6 +89,10 @@ class Snapshot:
     # under hive-style ``col=value/`` directories; scans rebuild the
     # columns from the paths and Catalyst prunes partitions at planning.
     partition_spec: list = field(default_factory=list)
+    # Positional delete files (Iceberg v2 merge-on-read parity): parquet
+    # files of (file_path, pos) rows naming deleted positions in data
+    # files. Scans anti-join them; compaction materializes and clears.
+    delete_files: list = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -106,6 +110,7 @@ class Snapshot:
                 "next_field_id": self.next_field_id,
                 "file_mappings": self.file_mappings,
                 "partition_spec": self.partition_spec,
+                "delete_files": self.delete_files,
             }
         )
 
@@ -133,6 +138,7 @@ class Snapshot:
             next_field_id=d.get("next_field_id", 1 + max(field_ids.values(), default=0)),
             file_mappings=d.get("file_mappings", {}),
             partition_spec=d.get("partition_spec", []),
+            delete_files=d.get("delete_files", []),
         )
 
 
@@ -245,6 +251,7 @@ class IceTable:
         summary: dict | None = None,
         evolve=None,
         partition_spec: list | None = None,
+        delete_files: list | None = None,
     ) -> Snapshot:
         """Optimistically commit a new snapshot referencing already-written
         data files. Pure metadata — safe to retry without rewriting data.
@@ -275,6 +282,16 @@ class IceTable:
                     if partition_spec is not None
                     else list(parent.partition_spec)
                 )
+            # delete-file rules: a replace-manifest commit (overwrite /
+            # compact / create) starts from a clean slate — its file set
+            # has the deletes materialized; everything else inherits the
+            # parent's delete files unless the caller says otherwise.
+            if delete_files is not None:
+                dels = list(delete_files)
+            elif replace_manifest or parent is None:
+                dels = []
+            else:
+                dels = list(parent.delete_files)
             if evolve is not None:
                 field_ids, next_id = evolve(field_ids, next_id)
             # Stamp the physical name each field id was written under for
@@ -310,6 +327,7 @@ class IceTable:
                 next_field_id=next_id,
                 file_mappings=mappings,
                 partition_spec=spec,
+                delete_files=dels,
             )
             try:
                 with open(self._snapshot_path(seq), "x") as f:
@@ -452,20 +470,56 @@ class IceTable:
             summary={"operation_detail": "merge"},
         )
 
-    def delete_where(self, condition) -> Snapshot:
-        """Row-level DELETE (Iceberg ``DELETE FROM ... WHERE`` parity,
-        copy-on-write): keep only rows NOT matching ``condition`` (a
-        Column or SQL string) and commit an ``overwrite`` snapshot.
-        Iceberg prunes the rewrite to affected files / writes positional
-        deletes; the full rewrite here has identical read semantics."""
+    def delete_where(self, condition, *, mode: str = "copy-on-write") -> Snapshot:
+        """Row-level DELETE (Iceberg ``DELETE FROM ... WHERE`` parity).
+
+        ``mode="copy-on-write"`` (default): keep only rows NOT matching
+        ``condition`` (a Column or SQL string) and commit an
+        ``overwrite`` snapshot — the whole table rewrites.
+
+        ``mode="merge-on-read"``: Iceberg v2 positional deletes. The
+        matching rows' (file, position) coordinates — from the hidden
+        ``_metadata`` column — are written to a small delete file and the
+        commit is metadata + O(deleted rows) IO, never a table rewrite:
+        deleting 0.1% of 100 TB costs MBs, not 100 TB. Scans anti-join
+        pending delete files; :meth:`compact` materializes them and
+        clears the list. Incremental CDC treats a merge-on-read delete
+        like an overwrite (the diff is no longer append-only)."""
         if not self.exists():
             raise NoSuchTableError(self.path)
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        kept = self.scan().where(~cond)
-        _, files = self._write_data_files(kept, self.partition_spec())
+        if mode == "copy-on-write":
+            kept = self.scan().where(~cond)
+            _, files = self._write_data_files(kept, self.partition_spec())
+            return self._publish(
+                "overwrite", files, self.schema().json(), replace_manifest=True,
+                summary={"operation_detail": "delete"},
+            )
+        if mode != "merge-on-read":
+            raise ValueError(f"unknown delete mode: {mode}")
+        snap = self.current_snapshot()
+        # existing pending deletes apply first, so re-matching an
+        # already-deleted row cannot double-record its position
+        matches = (
+            self._scan_snapshot(snap, with_pos=True)
+            .where(cond)
+            .select(
+                F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+            )
+            .distinct()
+        )
+        commit_dir = f"snap-{uuid.uuid4().hex[:12]}-deletes"
+        out = os.path.join(self.data_dir, commit_dir)
+        matches.write.mode("error").parquet(out)
+        new_deletes = sorted(
+            os.path.join("data", commit_dir, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
         return self._publish(
-            "overwrite", files, self.schema().json(), replace_manifest=True,
-            summary={"operation_detail": "delete"},
+            "delete", [], self.schema().json(),
+            summary={"operation_detail": "delete merge-on-read"},
+            delete_files=list(snap.delete_files) + new_deletes,
         )
 
     # ---------- named refs (Iceberg tag parity) ----------
@@ -568,6 +622,7 @@ class IceTable:
         for s in kept:
             keep_files.update(s.manifest)
             keep_files.update(s.added_files)
+            keep_files.update(s.delete_files)
         removed: list[str] = []
         for s in expired:
             for f in set(s.manifest) | set(s.added_files):
@@ -596,6 +651,7 @@ class IceTable:
         for s in self.snapshots():
             referenced.update(s.manifest)
             referenced.update(s.added_files)
+            referenced.update(s.delete_files)
         cutoff = time.time() - older_than_s
         removed: list[str] = []
         for root, _dirs, files in os.walk(self.data_dir):
@@ -650,6 +706,7 @@ class IceTable:
         field_ids: dict | None = None,
         file_mappings: dict | None = None,
         partition_spec: list | None = None,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Read data files resolving columns BY FIELD ID: each file group's
         physical column names come from its commit's ``file_mappings``
@@ -674,7 +731,12 @@ class IceTable:
             if partition_spec is None:
                 partition_spec = snap.partition_spec
         if not files:
-            return self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], schema)
+            if with_pos:
+                df = df.withColumn("__file", F.lit(None).cast("string")).withColumn(
+                    "__pos", F.lit(None).cast("long")
+                )
+            return df
         file_mappings = file_mappings or {}
         partition_spec = partition_spec or []
         from pyspark.sql.types import StructField
@@ -733,6 +795,24 @@ class IceTable:
                 else F.lit(None).cast(fld.dataType).alias(fld.name)
                 for phys, fld in zip(key, schema.fields)
             ]
+            if with_pos:
+                # table-root-relative file path + row position from the
+                # hidden _metadata column — the coordinates positional
+                # delete files (merge-on-read) are keyed by. Relative so
+                # a relocated warehouse keeps its delete files valid.
+                import re as _re
+
+                rel = F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    ),
+                    "^" + _re.escape(self.path + os.sep),
+                    "",
+                )
+                cols += [
+                    rel.alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                ]
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
@@ -762,13 +842,36 @@ class IceTable:
         )
         if snap is None:
             raise NoSuchTableError(self.path)
-        return self._read_files(
+        return self._scan_snapshot(snap)
+
+    def _scan_snapshot(self, snap: Snapshot, *, with_pos: bool = False) -> DataFrame:
+        """Snapshot read with merge-on-read delete application: when the
+        snapshot carries positional delete files, rows are anti-joined
+        away by (file, position) at read time — Iceberg v2 read
+        semantics. The anti-join only exists while deletes are pending;
+        compaction materializes them and restores the plain scan."""
+        need_pos = with_pos or bool(snap.delete_files)
+        df = self._read_files(
             snap.manifest,
             StructType.fromJson(json.loads(snap.schema_json)),
             field_ids=snap.field_ids,
             file_mappings=snap.file_mappings,
             partition_spec=snap.partition_spec,
+            with_pos=need_pos,
         )
+        if snap.delete_files:
+            dels = self.spark.read.schema("file_path string, pos long").parquet(
+                *[os.path.join(self.path, f) for f in snap.delete_files]
+            )
+            df = df.join(
+                dels,
+                (F.col("__file") == F.col("file_path"))
+                & (F.col("__pos") == F.col("pos")),
+                "left_anti",
+            )
+        if need_pos and not with_pos:
+            df = df.drop("__file", "__pos")
+        return df
 
     # ---------- schema evolution (Iceberg ALTER TABLE parity) ----------
 
@@ -896,9 +999,11 @@ class IceTable:
         ctx = None
         for snap in snaps:
             if started:
-                if snap.operation == "overwrite":
+                if snap.operation in ("overwrite", "delete"):
+                    # merge-on-read deletes remove rows without an
+                    # overwrite commit — the diff is equally non-append
                     raise ValueError(
-                        "scan_changes crosses an overwrite snapshot; "
+                        "scan_changes crosses an overwrite/delete snapshot; "
                         "incremental diff is append-only"
                     )
                 if snap.operation != "replace":

@@ -819,3 +819,34 @@ def test_mirror_replicates_partition_spec(spark, server, tmp_path):
     assert {r["id"]: r["lang"] for r in tgt.query("psrc_m").to_pylist()} == {
         1: "en", 2: "de"
     }
+
+
+def test_do_get_applies_merge_on_read_deletes(spark, server):
+    """A table with pending positional deletes must stream the
+    delete-applied rows (spill fallback), report subtracted totals, and
+    degrade get_slices to one endpoint; after compaction the zero-copy
+    manifest path serves the same rows."""
+    c = server.connector
+    c.create_table("mor", _writer_table([1, 2, 3, 4], ["a", "b", "c", "d"]))
+    t = c.table("mor")
+    t.delete_where("id = 2", mode="merge-on-read")
+
+    out = read_table_once("127.0.0.1", server.port, "mor")
+    assert sorted(out.column("id").to_pylist()) == [1, 3, 4]
+
+    client = _client(server)
+    info = client.get_flight_info(flight.FlightDescriptor.for_path(b"mor"))
+    assert info.total_records == 3  # footer total minus delete positions
+
+    slices = client.get_flight_info(
+        flight.FlightDescriptor.for_command(
+            json.dumps({"command": "get_slices", "table": "mor", "n": 4}).encode()
+        )
+    )
+    assert len(slices.endpoints) == 1  # degraded while deletes pending
+    got = client.do_get(slices.endpoints[0].ticket).read_all()
+    assert sorted(got.column("id").to_pylist()) == [1, 3, 4]
+
+    t.compact()
+    out2 = read_table_once("127.0.0.1", server.port, "mor")
+    assert sorted(out2.column("id").to_pylist()) == [1, 3, 4]

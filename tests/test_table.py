@@ -5,6 +5,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pytest
 
+from pyspark.sql import functions as F
+
 from icerunner_spark.connector import Connector
 from icerunner_spark.table import IceTable
 
@@ -641,3 +643,68 @@ def test_files_and_partitions_metadata_tables(spark, warehouse):
     fu = u.files_df().collect()
     assert sum(r.record_count for r in fu) == 2
     assert all(dict(r.partition) == {} for r in fu)
+
+
+def test_merge_on_read_delete(spark, warehouse):
+    """Iceberg v2 positional deletes: delete_where(mode='merge-on-read')
+    writes a (file, pos) delete file instead of rewriting the table —
+    O(deleted rows) IO — and scans anti-join it away. Compaction
+    materializes the deletes and clears the list."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "mor"))
+    t.create(
+        spark.createDataFrame([(i, f"v{i}") for i in range(1, 5)], "id long, v string")
+    )
+    s0 = t.current_snapshot().snapshot_id
+    data_files_before = set(t.current_snapshot().manifest)
+
+    t.delete_where("id = 2", mode="merge-on-read")
+    snap = t.current_snapshot()
+    assert snap.operation == "delete"
+    assert snap.delete_files and set(snap.manifest) == data_files_before  # no rewrite
+    assert sorted(r.id for r in t.scan().collect()) == [1, 3, 4]
+    # time travel to before the delete still sees the row
+    assert sorted(r.id for r in t.scan(snapshot_id=s0).collect()) == [1, 2, 3, 4]
+
+    # deletes stack; a second delete's file list grows
+    t.delete_where(F.col("v") == "v3", mode="merge-on-read")
+    assert sorted(r.id for r in t.scan().collect()) == [1, 4]
+    assert len(t.current_snapshot().delete_files) > len(snap.delete_files)
+
+    # CDC across a merge-on-read delete is not append-only
+    with pytest.raises(ValueError, match="overwrite/delete"):
+        t.scan_changes(s0).count()
+
+    # compaction materializes: delete files cleared, rows unchanged,
+    # and CDC works from the compacted snapshot onward
+    t.compact()
+    assert t.current_snapshot().delete_files == []
+    assert sorted(r.id for r in t.scan().collect()) == [1, 4]
+    s_c = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([(9, "v9")], "id long, v string"))
+    assert [r.id for r in t.scan_changes(s_c).collect()] == [9]
+
+    with pytest.raises(ValueError, match="unknown delete mode"):
+        t.delete_where("id = 1", mode="bogus")
+
+
+def test_merge_on_read_delete_partitioned(spark, warehouse):
+    """MOR deletes compose with partition pruning: the anti-join applies
+    over the partition-rebuilt read and survives appends."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "mor_part"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "en"), (2, "de"), (3, "en")], "id long, lang string"
+        ),
+        partition_by=["lang"],
+    )
+    t.delete_where("id = 1", mode="merge-on-read")
+    t.append(spark.createDataFrame([(4, "en")], "id long, lang string"))
+    assert {(r.id, r.lang) for r in t.scan().collect()} == {
+        (2, "de"), (3, "en"), (4, "en")
+    }
+    assert [r.id for r in t.scan().where("lang = 'en'").collect()] != [1]
+    assert sorted(r.id for r in t.scan().where("lang = 'en'").collect()) == [3, 4]
