@@ -4785,6 +4785,41 @@ def funnel_steps_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_mor_delete_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey < 600 AND NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+    """,
+)
+def snapshot_mor_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE demo on the snapshot format: load an orders
+    slice, delete a predicate's rows via a POSITIONAL delete file (no
+    table rewrite — table.py delete_where mode='merge-on-read'), and
+    scan. The result must equal filtering the source directly, which is
+    exactly what the oracle does. At 100 TB this is the difference
+    between an O(deleted rows) commit and rewriting the table; the
+    copy-on-write twin is exercised by snapshot_merge_upsert's family."""
+    from icerunner_spark.connector import Connector
+
+    wh = os.path.join(
+        "/tmp", "icerunner_mor_demo", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).filter(F.col("o_orderkey") < 600)
+    t = c.catalog.table("orders_mor")
+    t.create(orders)
+    t.delete_where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0),
+        mode="merge-on-read",
+    )
+    return t.scan()
+
+
+@register(
     "partitioned_table_prune",
     oracle="""
     SELECT o_orderstatus,

@@ -850,3 +850,22 @@ def test_do_get_applies_merge_on_read_deletes(spark, server):
     t.compact()
     out2 = read_table_once("127.0.0.1", server.port, "mor")
     assert sorted(out2.column("id").to_pylist()) == [1, 3, 4]
+
+
+def test_mirror_full_resync_after_mor_delete(spark, server, tmp_path):
+    """A merge-on-read delete at the source breaks append-only diffing;
+    the mirror must converge via its overwrite full-resync fallback."""
+    src = server.connector
+    src.create_table("md", _writer_table([1, 2, 3], ["a", "b", "c"]))
+    target_wh = str(tmp_path / "target_wh")
+    url = f"grpc://127.0.0.1:{server.port}/md"
+    run_mirror(url, target_table="md_m", warehouse_path=target_wh,
+               continuous=False, spark=spark)
+
+    src.table("md").delete_where("id = 2", mode="merge-on-read")
+    run_mirror(url, target_table="md_m", warehouse_path=target_wh,
+               continuous=False, spark=spark)
+    tgt = Connector(spark, target_wh)
+    assert sorted(tgt.query("md_m").column("id").to_pylist()) == [1, 3]
+    state = SyncState(target_wh).get_last_sync_state(url, "md_m")
+    assert state["last_sync_status"].startswith("full_resync")
