@@ -5024,21 +5024,21 @@ _WINDOW_ORDER = [
     "lateral_topk_per_nation",      # r4 rotation: LATERAL per-group top-k
     "scalar_string_math_part",
     "json_events_extract",
-    "array_embedding_norms",
+    "unigram_logprob_quality",       # r4 new: corpus-trained LM quality score
     "asof_join_events_to_orders",
     "cdc_changes_since_snapshot",
     "time_travel_snapshot_scan",
     "flight_roundtrip_nation",
     "snapshot_history_metadata",
     "dedup_exact_documents",
-    "similarity_bruteforce_topk",
+    "partitioned_table_prune",       # r4 new: partition-spec pruned scan
     "neardup_ngram_jaccard",
     "dedup_minhash_lsh",
     "embedding_cosine_neardup",
     "lang_id_documents",
     "text_token_stats",
     "multimodal_byte_features",
-    "window_tumbling_events",
+    "snapshot_mor_delete_roundtrip", # r4 new: merge-on-read positional delete
     "session_window_events",
     "percentiles_lineitem",
     "map_functions_events",
@@ -5048,7 +5048,7 @@ _WINDOW_ORDER = [
     "sampled_systematic_agg",
     "grouped_user_trends",
     "pivot_revenue_by_status",
-    "full_outer_monthly_volumes",
+    "token_budget_mixture",          # r4 new: per-stratum token-budget sampling
     "incremental_dedup_cdc",        # r4 new: CDC-cursor incremental dedup
     "udtf_token_explode",
     "stream_join_view_purchases",
@@ -5076,6 +5076,11 @@ _TAIL_ORDER = [
     "rollup_order_status",          # rollup: grouping_sets in window
     "unpivot_revenue_matrix",       # pivot family: pivot_revenue in window
     "multimodal_asset_stats",       # multimodal: byte_features in window
+    # r4 late rotation (driver-green r1-r3, category covered in window):
+    "array_embedding_norms",        # array/HOF: higher_order_array_ops in
+    "full_outer_monthly_volumes",   # join family: q7/q17/q21/theta in window
+    "similarity_bruteforce_topk",   # cosine-exact: embedding_cosine_neardup in
+    "window_tumbling_events",       # streaming windows: session_window in
     "range_frame_rolling_value",    # windows: topk + running + gaps in
     "correlated_scalar_subquery_orders",  # correlated scalar: q17 in window
     # tail since r3:
