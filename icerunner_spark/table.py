@@ -251,7 +251,7 @@ class IceTable:
         summary: dict | None = None,
         evolve=None,
         partition_spec: list | None = None,
-        delete_files: list | None = None,
+        add_delete_files: list | None = None,
     ) -> Snapshot:
         """Optimistically commit a new snapshot referencing already-written
         data files. Pure metadata — safe to retry without rewriting data.
@@ -285,13 +285,16 @@ class IceTable:
             # delete-file rules: a replace-manifest commit (overwrite /
             # compact / create) starts from a clean slate — its file set
             # has the deletes materialized; everything else inherits the
-            # parent's delete files unless the caller says otherwise.
-            if delete_files is not None:
-                dels = list(delete_files)
-            elif replace_manifest or parent is None:
+            # parent's delete files. ``add_delete_files`` APPENDS inside
+            # the retry loop (relative to the WINNING parent), so two
+            # racing merge-on-read deletes both keep their files — an
+            # absolute list here would lose the race loser's deletes.
+            if replace_manifest or parent is None:
                 dels = []
             else:
                 dels = list(parent.delete_files)
+            if add_delete_files:
+                dels += [f for f in add_delete_files if f not in dels]
             if evolve is not None:
                 field_ids, next_id = evolve(field_ids, next_id)
             # Stamp the physical name each field id was written under for
@@ -519,7 +522,7 @@ class IceTable:
         return self._publish(
             "delete", [], self.schema().json(),
             summary={"operation_detail": "delete merge-on-read"},
-            delete_files=list(snap.delete_files) + new_deletes,
+            add_delete_files=new_deletes,
         )
 
     # ---------- named refs (Iceberg tag parity) ----------
@@ -860,13 +863,21 @@ class IceTable:
             with_pos=need_pos,
         )
         if snap.delete_files:
-            dels = self.spark.read.schema("file_path string, pos long").parquet(
-                *[os.path.join(self.path, f) for f in snap.delete_files]
+            # rename to reserved names before joining: the DATA schema may
+            # legitimately contain columns called file_path/pos, and bare
+            # F.col references would then be ambiguous
+            dels = (
+                self.spark.read.schema("file_path string, pos long")
+                .parquet(*[os.path.join(self.path, f) for f in snap.delete_files])
+                .select(
+                    F.col("file_path").alias("__del_file"),
+                    F.col("pos").alias("__del_pos"),
+                )
             )
             df = df.join(
                 dels,
-                (F.col("__file") == F.col("file_path"))
-                & (F.col("__pos") == F.col("pos")),
+                (F.col("__file") == F.col("__del_file"))
+                & (F.col("__pos") == F.col("__del_pos")),
                 "left_anti",
             )
         if need_pos and not with_pos:

@@ -708,3 +708,46 @@ def test_merge_on_read_delete_partitioned(spark, warehouse):
     }
     assert [r.id for r in t.scan().where("lang = 'en'").collect()] != [1]
     assert sorted(r.id for r in t.scan().where("lang = 'en'").collect()) == [3, 4]
+
+
+def test_concurrent_mor_deletes_both_land(spark, warehouse):
+    """Two racing merge-on-read deletes must BOTH keep their delete files
+    (the retry loop appends relative to the winning parent — an absolute
+    list would silently drop the loser's deletes)."""
+    import os
+    import threading
+
+    t = IceTable(spark, os.path.join(warehouse, "mor_race"))
+    t.create(
+        spark.createDataFrame([(i, f"v{i}") for i in range(1, 7)], "id long, v string")
+    )
+    errs = []
+
+    def deleter(key):
+        try:
+            IceTable(spark, t.path).delete_where(f"id = {key}", mode="merge-on-read")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=deleter, args=(k,)) for k in (2, 5)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert sorted(r.id for r in t.scan().collect()) == [1, 3, 4, 6]
+
+
+def test_mor_delete_with_colliding_column_names(spark, warehouse):
+    """The delete anti-join must not be ambiguous when the DATA schema
+    itself has file_path/pos columns."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "mor_collide"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a.txt", 10), (2, "b.txt", 20)], "id long, file_path string, pos long"
+        )
+    )
+    t.delete_where("id = 1", mode="merge-on-read")
+    assert [(r.id, r.file_path, r.pos) for r in t.scan().collect()] == [(2, "b.txt", 20)]
