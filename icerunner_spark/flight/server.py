@@ -467,10 +467,11 @@ class IceFlightServer(flight.FlightServerBase):
                     # erroring here forces mirror clients onto their
                     # full-overwrite resync path instead of silently
                     # appending rows the source logically deleted.
-                    if s.operation in ("overwrite", "delete"):
+                    if s.operation in ("overwrite", "delete", "merge"):
                         raise flight.FlightServerError(
-                            "get_changes crosses an overwrite/delete snapshot; "
-                            "incremental diff is append-only — full resync required"
+                            "get_changes crosses an overwrite/delete/merge "
+                            "snapshot; incremental diff is append-only — "
+                            "full resync required"
                         )
                     if s.operation != "replace":
                         # 'replace' = compaction, same rows -> no delta

@@ -438,19 +438,28 @@ class IceTable:
             partition_spec=spec,
         )
 
-    def merge(self, updates: DataFrame, key_cols: list[str]) -> Snapshot:
+    def merge(
+        self, updates: DataFrame, key_cols: list[str], *,
+        mode: str = "copy-on-write",
+    ) -> Snapshot:
         """Upsert (Iceberg ``MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN
-        NOT MATCHED THEN INSERT`` parity, copy-on-write): rows in
-        ``updates`` replace current rows with the same key; unmatched
-        keys insert. Duplicate keys WITHIN ``updates`` are rejected —
-        Iceberg raises on multiple matches, and silently keeping an
-        arbitrary one would be nondeterministic.
+        NOT MATCHED THEN INSERT`` parity): rows in ``updates`` replace
+        current rows with the same key; unmatched keys insert. Duplicate
+        keys WITHIN ``updates`` are rejected — Iceberg raises on multiple
+        matches, and silently keeping an arbitrary one would be
+        nondeterministic.
 
-        Copy-on-write here rewrites the whole table; Iceberg's
-        implementation prunes the rewrite to files containing matched
-        keys (plus optional merge-on-read delete files) — that file-level
-        pruning is the documented swap-in (SCALE.md), same commit
-        semantics."""
+        ``mode="copy-on-write"`` (default) rewrites the whole table;
+        Iceberg prunes that rewrite to files containing matched keys —
+        the documented swap-in (SCALE.md), same commit semantics.
+
+        ``mode="merge-on-read"``: the matched rows' (file, position)
+        coordinates go to a positional delete file and the updates append
+        as new data files — ONE snapshot, O(changed rows) IO. This is the
+        production CDC-apply path: upserting 0.1% of a 100 TB table costs
+        MBs. Incremental CDC treats it like an overwrite (rows were
+        replaced, the diff is not append-only); compaction materializes
+        back to a plain manifest."""
         if not self.exists():
             raise NoSuchTableError(self.path)
         if not key_cols:
@@ -462,15 +471,41 @@ class IceTable:
             raise ValueError("updates contain duplicate merge keys")
         table_schema = self.schema()
         updates = updates.select(*[c.name for c in table_schema.fields])
-        kept = self.scan().join(
-            updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        if mode == "copy-on-write":
+            kept = self.scan().join(
+                updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+            )
+            _, files = self._write_data_files(
+                kept.unionByName(updates), self.partition_spec()
+            )
+            return self._publish(
+                "overwrite", files, table_schema.json(), replace_manifest=True,
+                summary={"operation_detail": "merge"},
+            )
+        if mode != "merge-on-read":
+            raise ValueError(f"unknown merge mode: {mode}")
+        snap = self.current_snapshot()
+        matched = (
+            self._scan_snapshot(snap, with_pos=True)
+            .join(updates.select(*key_cols).distinct(), on=key_cols, how="left_semi")
+            .select(
+                F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+            )
+            .distinct()
         )
-        _, files = self._write_data_files(
-            kept.unionByName(updates), self.partition_spec()
+        commit_dir = f"snap-{uuid.uuid4().hex[:12]}-deletes"
+        out = os.path.join(self.data_dir, commit_dir)
+        matched.write.mode("error").parquet(out)
+        new_deletes = sorted(
+            os.path.join("data", commit_dir, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
         )
+        _, files = self._write_data_files(updates, self.partition_spec())
         return self._publish(
-            "overwrite", files, table_schema.json(), replace_manifest=True,
-            summary={"operation_detail": "merge"},
+            "merge", files, table_schema.json(),
+            summary={"operation_detail": "merge merge-on-read"},
+            add_delete_files=new_deletes,
         )
 
     def delete_where(self, condition, *, mode: str = "copy-on-write") -> Snapshot:
@@ -1010,12 +1045,12 @@ class IceTable:
         ctx = None
         for snap in snaps:
             if started:
-                if snap.operation in ("overwrite", "delete"):
-                    # merge-on-read deletes remove rows without an
-                    # overwrite commit — the diff is equally non-append
+                if snap.operation in ("overwrite", "delete", "merge"):
+                    # merge-on-read deletes/upserts remove or replace rows
+                    # without an overwrite commit — equally non-append
                     raise ValueError(
-                        "scan_changes crosses an overwrite/delete snapshot; "
-                        "incremental diff is append-only"
+                        "scan_changes crosses an overwrite/delete/merge "
+                        "snapshot; incremental diff is append-only"
                     )
                 if snap.operation != "replace":
                     # 'replace' = compaction: same rows, no delta (Iceberg

@@ -751,3 +751,45 @@ def test_mor_delete_with_colliding_column_names(spark, warehouse):
     )
     t.delete_where("id = 1", mode="merge-on-read")
     assert [(r.id, r.file_path, r.pos) for r in t.scan().collect()] == [(2, "b.txt", 20)]
+
+
+def test_merge_on_read_upsert(spark, warehouse):
+    """MOR upsert: matched keys are positionally deleted and updates
+    append — one snapshot, no table rewrite; result identical to the
+    copy-on-write merge."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "mor_merge"))
+    t.create(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    )
+    before_files = set(t.current_snapshot().manifest)
+    s0 = t.current_snapshot().snapshot_id
+
+    t.merge(
+        spark.createDataFrame([(2, "B"), (4, "d")], "id long, v string"),
+        ["id"],
+        mode="merge-on-read",
+    )
+    snap = t.current_snapshot()
+    assert snap.operation == "merge"
+    assert snap.delete_files  # matched row (2,'b') positionally deleted
+    assert before_files <= set(snap.manifest)  # original files untouched
+    assert {r.id: r.v for r in t.scan().collect()} == {
+        1: "a", 2: "B", 3: "c", 4: "d"
+    }
+    # time travel to before the upsert
+    assert {r.id: r.v for r in t.scan(snapshot_id=s0).collect()} == {
+        1: "a", 2: "b", 3: "c"
+    }
+    # CDC across a MOR merge is not append-only
+    with pytest.raises(ValueError, match="merge"):
+        t.scan_changes(s0).count()
+    # compaction materializes; rows unchanged
+    t.compact()
+    assert t.current_snapshot().delete_files == []
+    assert {r.id: r.v for r in t.scan().collect()} == {
+        1: "a", 2: "B", 3: "c", 4: "d"
+    }
+    with pytest.raises(ValueError, match="unknown merge mode"):
+        t.merge(spark.createDataFrame([(1, "x")], "id long, v string"), ["id"], mode="nope")
