@@ -1091,7 +1091,13 @@ class IceTable:
             raise NoSuchTableError(self.path)
         spec = list(snap.partition_spec)
         rows = []
-        for rel in snap.manifest:
+        # content mirrors Iceberg: 'data' rows are the live manifest,
+        # 'position-deletes' are pending merge-on-read delete files whose
+        # record_count is the number of deleted positions
+        listing = [(rel, "data") for rel in snap.manifest] + [
+            (rel, "position-deletes") for rel in snap.delete_files
+        ]
+        for rel, content in listing:
             full = os.path.join(self.path, rel)
             meta = _pq.read_metadata(full)
             parts = {}
@@ -1102,6 +1108,7 @@ class IceTable:
             rows.append(
                 (
                     rel,
+                    content,
                     _commit_dir_of(rel),
                     {c: parts.get(c) for c in spec},
                     meta.num_rows,
@@ -1110,15 +1117,15 @@ class IceTable:
             )
         return self.spark.createDataFrame(
             rows,
-            "file_path string, commit_dir string, partition map<string,string>, "
-            "record_count long, file_size_bytes long",
+            "file_path string, content string, commit_dir string, "
+            "partition map<string,string>, record_count long, file_size_bytes long",
         )
 
     def partitions_df(self, snapshot_id: int | None = None) -> DataFrame:
         """Per-partition rollup of :meth:`files_df` (Iceberg
         ``<t>.partitions`` parity): file/row/byte counts per partition
         tuple — the skew report for a partitioned table."""
-        f = self.files_df(snapshot_id)
+        f = self.files_df(snapshot_id).filter(F.col("content") == "data")
         return f.groupBy("partition").agg(
             F.count(F.lit(1)).alias("file_count"),
             F.sum("record_count").alias("record_count"),

@@ -626,6 +626,7 @@ def test_files_and_partitions_metadata_tables(spark, warehouse):
     t.append(spark.createDataFrame([(4, "fr")], "id long, lang string"))
 
     files = t.files_df().collect()
+    assert all(r.content == "data" for r in files)
     assert sum(r.record_count for r in files) == 4
     assert all(r.file_size_bytes > 0 for r in files)
     assert {r.partition["lang"] for r in files} == {"en", "de", "fr"}
@@ -643,6 +644,16 @@ def test_files_and_partitions_metadata_tables(spark, warehouse):
     fu = u.files_df().collect()
     assert sum(r.record_count for r in fu) == 2
     assert all(dict(r.partition) == {} for r in fu)
+
+    # a pending merge-on-read delete shows up as a position-deletes entry
+    # and stays out of the partitions rollup
+    t.delete_where("id = 1", mode="merge-on-read")
+    by_content = {}
+    for r in t.files_df().collect():
+        by_content[r.content] = by_content.get(r.content, 0) + r.record_count
+    assert by_content == {"data": 4, "position-deletes": 1}
+    parts2 = {r.partition["lang"]: r.record_count for r in t.partitions_df().collect()}
+    assert parts2 == parts  # physical inventory, deletes listed separately
 
 
 def test_merge_on_read_delete(spark, warehouse):
