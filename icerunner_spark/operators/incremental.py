@@ -352,3 +352,50 @@ def greedy_minhash_dedup(
     )
     dropped = greedy_dropped_ids(pairs.select("id1", "id2"))
     return df.join(dropped.withColumnRenamed("id", id_col), id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------- #
+# in-place continuous-clean maintenance (CDC dedup + merge-on-read delete)
+# --------------------------------------------------------------------------- #
+
+
+def dedup_maintenance_pass(
+    table, cursor_snapshot_id, *, id_col: str = "doc_id", text_col: str = "text"
+):
+    """ONE pass of the continuous corpus-clean loop, in place on a
+    snapshot table: read the rows appended since ``cursor_snapshot_id``
+    (``scan_changes``), exact-dedup them against the RETAINED corpus as
+    of the cursor (greedy-by-id: a delta row loses to any kept smaller-id
+    row, in-corpus or in-delta), and remove the losers with a
+    MERGE-ON-READ positional delete — the whole pass costs
+    O(delta + fingerprint state), never a table rewrite.
+
+    Returns ``(n_removed, new_cursor_snapshot_id)``. Run the next pass
+    with the returned cursor: the delete commit precedes it, so the next
+    ``scan_changes`` range never crosses a non-append snapshot. A pass
+    with no duplicates publishes nothing and just advances the cursor.
+
+    At 100 TB: the fingerprint state is a distinct-select over the
+    retained corpus here; a production deployment persists it between
+    runs (``exact_dedup_state``) partitioned by fingerprint range, making
+    each pass's cost independent of corpus size."""
+    delta = table.scan_changes(cursor_snapshot_id)
+    prior_kept = table.scan(snapshot_id=cursor_snapshot_id)
+    state = exact_dedup_state(prior_kept, text_col)
+    survivors = incremental_exact_dedup(delta, state, id_col, text_col)
+    # ids are the corpus's unique document ids — the loser list keys the
+    # delete (delete_rows semi-join), so duplicate ids across history
+    # would over-delete; the append-only ingest model guarantees them
+    losers = (
+        delta.select(id_col)
+        .join(survivors.select(id_col), id_col, "left_anti")
+        .persist()
+    )
+    try:
+        n_losers = losers.count()
+        if n_losers == 0:
+            return 0, table.current_snapshot().snapshot_id
+        snap = table.delete_rows(losers, [id_col], mode="merge-on-read")
+        return n_losers, snap.snapshot_id
+    finally:
+        losers.unpersist()

@@ -538,22 +538,69 @@ class IceTable:
         snap = self.current_snapshot()
         # existing pending deletes apply first, so re-matching an
         # already-deleted row cannot double-record its position
-        matches = (
-            self._scan_snapshot(snap, with_pos=True)
-            .where(cond)
-            .select(
-                F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+        matches = self._scan_snapshot(snap, with_pos=True).where(cond)
+        return self._publish_positional_deletes(matches)
+
+    def delete_rows(
+        self, keys: DataFrame, key_cols: list[str], *, mode: str = "merge-on-read"
+    ) -> Snapshot | None:
+        """Row-level DELETE by a KEY SET (a DataFrame of key columns)
+        instead of a predicate — the shape a dedup/maintenance pass
+        produces (its loser list is a DataFrame, and collecting it to the
+        driver for an isin() predicate would not scale). Semi-joins the
+        keys against the table and deletes the matches; merge-on-read by
+        default (O(matched rows) IO). Returns None if nothing matched."""
+        if not self.exists():
+            raise NoSuchTableError(self.path)
+        if not key_cols:
+            raise ValueError("delete_rows requires at least one key column")
+        if mode == "copy-on-write":
+            kept = self.scan().join(
+                keys.select(*key_cols).distinct(), on=key_cols, how="left_anti"
             )
-            .distinct()
+            _, files = self._write_data_files(kept, self.partition_spec())
+            return self._publish(
+                "overwrite", files, self.schema().json(), replace_manifest=True,
+                summary={"operation_detail": "delete_rows"},
+            )
+        if mode != "merge-on-read":
+            raise ValueError(f"unknown delete mode: {mode}")
+        snap = self.current_snapshot()
+        matches = self._scan_snapshot(snap, with_pos=True).join(
+            keys.select(*key_cols).distinct(), on=key_cols, how="left_semi"
         )
+        return self._publish_positional_deletes(matches, allow_empty=False)
+
+    def _publish_positional_deletes(
+        self, matches: DataFrame, *, allow_empty: bool = True
+    ) -> Snapshot | None:
+        """Write the (file, pos) coordinates of ``matches`` (rows carrying
+        the __file/__pos position columns) as a positional delete file and
+        publish a ``delete`` snapshot. With ``allow_empty=False`` an empty
+        match set publishes nothing and returns None."""
+        coords = matches.select(
+            F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+        ).distinct()
         commit_dir = f"snap-{uuid.uuid4().hex[:12]}-deletes"
         out = os.path.join(self.data_dir, commit_dir)
-        matches.write.mode("error").parquet(out)
+        coords.write.mode("error").parquet(out)
         new_deletes = sorted(
             os.path.join("data", commit_dir, f)
             for f in os.listdir(out)
             if f.endswith(".parquet")
         )
+        if not allow_empty:
+            import pyarrow.parquet as _pq
+
+            n = sum(
+                _pq.read_metadata(os.path.join(self.path, f)).num_rows
+                for f in new_deletes
+            )
+            if n == 0:
+                import shutil as _shutil
+
+                _shutil.rmtree(out, ignore_errors=True)
+                return None
         return self._publish(
             "delete", [], self.schema().json(),
             summary={"operation_detail": "delete merge-on-read"},

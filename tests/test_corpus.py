@@ -361,3 +361,52 @@ def test_incremental_minhash_dedup_equals_full(spark):
     assert inc_ids == {i for i in full_ids if i >= k}
     # the fixture has real cross/within-delta near-dups: some doc dropped
     assert len(inc_ids) < delta.count()
+
+
+def test_dedup_maintenance_pass_in_place(spark, tmp_path):
+    """Continuous corpus-clean loop: CDC delta dedup + merge-on-read
+    delete of the losers, in place on the snapshot table. Two passes:
+    each must leave the table equal to a full greedy dedup of everything
+    ingested so far, advance the cursor so the next scan_changes range
+    stays append-only, and publish nothing when the delta is clean."""
+    import os
+
+    from icerunner_spark.operators.incremental import dedup_maintenance_pass
+    from icerunner_spark.table import IceTable
+
+    t = IceTable(spark, os.path.join(str(tmp_path), "corpus"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+        )
+    )
+    cursor = t.current_snapshot().snapshot_id
+
+    # batch 1: one dup of doc 1, one in-delta dup pair, one fresh doc
+    t.append(
+        spark.createDataFrame(
+            [(3, "alpha beta"), (4, "epsilon"), (5, "epsilon"), (6, "zeta")],
+            "doc_id long, text string",
+        )
+    )
+    n, cursor = dedup_maintenance_pass(t, cursor)
+    assert n == 2  # doc 3 (dup of 1) and doc 5 (in-delta dup of 4)
+    assert sorted(r.doc_id for r in t.scan().collect()) == [1, 2, 4, 6]
+
+    # clean batch: nothing removed, no delete snapshot published
+    n_snaps = len(t.snapshots())
+    t.append(spark.createDataFrame([(7, "eta")], "doc_id long, text string"))
+    n, cursor = dedup_maintenance_pass(t, cursor)
+    assert n == 0
+    assert sorted(r.doc_id for r in t.scan().collect()) == [1, 2, 4, 6, 7]
+    assert len(t.snapshots()) == n_snaps + 1  # only the append
+
+    # batch 2 after a prior delete commit: range stays append-only
+    t.append(
+        spark.createDataFrame(
+            [(8, "zeta"), (9, "theta")], "doc_id long, text string"
+        )
+    )
+    n, cursor = dedup_maintenance_pass(t, cursor)
+    assert n == 1  # doc 8 duplicates kept doc 6
+    assert sorted(r.doc_id for r in t.scan().collect()) == [1, 2, 4, 6, 7, 9]
