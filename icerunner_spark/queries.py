@@ -4785,6 +4785,54 @@ def funnel_steps_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_maintenance_roundtrip",
+    oracle="""
+    WITH ingested AS (
+        SELECT doc_id,
+               lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id FROM ingested
+    WHERE doc_id = (
+        SELECT MIN(i2.doc_id) FROM ingested i2 WHERE i2.norm = ingested.norm
+    )
+    """,
+)
+def dedup_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-clean loop end to end on the snapshot format:
+    ingest documents in two append batches, run a CDC-driven maintenance
+    pass after each (operators.incremental.dedup_maintenance_pass —
+    exact-dedup the delta against the retained corpus, remove losers
+    with a merge-on-read positional delete), and return the surviving
+    ids. The invariant the oracle checks: after every pass the table
+    equals a FULL greedy dedup of everything ingested so far — the
+    prefix-decomposability that makes incremental dedup exact. Cost per
+    pass is O(delta + fingerprint state); the table is never
+    rewritten."""
+    from icerunner_spark.connector import Connector
+    from icerunner_spark.operators.incremental import dedup_maintenance_pass
+
+    wh = os.path.join(
+        "/tmp", "icerunner_maint_demo", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    c = Connector(spark, wh)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 300
+    )
+    t = c.catalog.table("corpus_maint")
+    # start EMPTY so every ingested row goes through a maintenance pass
+    # (rows present at the cursor are treated as already-retained state)
+    t.create(docs.filter(F.lit(False)))
+    cursor = t.current_snapshot().snapshot_id
+    t.append(docs.filter(F.col("doc_id") < 150))
+    _, cursor = dedup_maintenance_pass(t, cursor)
+    t.append(docs.filter(F.col("doc_id") >= 150))
+    _, cursor = dedup_maintenance_pass(t, cursor)
+    return t.scan().select("doc_id")
+
+
+@register(
     "snapshot_mor_delete_roundtrip",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_totalprice
