@@ -87,16 +87,11 @@ class IceFlightServer(flight.FlightServerBase):
     def _partition_values(relpath: str, spec: list) -> tuple:
         """Parse hive-style ``col=value`` path segments of one data file
         (``data/snap-x/lang=en/part-*.parquet`` -> ``("en",)`` for spec
-        ["lang"]). Values are constant per file by construction."""
-        from urllib.parse import unquote
+        ["lang"]). Values are constant per file by construction; decoding
+        (unescape + null sentinel) is the shared table.py parser."""
+        from icerunner_spark.table import _hive_partition_values
 
-        vals: dict = {}
-        for seg in relpath.replace(os.sep, "/").split("/")[2:-1]:
-            if "=" in seg:
-                k, v = seg.split("=", 1)
-                vals[k] = (
-                    None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
-                )
+        vals = _hive_partition_values(relpath)
         return tuple(vals.get(c) for c in spec)
 
     @staticmethod

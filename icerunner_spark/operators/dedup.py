@@ -162,10 +162,10 @@ def ngram_sets(
     shingles everything (measured 20x on local[32])."""
     from icerunner_spark.functions.text import normalize_ws
 
-    spread = max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        df.rdd.getNumPartitions(),
-    )
+    # defaultParallelism alone: touching .rdd (getNumPartitions) would
+    # force an analysis pass and break pure-DataFrame lineage for what is
+    # only a sizing hint
+    spread = df.sparkSession.sparkContext.defaultParallelism
     # two projections on purpose: the normalization materializes before
     # the gram lambda (see functions.text.normalize_ws — an inlined norm
     # re-runs the regex once PER GRAM, measured 2.7x on this stage)
@@ -385,10 +385,10 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     partial aggregation (the array-lambda form interprets 64 filters per
     row). Same repartition-before-explode rationale as
     :func:`minhash_signatures`."""
-    spread = max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        df.rdd.getNumPartitions(),
-    )
+    # defaultParallelism alone: touching .rdd (getNumPartitions) would
+    # force an analysis pass and break pure-DataFrame lineage for what is
+    # only a sizing hint
+    spread = df.sparkSession.sparkContext.defaultParallelism
     toks = df.repartition(spread, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),

@@ -377,15 +377,28 @@ def ivf_assign(
     # the matmul, and the gap widens with n_centroids. Ties break to the
     # lowest cell index (np.argmax == first max), matching the old
     # array_position semantics; zero-norm vectors land in cell 0 likewise.
+    # NULL or wrong-dimension vectors (dirty embedding data) get a NULL
+    # cell instead of failing the task — the same null propagation the
+    # pure-Catalyst formulation had.
     @pandas_udf("int")
     def _nearest_cell(v: pd.Series) -> pd.Series:
         if not len(v):
-            return pd.Series([], dtype="int32")
-        E = np.stack(v.to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(E, axis=1)
-        norms[norms == 0.0] = 1.0
-        sims = (E / norms[:, None]) @ C.T
-        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+            return pd.Series([], dtype="Int32")
+        dim = C.shape[1]
+        arrs = v.to_numpy()
+        valid = np.fromiter(
+            (a is not None and len(a) == dim for a in arrs),
+            dtype=bool,
+            count=len(arrs),
+        )
+        out = pd.array([pd.NA] * len(arrs), dtype="Int32")
+        if valid.any():
+            E = np.stack(arrs[valid]).astype(np.float64)
+            norms = np.linalg.norm(E, axis=1)
+            norms[norms == 0.0] = 1.0
+            sims = (E / norms[:, None]) @ C.T
+            out[valid] = np.argmax(sims, axis=1).astype(np.int32)
+        return pd.Series(out)
 
     return df.withColumn(cell_col, _nearest_cell(F.col(vec_col)))
 
@@ -485,17 +498,30 @@ def pq_encode(
     m = B.shape[0]
     sub = B.shape[2]
 
+    # NULL / wrong-dimension vectors encode to NULL instead of failing
+    # the task (dirty embedding data must degrade, not kill the job).
     @pandas_udf("array<int>")
     def _codes(v: pd.Series) -> pd.Series:
         if not len(v):
             return pd.Series([], dtype=object)
-        E = np.stack(v.to_numpy()).astype(np.float64)
-        out = np.empty((len(E), m), dtype=np.int32)
-        for s in range(m):
-            sub_e = E[:, s * sub : (s + 1) * sub]
-            d = -2.0 * (sub_e @ B[s].T) + (B[s] * B[s]).sum(axis=1)
-            out[:, s] = np.argmin(d, axis=1)
-        return pd.Series(list(out))
+        arrs = v.to_numpy()
+        dim = m * sub
+        valid = np.fromiter(
+            (a is not None and len(a) == dim for a in arrs),
+            dtype=bool,
+            count=len(arrs),
+        )
+        results = np.empty(len(arrs), dtype=object)
+        if valid.any():
+            E = np.stack(arrs[valid]).astype(np.float64)
+            out = np.empty((len(E), m), dtype=np.int32)
+            for s in range(m):
+                sub_e = E[:, s * sub : (s + 1) * sub]
+                d = -2.0 * (sub_e @ B[s].T) + (B[s] * B[s]).sum(axis=1)
+                out[:, s] = np.argmin(d, axis=1)
+            for j, i in enumerate(np.nonzero(valid)[0]):
+                results[i] = out[j]
+        return pd.Series(results)
 
     return df.withColumn(code_col, _codes(F.col(vec_col)))
 

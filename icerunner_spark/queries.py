@@ -59,6 +59,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+def _demo_warehouse(name: str, sf_dir: str) -> str:
+    """Hermetic per-run warehouse for the demo-table queries: a
+    uuid-suffixed directory, so two concurrent harnesses on the same sf
+    cannot race each other's tables, plus best-effort GC of stale
+    siblings (>1 h old) from previous runs. The fresh dir must OUTLIVE
+    the returned lazy DataFrame — the driver collects it after the query
+    function returns — so cleanup is deferred to a later run's GC
+    instead of an inline rmtree."""
+    import time as _time
+    import uuid as _uuid
+
+    base = os.path.join("/tmp", name, os.path.basename(os.path.normpath(sf_dir)))
+    os.makedirs(base, exist_ok=True)
+    cutoff = _time.time() - 3600
+    for d in os.listdir(base):
+        p = os.path.join(base, d)
+        try:
+            if os.path.getmtime(p) <= cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    return os.path.join(base, _uuid.uuid4().hex[:8])
+
+
 # Exact-decimal money arithmetic: every fixture money/rate column is
 # 2dp-valued, so casting to decimal before aggregation makes sums exact and
 # engine-order-independent; the final ROUND+CAST(DOUBLE) is then bit-stable
@@ -766,8 +790,7 @@ def cdc_changes_since_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (icerunner.py:224-259); ours is a true file-level diff."""
     from icerunner_spark.connector import Connector
 
-    wh = os.path.join("/tmp", "icerunner_cdc_demo", os.path.basename(os.path.normpath(sf_dir)))
-    shutil.rmtree(wh, ignore_errors=True)
+    wh = _demo_warehouse("icerunner_cdc_demo", sf_dir)
     c = Connector(spark, wh)
     region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     base = region.filter(F.col("r_regionkey") < 3)
@@ -793,10 +816,7 @@ def time_travel_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest, so historical reads are exact file lists, no guessing."""
     from icerunner_spark.connector import Connector
 
-    wh = os.path.join(
-        "/tmp", "icerunner_tt_demo", os.path.basename(os.path.normpath(sf_dir))
-    )
-    shutil.rmtree(wh, ignore_errors=True)
+    wh = _demo_warehouse("icerunner_tt_demo", sf_dir)
     c = Connector(spark, wh)
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     t = c.catalog.table("nation_tt")
@@ -830,10 +850,7 @@ def flight_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icerunner_spark.flight.client import read_table_once, write_batch
     from icerunner_spark.flight.server import IceFlightServer
 
-    wh = os.path.join(
-        "/tmp", "icerunner_flight_demo", os.path.basename(os.path.normpath(sf_dir))
-    )
-    shutil.rmtree(wh, ignore_errors=True)
+    wh = _demo_warehouse("icerunner_flight_demo", sf_dir)
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
     c = Connector(spark, wh)
     c.create_table("nation_rt", nation.slice(0, 5))
@@ -864,10 +881,7 @@ def snapshot_history_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     run-specific."""
     from icerunner_spark.connector import Connector
 
-    wh = os.path.join(
-        "/tmp", "icerunner_snaphist_demo", os.path.basename(os.path.normpath(sf_dir))
-    )
-    shutil.rmtree(wh, ignore_errors=True)
+    wh = _demo_warehouse("icerunner_snaphist_demo", sf_dir)
     c = Connector(spark, wh)
     region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     t = c.catalog.table("region_hist")
@@ -935,10 +949,7 @@ def incremental_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_exact_dedup,
     )
 
-    wh = os.path.join(
-        "/tmp", "icerunner_incdedup_demo", os.path.basename(os.path.normpath(sf_dir))
-    )
-    shutil.rmtree(wh, ignore_errors=True)
+    wh = _demo_warehouse("icerunner_incdedup_demo", sf_dir)
     d = _t(spark, sf_dir, "documents")
     kdf = F.broadcast(d.agg(F.expr("cast(max(doc_id) * 0.8 as bigint)").alias("k")))
     d = d.crossJoin(kdf)
@@ -988,10 +999,7 @@ def incremental_neardup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_dedup_state,
     )
 
-    wh = os.path.join(
-        "/tmp", "icerunner_incneardup_demo", os.path.basename(os.path.normpath(sf_dir))
-    )
-    shutil.rmtree(wh, ignore_errors=True)
+    wh = _demo_warehouse("icerunner_incneardup_demo", sf_dir)
     d = _t(spark, sf_dir, "documents")
     kdf = F.broadcast(d.agg(F.expr("cast(max(doc_id) * 0.8 as bigint)").alias("k")))
     d = d.crossJoin(kdf)
@@ -2347,10 +2355,7 @@ def snapshot_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     tests/test_table.py)."""
     from icerunner_spark.connector import Connector
 
-    wh = os.path.join(
-        "/tmp", "icerunner_compact_demo", os.path.basename(os.path.normpath(sf_dir))
-    )
-    shutil.rmtree(wh, ignore_errors=True)
+    wh = _demo_warehouse("icerunner_compact_demo", sf_dir)
     c = Connector(spark, wh)
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -2961,10 +2966,7 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics pinned further in tests/test_table.py."""
     from icerunner_spark.connector import Connector
 
-    wh = os.path.join(
-        "/tmp", "icerunner_merge_demo", os.path.basename(os.path.normpath(sf_dir))
-    )
-    shutil.rmtree(wh, ignore_errors=True)
+    wh = _demo_warehouse("icerunner_merge_demo", sf_dir)
     c = Connector(spark, wh)
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double")
@@ -4254,10 +4256,9 @@ def _federated_flight_server(spark: SparkSession, sf_dir: str) -> int:
 
     key = os.path.normpath(sf_dir)
     if key not in _FED_SERVERS:
-        wh = os.path.join(
-            "/tmp", "icerunner_flight_fed", os.path.basename(key)
-        )
-        shutil.rmtree(wh, ignore_errors=True)
+        # per-process uuid warehouse (the cached server owns it for the
+        # process lifetime; _demo_warehouse's GC reclaims stale siblings)
+        wh = _demo_warehouse("icerunner_flight_fed", sf_dir)
         c = Connector(spark, wh)
         c.create_table(
             "nation_fed", pq.read_table(os.path.join(sf_dir, "nation.parquet"))
@@ -4812,10 +4813,7 @@ def dedup_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icerunner_spark.connector import Connector
     from icerunner_spark.operators.incremental import dedup_maintenance_pass
 
-    wh = os.path.join(
-        "/tmp", "icerunner_maint_demo", os.path.basename(os.path.normpath(sf_dir))
-    )
-    shutil.rmtree(wh, ignore_errors=True)
+    wh = _demo_warehouse("icerunner_maint_demo", sf_dir)
     c = Connector(spark, wh)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
         F.col("doc_id") < 300
@@ -4850,10 +4848,7 @@ def snapshot_mor_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     copy-on-write twin is exercised by snapshot_merge_upsert's family."""
     from icerunner_spark.connector import Connector
 
-    wh = os.path.join(
-        "/tmp", "icerunner_mor_demo", os.path.basename(os.path.normpath(sf_dir))
-    )
-    shutil.rmtree(wh, ignore_errors=True)
+    wh = _demo_warehouse("icerunner_mor_demo", sf_dir)
     c = Connector(spark, wh)
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -4891,10 +4886,7 @@ def partitioned_table_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (icerunner.py:154-157)."""
     from icerunner_spark.connector import Connector
 
-    wh = os.path.join(
-        "/tmp", "icerunner_part_demo", os.path.basename(os.path.normpath(sf_dir))
-    )
-    shutil.rmtree(wh, ignore_errors=True)
+    wh = _demo_warehouse("icerunner_part_demo", sf_dir)
     c = Connector(spark, wh)
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"

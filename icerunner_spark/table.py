@@ -155,6 +155,23 @@ def _commit_dir_of(relpath: str) -> str:
     return parts[1] if len(parts) >= 3 and parts[0] == "data" else relpath
 
 
+def _hive_partition_values(relpath: str) -> dict:
+    """Decode the hive-style ``col=value`` path segments of one data
+    file's table-relative path (``data/snap-x/lang=a%2Fb/part-*.parquet``
+    -> ``{"lang": "a/b"}``): URL-unescape values and map the
+    ``__HIVE_DEFAULT_PARTITION__`` sentinel to None — one parser shared
+    by ``files_df`` and the Flight server so escaped characters and null
+    partitions decode identically everywhere."""
+    from urllib.parse import unquote
+
+    vals: dict = {}
+    for seg in relpath.replace(os.sep, "/").split("/")[2:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+    return vals
+
+
 def _schema_names(schema_json_text: str) -> list[str]:
     return [f["name"] for f in json.loads(schema_json_text)["fields"]]
 
@@ -508,7 +525,9 @@ class IceTable:
             add_delete_files=new_deletes,
         )
 
-    def delete_where(self, condition, *, mode: str = "copy-on-write") -> Snapshot:
+    def delete_where(
+        self, condition, *, mode: str = "copy-on-write"
+    ) -> Snapshot | None:
         """Row-level DELETE (Iceberg ``DELETE FROM ... WHERE`` parity).
 
         ``mode="copy-on-write"`` (default): keep only rows NOT matching
@@ -521,8 +540,11 @@ class IceTable:
         commit is metadata + O(deleted rows) IO, never a table rewrite:
         deleting 0.1% of 100 TB costs MBs, not 100 TB. Scans anti-join
         pending delete files; :meth:`compact` materializes them and
-        clears the list. Incremental CDC treats a merge-on-read delete
-        like an overwrite (the diff is no longer append-only)."""
+        clears the list. A condition matching ZERO rows publishes
+        nothing and returns None (like :meth:`delete_rows`) — a no-op
+        must not break append-only CDC ranges with an empty 'delete'
+        snapshot. Incremental CDC treats a merge-on-read delete like an
+        overwrite (the diff is no longer append-only)."""
         if not self.exists():
             raise NoSuchTableError(self.path)
         cond = F.expr(condition) if isinstance(condition, str) else condition
@@ -539,7 +561,7 @@ class IceTable:
         # existing pending deletes apply first, so re-matching an
         # already-deleted row cannot double-record its position
         matches = self._scan_snapshot(snap, with_pos=True).where(cond)
-        return self._publish_positional_deletes(matches)
+        return self._publish_positional_deletes(matches, allow_empty=False)
 
     def delete_rows(
         self, keys: DataFrame, key_cols: list[str], *, mode: str = "merge-on-read"
@@ -1147,11 +1169,7 @@ class IceTable:
         for rel, content in listing:
             full = os.path.join(self.path, rel)
             meta = _pq.read_metadata(full)
-            parts = {}
-            for seg in rel.replace(os.sep, "/").split("/")[2:-1]:
-                if "=" in seg:
-                    k, v = seg.split("=", 1)
-                    parts[k] = v
+            parts = _hive_partition_values(rel)
             rows.append(
                 (
                     rel,

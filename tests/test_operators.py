@@ -308,6 +308,31 @@ class TestIVF:
         assert cells <= set(range(8))
         assert out.count() == e.count()
 
+    def test_ivf_assign_null_and_ragged_vectors(self, spark):
+        """Dirty embedding data (NULL vectors, wrong dimensionality) must
+        assign NULL cells, not fail the task — same null propagation as
+        the pure-Catalyst formulation this replaced (ADVICE r4)."""
+        from icerunner_spark.operators.similarity import (
+            _deterministic_centroids,
+            ivf_assign,
+        )
+
+        e = load_table(spark, "embeddings", SF).limit(60)
+        cents = _deterministic_centroids(
+            e, vec_col="embedding", id_col="vec_id", n_centroids=4
+        )
+        dirty = e.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 7 == 0, F.lit(None).cast("array<float>"))
+            .when(F.col("vec_id") % 7 == 1, F.slice("embedding", 1, 3))
+            .otherwise(F.col("embedding")),
+        )
+        for r in ivf_assign(dirty, cents).select("vec_id", "__ivf_cell").collect():
+            if r["vec_id"] % 7 in (0, 1):
+                assert r["__ivf_cell"] is None
+            else:
+                assert r["__ivf_cell"] is not None and 0 <= r["__ivf_cell"] < 4
+
 
 class TestUDTF:
     def test_split_tokens_matches_jvm_explode(self, spark):
@@ -654,6 +679,25 @@ class TestProductQuantization:
         # deterministic: re-encoding yields identical codes
         rows2 = {r["vec_id"]: list(r["pq_code"]) for r in pq_encode(e, books).collect()}
         assert rows == rows2
+
+    def test_pq_encode_null_and_ragged_vectors(self, spark):
+        """NULL / wrong-dimension vectors encode to NULL codes instead of
+        failing the Arrow batch (ADVICE r4)."""
+        from icerunner_spark.operators.similarity import pq_encode, pq_train_codebooks
+
+        e = load_table(spark, "embeddings", SF).limit(60)
+        books = pq_train_codebooks(e, m=4, n_codes=8)
+        dirty = e.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 7 == 0, F.lit(None).cast("array<float>"))
+            .when(F.col("vec_id") % 7 == 1, F.slice("embedding", 1, 5))
+            .otherwise(F.col("embedding")),
+        )
+        for r in pq_encode(dirty, books).select("vec_id", "pq_code").collect():
+            if r["vec_id"] % 7 in (0, 1):
+                assert r["pq_code"] is None
+            else:
+                assert len(r["pq_code"]) == 4
 
     def test_pq_recall_against_bruteforce(self, spark):
         from icerunner_spark.operators.similarity import cosine_topk, pq_topk
