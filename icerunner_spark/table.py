@@ -269,6 +269,9 @@ class IceTable:
         evolve=None,
         partition_spec: list | None = None,
         add_delete_files: list | None = None,
+        require_parent_snapshot_id: int | None = None,
+        inherit_schema: bool = False,
+        full_manifest: list[str] | None = None,
     ) -> Snapshot:
         """Optimistically commit a new snapshot referencing already-written
         data files. Pure metadata — safe to retry without rewriting data.
@@ -276,14 +279,64 @@ class IceTable:
         ``evolve`` is an optional ``(field_ids, next_field_id) ->
         (field_ids, next_field_id)`` transform applied INSIDE the retry
         loop (so it always sees the winning parent's ids) — the hook
-        add/drop/rename/overwrite use to change the id mapping."""
+        add/drop/rename/overwrite use to change the id mapping.
+
+        Conflict validation (Iceberg parity — a retry must not silently
+        undo a concurrent commit):
+
+        - ``require_parent_snapshot_id``: commits whose CONTENT was
+          derived by reading a snapshot (compact, copy-on-write
+          delete/merge) pass the snapshot id they read; if the winning
+          parent has advanced past it, the written files are stale (they
+          would resurrect concurrently-deleted rows or drop concurrent
+          appends) and the commit raises :class:`CommitConflict` instead
+          of retrying — the caller re-reads and re-runs.
+        - ``add_delete_files``: the positional delete files' referenced
+          data-file paths must be a subset of the winning manifest; a
+          concurrent compact/overwrite that replaced those files makes
+          the (file, pos) coordinates meaningless (the anti-join would
+          never match — a silently lost delete), so the commit raises
+          :class:`CommitConflict`.
+
+        ``inherit_schema``: append-shaped commits (append, merge-on-read
+        delete/merge) don't change the table schema — the published
+        snapshot takes the WINNING parent's schema, not the possibly
+        stale schema the caller read before staging (a concurrent rename
+        must not be reverted by an append's publish).
+
+        ``full_manifest``: with ``replace_manifest``, an explicit full
+        file set that differs from ``added_files`` — incremental (bin-
+        pack) compaction keeps untouched files in the manifest while
+        ``added_files`` records only the rewritten ones."""
         os.makedirs(self.metadata_dir, exist_ok=True)
+        # Delete-file references and staged write-time mappings are
+        # immutable once written — resolve them once, outside the loop.
+        new_delete_refs: set[str] = (
+            self._delete_file_refs(add_delete_files) if add_delete_files else set()
+        )
+        sidecars = {
+            d: self._load_write_mapping(d)
+            for d in {_commit_dir_of(f) for f in added_files or []}
+        }
         for _ in range(max_retries):
             parent = self.current_snapshot()
+            if require_parent_snapshot_id is not None and (
+                parent is None or parent.snapshot_id != require_parent_snapshot_id
+            ):
+                raise CommitConflict(
+                    f"table advanced past snapshot {require_parent_snapshot_id} "
+                    f"since this operation read its data; re-read and retry: "
+                    f"{self.path}"
+                )
             seq = (parent.sequence + 1) if parent else 0
-            manifest = list(added_files) if (replace_manifest or parent is None) else (
-                parent.manifest + list(added_files)
-            )
+            if replace_manifest and full_manifest is not None:
+                manifest = list(full_manifest)
+            elif replace_manifest or parent is None:
+                manifest = list(added_files)
+            else:
+                manifest = parent.manifest + list(added_files)
+            if inherit_schema and parent is not None:
+                df_schema_json = parent.schema_json
             if parent is None:
                 names = _schema_names(df_schema_json)
                 field_ids = {n: i + 1 for i, n in enumerate(names)}
@@ -312,14 +365,29 @@ class IceTable:
                 dels = list(parent.delete_files)
             if add_delete_files:
                 dels += [f for f in add_delete_files if f not in dels]
+                stale = new_delete_refs - set(manifest)
+                if stale:
+                    raise CommitConflict(
+                        "positional delete files reference data files no "
+                        f"longer in the manifest (concurrently replaced): "
+                        f"{sorted(stale)[:3]}..."
+                    )
             if evolve is not None:
                 field_ids, next_id = evolve(field_ids, next_id)
             # Stamp the physical name each field id was written under for
-            # every new commit dir: the files carry the CURRENT logical
-            # names (writers align to the live schema), so future renames
-            # stay resolvable per file group.
+            # every new commit dir. The staged sidecar mapping (written
+            # WITH the files, under the stage-time ids/names) wins: it is
+            # the only record that survives a schema change racing between
+            # stage and publish. Without one, the mapping is computed from
+            # the publish-time schema — and a written name the winning
+            # field_ids no longer knows means that race happened, so the
+            # commit conflicts instead of silently stamping a mapping that
+            # would read those columns back as NULL.
             if added_files:
-                commit_mapping = {
+                unmapped = [
+                    n for n in _schema_names(df_schema_json) if n not in field_ids
+                ]
+                default_mapping = {
                     str(field_ids[n]): n
                     for n in _schema_names(df_schema_json)
                     if n in field_ids
@@ -327,7 +395,14 @@ class IceTable:
                 for f in added_files:
                     d = _commit_dir_of(f)
                     if d not in mappings:
-                        mappings[d] = commit_mapping
+                        side = sidecars.get(d)
+                        if side is None and unmapped:
+                            raise CommitConflict(
+                                f"schema changed between write and publish "
+                                f"(columns {unmapped} are not in the current "
+                                f"schema) and no write-time mapping was staged"
+                            )
+                        mappings[d] = side or default_mapping
             # Prune mappings to dirs this snapshot can still see — older
             # snapshots are self-contained JSON, so time travel keeps its
             # own copies.
@@ -361,20 +436,66 @@ class IceTable:
             return snap
         raise CommitConflict(f"gave up after {max_retries} retries: {self.path}")
 
+    def _delete_file_refs(self, delete_files: list[str]) -> set[str]:
+        """Distinct data-file paths referenced by positional delete files
+        (driver-side pyarrow read of the one string column — delete files
+        are O(deleted rows), and the distinct path set is O(#files))."""
+        import pyarrow.parquet as _pq
+
+        refs: set[str] = set()
+        for f in delete_files:
+            t = _pq.read_table(
+                os.path.join(self.path, f), columns=["file_path"]
+            )
+            refs.update(t.column("file_path").to_pylist())
+        return refs
+
+    _WRITE_MAPPING = "_write_mapping.json"
+
+    def _load_write_mapping(self, commit_dir: str) -> dict | None:
+        """The {field_id: physical_name} sidecar staged next to a commit
+        dir's data files (see :meth:`_write_data_files`), or None for
+        dirs written before sidecars existed."""
+        try:
+            with open(
+                os.path.join(self.data_dir, commit_dir, self._WRITE_MAPPING)
+            ) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
     def _write_data_files(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        *,
+        field_ids: dict | None = None,
     ) -> tuple[str, list[str]]:
         """Distributed parquet write of one commit's data into a fresh
         subdirectory; returns (dirname, relative file list). With
         ``partition_by``, files land under hive-style ``col=value/``
         subdirectories of the commit dir (the partition columns live in
-        the paths, not the files — Spark's partitioned writer)."""
+        the paths, not the files — Spark's partitioned writer).
+
+        ``field_ids`` (the WRITE-time logical-name -> id map) stages a
+        ``_write_mapping.json`` sidecar recording the physical name each
+        id was written under. ``_publish`` prefers the sidecar when
+        stamping ``file_mappings`` — the record that keeps a staged
+        append resolvable when a rename/drop commits between write and
+        publish (publish-time ids would stamp the wrong names and the
+        columns would silently read back as NULL)."""
         commit_dir = f"snap-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.data_dir, commit_dir)
         w = df.write.mode("error")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(out)
+        if field_ids is not None:
+            mapping = {
+                str(field_ids[n]): n for n in df.columns if n in field_ids
+            }
+            with open(os.path.join(out, self._WRITE_MAPPING), "w") as f:
+                json.dump(mapping, f)
         files = []
         for root, _dirs, names in os.walk(out):
             for f in names:
@@ -419,13 +540,18 @@ class IceTable:
         (manifests are the only read path), so an abandoned stage leaves
         orphan files for cleanup, never a partially-applied write —
         the same write-then-commit protocol Iceberg uses."""
-        if not self.exists():
+        snap = self.current_snapshot()
+        if snap is None:
             raise NoSuchTableError(self.path)
         # Align to table schema by name (reference appends Arrow tables whose
         # schema must match, icerunner.py:163-178; we additionally reorder).
-        table_schema = self.schema()
+        table_schema = StructType.fromJson(json.loads(snap.schema_json))
         df = df.select(*[c.name for c in table_schema.fields])
-        _, files = self._write_data_files(df, self.partition_spec())
+        # stage-time field ids ride along in the sidecar so publish stays
+        # correct across a concurrent rename (see _write_data_files)
+        _, files = self._write_data_files(
+            df, list(snap.partition_spec), field_ids=snap.field_ids
+        )
         return files
 
     def publish_append(
@@ -437,8 +563,13 @@ class IceTable:
         mirror's microbatch id) that survive crashes with the commit."""
         if not self.exists():
             raise NoSuchTableError(self.path)
+        # inherit_schema: the published snapshot takes the WINNING
+        # parent's schema — an append must not revert a rename/add/drop
+        # that committed while the files were staged (the sidecar keeps
+        # the staged files resolvable either way)
         return self._publish(
-            "append", list(files), self.schema().json(), summary=summary
+            "append", list(files), self.schema().json(),
+            summary=summary, inherit_schema=True,
         )
 
     def overwrite(self, df: DataFrame) -> Snapshot:
@@ -486,22 +617,25 @@ class IceTable:
         )
         if dupes:
             raise ValueError("updates contain duplicate merge keys")
-        table_schema = self.schema()
+        snap = self.current_snapshot()
+        table_schema = StructType.fromJson(json.loads(snap.schema_json))
         updates = updates.select(*[c.name for c in table_schema.fields])
         if mode == "copy-on-write":
-            kept = self.scan().join(
+            kept = self._scan_snapshot(snap).join(
                 updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
             )
             _, files = self._write_data_files(
-                kept.unionByName(updates), self.partition_spec()
+                kept.unionByName(updates), list(snap.partition_spec)
             )
+            # the rewrite reflects snapshot `snap` — a commit that raced
+            # in since would be silently undone, so conflict instead
             return self._publish(
                 "overwrite", files, table_schema.json(), replace_manifest=True,
                 summary={"operation_detail": "merge"},
+                require_parent_snapshot_id=snap.snapshot_id,
             )
         if mode != "merge-on-read":
             raise ValueError(f"unknown merge mode: {mode}")
-        snap = self.current_snapshot()
         matched = (
             self._scan_snapshot(snap, with_pos=True)
             .join(updates.select(*key_cols).distinct(), on=key_cols, how="left_semi")
@@ -518,11 +652,13 @@ class IceTable:
             for f in os.listdir(out)
             if f.endswith(".parquet")
         )
-        _, files = self._write_data_files(updates, self.partition_spec())
+        _, files = self._write_data_files(
+            updates, list(snap.partition_spec), field_ids=snap.field_ids
+        )
         return self._publish(
             "merge", files, table_schema.json(),
             summary={"operation_detail": "merge merge-on-read"},
-            add_delete_files=new_deletes,
+            add_delete_files=new_deletes, inherit_schema=True,
         )
 
     def delete_where(
@@ -548,16 +684,17 @@ class IceTable:
         if not self.exists():
             raise NoSuchTableError(self.path)
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        snap = self.current_snapshot()
         if mode == "copy-on-write":
-            kept = self.scan().where(~cond)
-            _, files = self._write_data_files(kept, self.partition_spec())
+            kept = self._scan_snapshot(snap).where(~cond)
+            _, files = self._write_data_files(kept, list(snap.partition_spec))
             return self._publish(
-                "overwrite", files, self.schema().json(), replace_manifest=True,
+                "overwrite", files, snap.schema_json, replace_manifest=True,
                 summary={"operation_detail": "delete"},
+                require_parent_snapshot_id=snap.snapshot_id,
             )
         if mode != "merge-on-read":
             raise ValueError(f"unknown delete mode: {mode}")
-        snap = self.current_snapshot()
         # existing pending deletes apply first, so re-matching an
         # already-deleted row cannot double-record its position
         matches = self._scan_snapshot(snap, with_pos=True).where(cond)
@@ -576,18 +713,19 @@ class IceTable:
             raise NoSuchTableError(self.path)
         if not key_cols:
             raise ValueError("delete_rows requires at least one key column")
+        snap = self.current_snapshot()
         if mode == "copy-on-write":
-            kept = self.scan().join(
+            kept = self._scan_snapshot(snap).join(
                 keys.select(*key_cols).distinct(), on=key_cols, how="left_anti"
             )
-            _, files = self._write_data_files(kept, self.partition_spec())
+            _, files = self._write_data_files(kept, list(snap.partition_spec))
             return self._publish(
-                "overwrite", files, self.schema().json(), replace_manifest=True,
+                "overwrite", files, snap.schema_json, replace_manifest=True,
                 summary={"operation_detail": "delete_rows"},
+                require_parent_snapshot_id=snap.snapshot_id,
             )
         if mode != "merge-on-read":
             raise ValueError(f"unknown delete mode: {mode}")
-        snap = self.current_snapshot()
         matches = self._scan_snapshot(snap, with_pos=True).join(
             keys.select(*key_cols).distinct(), on=key_cols, how="left_semi"
         )
@@ -626,7 +764,7 @@ class IceTable:
         return self._publish(
             "delete", [], self.schema().json(),
             summary={"operation_detail": "delete merge-on-read"},
-            add_delete_files=new_deletes,
+            add_delete_files=new_deletes, inherit_schema=True,
         )
 
     # ---------- named refs (Iceberg tag parity) ----------
@@ -681,30 +819,94 @@ class IceTable:
 
     # ---------- maintenance (Iceberg: expire_snapshots / remove_orphan_files) ----------
 
-    def compact(self, *, target_file_rows: int = 1_000_000) -> Snapshot:
-        """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
-        the current row set into ceil(rows/target_file_rows) right-sized
-        files and commit a ``replace`` snapshot with identical rows.
-        ``replace`` snapshots add no rows, so incremental reads
-        (:meth:`scan_changes`, Flight get_changes) SKIP them instead of
-        erroring — the same contract as Iceberg's incremental read over
-        rewrite snapshots. Old files stay on disk for time travel until
-        :meth:`expire_snapshots`."""
+    def compact(
+        self,
+        *,
+        target_file_rows: int = 1_000_000,
+        mode: str = "full",
+        small_file_rows: int | None = None,
+    ) -> Snapshot | None:
+        """Small-file compaction (Iceberg ``rewrite_data_files``):
+        rewrite into right-sized files and commit a ``replace`` snapshot
+        with identical rows. ``replace`` snapshots add no rows, so
+        incremental reads (:meth:`scan_changes`, Flight get_changes)
+        SKIP them instead of erroring — the same contract as Iceberg's
+        incremental read over rewrite snapshots. Old files stay on disk
+        for time travel until :meth:`expire_snapshots`. Raises
+        :class:`CommitConflict` if another commit lands between the scan
+        and the publish (the rewrite would silently undo it).
+
+        ``mode="full"``: rewrite the whole table —
+        ceil(rows/target_file_rows) files. O(table); fine for small
+        tables, the wrong tool at 100 TB.
+
+        ``mode="bin-pack"`` (Iceberg's bin-pack strategy): rewrite ONLY
+        the dirty subset — data files referenced by pending
+        merge-on-read delete files, plus files smaller than
+        ``small_file_rows`` (default ``target_file_rows // 2``). Clean
+        full-size files keep their exact manifest paths (zero IO);
+        pending deletes are materialized into the rewrite and cleared.
+        Cost is O(dirty bytes), which is what makes continuous
+        maintenance (delete-heavy MOR workloads, streaming small-file
+        ingest) affordable at scale. Returns None when nothing needs
+        rewriting."""
         if target_file_rows < 1:
             raise ValueError("target_file_rows must be >= 1")
-        df = self.scan()
-        n_files = max(1, -(-df.count() // target_file_rows))
-        spec = self.partition_spec()
-        # co-locate each partition's rows before the partitioned write so
-        # compaction yields right-sized files per partition, not
-        # n_files x n_partitions splinters
-        repartitioned = (
-            df.repartition(n_files, *spec) if spec else df.repartition(n_files)
+        snap = self.current_snapshot()
+        if snap is None:
+            raise NoSuchTableError(self.path)
+        spec = list(snap.partition_spec)
+
+        def _rewrite(df: DataFrame) -> list[str]:
+            n_files = max(1, -(-df.count() // target_file_rows))
+            # co-locate each partition's rows before the partitioned write
+            # so compaction yields right-sized files per partition, not
+            # n_files x n_partitions splinters
+            repartitioned = (
+                df.repartition(n_files, *spec) if spec else df.repartition(n_files)
+            )
+            _, files = self._write_data_files(
+                repartitioned, spec, field_ids=snap.field_ids
+            )
+            return files
+
+        if mode == "full":
+            files = _rewrite(self._scan_snapshot(snap))
+            return self._publish(
+                "replace", files, snap.schema_json, replace_manifest=True,
+                summary={"compacted_to_files": str(len(files))},
+                require_parent_snapshot_id=snap.snapshot_id,
+            )
+        if mode != "bin-pack":
+            raise ValueError(f"unknown compact mode: {mode}")
+        import pyarrow.parquet as _pq
+
+        small = target_file_rows // 2 if small_file_rows is None else small_file_rows
+        deleted_refs = (
+            self._delete_file_refs(snap.delete_files) if snap.delete_files else set()
         )
-        _, files = self._write_data_files(repartitioned, spec)
+        dirty = [
+            f
+            for f in snap.manifest
+            if f in deleted_refs
+            or _pq.read_metadata(os.path.join(self.path, f)).num_rows < small
+        ]
+        if not dirty and not snap.delete_files:
+            return None
+        clean = [f for f in snap.manifest if f not in set(dirty)]
+        # read ONLY the dirty files; the pending deletes all reference
+        # dirty files by construction (a referenced file is dirty), so
+        # the delete-applied subset read materializes every one of them
+        files = _rewrite(self._scan_snapshot(snap, files=dirty))
         return self._publish(
-            "replace", files, self.schema().json(), replace_manifest=True,
-            summary={"compacted_to_files": str(len(files))},
+            "replace", files, snap.schema_json, replace_manifest=True,
+            full_manifest=clean + files,
+            summary={
+                "compacted_to_files": str(len(files)),
+                "rewritten_files": str(len(dirty)),
+                "kept_files": str(len(clean)),
+            },
+            require_parent_snapshot_id=snap.snapshot_id,
         )
 
     def expire_snapshots(self, *, keep_last: int = 1) -> list[str]:
@@ -951,15 +1153,24 @@ class IceTable:
             raise NoSuchTableError(self.path)
         return self._scan_snapshot(snap)
 
-    def _scan_snapshot(self, snap: Snapshot, *, with_pos: bool = False) -> DataFrame:
+    def _scan_snapshot(
+        self,
+        snap: Snapshot,
+        *,
+        with_pos: bool = False,
+        files: list[str] | None = None,
+    ) -> DataFrame:
         """Snapshot read with merge-on-read delete application: when the
         snapshot carries positional delete files, rows are anti-joined
         away by (file, position) at read time — Iceberg v2 read
         semantics. The anti-join only exists while deletes are pending;
-        compaction materializes them and restores the plain scan."""
+        compaction materializes them and restores the plain scan.
+        ``files`` restricts the read to a subset of the manifest (file
+        pruning, bin-pack compaction) — delete coordinates naming files
+        outside the subset simply never match."""
         need_pos = with_pos or bool(snap.delete_files)
         df = self._read_files(
-            snap.manifest,
+            snap.manifest if files is None else files,
             StructType.fromJson(json.loads(snap.schema_json)),
             field_ids=snap.field_ids,
             file_mappings=snap.file_mappings,

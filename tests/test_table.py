@@ -804,3 +804,122 @@ def test_merge_on_read_upsert(spark, warehouse):
     }
     with pytest.raises(ValueError, match="unknown merge mode"):
         t.merge(spark.createDataFrame([(1, "x")], "id long, v string"), ["id"], mode="nope")
+
+
+def test_commit_conflict_replace_vs_concurrent_commit(spark, warehouse):
+    """A replace-manifest commit derived from a snapshot that is no
+    longer current must raise CommitConflict instead of silently
+    discarding whatever landed in between (ADVICE r4: compact retrying
+    over a concurrent MOR delete would resurrect the deleted rows)."""
+    import os
+
+    from icerunner_spark.table import CommitConflict
+
+    t = IceTable(spark, os.path.join(warehouse, "conflict_replace"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    stale = t.current_snapshot()
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    with pytest.raises(CommitConflict, match="advanced past"):
+        t._publish(
+            "replace", [], stale.schema_json, replace_manifest=True,
+            require_parent_snapshot_id=stale.snapshot_id,
+        )
+    # compact itself re-reads, so a plain sequential compact still works
+    t.compact()
+    assert {r.id for r in t.scan().collect()} == {1, 2, 3}
+
+
+def test_commit_conflict_stale_positional_deletes(spark, warehouse):
+    """Positional deletes computed against files that a concurrent
+    compact replaced must conflict, not commit: their (file, pos)
+    coordinates reference paths outside the winning manifest, so the
+    scan's anti-join would never match and the delete would be silently
+    lost despite a successful snapshot (ADVICE r4)."""
+    import os
+
+    from icerunner_spark.table import CommitConflict
+
+    t = IceTable(spark, os.path.join(warehouse, "conflict_del"))
+    t.create(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        )
+    )
+    snap = t.current_snapshot()
+    # coordinates computed against `snap`'s files...
+    matches = t._scan_snapshot(snap, with_pos=True).where("id = 3")
+    # ...then a compact replaces every file before the delete publishes
+    t.compact(target_file_rows=5)
+    with pytest.raises(CommitConflict, match="no longer in the manifest"):
+        t._publish_positional_deletes(matches)
+    # nothing was deleted — the conflicting delete left no trace
+    assert t.scan().count() == 10
+    assert t.current_snapshot().delete_files == []
+
+
+def test_staged_append_survives_concurrent_rename(spark, warehouse):
+    """A rename committing between stage_append and publish_append must
+    neither revert the rename nor NULL the staged columns: the staged
+    sidecar records the write-time field-id->name mapping, and the
+    published snapshot inherits the WINNING parent's schema (ADVICE r4)."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "stage_race"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, value string"))
+    staged = t.stage_append(
+        spark.createDataFrame([(2, "b"), (3, "c")], "id long, value string")
+    )
+    t.rename_column("value", "val2")
+    t.publish_append(staged)
+    # schema kept the rename (not reverted to the stage-time names)
+    assert [f.name for f in t.schema().fields] == ["id", "val2"]
+    # staged values resolve through the sidecar — NOT NULL
+    assert {r.id: r.val2 for r in t.scan().collect()} == {
+        1: "a", 2: "b", 3: "c"
+    }
+
+
+def test_bin_pack_compact_rewrites_only_dirty_files(spark, warehouse):
+    """Incremental (bin-pack) compaction: clean full-size files keep
+    their exact manifest paths untouched on disk; only delete-referenced
+    and small files rewrite; pending deletes materialize and clear. At
+    100 TB this is the difference between O(dirty) and O(table)
+    maintenance."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "binpack"))
+    big = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, v string"
+    ).repartition(1)
+    t.create(big)
+    for lo in (100, 110, 120):
+        t.append(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(lo, lo + 10)], "id long, v string"
+            ).repartition(1)
+        )
+    # delete rows that live in the small appended files only
+    t.delete_where("id >= 125", mode="merge-on-read")
+    snap = t.current_snapshot()
+    assert snap.delete_files
+    big_file = snap.manifest[0]
+    big_stat = os.stat(os.path.join(t.path, big_file))
+
+    s = t.compact(mode="bin-pack", target_file_rows=1000, small_file_rows=50)
+    assert s is not None and s.operation == "replace"
+    # the big file survives byte-identical at the same path
+    assert big_file in s.manifest
+    after = os.stat(os.path.join(t.path, big_file))
+    assert (after.st_size, after.st_mtime_ns) == (
+        big_stat.st_size, big_stat.st_mtime_ns
+    )
+    # small files were rewritten away; deletes materialized and cleared
+    assert s.delete_files == []
+    assert len(s.manifest) < 4 + 1  # 4 originals -> big + packed rewrite
+    assert sorted(r.id for r in t.scan().collect()) == list(range(125))
+    # summary records the split
+    assert s.summary["kept_files"] == "1"
+    # nothing dirty left: a second bin-pack pass is a no-op
+    assert t.compact(mode="bin-pack", target_file_rows=1000, small_file_rows=5) is None
+    with pytest.raises(ValueError, match="unknown compact mode"):
+        t.compact(mode="bogus")
