@@ -802,6 +802,54 @@ def cdc_changes_since_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_changelog_diff",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 7 < 3
+    ),
+    appended AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 7 IN (3, 4)
+    )
+    SELECT o_orderkey, 'insert' AS change_type FROM appended
+    UNION ALL
+    SELECT o_orderkey, 'delete' AS change_type FROM base
+    WHERE o_orderkey % 5 = 0
+    """,
+)
+def cdc_changelog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level changelog CDC (table.py scan_changelog): create orders
+    rows, snapshot, append a batch, merge-on-read delete a slice of the
+    ORIGINAL rows — then read the changelog over the whole range. The
+    emitted (row, _change_type) multiset must equal the set difference
+    of the two snapshots, which is exactly what the oracle computes from
+    the source: appended rows as inserts, deleted originals as deletes.
+    This is the incremental read that keeps a mirror INCREMENTAL across
+    continuous-clean maintenance (MOR deletes), where the append-only
+    scan_changes contract must refuse — the reference always falls back
+    to a full resync there (icerunner.py:1042-1076). IO is O(changed
+    rows): added files plus the files the delete coordinates reference."""
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_changelog_demo", sf_dir)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    t = c.catalog.table("orders_cl")
+    t.create(orders.filter(F.col("o_orderkey") % 7 < 3))
+    s0 = t.current_snapshot().snapshot_id
+    t.append(orders.filter((F.col("o_orderkey") % 7).isin(3, 4)))
+    # delete only pre-existing rows so the emitted changelog equals the
+    # two-snapshot diff (an in-range insert+delete pair would net out in
+    # state but emit both rows — pinned separately in tests/test_table.py)
+    t.delete_where(
+        (F.col("o_orderkey") % 7 < 3) & (F.col("o_orderkey") % 5 == 0),
+        mode="merge-on-read",
+    )
+    return t.scan_changelog(s0).select(
+        "o_orderkey", F.col("_change_type").alias("change_type")
+    )
+
+
+@register(
     "time_travel_snapshot_scan",
     oracle="""
     SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10
@@ -4896,6 +4944,61 @@ def partitioned_table_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.scan()
         .where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+@register(
+    "stats_pruned_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 5 FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file skipping on the snapshot format: orders land
+    in three commits covering disjoint o_orderkey ranges, each data
+    file's column min/max recorded in the manifest at write
+    (table.py _harvest_column_stats). A selective key-range scan then
+    prunes the file list at PLANNING — driver-side metadata, zero IO for
+    the excluded commits — before Catalyst ever sees a reader; the
+    residual filter keeps the result exact, which is what the oracle
+    (a plain filtered aggregate over the source) checks. At 100 TB this
+    is Iceberg's manifest pruning: a time-ordered or key-ordered ingest
+    makes selective scans O(matching files), not O(table). The inline
+    assertion pins that pruning actually happened (fewer planned files
+    than the manifest holds)."""
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_stats_demo", sf_dir)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cut = orders.agg(F.max("o_orderkey")).first()[0] // 5
+    t = c.catalog.table("orders_stats")
+    t.create(orders.filter(F.col("o_orderkey") <= cut).repartition(2))
+    t.append(
+        orders.filter(
+            (F.col("o_orderkey") > cut) & (F.col("o_orderkey") <= 3 * cut)
+        ).repartition(2)
+    )
+    t.append(orders.filter(F.col("o_orderkey") > 3 * cut).repartition(2))
+    planned = t.plan_files([("o_orderkey", "<=", cut)])
+    assert len(planned) < len(t.current_snapshot().manifest), "no file skipping"
+    return (
+        t.scan(where=[("o_orderkey", "<=", cut)])
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -93,6 +93,15 @@ class Snapshot:
     # files of (file_path, pos) rows naming deleted positions in data
     # files. Scans anti-join them; compaction materializes and clears.
     delete_files: list = field(default_factory=list)
+    # Per-data-file column min/max bounds (Iceberg manifest-stats parity):
+    # {relpath: {field_id(str): [lo, hi]}} harvested from parquet footers
+    # at write time. Planning-time file skipping (plan_files / scan(where=))
+    # filters the manifest against these BEFORE building the reader — the
+    # driver-side pruning Iceberg does from its manifests, vs relying only
+    # on executor-side row-group pruning. Bounds are JSON-native; temporal
+    # values are ISO strings, decimals are strings (typed back through the
+    # schema at prune time).
+    file_stats: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -111,6 +120,7 @@ class Snapshot:
                 "file_mappings": self.file_mappings,
                 "partition_spec": self.partition_spec,
                 "delete_files": self.delete_files,
+                "file_stats": self.file_stats,
             }
         )
 
@@ -139,6 +149,7 @@ class Snapshot:
             file_mappings=d.get("file_mappings", {}),
             partition_spec=d.get("partition_spec", []),
             delete_files=d.get("delete_files", []),
+            file_stats=d.get("file_stats", {}),
         )
 
 
@@ -174,6 +185,117 @@ def _hive_partition_values(relpath: str) -> dict:
 
 def _schema_names(schema_json_text: str) -> list[str]:
     return [f["name"] for f in json.loads(schema_json_text)["fields"]]
+
+
+# ---------- per-file column statistics (manifest pruning) ----------
+
+_MAX_STAT_STRING = 64  # parquet writers may truncate long string stats
+
+
+def _encode_bound(v):
+    """Footer statistic -> JSON-native bound, or None for types we don't
+    track (binary, over-long strings — a missing bound just means the
+    file is never skipped on that column)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v if len(v) <= _MAX_STAT_STRING else None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return None
+
+
+def _decode_bound(dtype, v):
+    """JSON bound -> comparable python value, typed through the snapshot
+    schema (ISO strings back to datetime/date, decimal strings back to
+    Decimal) so range comparison is value-order, not string-order."""
+    import datetime
+    import decimal
+
+    t = dtype.typeName()
+    if t in ("timestamp", "timestamp_ntz"):
+        return (
+            v
+            if isinstance(v, datetime.datetime)
+            else datetime.datetime.fromisoformat(str(v))
+        )
+    if t == "date":
+        if isinstance(v, datetime.datetime):
+            return v.date()
+        return v if isinstance(v, datetime.date) else datetime.date.fromisoformat(str(v))
+    if t == "decimal":
+        return decimal.Decimal(str(v))
+    return v
+
+
+_PRED_OPS = ("=", "==", "<", "<=", ">", ">=", "in")
+
+
+def _normalize_predicates(where) -> list[tuple]:
+    """``where`` is a list of ``(column, op, value)`` conjuncts (op in
+    =, <, <=, >, >=, in). A single triple may be passed bare."""
+    if where is None:
+        return []
+    if (
+        isinstance(where, (tuple, list))
+        and len(where) == 3
+        and isinstance(where[0], str)
+        and where[1] in _PRED_OPS
+    ):
+        where = [tuple(where)]
+    preds = []
+    for p in where:
+        col, op, val = p
+        if op not in _PRED_OPS:
+            raise ValueError(f"unsupported predicate op: {op!r}")
+        preds.append((col, "=" if op == "==" else op, val))
+    return preds
+
+
+def _bounds_may_match(lo, hi, op: str, val) -> bool:
+    """Conservative interval check: could a row inside [lo, hi] satisfy
+    ``col <op> val``? False only when provably impossible."""
+    try:
+        if op == "=":
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+        if op == "in":
+            return any(lo <= x <= hi for x in val)
+    except TypeError:
+        return True  # incomparable (mixed types) -> never skip
+    return True
+
+
+def _predicates_to_column(preds: list[tuple]):
+    """The same conjunction as a Catalyst filter — pruning is an
+    optimization, the residual filter is what makes scan(where=) exact."""
+    out = None
+    for col, op, val in preds:
+        c = F.col(col)
+        expr = {
+            "=": lambda: c == F.lit(val),
+            "<": lambda: c < F.lit(val),
+            "<=": lambda: c <= F.lit(val),
+            ">": lambda: c > F.lit(val),
+            ">=": lambda: c >= F.lit(val),
+            "in": lambda: c.isin(list(val)),
+        }[op]()
+        out = expr if out is None else (out & expr)
+    return out
 
 
 def _reconcile_ids(
@@ -318,6 +440,10 @@ class IceTable:
             d: self._load_write_mapping(d)
             for d in {_commit_dir_of(f) for f in added_files or []}
         }
+        stats_sidecars = {
+            d: self._load_file_stats_sidecar(d)
+            for d in {_commit_dir_of(f) for f in added_files or []}
+        }
         for _ in range(max_retries):
             parent = self.current_snapshot()
             if require_parent_snapshot_id is not None and (
@@ -408,6 +534,25 @@ class IceTable:
             # own copies.
             live_dirs = {_commit_dir_of(f) for f in manifest}
             mappings = {d: m for d, m in mappings.items() if d in live_dirs}
+            # Column bounds: inherit the parent's per-file stats, add the
+            # new files' (sidecar physical names resolved to field ids
+            # through the dir's mapping), prune to the live manifest.
+            fstats = dict(parent.file_stats) if parent else {}
+            for f in added_files or []:
+                d = _commit_dir_of(f)
+                per = stats_sidecars.get(d, {}).get(f)
+                if not per:
+                    continue
+                inv = {phys: fid for fid, phys in (mappings.get(d) or {}).items()}
+                conv = {
+                    inv[phys]: bounds
+                    for phys, bounds in per.items()
+                    if phys in inv
+                }
+                if conv:
+                    fstats[f] = conv
+            live_files = set(manifest)
+            fstats = {f: s for f, s in fstats.items() if f in live_files}
             snap = Snapshot(
                 snapshot_id=_new_snapshot_id(),
                 sequence=seq,
@@ -423,6 +568,7 @@ class IceTable:
                 file_mappings=mappings,
                 partition_spec=spec,
                 delete_files=dels,
+                file_stats=fstats,
             )
             try:
                 with open(self._snapshot_path(seq), "x") as f:
@@ -451,6 +597,7 @@ class IceTable:
         return refs
 
     _WRITE_MAPPING = "_write_mapping.json"
+    _FILE_STATS = "_file_stats.json"
 
     def _load_write_mapping(self, commit_dir: str) -> dict | None:
         """The {field_id: physical_name} sidecar staged next to a commit
@@ -463,6 +610,63 @@ class IceTable:
                 return json.load(f)
         except (FileNotFoundError, json.JSONDecodeError):
             return None
+
+    def _load_file_stats_sidecar(self, commit_dir: str) -> dict:
+        """{relpath: {physical_name: [lo, hi]}} staged with a commit
+        dir's files (empty for pre-stats dirs — those files are simply
+        never skipped)."""
+        try:
+            with open(
+                os.path.join(self.data_dir, commit_dir, self._FILE_STATS)
+            ) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+
+    def _harvest_column_stats(self, rel_files: list[str]) -> dict:
+        """Per-file column min/max from the just-written parquet footers:
+        {relpath: {physical_name: [lo, hi]}}. Driver-side footer reads —
+        O(#files) metadata, no row data (the same information Iceberg's
+        writers aggregate into manifests). A column missing stats in ANY
+        row group, or carrying an untrackable type, is omitted — absent
+        bounds mean "never skip this file on that column"."""
+        import pyarrow.parquet as _pq
+
+        out: dict = {}
+        for rel in rel_files:
+            md = _pq.read_metadata(os.path.join(self.path, rel))
+            raw: dict = {}
+            poison: set = set()
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if "." in name or name in poison:
+                        continue  # nested columns aren't tracked
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        poison.add(name)
+                        raw.pop(name, None)
+                        continue
+                    lo, hi = st.min, st.max
+                    if name in raw:
+                        plo, phi = raw[name]
+                        try:
+                            raw[name] = (min(plo, lo), max(phi, hi))
+                        except TypeError:
+                            poison.add(name)
+                            raw.pop(name, None)
+                    else:
+                        raw[name] = (lo, hi)
+            stats = {}
+            for name, (lo, hi) in raw.items():
+                elo, ehi = _encode_bound(lo), _encode_bound(hi)
+                if elo is not None and ehi is not None:
+                    stats[name] = [elo, ehi]
+            if stats:
+                out[rel] = stats
+        return out
 
     def _write_data_files(
         self,
@@ -504,6 +708,12 @@ class IceTable:
                         os.path.relpath(os.path.join(root, f), self.path)
                     )
         files.sort()
+        # stage the files' column bounds beside them: _publish folds the
+        # sidecar into the snapshot's file_stats (manifest pruning), and
+        # like the write mapping it survives a stage/publish gap
+        stats = self._harvest_column_stats(files)
+        with open(os.path.join(out, self._FILE_STATS), "w") as f:
+            json.dump(stats, f)
         return commit_dir, files
 
     # ---------- public write API ----------
@@ -1128,15 +1338,97 @@ class IceTable:
             out = out.unionByName(p)
         return out
 
+    def _prune_files(
+        self, snap: Snapshot, files: list[str], preds: list[tuple]
+    ) -> list[str]:
+        """Manifest pruning: drop files whose recorded column bounds (or
+        hive partition path values) prove no row can satisfy the
+        conjunction. Conservative — a file without bounds for a predicate
+        column always survives. Pure driver-side metadata: O(#files ×
+        #conjuncts), no IO."""
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        types = {f.name: f.dataType for f in schema.fields}
+        spec = set(snap.partition_spec or [])
+        out = []
+        for rel in files:
+            keep = True
+            pvals = _hive_partition_values(rel) if spec else {}
+            for col, op, val in preds:
+                if col in spec:
+                    # partition values are strings in the path; only
+                    # equality-shaped ops prune here (Catalyst's partition
+                    # pruning handles the rest once columns materialize)
+                    pv = pvals.get(col)
+                    if pv is None:
+                        continue
+                    if op == "=" and pv != str(val):
+                        keep = False
+                        break
+                    if op == "in" and pv not in {str(x) for x in val}:
+                        keep = False
+                        break
+                    continue
+                fid = str(snap.field_ids.get(col, ""))
+                bounds = snap.file_stats.get(rel, {}).get(fid)
+                if not bounds or col not in types:
+                    continue
+                dt = types[col]
+                try:
+                    lo, hi = (
+                        _decode_bound(dt, bounds[0]),
+                        _decode_bound(dt, bounds[1]),
+                    )
+                    v = (
+                        [_decode_bound(dt, _encode_bound(x) or x) for x in val]
+                        if op == "in"
+                        else _decode_bound(dt, _encode_bound(val) or val)
+                    )
+                except (ValueError, TypeError):
+                    continue
+                if not _bounds_may_match(lo, hi, op, v):
+                    keep = False
+                    break
+            if keep:
+                out.append(rel)
+        return out
+
+    def plan_files(
+        self, where, snapshot_id: int | None = None
+    ) -> list[str]:
+        """The data files a ``scan(where=...)`` would actually read — the
+        manifest filtered through per-file column bounds and partition
+        paths. Exposed for planners/tests; ``len(plan_files(w)) <
+        len(manifest)`` is the file-skipping win."""
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else self.snapshot_by_id(snapshot_id)
+        )
+        if snap is None:
+            raise NoSuchTableError(self.path)
+        preds = _normalize_predicates(where)
+        return self._prune_files(snap, snap.manifest, preds)
+
     def scan(
-        self, snapshot_id: int | None = None, *, tag: str | None = None
+        self,
+        snapshot_id: int | None = None,
+        *,
+        tag: str | None = None,
+        where=None,
     ) -> DataFrame:
         """Read the table at the current (or a given) snapshot, or at a
         named tag (`VERSION AS OF 'tag'` parity). Returns a lazy
         DataFrame — filters/projections push into the parquet scan. Time
         travel reads with the SNAPSHOT's schema (Iceberg semantics: each
         snapshot pins its schema id), so a later add/drop_column doesn't
-        rewrite history."""
+        rewrite history.
+
+        ``where`` — a list of ``(column, op, value)`` conjuncts — prunes
+        the FILE LIST against the manifest's per-file column bounds
+        before the reader is built (Iceberg manifest pruning), then
+        applies the same conjunction as a Catalyst filter so the result
+        is exact. A selective predicate over a multi-commit table reads
+        only the files whose bounds admit it — zero IO for the rest."""
         if tag is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id or tag, not both")
@@ -1151,7 +1443,13 @@ class IceTable:
         )
         if snap is None:
             raise NoSuchTableError(self.path)
-        return self._scan_snapshot(snap)
+        preds = _normalize_predicates(where)
+        if not preds:
+            return self._scan_snapshot(snap)
+        files = self._prune_files(snap, snap.manifest, preds)
+        return self._scan_snapshot(snap, files=files).where(
+            _predicates_to_column(preds)
+        )
 
     def _scan_snapshot(
         self,
@@ -1287,7 +1585,11 @@ class IceTable:
         )
 
     def scan_changes(
-        self, start_snapshot_id: int | None, end_snapshot_id: int | None = None
+        self,
+        start_snapshot_id: int | None,
+        end_snapshot_id: int | None = None,
+        *,
+        where=None,
     ) -> DataFrame:
         """Rows appended after ``start_snapshot_id`` up to and including
         ``end_snapshot_id`` (default: current). True incremental read over
@@ -1297,7 +1599,8 @@ class IceTable:
         ``start_snapshot_id=None`` means "since the beginning".
         Only 'append'/'create' snapshots contribute; an 'overwrite' in range
         raises, as the diff is no longer append-only (Iceberg's incremental
-        read has the same restriction)."""
+        read has the same restriction). ``where`` file-skips the added
+        files against their manifest bounds like :meth:`scan`."""
         snaps = self.snapshots()
         # up-front id validation: distinguishes "end precedes start" from
         # "snapshot unknown" (the walk below would otherwise report the
@@ -1346,13 +1649,226 @@ class IceTable:
                 ctx = snap
                 break
         ctx = ctx or self.current_snapshot()
-        return self._read_files(
+        preds = _normalize_predicates(where)
+        if preds:
+            files = self._prune_files(ctx, files, preds)
+        df = self._read_files(
             files,
             StructType.fromJson(json.loads(ctx.schema_json)),
             field_ids=ctx.field_ids,
             file_mappings=mappings,
             partition_spec=ctx.partition_spec,
         )
+        return df.where(_predicates_to_column(preds)) if preds else df
+
+    def _align_snapshot_columns(
+        self, df: DataFrame, from_snap: Snapshot, to_snap: Snapshot
+    ) -> DataFrame:
+        """Re-express rows read under ``from_snap``'s schema in
+        ``to_snap``'s logical column names, matched by FIELD ID (a rename
+        in between maps through; a column added later reads as typed
+        NULL; a dropped column is not selected)."""
+        to_schema = StructType.fromJson(json.loads(to_snap.schema_json))
+        from_by_id = {v: k for k, v in from_snap.field_ids.items()}
+        cols = []
+        for fld in to_schema.fields:
+            src = from_by_id.get(to_snap.field_ids.get(fld.name))
+            cols.append(
+                F.col(src).alias(fld.name)
+                if src is not None and src in df.columns
+                else F.lit(None).cast(fld.dataType).alias(fld.name)
+            )
+        return df.select(*cols)
+
+    def _deleted_rows_df(
+        self, snap: Snapshot, new_delete_files: list[str]
+    ) -> DataFrame:
+        """The ROW VALUES removed by ``snap``'s newly attached positional
+        delete files: the (file, pos) coordinates joined back to the data
+        files they reference (which stay on disk for time travel, so the
+        values are recoverable even after later rewrites). One emitted
+        row per deleted position — multiplicity-exact under duplicate
+        values. Reads ONLY the referenced files: O(deleted delta), not
+        O(table)."""
+        refs = sorted(self._delete_file_refs(new_delete_files))
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        if not refs:
+            return self.spark.createDataFrame([], schema)
+        data = self._read_files(
+            refs,
+            schema,
+            field_ids=snap.field_ids,
+            file_mappings=snap.file_mappings,
+            partition_spec=snap.partition_spec,
+            with_pos=True,
+        )
+        dels = (
+            self.spark.read.schema("file_path string, pos long")
+            .parquet(*[os.path.join(self.path, f) for f in new_delete_files])
+            .select(
+                F.col("file_path").alias("__del_file"),
+                F.col("pos").alias("__del_pos"),
+            )
+            .distinct()
+        )
+        return data.join(
+            dels,
+            (F.col("__file") == F.col("__del_file"))
+            & (F.col("__pos") == F.col("__del_pos")),
+            "inner",
+        ).select(*[f.name for f in schema.fields])
+
+    def scan_changelog(
+        self, start_snapshot_id: int | None, end_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Row-level changelog over ``(start, end]`` — every row change
+        as a row, with a ``_change_type`` column ('insert' | 'delete'):
+        the incremental read that SURVIVES merge-on-read maintenance,
+        where :meth:`scan_changes`' append-only contract must refuse
+        (Iceberg's ``create_changelog_view`` shape; an update emits its
+        delete+insert pair).
+
+        - 'append'/'create'/'merge' snapshots contribute their added
+          files as inserts;
+        - 'delete'/'merge' snapshots contribute the rows named by their
+          newly attached positional delete files as deletes
+          (multiplicity-exact: one row per deleted position);
+        - 'replace' (compaction) and 'alter' snapshots carry no row
+          delta and contribute nothing;
+        - an 'overwrite' in range still raises — a wholesale replace has
+          no row-level diff short of comparing both snapshots.
+
+        Applying the result to a copy of the start snapshot (append the
+        inserts, value-delete the deletes with multiplicity —
+        :meth:`apply_changelog`) reproduces the end snapshot exactly:
+        positions don't transfer across tables, but value multisets do.
+        IO is O(changed rows): added files + the files the delete
+        coordinates reference."""
+        snaps = self.snapshots()
+        ids = [s.snapshot_id for s in snaps]
+        if start_snapshot_id is not None and start_snapshot_id not in ids:
+            raise ValueError(f"start snapshot {start_snapshot_id} not found")
+        if end_snapshot_id is not None:
+            if end_snapshot_id not in ids:
+                raise ValueError(f"end snapshot {end_snapshot_id} not found")
+            if (
+                start_snapshot_id is not None
+                and ids.index(end_snapshot_id) < ids.index(start_snapshot_id)
+            ):
+                raise ValueError(
+                    f"end snapshot {end_snapshot_id} precedes start "
+                    f"snapshot {start_snapshot_id} in table history"
+                )
+        started = start_snapshot_id is None
+        insert_files: list[str] = []
+        insert_mappings: dict = {}
+        delete_parts: list[tuple[Snapshot, list[str]]] = []
+        ctx = None
+        prev: Snapshot | None = None
+        for snap in snaps:
+            if started:
+                if snap.operation == "overwrite":
+                    raise ValueError(
+                        "scan_changelog crosses an overwrite snapshot; a "
+                        "wholesale replace has no row-level diff — full "
+                        "resync required"
+                    )
+                if snap.operation in ("append", "create", "merge"):
+                    insert_files.extend(snap.added_files)
+                    for f in snap.added_files:
+                        d = _commit_dir_of(f)
+                        if d in snap.file_mappings:
+                            insert_mappings[d] = snap.file_mappings[d]
+                if snap.operation in ("delete", "merge"):
+                    prior = set(prev.delete_files) if prev else set()
+                    new_dels = [f for f in snap.delete_files if f not in prior]
+                    if new_dels:
+                        delete_parts.append((snap, new_dels))
+            if snap.snapshot_id == start_snapshot_id:
+                started = True
+            if end_snapshot_id is not None and snap.snapshot_id == end_snapshot_id:
+                ctx = snap
+                break
+            prev = snap
+        ctx = ctx or self.current_snapshot()
+        inserts = self._read_files(
+            insert_files,
+            StructType.fromJson(json.loads(ctx.schema_json)),
+            field_ids=ctx.field_ids,
+            file_mappings=insert_mappings,
+            partition_spec=ctx.partition_spec,
+        ).withColumn("_change_type", F.lit("insert"))
+        out = inserts
+        for snap, new_dels in delete_parts:
+            part = self._align_snapshot_columns(
+                self._deleted_rows_df(snap, new_dels), snap, ctx
+            ).withColumn("_change_type", F.lit("delete"))
+            out = out.unionByName(part)
+        return out
+
+    def delete_rows_exact(self, rows: DataFrame) -> Snapshot | None:
+        """Value-based DELETE with EXACT MULTIPLICITY: each input row
+        removes ONE matching copy from the table (c input copies of a
+        value remove c table copies — unlike :meth:`delete_rows`, which
+        removes every match of a key). Null-safe on every column. This
+        is how a changelog's delete rows apply to a mirror, where
+        positional coordinates don't transfer but value multisets do.
+        Scale shape: the table is inner-joined to the (small) counted
+        delete set — only MATCHING rows reach the per-value window that
+        picks which copies go — then the positions publish as a
+        merge-on-read delete, O(matched rows) IO."""
+        from functools import reduce
+
+        from pyspark.sql import Window
+
+        snap = self.current_snapshot()
+        if snap is None:
+            raise NoSuchTableError(self.path)
+        cols = [f.name for f in self.schema().fields]
+        counted = (
+            rows.select(*cols)
+            .groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("__del_n"))
+        )
+        tgt = self._scan_snapshot(snap, with_pos=True).alias("t")
+        dc = counted.alias("d")
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.{c}").eqNullSafe(F.col(f"d.{c}")) for c in cols],
+        )
+        w = Window.partitionBy(*[F.col(f"t.{c}") for c in cols]).orderBy(
+            F.col("t.__file"), F.col("t.__pos")
+        )
+        matches = (
+            tgt.join(dc, cond, "inner")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= F.col("__del_n"))
+            .select(F.col("t.__file").alias("__file"), F.col("t.__pos").alias("__pos"))
+        )
+        return self._publish_positional_deletes(matches, allow_empty=False)
+
+    def apply_changelog(
+        self, changes: DataFrame, *, change_col: str = "_change_type"
+    ) -> Snapshot | None:
+        """Apply a :meth:`scan_changelog` result to THIS table: append
+        the inserts, then value-delete the deletes with multiplicity
+        (:meth:`delete_rows_exact`). Insert-before-delete makes a
+        same-range insert+delete of one row net out exactly. Two
+        snapshots (append + delete); returns the last one published, or
+        None for an empty changelog."""
+        cols = [c for c in changes.columns if c != change_col]
+        changes = changes.persist()
+        try:
+            inserts = changes.filter(F.col(change_col) == "insert").select(*cols)
+            out: Snapshot | None = None
+            if inserts.limit(1).count():
+                out = self.append(inserts)
+            dels = changes.filter(F.col(change_col) == "delete").select(*cols)
+            if dels.limit(1).count():
+                out = self.delete_rows_exact(dels) or out
+            return out
+        finally:
+            changes.unpersist()
 
     def files_df(self, snapshot_id: int | None = None) -> DataFrame:
         """Data-file inventory of a snapshot (parity with Iceberg's
@@ -1377,10 +1893,22 @@ class IceTable:
         listing = [(rel, "data") for rel in snap.manifest] + [
             (rel, "position-deletes") for rel in snap.delete_files
         ]
+        id_to_name = {str(v): k for k, v in snap.field_ids.items()}
         for rel, content in listing:
             full = os.path.join(self.path, rel)
             meta = _pq.read_metadata(full)
             parts = _hive_partition_values(rel)
+            bounds = snap.file_stats.get(rel, {})
+            lower = {
+                id_to_name[fid]: str(b[0])
+                for fid, b in bounds.items()
+                if fid in id_to_name
+            }
+            upper = {
+                id_to_name[fid]: str(b[1])
+                for fid, b in bounds.items()
+                if fid in id_to_name
+            }
             rows.append(
                 (
                     rel,
@@ -1389,12 +1917,15 @@ class IceTable:
                     {c: parts.get(c) for c in spec},
                     meta.num_rows,
                     os.path.getsize(full),
+                    lower or None,
+                    upper or None,
                 )
             )
         return self.spark.createDataFrame(
             rows,
             "file_path string, content string, commit_dir string, "
-            "partition map<string,string>, record_count long, file_size_bytes long",
+            "partition map<string,string>, record_count long, file_size_bytes long, "
+            "lower_bounds map<string,string>, upper_bounds map<string,string>",
         )
 
     def partitions_df(self, snapshot_id: int | None = None) -> DataFrame:
