@@ -89,6 +89,58 @@ def _append_stream(
     return total
 
 
+def _apply_changelog_stream(
+    reader, connector: Connector, table_name: str, batch_rows: int
+) -> int:
+    """Drain a get_changelog stream (rows + ``_change_type``) into the
+    target: inserts stage in row-capped chunks and publish as ONE append
+    snapshot; delete rows accumulate (they are O(maintenance delta),
+    small by construction) and apply value-based with exact multiplicity
+    (IceTable.delete_rows_exact). Insert-before-delete makes an
+    in-range insert+delete of the same row net out. Returns rows applied
+    (inserts + deletes)."""
+    import pyarrow.compute as pc
+
+    from icerunner_spark.connector import arrow_to_df
+
+    t = connector.table(table_name)
+    staged: list[str] = []
+    pending: list[pa.Table] = []
+    pending_rows = total = 0
+    del_parts: list[pa.Table] = []
+    for chunk in reader:
+        batch = chunk.data if hasattr(chunk, "data") else chunk
+        if batch is None or batch.num_rows == 0:
+            continue
+        tbl = pa.Table.from_batches([batch])
+        mask = pc.equal(tbl.column("_change_type"), "insert")
+        ins = tbl.filter(mask).drop_columns(["_change_type"])
+        dels = tbl.filter(pc.invert(mask)).drop_columns(["_change_type"])
+        if dels.num_rows:
+            del_parts.append(dels)
+            total += dels.num_rows
+        if ins.num_rows:
+            pending.append(ins)
+            pending_rows += ins.num_rows
+            total += ins.num_rows
+        if pending_rows >= batch_rows:
+            staged += t.stage_append(
+                arrow_to_df(connector.spark, pa.concat_tables(pending))
+            )
+            pending, pending_rows = [], 0
+    if pending:
+        staged += t.stage_append(
+            arrow_to_df(connector.spark, pa.concat_tables(pending))
+        )
+    if staged:
+        t.publish_append(staged)
+    if del_parts:
+        t.delete_rows_exact(
+            arrow_to_df(connector.spark, pa.concat_tables(del_parts))
+        )
+    return total
+
+
 def _source_fields(client: flight.FlightClient, source_table: str):
     """Source schema via the get_schema command as ``[(field_id_or_None,
     name, arrow_type)]`` in schema order. Field ids ride in Arrow field
@@ -323,8 +375,28 @@ def perform_sync(
             }
             if source_snapshot is not None:
                 changes_cmd["end_snapshot_id"] = source_snapshot
-            changes_reader = _command_reader(client, changes_cmd)
-            rows_synced = _append_stream(changes_reader, connector, target_table, batch_rows)
+            try:
+                changes_reader = _command_reader(client, changes_cmd)
+                rows_synced = _append_stream(
+                    changes_reader, connector, target_table, batch_rows
+                )
+            except Exception as e_changes:
+                # append-only diff refused (a merge-on-read delete/merge in
+                # range — the continuous-clean maintenance shape) — apply
+                # the ROW-LEVEL changelog instead of a full resync: appends
+                # plus value-based deletes, O(delta) either way. A true
+                # overwrite errors here too and falls through to resync.
+                logger.info(
+                    "append-only delta unavailable (%s); applying changelog",
+                    e_changes,
+                )
+                cl_cmd = dict(changes_cmd)
+                cl_cmd["command"] = "get_changelog"
+                cl_reader = _command_reader(client, cl_cmd)
+                rows_synced = _apply_changelog_stream(
+                    cl_reader, connector, target_table, batch_rows
+                )
+                status = "success_changelog"
         except Exception as e:
             # full re-sync fallback — OVERWRITE, never append-duplicate
             # (reference duplicates all rows here, icerunner.py:1042-1076).

@@ -10,6 +10,9 @@ the reference's mirror client speaks but its own server never implemented
     * ``{"command": "get_schema", "table": t}``       -> zero-row batch with schema
     * ``{"command": "get_changes", "table": t,
          "snapshot_id": s}``                          -> rows appended after s
+    * ``{"command": "get_changelog", "table": t,
+         "snapshot_id": s}``                          -> insert/delete rows
+         (+ ``_change_type``) — survives merge-on-read maintenance
     * ``{"command": "get_metadata", "table": t}``     -> snapshot_id / row stats
     * ``{"sql": "..."}``                              -> Spark SQL result stream
 - ``get_flight_info`` accepts path descriptors (table) and command
@@ -331,6 +334,13 @@ class IceFlightServer(flight.FlightServerBase):
             if table not in self.connector.tables:
                 raise flight.FlightServerError(f"table not found: {table}")
             return self._command_info(cmd, self._table_arrow_schema(table))
+        if op == "get_changelog":
+            if table not in self.connector.tables:
+                raise flight.FlightServerError(f"table not found: {table}")
+            schema = self._table_arrow_schema(table).append(
+                pa.field("_change_type", pa.string())
+            )
+            return self._command_info(cmd, schema)
         if op == "get_metadata":
             if table not in self.connector.tables:
                 raise flight.FlightServerError(f"table not found: {table}")
@@ -491,6 +501,29 @@ class IceFlightServer(flight.FlightServerBase):
                 )
             ctx = ctx or t.current_snapshot()
             return self._stream_resolved(t, files, ctx, mappings)
+        if op == "get_changelog":
+            # Row-level incremental read (insert/delete rows with a
+            # _change_type column) — the delta that SURVIVES merge-on-read
+            # maintenance where get_changes' append-only contract refuses.
+            # Mirror clients try get_changes first (zero-copy file stream),
+            # fall to this, and only full-resync on a true overwrite.
+            name = cmd["table"]
+            snapshot_id = cmd.get("snapshot_id")
+            if snapshot_id in ("", None, "full_sync", "unknown"):
+                snapshot_id = None
+            else:
+                snapshot_id = int(snapshot_id)
+            end_snapshot_id = cmd.get("end_snapshot_id")
+            end_snapshot_id = None if end_snapshot_id is None else int(end_snapshot_id)
+            t = self.connector.table(name)
+            try:
+                df = t.scan_changelog(snapshot_id, end_snapshot_id)
+            except ValueError as e:
+                raise flight.FlightServerError(str(e))
+            # spill-backed stream: the delta is written by Spark's
+            # distributed writer and file-streamed — server memory stays
+            # bounded by chunk_rows regardless of delta size
+            return self._stream_df(df)
         if op == "get_slice":
             name = cmd["table"]
             t = self.connector.table(name)
@@ -498,8 +531,18 @@ class IceFlightServer(flight.FlightServerBase):
             i, n = int(cmd["index"]), int(cmd["of"])
             if snap.delete_files:
                 # deletes pending: the manifest under-describes the rows,
-                # so get_slices advertised ONE slice; serve the full
-                # delete-applied scan from a spill
+                # so slicing can't apply. get_slices advertises ONE
+                # endpoint, but clients that CRAFT i-of-n tickets (the
+                # streaming CDC source's initial load) still send every
+                # index — serve the full delete-applied scan on slice 0
+                # ONLY and empty streams for the rest, or each slice
+                # would duplicate the whole table.
+                if i != 0:
+                    schema = self._table_arrow_schema(name)
+                    return flight.GeneratorStream(
+                        schema,
+                        iter([pa.RecordBatch.from_pylist([], schema=schema)]),
+                    )
                 return self._stream_df(t._scan_snapshot(snap))
             return self._stream_resolved(t, snap.manifest[i::n], snap)
         if op == "get_metadata":

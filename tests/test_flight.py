@@ -852,9 +852,13 @@ def test_do_get_applies_merge_on_read_deletes(spark, server):
     assert sorted(out2.column("id").to_pylist()) == [1, 3, 4]
 
 
-def test_mirror_full_resync_after_mor_delete(spark, server, tmp_path):
-    """A merge-on-read delete at the source breaks append-only diffing;
-    the mirror must converge via its overwrite full-resync fallback."""
+def test_mirror_stays_incremental_across_mor_delete(spark, server, tmp_path):
+    """A merge-on-read delete at the source no longer forces a full
+    resync (the r4 failure mode — every continuous-clean maintenance
+    pass made the mirror re-ship the whole table): the append-only
+    get_changes refuses, and the mirror applies the ROW-LEVEL changelog
+    (inserts + value-deletes) instead. Only a true overwrite still
+    resyncs (test_mirror_full_resync_after_source_overwrite)."""
     src = server.connector
     src.create_table("md", _writer_table([1, 2, 3], ["a", "b", "c"]))
     target_wh = str(tmp_path / "target_wh")
@@ -868,4 +872,140 @@ def test_mirror_full_resync_after_mor_delete(spark, server, tmp_path):
     tgt = Connector(spark, target_wh)
     assert sorted(tgt.query("md_m").column("id").to_pylist()) == [1, 3]
     state = SyncState(target_wh).get_last_sync_state(url, "md_m")
-    assert state["last_sync_status"].startswith("full_resync")
+    assert state["last_sync_status"] == "success_changelog"
+
+
+def test_get_changelog_roundtrip(spark, server):
+    """Server-side get_changelog: insert/delete rows with _change_type,
+    over a range containing a MOR delete (where get_changes errors)."""
+    c = server.connector
+    c.create_table("clt", _writer_table([1, 2, 3], ["a", "b", "c"]))
+    s0 = c.get_current_snapshot_id("clt")
+    c.insert("clt", _writer_table([4], ["d"]))
+    c.table("clt").delete_where("id in (1, 4)", mode="merge-on-read")
+
+    client = _client(server)
+    with pytest.raises(flight.FlightServerError, match="append-only"):
+        client.do_get(
+            flight.Ticket(
+                json.dumps(
+                    {"command": "get_changes", "table": "clt", "snapshot_id": s0}
+                ).encode()
+            )
+        ).read_all()
+    got = client.do_get(
+        flight.Ticket(
+            json.dumps(
+                {"command": "get_changelog", "table": "clt", "snapshot_id": s0}
+            ).encode()
+        )
+    ).read_all()
+    changes = sorted((r["id"], r["_change_type"]) for r in got.to_pylist())
+    assert changes == [(1, "delete"), (4, "delete"), (4, "insert")]
+    # get_flight_info advertises the widened schema
+    info = client.get_flight_info(
+        flight.FlightDescriptor.for_command(
+            json.dumps(
+                {"command": "get_changelog", "table": "clt", "snapshot_id": s0}
+            ).encode()
+        )
+    )
+    assert info.schema.field("_change_type").type == pa.string()
+
+
+def test_mirror_incremental_across_continuous_clean_cycles(spark, server, tmp_path):
+    """The r4 composition gap, end to end: a mirrored source under the
+    continuous-clean loop (append -> CDC dedup -> MOR positional delete
+    of losers, per dedup_maintenance_pass) must stay INCREMENTAL across
+    >= 2 clean cycles — no full-resync fallback — and converge to the
+    source rows after every sync."""
+    from icerunner_spark.operators.incremental import dedup_maintenance_pass
+    from icerunner_spark.table import IceTable
+
+    src = server.connector
+    t = IceTable(spark, src.catalog.table_path("corpus"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+        )
+    )
+    cursor = t.current_snapshot().snapshot_id
+    target_wh = str(tmp_path / "target_wh")
+    url = f"grpc://127.0.0.1:{server.port}/corpus"
+    run_mirror(url, target_table="corpus_m", warehouse_path=target_wh,
+               continuous=False, spark=spark)
+    tgt = Connector(spark, target_wh)
+    state = SyncState(target_wh)
+
+    for batch in (
+        [(3, "alpha"), (4, "gamma")],   # 3 duplicates doc 1 -> deleted
+        [(5, "gamma"), (6, "delta")],   # 5 duplicates doc 4 -> deleted
+    ):
+        t.append(spark.createDataFrame(batch, "doc_id long, text string"))
+        _, cursor = dedup_maintenance_pass(t, cursor)
+        run_mirror(url, target_table="corpus_m", warehouse_path=target_wh,
+                   continuous=False, spark=spark)
+        st = state.get_last_sync_state(url, "corpus_m")
+        assert st["last_sync_status"] in ("success", "success_changelog")
+        assert not st["last_sync_status"].startswith("full_resync")
+        src_rows = sorted(
+            (r.doc_id, r.text) for r in t.scan().collect()
+        )
+        tgt_rows = sorted(
+            (r["doc_id"], r["text"]) for r in tgt.query("corpus_m").to_pylist()
+        )
+        assert tgt_rows == src_rows
+    # both cycles actually exercised the changelog path
+    assert state.get_last_sync_state(url, "corpus_m")[
+        "last_sync_status"
+    ] == "success_changelog"
+
+
+def test_crafted_slice_tickets_no_duplication_with_pending_deletes(spark, server):
+    """Clients that craft i-of-n get_slice tickets themselves (the
+    streaming CDC source's initial load does) must not receive the full
+    delete-applied table PER SLICE: with merge-on-read deletes pending,
+    slice 0 carries everything and the rest are empty. Regression test —
+    a fresh streaming mirror of a maintained table previously received
+    n copies of every row."""
+    c = server.connector
+    c.create_table("sdup", _writer_table([1, 2, 3, 4], ["a", "b", "c", "d"]))
+    t = c.table("sdup")
+    t.delete_where("id = 2", mode="merge-on-read")
+    sid = t.current_snapshot().snapshot_id
+    client = _client(server)
+    got = []
+    for i in range(4):
+        ticket = flight.Ticket(
+            json.dumps(
+                {
+                    "command": "get_slice",
+                    "table": "sdup",
+                    "index": i,
+                    "of": 4,
+                    "snapshot_id": sid,
+                }
+            ).encode()
+        )
+        got += client.do_get(ticket).read_all().column("id").to_pylist()
+    assert sorted(got) == [1, 3, 4]
+
+
+def test_streaming_mirror_initial_load_with_pending_deletes(spark, server, tmp_path):
+    """End-to-end regression: a FRESH streaming mirror of a table with
+    pending merge-on-read deletes must converge to exactly the live rows
+    (previously each of the source's crafted slices returned the whole
+    table, duplicating it slice-count times)."""
+    from icerunner_spark.flight.mirror import run_mirror_streaming
+
+    c = server.connector
+    c.create_table("smor", _writer_table([1, 2, 3], ["a", "b", "c"]))
+    c.table("smor").delete_where("id = 3", mode="merge-on-read")
+    target_wh = str(tmp_path / "target_wh")
+    url = f"grpc://127.0.0.1:{server.port}/smor"
+    n = run_mirror_streaming(
+        url, target_table="smor_s", warehouse_path=target_wh, spark=spark
+    )
+    assert n == 2
+    tgt = Connector(spark, target_wh)
+    assert sorted(tgt.query("smor_s").column("id").to_pylist()) == [1, 2]
