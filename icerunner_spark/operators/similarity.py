@@ -329,23 +329,62 @@ def knn_join(
 
 
 def _deterministic_centroids(
-    df: DataFrame, *, vec_col: str, id_col: str, n_centroids: int
+    df: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int,
+    lloyd_iters: int = 2,
 ) -> list[list[float]]:
-    """Deterministic centroid seed-set: the rows with the smallest
-    xxhash64(id) — a stable pseudo-random sample, identical across runs
-    and engines (a production build would run a few Lloyd iterations from
-    these seeds; selection stays deterministic either way)."""
+    """Deterministic k-means centroids: seed with the rows carrying the
+    smallest xxhash64(id) (a stable pseudo-random sample, identical
+    across runs and engines), then refine with ``lloyd_iters`` fixed
+    Lloyd iterations — distributed assign (ivf_assign's Arrow-batched
+    matmul) + per-(cell, dim) mean aggregation. The means sum in DECIMAL,
+    so they are exact and partition-order-independent: training twice
+    yields bit-identical centroids. Driver transfer per round is
+    n_centroids x dim aggregate rows — bounded, never corpus-sized. (At
+    100 TB you'd refine on a bounded sample first, as FAISS does — the
+    aggregation shape is the same.)"""
     rows = (
         df.select(F.col(id_col).alias("i"), _as_double_array(vec_col).alias("v"))
         .orderBy(F.xxhash64(F.col("i").cast("string")), F.col("i"))
         .limit(n_centroids)
         .collect()
     )
-    cents = []
-    for r in rows:
-        v = list(r["v"])
+
+    def _unit(v: list[float]) -> list[float]:
         n = math.sqrt(sum(x * x for x in v)) or 1.0
-        cents.append([x / n for x in v])
+        return [x / n for x in v]
+
+    cents = [_unit(list(r["v"])) for r in rows]
+    if lloyd_iters <= 0:
+        return cents
+    vecs = df.select(_as_double_array(vec_col).alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    for _ in range(lloyd_iters):
+        assigned = ivf_assign(vecs, cents, vec_col="__v", cell_col="__c")
+        stats = (
+            assigned.select(F.col("__c"), F.posexplode("__v").alias("pos", "val"))
+            .groupBy("__c", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(30,15)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        dim = len(cents[0])
+        sums: dict[int, list] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            c = r["__c"]
+            sums.setdefault(c, [0.0] * dim)[r["pos"]] = float(r["s"])
+            counts[c] = r["n"]
+        cents = [
+            _unit([x / counts[c] for x in sums[c]]) if counts.get(c) else cents[c]
+            for c in range(n_centroids)
+        ]
     return cents
 
 
@@ -412,15 +451,17 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: score only vectors whose cell is among
     the ``n_probe`` centroids nearest the query, exact-rescore those.
     Candidates ~ n_probe/n_centroids of the corpus; recall tracks how
     clustered the data is (pins in tests/test_operators.py). Precomputed
+    ``centroids`` (the trained index — build once, query many) and
     ``__ivf_cell`` columns (ivf_assign, e.g. from a partitioned index
     table) are reused — then probing is partition pruning, no per-row
-    assignment at query time."""
-    cents = _deterministic_centroids(
+    assignment or training at query time."""
+    cents = centroids or _deterministic_centroids(
         df, vec_col=vec_col, id_col=id_cols[0], n_centroids=n_centroids
     )
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
@@ -453,14 +494,19 @@ def pq_train_codebooks(
     id_col: str = "vec_id",
     m: int = 4,
     n_codes: int = 16,
+    lloyd_iters: int = 2,
 ) -> list[list[list[float]]]:
     """PQ codebooks: the embedding space split into ``m`` subspaces, each
-    with ``n_codes`` centroids taken from a deterministic seed sample
-    (smallest xxhash64(id) rows — same selection rule as IVF's coarse
-    quantizer, identical across runs/engines; production would run a few
-    Lloyd iterations per subspace from these seeds). Returns
-    ``codebooks[s][j]`` = centroid j of subspace s. Driver-side cost is
-    ``n_codes`` rows — bounded like the IVF seed collect."""
+    with ``n_codes`` L2 centroids — seeded from a deterministic sample
+    (smallest xxhash64(id) rows, same selection rule as IVF's coarse
+    quantizer) and refined with ``lloyd_iters`` fixed Lloyd iterations
+    per subspace, all m subspaces in ONE distributed pass per round:
+    encode with the current books (Arrow-batched argmin), explode to
+    (subspace, code, dim) and mean-aggregate. DECIMAL sums make the
+    means exact and partition-order-independent — training twice yields
+    bit-identical books. Driver transfer per round is m x n_codes x sub
+    aggregate rows, bounded. Returns ``codebooks[s][j]`` = centroid j of
+    subspace s."""
     rows = (
         df.select(F.col(id_col).alias("i"), _as_double_array(vec_col).alias("v"))
         .orderBy(F.xxhash64(F.col("i").cast("string")), F.col("i"))
@@ -471,10 +517,51 @@ def pq_train_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    return [
+    books = [
         [[float(x) for x in r["v"][s * sub : (s + 1) * sub]] for r in rows]
         for s in range(m)
     ]
+    if lloyd_iters <= 0:
+        return books
+    vecs = df.select(_as_double_array(vec_col).alias("__v")).where(
+        F.col("__v").isNotNull() & (F.size("__v") == dim)
+    )
+    for _ in range(lloyd_iters):
+        enc = pq_encode(vecs, books, vec_col="__v", code_col="__pq")
+        stats = (
+            enc.select(
+                F.posexplode("__pq").alias("s", "code"), F.col("__v").alias("v")
+            )
+            .select(
+                "s",
+                "code",
+                F.posexplode(F.expr(f"slice(v, s * {sub} + 1, {sub})")).alias(
+                    "pos", "val"
+                ),
+            )
+            .groupBy("s", "code", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(30,15)")).alias("sm"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        sums: dict[tuple, list] = {}
+        counts: dict[tuple, int] = {}
+        for r in stats:
+            key = (r["s"], r["code"])
+            sums.setdefault(key, [0.0] * sub)[r["pos"]] = float(r["sm"])
+            counts[key] = r["n"]
+        books = [
+            [
+                [x / counts[(s, j)] for x in sums[(s, j)]]
+                if counts.get((s, j))
+                else books[s][j]
+                for j in range(n_codes)
+            ]
+            for s in range(m)
+        ]
+    return books
 
 
 def pq_encode(

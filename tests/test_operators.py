@@ -277,20 +277,27 @@ class TestIVF:
         from icerunner_spark.operators.similarity import cosine_topk, ivf_topk
 
         e = load_table(spark, "embeddings", SF)
-        row = e.filter(F.col("vec_id") == 0).first()
-        q = [float(x) for x in row["embedding"]]
-        cand = e.filter(F.col("vec_id") != 0)
-        exact = {r["vec_id"]: r["cos_sim"] for r in cosine_topk(cand, q, k=10).collect()}
-        approx = {
-            r["vec_id"]: r["cos_sim"]
-            for r in ivf_topk(cand, q, k=10, n_centroids=16, n_probe=6).collect()
-        }
-        recall = len(set(exact) & set(approx)) / 10
-        # near-uniform fixture vectors (hard mode): probing 6/16 cells
-        # must find most of the true top-10; rescoring is exact
-        assert recall >= 0.5, f"ivf recall {recall} below pin"
-        for vid in set(exact) & set(approx):
-            assert abs(exact[vid] - approx[vid]) < 1e-12
+        recalls = []
+        for qid in range(5):
+            row = e.filter(F.col("vec_id") == qid).first()
+            q = [float(x) for x in row["embedding"]]
+            cand = e.filter(F.col("vec_id") != qid)
+            exact = {
+                r["vec_id"]: r["cos_sim"] for r in cosine_topk(cand, q, k=10).collect()
+            }
+            approx = {
+                r["vec_id"]: r["cos_sim"]
+                for r in ivf_topk(cand, q, k=10, n_centroids=16, n_probe=6).collect()
+            }
+            recalls.append(len(set(exact) & set(approx)) / 10)
+            for vid in set(exact) & set(approx):
+                assert abs(exact[vid] - approx[vid]) < 1e-12  # rescoring exact
+        # near-uniform fixture vectors (hard mode): probing 6/16 cells must
+        # find most of the true top-10. Two Lloyd iterations lifted the
+        # measured mean 0.58 -> 0.74; pinned with margin (was 0.5
+        # single-query pre-Lloyd).
+        mean = sum(recalls) / len(recalls)
+        assert mean >= 0.6, f"ivf mean recall {mean} below pin ({recalls})"
 
     def test_ivf_assign_covers_all_cells_input(self, spark):
         from icerunner_spark.operators.similarity import (
@@ -703,24 +710,29 @@ class TestProductQuantization:
         from icerunner_spark.operators.similarity import cosine_topk, pq_topk
 
         e = load_table(spark, "embeddings", SF)
-        row = e.filter(F.col("vec_id") == 0).first()
-        q = [float(x) for x in row["embedding"]]
-        cand = e.filter(F.col("vec_id") != 0)
-        exact = {r["vec_id"]: r["cos_sim"] for r in cosine_topk(cand, q, k=10).collect()}
-        approx = {
-            r["vec_id"]: r["cos_sim"]
-            for r in pq_topk(cand, q, k=10, rerank=16).collect()
-        }
+        recalls = []
+        for qid in range(5):
+            row = e.filter(F.col("vec_id") == qid).first()
+            q = [float(x) for x in row["embedding"]]
+            cand = e.filter(F.col("vec_id") != qid)
+            exact = {
+                r["vec_id"]: r["cos_sim"] for r in cosine_topk(cand, q, k=10).collect()
+            }
+            approx = {
+                r["vec_id"]: r["cos_sim"]
+                for r in pq_topk(cand, q, k=10, rerank=16).collect()
+            }
+            recalls.append(len(set(exact) & set(approx)) / 10)
+            # rescoring is exact: overlapping ids carry identical sims
+            for vid in set(exact) & set(approx):
+                assert abs(exact[vid] - approx[vid]) < 1e-12
         # near-uniform fixture vectors are PQ's textbook worst case (no
-        # cluster structure for the codebooks to exploit): measured 0.5
-        # at rerank=16 (32% candidate fraction); pinned with one-hit
-        # margin. The clustered-corpus pin below is the workload-shaped
-        # guarantee.
-        recall = len(set(exact) & set(approx)) / 10
-        assert recall >= 0.4, f"pq recall {recall} below pin"
-        # rescoring is exact: overlapping ids carry identical similarities
-        for vid in set(exact) & set(approx):
-            assert abs(exact[vid] - approx[vid]) < 1e-12
+        # cluster structure for the codebooks to exploit): two Lloyd
+        # iterations per subspace lifted the measured mean 0.5 -> 0.76;
+        # pinned with margin (was 0.4 single-query pre-Lloyd). The
+        # clustered-corpus pin below is the workload-shaped guarantee.
+        mean = sum(recalls) / len(recalls)
+        assert mean >= 0.6, f"pq mean recall {mean} below pin ({recalls})"
 
     def test_pq_recall_on_clustered_corpus(self, spark, fixture_embeddings):
         from icerunner_spark.operators.similarity import cosine_topk, pq_topk
