@@ -63,6 +63,85 @@ HEADLINE = [
 ]
 
 
+def _maintenance_ops(spark, sf_dir: str) -> dict[str, float]:
+    """Table-format maintenance benchmarks (VERDICT r4 item 7): the r4+
+    engine work — merge-on-read upsert/delete, delete-applied scans,
+    bin-pack compaction, the CDC continuous-clean pass — timed at the
+    bench SF so their cost tracks round over round alongside the query
+    headline. Each op runs ONCE (they mutate table state; min-of-2 would
+    time a different operation the second time). Setup (table creation)
+    is excluded from the timings."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from icerunner_spark.operators.incremental import dedup_maintenance_pass
+    from icerunner_spark.sources.testdata import load_table
+    from icerunner_spark.table import IceTable
+
+    ops: dict[str, float] = {}
+    base = tempfile.mkdtemp(prefix="icebench-maint-")
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        ops[name] = round(time.perf_counter() - t0, 4)
+
+    try:
+        orders = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        upd = orders.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        t = IceTable(spark, os.path.join(base, "orders_mor"))
+        t.create(orders)
+        # MOR upsert of ~1% of rows: one snapshot = delete file + appends,
+        # O(changed rows) IO — the production CDC-apply path
+        timed(
+            "maint_merge_mor",
+            lambda: t.merge(upd, ["o_orderkey"], mode="merge-on-read"),
+        )
+        # scan with the positional-delete anti-join active
+        timed("maint_scan_with_deletes", lambda: t.scan().count())
+        # MOR delete of another slice
+        timed(
+            "maint_delete_mor",
+            lambda: t.delete_where("o_orderkey % 97 = 0", mode="merge-on-read"),
+        )
+        # bin-pack: rewrite ONLY the dirty files, clear the deletes
+        timed(
+            "maint_compact_binpack",
+            lambda: t.compact(mode="bin-pack", target_file_rows=2_000_000),
+        )
+        # copy-on-write twin of the same upsert, for the cost contrast
+        t2 = IceTable(spark, os.path.join(base, "orders_cow"))
+        t2.create(orders)
+        timed(
+            "maint_merge_cow",
+            lambda: t2.merge(upd, ["o_orderkey"], mode="copy-on-write"),
+        )
+        # steady-state continuous-clean pass: CDC delta dedup + MOR delete
+        docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        half = docs.agg(F.expr("cast(max(doc_id) / 2 as bigint)")).first()[0]
+        t3 = IceTable(spark, os.path.join(base, "corpus"))
+        t3.create(docs.filter(F.lit(False)))
+        cursor = t3.current_snapshot().snapshot_id
+        t3.append(docs.filter(F.col("doc_id") <= half))
+        _, cursor = dedup_maintenance_pass(t3, cursor)  # warm state, untimed
+        t3.append(docs.filter(F.col("doc_id") > half))
+        state = {"cursor": cursor}
+
+        def _pass():
+            _, state["cursor"] = dedup_maintenance_pass(t3, state["cursor"])
+
+        timed("maint_dedup_pass", _pass)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return ops
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0)
@@ -89,6 +168,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
         timings[name] = round(best, 4)
+
+    timings.update(_maintenance_ops(spark, sf_dir))
 
     total = round(sum(timings.values()), 4)
     print(
