@@ -365,9 +365,12 @@ class IceFlightServer(flight.FlightServerBase):
             n = max(1, int(cmd.get("n", 4)))
             t = self.connector.table(table)
             snap = t.current_snapshot()
-            if snap is not None and snap.delete_files:
+            if snap is not None and (
+                snap.delete_files or snap.eq_delete_files
+            ):
                 # manifest slicing can't honor pending merge-on-read
-                # deletes; degrade to ONE delete-applied endpoint
+                # (positional or equality) deletes; degrade to ONE
+                # delete-applied endpoint
                 n = 1
             schema = self._table_arrow_schema(table)
             rows, nbytes = self._table_totals(table)
@@ -408,9 +411,9 @@ class IceFlightServer(flight.FlightServerBase):
             snap = t.current_snapshot()
             if snap is None:
                 raise flight.FlightServerError(f"table not found: {name}")
-            if snap.delete_files:
-                # pending merge-on-read deletes need the (file, pos)
-                # anti-join — Spark applies it and the result
+            if snap.delete_files or snap.eq_delete_files:
+                # pending merge-on-read deletes (positional anti-join or
+                # equality keys) — Spark applies them and the result
                 # file-streams from a parquet spill (same bounded-memory
                 # path as SQL tickets). Compaction materializes the
                 # deletes and restores zero-copy manifest streaming.
@@ -529,7 +532,7 @@ class IceFlightServer(flight.FlightServerBase):
             t = self.connector.table(name)
             snap = t.snapshot_by_id(int(cmd["snapshot_id"]))
             i, n = int(cmd["index"]), int(cmd["of"])
-            if snap.delete_files:
+            if snap.delete_files or snap.eq_delete_files:
                 # deletes pending: the manifest under-describes the rows,
                 # so slicing can't apply. get_slices advertises ONE
                 # endpoint, but clients that CRAFT i-of-n tickets (the

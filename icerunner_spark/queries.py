@@ -106,7 +106,7 @@ _DRIVER_WINDOW = [
     "grouped_user_trends",
     "udtf_token_explode",
     "percentiles_lineitem",
-    "grouping_sets_orders",
+    "snapshot_eq_delete_roundtrip",
     "map_functions_events",
 ]
 
@@ -913,6 +913,39 @@ def cdc_changelog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan_changelog(s0).select(
         "o_orderkey", F.col("_change_type").alias("change_type")
     )
+
+
+@register(
+    "snapshot_eq_delete_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderkey < 600 AND NOT (o_orderkey % 11 = 0)
+    """,
+)
+def snapshot_eq_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete demo on the snapshot format (Iceberg v2's second
+    delete flavor, table.py delete_rows mode='equality'): load an orders
+    slice, delete a KEY SET by writing just the key values — an O(keys)
+    commit with NO table read at all, even cheaper than positional
+    deletes — and scan. The anti-join applies at read (null-safe, and
+    only to files committed strictly before the delete, so later
+    re-inserts survive); the result must equal filtering the source,
+    which is what the oracle does. At 100 TB this is the key-addressed
+    CDC-apply fast path: deleting a million doc_ids from a petabyte
+    corpus costs one small parquet write."""
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_eqdel_demo", sf_dir)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).filter(F.col("o_orderkey") < 600)
+    t = c.catalog.table("orders_eq")
+    t.create(orders)
+    keys = orders.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+    t.delete_rows(keys, ["o_orderkey"], mode="equality")
+    return t.scan()
 
 
 @register(

@@ -93,6 +93,17 @@ class Snapshot:
     # files of (file_path, pos) rows naming deleted positions in data
     # files. Scans anti-join them; compaction materializes and clears.
     delete_files: list = field(default_factory=list)
+    # Equality delete files (Iceberg v2's second delete flavor): each
+    # entry is [path, [field_id, ...], sequence] — a parquet of KEY
+    # VALUES (columns named __eq_<field_id>, rename-proof) deleting every
+    # row equal on those fields from data files committed STRICTLY BEFORE
+    # ``sequence`` (so re-inserting a deleted key later survives —
+    # Iceberg's sequence-number rule). Committing one is O(keys) with no
+    # table read at all — even cheaper than positional deletes for
+    # key-addressed CDC apply. ``dir_seqs`` records each live commit
+    # dir's sequence so scans can evaluate the strictly-older rule.
+    eq_delete_files: list = field(default_factory=list)
+    dir_seqs: dict = field(default_factory=dict)
     # Per-data-file column min/max bounds (Iceberg manifest-stats parity):
     # {relpath: {field_id(str): [lo, hi]}} harvested from parquet footers
     # at write time. Planning-time file skipping (plan_files / scan(where=))
@@ -120,6 +131,8 @@ class Snapshot:
                 "file_mappings": self.file_mappings,
                 "partition_spec": self.partition_spec,
                 "delete_files": self.delete_files,
+                "eq_delete_files": self.eq_delete_files,
+                "dir_seqs": self.dir_seqs,
                 "file_stats": self.file_stats,
             }
         )
@@ -149,6 +162,8 @@ class Snapshot:
             file_mappings=d.get("file_mappings", {}),
             partition_spec=d.get("partition_spec", []),
             delete_files=d.get("delete_files", []),
+            eq_delete_files=d.get("eq_delete_files", []),
+            dir_seqs=d.get("dir_seqs", {}),
             file_stats=d.get("file_stats", {}),
         )
 
@@ -391,6 +406,7 @@ class IceTable:
         evolve=None,
         partition_spec: list | None = None,
         add_delete_files: list | None = None,
+        add_eq_delete_files: list | None = None,
         require_parent_snapshot_id: int | None = None,
         inherit_schema: bool = False,
         full_manifest: list[str] | None = None,
@@ -487,8 +503,17 @@ class IceTable:
             # absolute list here would lose the race loser's deletes.
             if replace_manifest or parent is None:
                 dels = []
+                eq_dels = []
             else:
                 dels = list(parent.delete_files)
+                eq_dels = [list(e) for e in parent.eq_delete_files]
+            if add_eq_delete_files:
+                # the committing snapshot's sequence stamps the
+                # strictly-older rule: these keys delete only from files
+                # committed before THIS commit
+                eq_dels += [
+                    [path, list(fids), seq] for path, fids in add_eq_delete_files
+                ]
             if add_delete_files:
                 dels += [f for f in add_delete_files if f not in dels]
                 stale = new_delete_refs - set(manifest)
@@ -534,6 +559,13 @@ class IceTable:
             # own copies.
             live_dirs = {_commit_dir_of(f) for f in manifest}
             mappings = {d: m for d, m in mappings.items() if d in live_dirs}
+            # commit-sequence per dir: newly added dirs get THIS commit's
+            # sequence (the strictly-older comparison for equality
+            # deletes); inherited dirs keep their original one
+            dseqs = dict(parent.dir_seqs) if parent else {}
+            for f in added_files or []:
+                dseqs.setdefault(_commit_dir_of(f), seq)
+            dseqs = {d: s for d, s in dseqs.items() if d in live_dirs}
             # Column bounds: inherit the parent's per-file stats, add the
             # new files' (sidecar physical names resolved to field ids
             # through the dir's mapping), prune to the live manifest.
@@ -568,6 +600,8 @@ class IceTable:
                 file_mappings=mappings,
                 partition_spec=spec,
                 delete_files=dels,
+                eq_delete_files=eq_dels,
+                dir_seqs=dseqs,
                 file_stats=fstats,
             )
             try:
@@ -918,12 +952,57 @@ class IceTable:
         produces (its loser list is a DataFrame, and collecting it to the
         driver for an isin() predicate would not scale). Semi-joins the
         keys against the table and deletes the matches; merge-on-read by
-        default (O(matched rows) IO). Returns None if nothing matched."""
+        default (O(matched rows) IO). Returns None if nothing matched.
+
+        ``mode="equality"`` writes an Iceberg-v2-style EQUALITY delete
+        file instead: the distinct key VALUES land in a small parquet,
+        the commit is O(keys) with NO table read at all, and scans
+        anti-join rows equal on those fields from files committed
+        strictly before it (null-safe; a later re-insert of the key
+        survives — the sequence rule). The cheapest delete commit there
+        is — the key-addressed CDC-apply fast path. Costs move to read
+        time until :meth:`compact` materializes."""
         if not self.exists():
             raise NoSuchTableError(self.path)
         if not key_cols:
             raise ValueError("delete_rows requires at least one key column")
         snap = self.current_snapshot()
+        if mode == "equality":
+            missing = [c for c in key_cols if c not in snap.field_ids]
+            if missing:
+                raise ValueError(f"no such columns: {missing}")
+            fids = [int(snap.field_ids[c]) for c in key_cols]
+            kdf = keys.select(
+                *[
+                    F.col(c).alias(f"__eq_{snap.field_ids[c]}")
+                    for c in key_cols
+                ]
+            ).distinct()
+            commit_dir = f"snap-{uuid.uuid4().hex[:12]}-eqdeletes"
+            out = os.path.join(self.data_dir, commit_dir)
+            kdf.write.mode("error").parquet(out)
+            paths = sorted(
+                os.path.join("data", commit_dir, f)
+                for f in os.listdir(out)
+                if f.endswith(".parquet")
+            )
+            import pyarrow.parquet as _pq
+
+            n = sum(
+                _pq.read_metadata(os.path.join(self.path, p)).num_rows
+                for p in paths
+            )
+            if n == 0:
+                import shutil as _shutil
+
+                _shutil.rmtree(out, ignore_errors=True)
+                return None
+            return self._publish(
+                "delete", [], self.schema().json(),
+                summary={"operation_detail": f"delete equality keys={key_cols}"},
+                add_eq_delete_files=[(paths, fids)],
+                inherit_schema=True,
+            )
         if mode == "copy-on-write":
             kept = self._scan_snapshot(snap).join(
                 keys.select(*key_cols).distinct(), on=key_cols, how="left_anti"
@@ -1095,13 +1174,21 @@ class IceTable:
         deleted_refs = (
             self._delete_file_refs(snap.delete_files) if snap.delete_files else set()
         )
+        # equality deletes apply to every file committed before their
+        # sequence — all of those are dirty (the rewrite materializes the
+        # deletes; the new files' sequence postdates them)
+        eq_max = max((int(e[2]) for e in snap.eq_delete_files), default=None)
         dirty = [
             f
             for f in snap.manifest
             if f in deleted_refs
+            or (
+                eq_max is not None
+                and int(snap.dir_seqs.get(_commit_dir_of(f), 0)) < eq_max
+            )
             or _pq.read_metadata(os.path.join(self.path, f)).num_rows < small
         ]
-        if not dirty and not snap.delete_files:
+        if not dirty and not snap.delete_files and not snap.eq_delete_files:
             return None
         clean = [f for f in snap.manifest if f not in set(dirty)]
         # read ONLY the dirty files; the pending deletes all reference
@@ -1142,9 +1229,14 @@ class IceTable:
             keep_files.update(s.manifest)
             keep_files.update(s.added_files)
             keep_files.update(s.delete_files)
+            for paths, _fids, _seq in s.eq_delete_files:
+                keep_files.update(paths)
         removed: list[str] = []
         for s in expired:
-            for f in set(s.manifest) | set(s.added_files):
+            expired_eq = {
+                p for paths, _fids, _seq in s.eq_delete_files for p in paths
+            }
+            for f in set(s.manifest) | set(s.added_files) | set(s.delete_files) | expired_eq:
                 if f in keep_files or f in removed:
                     continue
                 try:
@@ -1171,6 +1263,8 @@ class IceTable:
             referenced.update(s.manifest)
             referenced.update(s.added_files)
             referenced.update(s.delete_files)
+            for paths, _fids, _seq in s.eq_delete_files:
+                referenced.update(paths)
         cutoff = time.time() - older_than_s
         removed: list[str] = []
         for root, _dirs, files in os.walk(self.data_dir):
@@ -1466,7 +1560,7 @@ class IceTable:
         ``files`` restricts the read to a subset of the manifest (file
         pruning, bin-pack compaction) — delete coordinates naming files
         outside the subset simply never match."""
-        need_pos = with_pos or bool(snap.delete_files)
+        need_pos = with_pos or bool(snap.delete_files) or bool(snap.eq_delete_files)
         df = self._read_files(
             snap.manifest if files is None else files,
             StructType.fromJson(json.loads(snap.schema_json)),
@@ -1493,9 +1587,56 @@ class IceTable:
                 & (F.col("__pos") == F.col("__del_pos")),
                 "left_anti",
             )
+        if snap.eq_delete_files:
+            df = self._apply_eq_deletes(df, snap)
         if need_pos and not with_pos:
             df = df.drop("__file", "__pos")
         return df
+
+    def _apply_eq_deletes(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Apply pending equality delete files (Iceberg v2 read
+        semantics): each entry anti-joins rows NULL-SAFE-equal on its key
+        fields, but only rows from data files committed STRICTLY BEFORE
+        the delete (the sequence rule — a later re-insert of the same key
+        survives). Key sets are small, so Catalyst broadcasts them; the
+        commit-dir -> sequence lookup is a literal map over O(#dirs)."""
+        from functools import reduce
+
+        inv = {int(v): k for k, v in snap.field_ids.items()}
+        dir_col = F.regexp_extract(F.col("__file"), "^data/([^/]+)/", 1)
+        if snap.dir_seqs:
+            seq_map = F.create_map(
+                *[
+                    x
+                    for d, s in snap.dir_seqs.items()
+                    for x in (F.lit(d), F.lit(int(s)))
+                ]
+            )
+            # dirs older than the feature have no recorded sequence:
+            # treat as 0 (older than every delete) — conservative-correct
+            seq_col = F.coalesce(seq_map[dir_col], F.lit(0))
+        else:
+            seq_col = F.lit(0)
+        df = df.withColumn("__dirseq", seq_col)
+        for paths, fids, dseq in snap.eq_delete_files:
+            names = [inv.get(int(f)) for f in fids]
+            if any(n is None for n in names):
+                raise ValueError(
+                    f"equality delete references dropped field ids {fids}; "
+                    "compact before dropping key columns"
+                )
+            keys = self.spark.read.parquet(
+                *[os.path.join(self.path, p) for p in paths]
+            )
+            cond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(n).eqNullSafe(keys[f"__eq_{int(f)}"])
+                    for n, f in zip(names, fids)
+                ],
+            ) & (F.col("__dirseq") < F.lit(int(dseq)))
+            df = df.join(keys, cond, "left_anti")
+        return df.drop("__dirseq")
 
     # ---------- schema evolution (Iceberg ALTER TABLE parity) ----------
 
@@ -1536,6 +1677,13 @@ class IceTable:
             raise ValueError("cannot drop the only column")
         if name in self.partition_spec():
             raise ValueError(f"cannot drop partition column: {name}")
+        snap = self.current_snapshot()
+        fid = int(snap.field_ids.get(name, -1))
+        if any(fid in [int(x) for x in fids] for _p, fids, _s in snap.eq_delete_files):
+            raise ValueError(
+                f"column {name} is a key of a pending equality delete; "
+                "compact() to materialize before dropping"
+            )
         new_schema = StructType([f for f in schema.fields if f.name != name])
         return self._publish(
             "alter", [], new_schema.json(),
@@ -1763,6 +1911,7 @@ class IceTable:
         insert_files: list[str] = []
         insert_mappings: dict = {}
         delete_parts: list[tuple[Snapshot, list[str]]] = []
+        eq_parts: list[tuple[Snapshot, Snapshot | None, list]] = []
         ctx = None
         prev: Snapshot | None = None
         for snap in snaps:
@@ -1784,6 +1933,12 @@ class IceTable:
                     new_dels = [f for f in snap.delete_files if f not in prior]
                     if new_dels:
                         delete_parts.append((snap, new_dels))
+                    # equality entries are append-only between replaces,
+                    # so the new ones are the suffix past the parent's
+                    n_prior_eq = len(prev.eq_delete_files) if prev else 0
+                    new_eq = snap.eq_delete_files[n_prior_eq:]
+                    if new_eq:
+                        eq_parts.append((snap, prev, new_eq))
             if snap.snapshot_id == start_snapshot_id:
                 started = True
             if end_snapshot_id is not None and snap.snapshot_id == end_snapshot_id:
@@ -1804,6 +1959,31 @@ class IceTable:
                 self._deleted_rows_df(snap, new_dels), snap, ctx
             ).withColumn("_change_type", F.lit("delete"))
             out = out.unionByName(part)
+        for snap, prevsnap, new_eq in eq_parts:
+            # rows an equality delete removed = the PARENT state's rows
+            # matching the key set (every parent row predates the delete,
+            # so the sequence clause is vacuously true here)
+            from functools import reduce
+
+            base = self._scan_snapshot(prevsnap) if prevsnap else None
+            if base is None:
+                continue
+            inv = {int(v): k for k, v in prevsnap.field_ids.items()}
+            for paths, fids, _dseq in new_eq:
+                keys = self.spark.read.parquet(
+                    *[os.path.join(self.path, p) for p in paths]
+                )
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(inv[int(f)]).eqNullSafe(keys[f"__eq_{int(f)}"])
+                        for f in fids
+                    ],
+                )
+                part = self._align_snapshot_columns(
+                    base.join(keys, cond, "left_semi"), prevsnap, ctx
+                ).withColumn("_change_type", F.lit("delete"))
+                out = out.unionByName(part)
         return out
 
     def delete_rows_exact(self, rows: DataFrame) -> Snapshot | None:
@@ -1890,9 +2070,15 @@ class IceTable:
         # content mirrors Iceberg: 'data' rows are the live manifest,
         # 'position-deletes' are pending merge-on-read delete files whose
         # record_count is the number of deleted positions
-        listing = [(rel, "data") for rel in snap.manifest] + [
-            (rel, "position-deletes") for rel in snap.delete_files
-        ]
+        listing = (
+            [(rel, "data") for rel in snap.manifest]
+            + [(rel, "position-deletes") for rel in snap.delete_files]
+            + [
+                (rel, "equality-deletes")
+                for paths, _fids, _seq in snap.eq_delete_files
+                for rel in paths
+            ]
+        )
         id_to_name = {str(v): k for k, v in snap.field_ids.items()}
         for rel, content in listing:
             full = os.path.join(self.path, rel)

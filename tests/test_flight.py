@@ -1009,3 +1009,30 @@ def test_streaming_mirror_initial_load_with_pending_deletes(spark, server, tmp_p
     assert n == 2
     tgt = Connector(spark, target_wh)
     assert sorted(tgt.query("smor_s").column("id").to_pylist()) == [1, 2]
+
+
+def test_mirror_incremental_across_equality_delete(spark, server, tmp_path):
+    """Equality deletes (the O(keys) flavor) ride the same changelog
+    path: the mirror applies them value-based and stays incremental."""
+    from icerunner_spark.table import IceTable
+
+    src = server.connector
+    t = IceTable(spark, src.catalog.table_path("eqsrc"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        )
+    )
+    target_wh = str(tmp_path / "target_wh")
+    url = f"grpc://127.0.0.1:{server.port}/eqsrc"
+    run_mirror(url, target_table="eq_m", warehouse_path=target_wh,
+               continuous=False, spark=spark)
+    t.delete_rows(
+        spark.createDataFrame([(2,)], "id long"), ["id"], mode="equality"
+    )
+    run_mirror(url, target_table="eq_m", warehouse_path=target_wh,
+               continuous=False, spark=spark)
+    tgt = Connector(spark, target_wh)
+    assert sorted(tgt.query("eq_m").column("id").to_pylist()) == [1, 3]
+    state = SyncState(target_wh).get_last_sync_state(url, "eq_m")
+    assert state["last_sync_status"] == "success_changelog"

@@ -1067,3 +1067,82 @@ def test_delete_rows_exact_multiplicity_and_nulls(spark, warehouse):
         )
         is None
     )
+
+
+def test_equality_delete_semantics(spark, warehouse):
+    """Iceberg-v2 equality deletes: an O(keys) delete commit with NO
+    table read — scans anti-join rows null-safe-equal on the key fields,
+    but ONLY from files committed strictly before the delete (the
+    sequence rule: a later re-insert of the key survives). Time travel,
+    changelog, compaction materialization, GC retention, and the
+    drop-column guard all honor the entries."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "eqdel"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, "d")], "id long, v string"
+        )
+    )
+    s0 = t.current_snapshot().snapshot_id
+    # multi-column key with a NULL component: must match null-safely
+    snap = t.delete_rows(
+        spark.createDataFrame([(2, "b"), (3, None)], "id long, v string"),
+        ["id", "v"],
+        mode="equality",
+    )
+    assert snap.operation == "delete" and len(snap.eq_delete_files) == 1
+    assert sorted(r.id for r in t.scan().collect()) == [1, 4]
+    # sequence rule: re-inserting key (2, "b") AFTER the delete survives
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2, 4]
+    # time travel sees the pre-delete state
+    assert sorted(r.id for r in t.scan(snapshot_id=s0).collect()) == [1, 2, 3, 4]
+    # changelog across the eq delete replays onto a replica exactly
+    replica = IceTable(spark, os.path.join(warehouse, "eqdel_replica"))
+    replica.create(t.scan(snapshot_id=s0))
+    replica.apply_changelog(t.scan_changelog(s0))
+    assert sorted((r.id, r.v) for r in replica.scan().collect()) == sorted(
+        (r.id, r.v) for r in t.scan().collect()
+    )
+    # key columns of pending eq deletes cannot be dropped
+    with pytest.raises(ValueError, match="equality delete"):
+        t.drop_column("v")
+    # empty key set publishes nothing
+    before = t.current_snapshot().snapshot_id
+    assert (
+        t.delete_rows(
+            spark.createDataFrame([], "id long, v string"), ["id", "v"],
+            mode="equality",
+        )
+        is None
+    )
+    assert t.current_snapshot().snapshot_id == before
+    # files_df lists the pending entries
+    contents = {r.content for r in t.files_df().collect()}
+    assert "equality-deletes" in contents
+    # bin-pack compaction materializes and clears them; rows unchanged
+    rows_before = sorted((r.id, r.v) for r in t.scan().collect())
+    t.compact(mode="bin-pack", target_file_rows=100, small_file_rows=0)
+    cur = t.current_snapshot()
+    assert cur.eq_delete_files == [] and cur.delete_files == []
+    assert sorted((r.id, r.v) for r in t.scan().collect()) == rows_before
+    # after materialization the column drops fine
+    t.drop_column("v")
+    assert [f.name for f in t.schema().fields] == ["id"]
+
+
+def test_equality_delete_files_survive_expiry_until_materialized(spark, warehouse):
+    """expire_snapshots must not reap equality delete files a surviving
+    snapshot still needs, and remove_orphans must not treat them as
+    orphans."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "eqgc"))
+    t.create(spark.createDataFrame([(i,) for i in range(6)], "id long"))
+    t.delete_rows(spark.createDataFrame([(1,), (4,)], "id long"), ["id"],
+                  mode="equality")
+    t.append(spark.createDataFrame([(10,)], "id long"))
+    t.expire_snapshots(keep_last=1)
+    assert t.remove_orphans(older_than_s=0) == []
+    assert sorted(r.id for r in t.scan().collect()) == [0, 2, 3, 5, 10]
