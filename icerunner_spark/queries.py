@@ -107,7 +107,7 @@ _DRIVER_WINDOW = [
     "udtf_token_explode",
     "percentiles_lineitem",
     "snapshot_eq_delete_roundtrip",
-    "map_functions_events",
+    "transform_partition_prune",
 ]
 
 
@@ -5141,6 +5141,70 @@ def stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(planned) < len(t.current_snapshot().manifest), "no file skipping"
     return (
         t.scan(where=[("o_orderkey", "<=", cut)])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+@register(
+    "transform_partition_prune",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_custkey IN (7, 19, 42)
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY o_orderstatus
+    """,
+)
+def transform_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden (transform) partitioning on the snapshot format — Iceberg's
+    ``bucket``/``month`` partition transforms: orders land under
+    ``bucket(8, o_custkey) × month(o_orderdate)`` hive paths while the
+    source columns stay in the files, and a query filtering the SOURCE
+    columns (it never mentions the partition layout) prunes the file
+    list at planning time — the bucket transform via a driver-side XXH64
+    twin of the write path's ``F.xxhash64`` (pinned bit-identical in
+    tests/test_table.py), the month transform via order-preserving range
+    comparison. At 100 TB bucketing the customer key bounds every
+    per-customer lookup to 1/N of the files regardless of ingest order —
+    the layout Iceberg calls hidden partitioning, which the reference's
+    identity-only tables can't express (icerunner.py:154-157). The inline
+    assertion pins that pruning actually removed files; the residual
+    Catalyst filter keeps the result exact, which the oracle (a plain
+    filtered aggregate over the raw parquet) verifies."""
+    import datetime
+
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_transform_demo", sf_dir)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    )
+    t = c.catalog.table("orders_hidden")
+    t.create(
+        orders.repartition(4),
+        partition_by=["bucket(8, o_custkey)", "month(o_orderdate)"],
+    )
+    where = [
+        ("o_custkey", "in", [7, 19, 42]),
+        ("o_orderdate", ">=", datetime.datetime(1995, 1, 1)),
+    ]
+    planned = t.plan_files(where)
+    assert 0 < len(planned) < len(t.current_snapshot().manifest), (
+        "transform pruning removed no files"
+    )
+    return (
+        t.scan(where=where)
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

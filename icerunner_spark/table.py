@@ -202,6 +202,295 @@ def _schema_names(schema_json_text: str) -> list[str]:
     return [f["name"] for f in json.loads(schema_json_text)["fields"]]
 
 
+# ---------- partition transforms (Iceberg hidden partitioning) ----------
+#
+# A partition spec entry is either a bare column name (identity — the
+# reference's Iceberg tables support these via PyIceberg, icerunner.py:60-66)
+# or a transform over a source column, Iceberg's hidden partitioning:
+#
+#     bucket(8, o_custkey)   truncate(4, p_type)
+#     year(o_orderdate)      month(...)  day(...)  hour(...)
+#
+# The DERIVED value lands in the hive path (the source column stays in the
+# data files), and predicates on the SOURCE column prune the file list at
+# planning time — queries never mention the partition column, which is the
+# whole point of hidden partitioning.
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_U64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _U64
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    """Standard XXH64 over a byte stream — bit-identical to Spark's
+    ``xxhash64`` (seed 42) for string inputs; integral inputs go through
+    :func:`_spark_xxhash64` which packs them the way Spark's specialized
+    ``hashLong`` does. Public algorithm (Yann Collet's xxHash); pinned
+    against ``F.xxhash64`` in tests/test_table.py so driver-side bucket
+    pruning provably agrees with the write-side Catalyst expression."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _U64
+        v2 = (seed + _XXH_P2) & _U64
+        v3 = seed & _U64
+        v4 = (seed - _XXH_P1) & _U64
+        while i + 32 <= n:
+            for _lane in range(4):
+                k = int.from_bytes(data[i : i + 8], "little")
+                if _lane == 0:
+                    v1 = (_rotl64((v1 + k * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+                elif _lane == 1:
+                    v2 = (_rotl64((v2 + k * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+                elif _lane == 2:
+                    v3 = (_rotl64((v3 + k * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+                else:
+                    v4 = (_rotl64((v4 + k * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+                i += 8
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _U64
+        for v in (v1, v2, v3, v4):
+            k = (_rotl64((v * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+            h = ((h ^ k) * _XXH_P1 + _XXH_P4) & _U64
+    else:
+        h = (seed + _XXH_P5) & _U64
+    h = (h + n) & _U64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i : i + 8], "little")
+        k = (_rotl64((k * _XXH_P2) & _U64, 31) * _XXH_P1) & _U64
+        h = (_rotl64(h ^ k, 27) * _XXH_P1 + _XXH_P4) & _U64
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(data[i : i + 4], "little")
+        h = (_rotl64(h ^ (k * _XXH_P1) & _U64, 23) * _XXH_P2 + _XXH_P3) & _U64
+        i += 4
+    while i < n:
+        h = (_rotl64(h ^ (data[i] * _XXH_P5) & _U64, 11) * _XXH_P1) & _U64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _U64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _U64
+    h ^= h >> 32
+    return h
+
+
+def _spark_xxhash64(val, dtype) -> int | None:
+    """Driver-side twin of ``F.xxhash64(col)`` for the types bucket
+    partitioning supports. Spark hashes integral/date/timestamp values as
+    8-byte little-endian longs and strings as their UTF-8 bytes, seed 42.
+    Returns a SIGNED 64-bit value (Spark longs) or None when the type
+    isn't supported (caller must not prune then)."""
+    import datetime
+    import struct
+
+    t = dtype.typeName()
+    if t == "long":
+        raw = struct.pack("<q", int(val))
+    elif t in ("integer", "short", "byte"):
+        # int-backed types hash through Spark's 4-byte XXH64 path
+        raw = struct.pack("<i", int(val))
+    elif t == "string":
+        raw = str(val).encode("utf-8")
+    elif t == "date":
+        d = val if isinstance(val, datetime.date) else datetime.date.fromisoformat(str(val))
+        raw = struct.pack("<i", (d - datetime.date(1970, 1, 1)).days)
+    elif t in ("timestamp", "timestamp_ntz"):
+        ts = (
+            val
+            if isinstance(val, datetime.datetime)
+            else datetime.datetime.fromisoformat(str(val))
+        )
+        delta = ts.replace(tzinfo=None) - datetime.datetime(1970, 1, 1)
+        micros = (
+            delta.days * 86_400 + delta.seconds
+        ) * 1_000_000 + delta.microseconds
+        raw = struct.pack("<q", micros)
+    else:
+        return None
+    h = _xxh64(raw, 42)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+@dataclass(frozen=True)
+class _SpecField:
+    """One parsed partition-spec entry."""
+
+    transform: str  # identity|bucket|truncate|year|month|day|hour
+    source: str
+    param: int | None
+    pname: str  # hive path column name the derived value is written under
+
+
+_TRANSFORM_SUFFIX = {
+    "bucket": "bucket",
+    "truncate": "trunc",
+    "year": "year",
+    "month": "month",
+    "day": "day",
+    "hour": "hour",
+}
+
+
+def _parse_spec(spec: list) -> list[_SpecField]:
+    import re
+
+    out = []
+    for entry in spec or []:
+        e = str(entry).strip()
+        m = re.fullmatch(r"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)", e)
+        if m:
+            fn, param, src = m.group(1), int(m.group(2)), m.group(3)
+            if param <= 0:
+                raise ValueError(f"transform width must be positive: {entry!r}")
+            out.append(_SpecField(fn, src, param, f"{src}_{_TRANSFORM_SUFFIX[fn]}"))
+            continue
+        m = re.fullmatch(r"(year|month|day|hour)\s*\(\s*(\w+)\s*\)", e)
+        if m:
+            fn, src = m.group(1), m.group(2)
+            out.append(_SpecField(fn, src, None, f"{src}_{_TRANSFORM_SUFFIX[fn]}"))
+            continue
+        if not e.isidentifier():
+            raise ValueError(f"unsupported partition spec entry: {entry!r}")
+        out.append(_SpecField("identity", e, None, e))
+    return out
+
+
+def _spec_sources(spec: list) -> list[str]:
+    return [sf.source for sf in _parse_spec(spec)]
+
+
+def _transform_expr(sf: _SpecField, dtype):
+    """The write-side Catalyst expression computing a spec field's derived
+    partition value. NULL source -> NULL partition (hive null dir), like
+    Iceberg. All JVM-side builtins — the derived column costs one projection
+    in the distributed write, never a Python roundtrip."""
+    c = F.col(sf.source)
+    t = dtype.typeName()
+    if sf.transform == "bucket":
+        return F.when(c.isNull(), F.lit(None).cast("int")).otherwise(
+            F.pmod(F.xxhash64(c), F.lit(sf.param)).cast("int")
+        )
+    if sf.transform == "truncate":
+        if t == "string":
+            return F.substring(c, 1, sf.param)
+        return (c - F.pmod(c, F.lit(sf.param))).cast(dtype)
+    if sf.transform == "year":
+        return F.year(c)
+    if sf.transform == "month":
+        return F.date_format(c, "yyyy-MM")
+    if sf.transform == "day":
+        return F.date_format(c, "yyyy-MM-dd")
+    if sf.transform == "hour":
+        return F.date_format(c, "yyyy-MM-dd-HH")
+    raise ValueError(sf.transform)
+
+
+def _transform_supported(sf: _SpecField, dtype) -> bool:
+    t = dtype.typeName()
+    if sf.transform == "identity":
+        return True
+    if sf.transform == "bucket":
+        return t in ("integer", "long", "short", "byte", "string", "date",
+                     "timestamp", "timestamp_ntz")
+    if sf.transform == "truncate":
+        return t in ("integer", "long", "short", "byte", "string")
+    if sf.transform == "year":
+        return t in ("date", "timestamp", "timestamp_ntz")
+    return t in ("date", "timestamp", "timestamp_ntz") or (
+        sf.transform == "hour" and t in ("timestamp", "timestamp_ntz")
+    )
+
+
+def _transform_value(sf: _SpecField, val, dtype):
+    """Driver-side transform of a PREDICATE value — must agree with
+    :func:`_transform_expr` on every input or pruning would be wrong.
+    Returns None when the value can't be transformed (caller keeps the
+    file). Pinned against the write path in tests/test_table.py."""
+    import datetime
+
+    def _as_dt(v):
+        if isinstance(v, datetime.datetime):
+            return v
+        if isinstance(v, datetime.date):
+            return datetime.datetime(v.year, v.month, v.day)
+        try:
+            return datetime.datetime.fromisoformat(str(v))
+        except ValueError:
+            return None
+
+    try:
+        if sf.transform == "bucket":
+            h = _spark_xxhash64(val, dtype)
+            return None if h is None else h % sf.param  # python % == pmod
+        if sf.transform == "truncate":
+            if dtype.typeName() == "string":
+                return str(val)[: sf.param]
+            v = int(val)
+            return v - (v % sf.param)
+        d = _as_dt(val)
+        if d is None:
+            return None
+        if sf.transform == "year":
+            return d.year
+        if sf.transform == "month":
+            return f"{d.year:04d}-{d.month:02d}"
+        if sf.transform == "day":
+            return f"{d.year:04d}-{d.month:02d}-{d.day:02d}"
+        if sf.transform == "hour":
+            return f"{d.year:04d}-{d.month:02d}-{d.day:02d}-{d.hour:02d}"
+    except (TypeError, ValueError):
+        return None
+    return None
+
+
+_ORDER_PRESERVING = ("truncate", "year", "month", "day", "hour")
+
+
+def _transform_may_match(sf: _SpecField, pv: str, op: str, val, dtype) -> bool:
+    """Could a file whose derived partition value is ``pv`` (a decoded hive
+    path string) contain a row satisfying ``source <op> val``? False only
+    when provably impossible. Bucket prunes equality/IN only; the
+    order-preserving transforms additionally prune ranges via
+    T(row) <= T(val) for ``<``/``<=`` (and mirrored for ``>``/``>=``)."""
+    vals = list(val) if op == "in" else [val]
+    tvals = [_transform_value(sf, v, dtype) for v in vals]
+    if any(tv is None for tv in tvals):
+        return True
+    if sf.transform == "bucket":
+        if op in ("=", "in"):
+            return pv in {str(tv) for tv in tvals}
+        return True
+    if sf.transform not in _ORDER_PRESERVING:
+        return True
+    # typed comparison: year + integer truncate compare as ints, the
+    # zero-padded date strings and string truncate compare lexicographically
+    numeric = sf.transform == "year" or (
+        sf.transform == "truncate" and dtype.typeName() != "string"
+    )
+    try:
+        p = int(pv) if numeric else pv
+        ts = [int(tv) if numeric else str(tv) for tv in tvals]
+    except (TypeError, ValueError):
+        return True
+    if op in ("=", "in"):
+        return p in set(ts)
+    t = ts[0]
+    if op in ("<", "<="):
+        return p <= t
+    if op in (">", ">="):
+        return p >= t
+    return True
+
+
 # ---------- per-file column statistics (manifest pruning) ----------
 
 _MAX_STAT_STRING = 64  # parquet writers may truncate long string stats
@@ -724,9 +1013,20 @@ class IceTable:
         columns would silently read back as NULL)."""
         commit_dir = f"snap-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.data_dir, commit_dir)
+        spec_fields = _parse_spec(partition_by or [])
+        if spec_fields:
+            # transform entries derive a hidden partition column (the
+            # source column STAYS in the files; identity columns move to
+            # the paths, Spark's partitioned writer)
+            types = {f.name: f.dataType for f in df.schema.fields}
+            for sf in spec_fields:
+                if sf.transform != "identity":
+                    df = df.withColumn(
+                        sf.pname, _transform_expr(sf, types[sf.source])
+                    )
         w = df.write.mode("error")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
+        if spec_fields:
+            w = w.partitionBy(*[sf.pname for sf in spec_fields])
         w.parquet(out)
         if field_ids is not None:
             mapping = {
@@ -760,9 +1060,34 @@ class IceTable:
             raise ValueError(f"table already exists: {self.path}")
         names = [f.name for f in df.schema.fields]
         partition_by = list(partition_by or [])
-        missing = [c for c in partition_by if c not in names]
+        spec_fields = _parse_spec(partition_by)
+        missing = [sf.source for sf in spec_fields if sf.source not in names]
         if missing:
             raise ValueError(f"partition columns not in schema: {missing}")
+        types = {f.name: f.dataType for f in df.schema.fields}
+        bad = [
+            sf
+            for sf in spec_fields
+            if not _transform_supported(sf, types[sf.source])
+        ]
+        if bad:
+            raise ValueError(
+                "partition transform not supported for column type: "
+                + ", ".join(
+                    f"{sf.transform}({sf.source}: "
+                    f"{types[sf.source].simpleString()})"
+                    for sf in bad
+                )
+            )
+        clash = [
+            sf.pname
+            for sf in spec_fields
+            if sf.transform != "identity" and sf.pname in names
+        ]
+        if clash:
+            raise ValueError(
+                f"derived partition column name collides with schema: {clash}"
+            )
         _, files = self._write_data_files(df, partition_by)
         return self._publish(
             "create", files, df.schema.json(), replace_manifest=True,
@@ -822,7 +1147,13 @@ class IceTable:
         The partition spec carries over when the new schema still has the
         partition columns; otherwise the table becomes unpartitioned."""
         names = [f.name for f in df.schema.fields]
-        spec = [c for c in self.partition_spec() if c in names]
+        spec = [
+            entry
+            for entry, src in zip(
+                self.partition_spec(), _spec_sources(self.partition_spec())
+            )
+            if src in names
+        ]
         _, files = self._write_data_files(df, spec)
         return self._publish(
             "overwrite", files, df.schema.json(), replace_manifest=True,
@@ -1442,12 +1773,28 @@ class IceTable:
         #conjuncts), no IO."""
         schema = StructType.fromJson(json.loads(snap.schema_json))
         types = {f.name: f.dataType for f in schema.fields}
-        spec = set(snap.partition_spec or [])
+        spec_fields = _parse_spec(snap.partition_spec or [])
+        spec = {sf.source for sf in spec_fields if sf.transform == "identity"}
+        transforms: dict[str, list[_SpecField]] = {}
+        for sf in spec_fields:
+            if sf.transform != "identity":
+                transforms.setdefault(sf.source, []).append(sf)
         out = []
         for rel in files:
             keep = True
-            pvals = _hive_partition_values(rel) if spec else {}
+            pvals = _hive_partition_values(rel) if spec_fields else {}
             for col, op, val in preds:
+                for sf in transforms.get(col, []):
+                    # hidden partitioning: a predicate on the SOURCE
+                    # column prunes via the derived path value
+                    pv = pvals.get(sf.pname)
+                    if pv is not None and col in types and not (
+                        _transform_may_match(sf, pv, op, val, types[col])
+                    ):
+                        keep = False
+                        break
+                if not keep:
+                    break
                 if col in spec:
                     # partition values are strings in the path; only
                     # equality-shaped ops prune here (Catalyst's partition
@@ -1675,7 +2022,7 @@ class IceTable:
             raise ValueError(f"no such column: {name}")
         if len(schema.fields) == 1:
             raise ValueError("cannot drop the only column")
-        if name in self.partition_spec():
+        if name in _spec_sources(self.partition_spec()):
             raise ValueError(f"cannot drop partition column: {name}")
         snap = self.current_snapshot()
         fid = int(snap.field_ids.get(name, -1))
@@ -1708,7 +2055,7 @@ class IceTable:
         names = {f.name for f in schema.fields}
         if old not in names:
             raise ValueError(f"no such column: {old}")
-        if old in self.partition_spec():
+        if old in _spec_sources(self.partition_spec()):
             # partition values live in directory names keyed by the
             # column name; a safe rename needs spec evolution (rewrite or
             # spec-versioned path parsing) — explicit, like Iceberg

@@ -1146,3 +1146,150 @@ def test_equality_delete_files_survive_expiry_until_materialized(spark, warehous
     t.expire_snapshots(keep_last=1)
     assert t.remove_orphans(older_than_s=0) == []
     assert sorted(r.id for r in t.scan().collect()) == [0, 2, 3, 5, 10]
+
+
+def test_xxhash64_driver_twin_matches_spark(spark):
+    """The driver-side XXH64 used for bucket-partition pruning must be
+    bit-identical to the write path's ``F.xxhash64`` (seed 42) — a
+    mismatch would silently prune the WRONG files. Pins long/int/string/
+    date/timestamp over edge values (zero, negatives, extremes, empty and
+    >32-byte strings that exercise the stripe loop, unicode)."""
+    import datetime
+
+    from pyspark.sql.types import (
+        DateType, IntegerType, LongType, StringType, TimestampType,
+    )
+
+    from icerunner_spark.table import _spark_xxhash64
+
+    longs = [0, 1, -1, 7, 2**62, -(2**62), 2**63 - 1, -(2**63)]
+    ints = [0, 1, -1, 42, 2**31 - 1, -(2**31)]
+    strs = ["", "a", "hello", "x" * 100, "ünïcode-Ω✓", "tab\t\nnl"]
+    dates = [datetime.date(1970, 1, 1), datetime.date(1969, 12, 31),
+             datetime.date(1995, 3, 14), datetime.date(2038, 1, 19)]
+    tss = [datetime.datetime(1970, 1, 1), datetime.datetime(2001, 6, 15, 13, 45, 30, 123456)]
+    for vals, dtype, sql_t in [
+        (longs, LongType(), "long"), (ints, IntegerType(), "int"),
+        (strs, StringType(), "string"), (dates, DateType(), "date"),
+        (tss, TimestampType(), "timestamp"),
+    ]:
+        df = spark.createDataFrame([(v,) for v in vals], schema=f"v {sql_t}")
+        got = [r[0] for r in df.select(F.xxhash64("v")).collect()]
+        want = [_spark_xxhash64(v, dtype) for v in vals]
+        assert got == want, (sql_t, list(zip(vals, want, got)))
+
+
+def test_transform_partitioning_bucket_and_month(spark, warehouse):
+    """Iceberg hidden partitioning: bucket(8, key) + month(date) specs.
+    The derived values live in the hive paths, the source columns stay in
+    the data files, and predicates on the SOURCE columns prune the file
+    list at planning — queries never mention the partition columns."""
+    import datetime
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "tx_bucket"))
+    data = spark.createDataFrame(
+        [(k, f"c{k % 40}", datetime.date(1995 + (k % 3), 1 + (k % 12), 1 + (k % 28)))
+         for k in range(1, 201)],
+        "k long, name string, d date",
+    )
+    t.create(data, partition_by=["bucket(8, k)", "month(d)"])
+    assert t.partition_spec() == ["bucket(8, k)", "month(d)"]
+    # hidden: scan surfaces ONLY the logical schema
+    assert t.scan().columns == ["k", "name", "d"]
+    assert t.scan().count() == 200
+
+    manifest = t.current_snapshot().manifest
+    # bucket prunes equality to ~1/8 of files (intersected with months)
+    pf = t.plan_files([("k", "=", 77)])
+    assert 0 < len(pf) < len(manifest) / 4
+    rows = t.scan(where=[("k", "=", 77)]).collect()
+    assert [r.k for r in rows] == [77]
+    # IN prunes to the union of buckets
+    pf_in = t.plan_files([("k", "in", [77, 78])])
+    assert len(pf) <= len(pf_in) < len(manifest) / 2
+    # month transform prunes date ranges (order-preserving)
+    cut = datetime.date(1997, 1, 1)
+    pf_d = t.plan_files([("d", ">=", cut)])
+    assert 0 < len(pf_d) < len(manifest)
+    want = data.where(F.col("d") >= F.lit(cut)).count()
+    assert t.scan(where=[("d", ">=", cut)]).count() == want
+    # conjunction intersects both prunes and stays exact
+    both = t.scan(where=[("k", ">", 150), ("d", ">=", cut)])
+    want2 = data.where((F.col("k") > 150) & (F.col("d") >= F.lit(cut))).count()
+    assert both.count() == want2
+
+    # appends and merge-on-read deletes keep the layout working
+    t.append(data.limit(5).withColumn("k", F.col("k") + 1000))
+    assert t.scan().count() == 205
+    t.delete_where(F.col("k") > 1000, mode="merge-on-read")
+    assert t.scan().count() == 200
+    # time travel and CDC read through the transform layout
+    snaps = t.snapshots()
+    assert t.scan(snapshot_id=snaps[0].snapshot_id).count() == 200
+
+
+def test_transform_truncate_and_nulls(spark, warehouse):
+    """truncate(W, col) prunes ranges on ints (floor-to-width buckets are
+    order-preserving) and prefixes on strings; NULL sources land in the
+    hive null partition and are never wrongly pruned."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "tx_trunc"))
+    df = spark.createDataFrame(
+        [("apple", 13), ("apricot", 27), ("banana", 5), ("cherry", 81),
+         (None, 55), ("durian", None)],
+        "s string, v int",
+    )
+    t.create(df, partition_by=["truncate(2, s)", "truncate(10, v)"])
+    manifest = t.current_snapshot().manifest
+    # string prefix equality
+    assert {r.s for r in t.scan(where=[("s", "=", "apple")]).collect()} == {"apple"}
+    assert len(t.plan_files([("s", "=", "apple")])) < len(manifest)
+    # int range: v > 60 can only live in trunc buckets >= 60
+    pf = t.plan_files([("v", ">", 60)])
+    assert 0 < len(pf) < len(manifest)
+    assert {r.v for r in t.scan(where=[("v", ">", 60)]).collect()} == {81}
+    # nulls survive every scan and never satisfy pruned predicates
+    rows = t.scan().collect()
+    assert len(rows) == 6
+    assert {r.v for r in rows if r.s is None} == {55}
+    assert {r.s for r in rows if r.v is None} == {"durian"}
+
+
+def test_transform_partition_guards_and_evolution(spark, warehouse):
+    """Spec validation (bad source, unsupported type, name collision) and
+    evolution guards on transform SOURCE columns."""
+    import os
+
+    df = spark.createDataFrame([(1, "a", 2.5)], "k long, s string, f double")
+    t = IceTable(spark, os.path.join(warehouse, "tx_guard"))
+    with pytest.raises(ValueError, match="not in schema"):
+        t.create(df, partition_by=["bucket(8, nope)"])
+    with pytest.raises(ValueError, match="not supported for column type"):
+        t.create(df, partition_by=["bucket(8, f)"])
+    with pytest.raises(ValueError, match="not supported for column type"):
+        t.create(df, partition_by=["year(k)"])
+    with pytest.raises(ValueError, match="unsupported partition spec"):
+        t.create(df, partition_by=["bucket(k)"])
+    with pytest.raises(ValueError, match="must be positive"):
+        t.create(df, partition_by=["bucket(0, k)"])
+    df_clash = df.withColumn("k_bucket", F.lit(1))
+    with pytest.raises(ValueError, match="collides"):
+        t.create(df_clash, partition_by=["bucket(8, k)"])
+
+    t.create(df, partition_by=["bucket(4, k)"])
+    with pytest.raises(ValueError, match="cannot rename partition column"):
+        t.rename_column("k", "key")
+    with pytest.raises(ValueError, match="cannot drop partition column"):
+        t.drop_column("k")
+    # non-source columns evolve freely
+    t.rename_column("s", "txt")
+    t.add_column("extra", "long")
+    # overwrite keeps the spec while the source survives in the new schema
+    t.overwrite(spark.createDataFrame([(2, "b", 1.0, 9)],
+                                      "k long, txt string, f double, extra long"))
+    assert t.partition_spec() == ["bucket(4, k)"]
+    # ... and drops it when the source column disappears
+    t.overwrite(spark.createDataFrame([("c", 3.0)], "txt string, f double"))
+    assert t.partition_spec() == []
