@@ -115,6 +115,13 @@ def _maintenance_ops(spark, sf_dir: str) -> dict[str, float]:
             "maint_compact_binpack",
             lambda: t.compact(mode="bin-pack", target_file_rows=2_000_000),
         )
+        # sort-clustered rewrite: the O(table) background pass that turns
+        # manifest stats into a range index (query-side win is tracked by
+        # clustered_compact_scan's inline pins)
+        timed(
+            "maint_compact_sorted",
+            lambda: t.compact(target_file_rows=2_000_000, sort_by=["o_orderkey"]),
+        )
         # copy-on-write twin of the same upsert, for the cost contrast
         t2 = IceTable(spark, os.path.join(base, "orders_cow"))
         t2.create(orders)

@@ -101,7 +101,7 @@ _DRIVER_WINDOW = [
     "multimodal_byte_features",
     "unigram_logprob_quality",
     "token_budget_mixture",
-    "session_window_events",
+    "clustered_compact_scan",
     "stream_join_view_purchases",
     "grouped_user_trends",
     "udtf_token_explode",
@@ -5147,6 +5147,66 @@ def stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias(
                 "total_price"
             ),
+        )
+    )
+
+
+@register(
+    "clustered_compact_scan",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey <= (SELECT MAX(l_orderkey) // 10 FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def clustered_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustered compaction as an index build: lineitem lands in the
+    snapshot table via hash-shuffled commits (every file spans ~the full
+    key range, so manifest-stats pruning removes NOTHING), then one
+    ``compact(sort_by=[l_orderkey])`` range-partitions + sorts the
+    rewrite — after which the per-file min/max bounds are disjoint and a
+    selective key-range scan reads O(matching) files at planning time.
+    The inline assertions pin both halves (no pruning before, real
+    pruning after); the oracle — a plain filtered aggregate over the raw
+    parquet — pins that clustering changed the LAYOUT, never the rows.
+    At 100 TB this is Iceberg's rewrite_data_files(sort) maintenance:
+    one O(table) background pass converts append-order chaos into an
+    ordered layout every later range scan benefits from."""
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_cluster_demo", sf_dir)
+    c = Connector(spark, wh)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    cut = li.agg(F.max("l_orderkey")).first()[0] // 10
+    t = c.catalog.table("lineitem_sorted")
+    # hash repartition deliberately scatters every key range across all
+    # files of both commits
+    t.create(li.filter(F.col("l_orderkey") % 2 == 0).repartition(4))
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1).repartition(4))
+    pre = t.plan_files([("l_orderkey", "<=", cut)])
+    assert len(pre) == len(t.current_snapshot().manifest), (
+        "expected NO pruning before clustering"
+    )
+    n_rows = t.scan().count()
+    t.compact(target_file_rows=max(1000, n_rows // 8), sort_by=["l_orderkey"])
+    post = t.plan_files([("l_orderkey", "<=", cut)])
+    assert len(post) < len(t.current_snapshot().manifest), (
+        "sorted compaction produced no file skipping"
+    )
+    return (
+        t.scan(where=[("l_orderkey", "<=", cut)])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(_dec("l_extendedprice", 14)).cast("double"), 2
+            ).alias("sum_price"),
         )
     )
 

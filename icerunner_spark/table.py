@@ -1439,12 +1439,72 @@ class IceTable:
 
     # ---------- maintenance (Iceberg: expire_snapshots / remove_orphan_files) ----------
 
+    def _zorder_cluster(
+        self, df: DataFrame, cols: list[str], n_files: int, *, bits: int = 8
+    ) -> DataFrame:
+        """Cluster ``df`` on the Morton (z-order) curve of ``cols``: each
+        column maps to a ``bits``-bit bucket code (uniform width_bucket
+        between its min/max — one aggregate job for all columns), the
+        codes' bits interleave into one long, and the rewrite
+        range-partitions + sorts on it. Rows close in EVERY dimension land
+        in the same files, so the manifest bounds stay selective for
+        predicates on any z-ordered column. All JVM-side expressions —
+        the interleave is a static tree of shift/and/or over ``bits × k``
+        terms, inside whole-stage codegen."""
+        types = {f.name: f.dataType for f in df.schema.fields}
+        bad = [
+            c
+            for c in cols
+            if types[c].typeName()
+            not in ("integer", "long", "short", "byte", "float", "double",
+                    "decimal", "date", "timestamp", "timestamp_ntz")
+        ]
+        if bad:
+            raise ValueError(f"zorder needs numeric/temporal columns: {bad}")
+
+        def _num(c):
+            t = types[c].typeName()
+            if t in ("date", "timestamp", "timestamp_ntz"):
+                return F.col(c).cast("timestamp").cast("double")
+            return F.col(c).cast("double")
+
+        aggs = []
+        for c in cols:
+            aggs += [F.min(_num(c)).alias(f"lo_{c}"), F.max(_num(c)).alias(f"hi_{c}")]
+        row = df.agg(*aggs).first()
+        k = len(cols)
+        n_buckets = 1 << bits
+        z = F.lit(0).cast("long")
+        for j, c in enumerate(cols):
+            lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+            if lo is None or hi is None or not (hi > lo):
+                continue  # constant/empty/null column adds no bits
+            code = F.width_bucket(
+                _num(c), F.lit(float(lo)), F.lit(float(hi)), F.lit(n_buckets)
+            ) - F.lit(1)
+            code = F.least(
+                F.greatest(F.coalesce(code, F.lit(0)), F.lit(0)),
+                F.lit(n_buckets - 1),
+            ).cast("long")
+            for b in range(bits):
+                z = z + F.shiftleft(
+                    F.shiftright(code, b).bitwiseAND(F.lit(1)), b * k + j
+                ).cast("long")
+        return (
+            df.withColumn("__zorder", z)
+            .repartitionByRange(n_files, "__zorder")
+            .sortWithinPartitions("__zorder")
+            .drop("__zorder")
+        )
+
     def compact(
         self,
         *,
         target_file_rows: int = 1_000_000,
         mode: str = "full",
         small_file_rows: int | None = None,
+        sort_by: list[str] | None = None,
+        zorder: list[str] | None = None,
     ) -> Snapshot | None:
         """Small-file compaction (Iceberg ``rewrite_data_files``):
         rewrite into right-sized files and commit a ``replace`` snapshot
@@ -1469,24 +1529,62 @@ class IceTable:
         Cost is O(dirty bytes), which is what makes continuous
         maintenance (delete-heavy MOR workloads, streaming small-file
         ingest) affordable at scale. Returns None when nothing needs
-        rewriting."""
+        rewriting.
+
+        ``sort_by=[cols]`` (Iceberg's sort strategy): range-partition the
+        rewrite on the sort key and sort within each file, so the
+        manifest's per-file min/max bounds become tight and DISJOINT —
+        after which a selective scan on the sort key prunes to O(matching
+        files) via manifest stats. This is what turns the stats machinery
+        into an index: unsorted ingest gives every file ~full-range
+        bounds (nothing prunes), one sorted compaction makes range scans
+        surgical. ``zorder=[cols]`` (Iceberg's z-order strategy) instead
+        clusters on interleaved bits of the columns' bucket codes, giving
+        MULTI-dimensional locality — selective predicates on ANY of the
+        z-ordered columns prune files, at the cost of looser per-column
+        bounds than a dedicated single-key sort. Both apply to either
+        mode; with a partition spec, clustering happens within each
+        partition's rewrite."""
         if target_file_rows < 1:
             raise ValueError("target_file_rows must be >= 1")
+        if sort_by and zorder:
+            raise ValueError("pass sort_by or zorder, not both")
         snap = self.current_snapshot()
         if snap is None:
             raise NoSuchTableError(self.path)
         spec = list(snap.partition_spec)
+        names = set(_schema_names(snap.schema_json))
+        missing = [c for c in (sort_by or []) + (zorder or []) if c not in names]
+        if missing:
+            raise ValueError(f"sort columns not in schema: {missing}")
+
+        def _cluster(df: DataFrame, n_files: int) -> DataFrame:
+            if zorder:
+                return self._zorder_cluster(df, zorder, n_files)
+            if sort_by:
+                if spec:
+                    # within-partition clustering: co-locate each hive
+                    # partition, then sort its files' rows
+                    return df.repartition(
+                        n_files, *_spec_sources(spec)
+                    ).sortWithinPartitions(*sort_by)
+                # global range partitioning -> files own DISJOINT ranges
+                return df.repartitionByRange(
+                    n_files, *sort_by
+                ).sortWithinPartitions(*sort_by)
+            return (
+                df.repartition(n_files, *_spec_sources(spec))
+                if spec
+                else df.repartition(n_files)
+            )
 
         def _rewrite(df: DataFrame) -> list[str]:
             n_files = max(1, -(-df.count() // target_file_rows))
             # co-locate each partition's rows before the partitioned write
             # so compaction yields right-sized files per partition, not
             # n_files x n_partitions splinters
-            repartitioned = (
-                df.repartition(n_files, *spec) if spec else df.repartition(n_files)
-            )
             _, files = self._write_data_files(
-                repartitioned, spec, field_ids=snap.field_ids
+                _cluster(df, n_files), spec, field_ids=snap.field_ids
             )
             return files
 

@@ -1293,3 +1293,74 @@ def test_transform_partition_guards_and_evolution(spark, warehouse):
     # ... and drops it when the source column disappears
     t.overwrite(spark.createDataFrame([("c", 3.0)], "txt string, f double"))
     assert t.partition_spec() == []
+
+
+def test_sorted_compaction_tightens_file_bounds(spark, warehouse):
+    """compact(sort_by=) range-partitions + sorts the rewrite so manifest
+    min/max bounds become disjoint: a key-range scan that read EVERY file
+    before (random ingest order -> full-range bounds everywhere) reads
+    O(matching) files after, with identical rows."""
+    import os
+    import random
+
+    t = IceTable(spark, os.path.join(warehouse, "sortc"))
+    random.seed(11)
+    keys = list(range(4000))
+    random.shuffle(keys)
+    rows = [(k, k % 97, float(k) * 1.5) for k in keys]
+    schema = "k long, g long, v double"
+    t.create(spark.createDataFrame(rows[:1000], schema).repartition(3))
+    for i in range(1, 4):
+        t.append(
+            spark.createDataFrame(rows[1000 * i : 1000 * (i + 1)], schema)
+            .repartition(3)
+        )
+    manifest_pre = t.current_snapshot().manifest
+    pre = t.plan_files([("k", ">=", 100), ("k", "<", 300)])
+    assert len(pre) == len(manifest_pre)  # random order: nothing prunes
+    rows_pre = sorted((r.k, r.g, r.v) for r in t.scan().collect())
+
+    t.compact(target_file_rows=500, sort_by=["k"])
+    manifest_post = t.current_snapshot().manifest
+    post = t.plan_files([("k", ">=", 100), ("k", "<", 300)])
+    assert len(manifest_post) >= 6
+    assert len(post) <= 2  # disjoint ranges -> O(matching files)
+    assert sorted((r.k, r.g, r.v) for r in t.scan().collect()) == rows_pre
+    assert t.scan(where=[("k", ">=", 100), ("k", "<", 300)]).count() == 200
+    # replace snapshot: CDC still skips it
+    with pytest.raises(ValueError, match="pass sort_by or zorder, not both"):
+        t.compact(sort_by=["k"], zorder=["k", "g"])
+    with pytest.raises(ValueError, match="sort columns not in schema"):
+        t.compact(sort_by=["nope"])
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, warehouse):
+    """compact(zorder=) clusters on the Morton curve of two columns:
+    selective predicates on EITHER column prune files afterward, and the
+    2-D box query stays exact."""
+    import os
+    import random
+
+    t = IceTable(spark, os.path.join(warehouse, "zoc"))
+    random.seed(13)
+    keys = list(range(6000))
+    random.shuffle(keys)
+    rows = [(k, k % 97, float(k)) for k in keys]
+    t.create(
+        spark.createDataFrame(rows, "k long, g long, v double").repartition(4)
+    )
+    t.compact(target_file_rows=400, zorder=["k", "g"])
+    mz = t.current_snapshot().manifest
+    zk = t.plan_files([("k", ">=", 0), ("k", "<", 600)])
+    zg = t.plan_files([("g", ">=", 0), ("g", "<", 10)])
+    assert len(zk) < len(mz) and len(zg) < len(mz)
+    want = sum(1 for k in range(6000) if k < 600 and (k % 97) < 10)
+    got = t.scan(
+        where=[("k", ">=", 0), ("k", "<", 600), ("g", ">=", 0), ("g", "<", 10)]
+    ).count()
+    assert got == want
+    assert t.scan().count() == 6000
+    with pytest.raises(ValueError, match="numeric/temporal"):
+        t2 = IceTable(spark, os.path.join(warehouse, "zbad"))
+        t2.create(spark.createDataFrame([("a", 1)], "s string, v long"))
+        t2.compact(zorder=["s"])
