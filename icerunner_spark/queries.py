@@ -103,7 +103,7 @@ _DRIVER_WINDOW = [
     "token_budget_mixture",
     "clustered_compact_scan",
     "stream_join_view_purchases",
-    "grouped_user_trends",
+    "wap_branch_publish",
     "udtf_token_explode",
     "percentiles_lineitem",
     "snapshot_eq_delete_roundtrip",
@@ -5145,6 +5145,74 @@ def stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum(_dec("o_totalprice")).cast("double"), 2).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+@register(
+    "wap_branch_publish",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey < 900
+      AND NOT (o_orderkey < 600
+               AND o_orderstatus = 'F'
+               AND o_orderkey % 7 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish on the snapshot format (Iceberg branch refs +
+    fast_forward): the base orders slice commits to main, then an append
+    and a merge-on-read delete stage on an ``audit`` branch — an
+    independently-advancing metadata sub-log sharing the data dir — while
+    main remains bit-identical for readers. The inline assertions ARE the
+    audit step (row counts on both refs); ``fast_forward`` then publishes
+    the branch chain atomically onto main, snapshot ids and CDC history
+    intact. The oracle expresses the same append+delete pipeline as one
+    SQL predicate over the raw parquet, pinning that staged-then-published
+    equals computed-directly. At 100 TB this is how risky pipeline writes
+    ship: audit on the branch costs metadata only, a failed audit is
+    drop_branch (zero data IO), and publish is one CAS."""
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_wap_demo", sf_dir)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = c.catalog.table("orders_wap")
+    t.create(orders.filter(F.col("o_orderkey") < 600))
+    main_head = t.current_snapshot().snapshot_id
+
+    b = t.create_branch("audit")
+    # delete BEFORE append: positional deletes bind to the files present
+    # at delete time, so the appended slice survives even where it
+    # matches the predicate — the oracle encodes exactly that ordering
+    b.delete_where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 == 0),
+        mode="merge-on-read",
+    )
+    b.append(
+        orders.filter((F.col("o_orderkey") >= 600) & (F.col("o_orderkey") < 900))
+    )
+    # audit: staged state visible on the branch, main untouched
+    assert t.current_snapshot().snapshot_id == main_head, "main moved during WAP"
+    n_main, n_branch = t.scan().count(), b.scan().count()
+    assert n_branch != n_main or n_branch == 0, "branch staged nothing"
+    t.fast_forward("audit")
+    t.drop_branch("audit")
+    return (
+        t.scan()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice", 14)).cast("double"), 2).alias(
                 "total_price"
             ),
         )

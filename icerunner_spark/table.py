@@ -628,6 +628,7 @@ class IceTable:
         self.path = os.path.abspath(path)
         self.metadata_dir = os.path.join(self.path, "metadata")
         self.data_dir = os.path.join(self.path, "data")
+        self.branch_name: str | None = None  # set on branch() handles
 
     # ---------- metadata plumbing ----------
 
@@ -1437,6 +1438,163 @@ class IceTable:
                     ]
         return out
 
+    # ---------- branches (Iceberg branch refs / write-audit-publish) ----------
+    #
+    # A branch is an independently-advancing metadata sub-log at
+    # ``metadata/branches/<name>/`` that SHARES the table's data dir:
+    # forking copies the head snapshot's self-contained JSON (O(1)
+    # metadata, zero data IO), branch commits CAS against the branch's
+    # own ``current`` pointer, and ``fast_forward`` publishes the branch
+    # chain back onto main by claiming main's next sequence slots —
+    # atomic via the same open("x") CAS as every commit, so a concurrent
+    # main writer turns the publish into a CommitConflict instead of a
+    # lost update. This is Iceberg's branch/WAP (write-audit-publish)
+    # workflow: stage writes on a branch, audit them with full scans,
+    # publish atomically or drop the branch without a trace.
+
+    def _branches_root(self) -> str:
+        return os.path.join(self.path, "metadata", "branches")
+
+    def _require_main(self, op: str) -> None:
+        if self.branch_name is not None:
+            raise ValueError(f"{op} must run on the main table, not a branch")
+
+    def create_branch(
+        self, name: str, snapshot_id: int | None = None
+    ) -> "IceTable":
+        """Fork a writable branch at the current (or given) snapshot and
+        return its handle. The fork is metadata-only: the branch log
+        starts with a copy of the fork snapshot's JSON."""
+        self._require_main("create_branch")
+        if not name or not name.replace("-", "_").isidentifier():
+            raise ValueError(f"invalid branch name: {name!r}")
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else self.snapshot_by_id(snapshot_id)
+        )
+        if snap is None:
+            raise NoSuchTableError(self.path)
+        bdir = os.path.join(self._branches_root(), name)
+        if os.path.isdir(bdir):
+            raise ValueError(f"branch already exists: {name}")
+        os.makedirs(bdir)
+        with open(os.path.join(bdir, f"snap-{snap.sequence}.json"), "x") as f:
+            f.write(snap.to_json())
+        with open(os.path.join(bdir, "current"), "w") as f:
+            f.write(str(snap.sequence))
+        return self.branch(name)
+
+    def branch(self, name: str) -> "IceTable":
+        """Handle whose commits advance the branch's own log. Reads and
+        writes (append/merge/delete/compact/scan/CDC) all work; GC and
+        branch management stay main-only."""
+        self._require_main("branch")
+        bdir = os.path.join(self._branches_root(), name)
+        if not os.path.isfile(os.path.join(bdir, "current")):
+            raise ValueError(f"no such branch: {name}")
+        b = IceTable(self.spark, self.path)
+        b.metadata_dir = bdir
+        b.branch_name = name
+        return b
+
+    def branches(self) -> dict:
+        """{branch name: head snapshot_id}."""
+        root = self._branches_root()
+        if not os.path.isdir(root):
+            return {}
+        out = {}
+        for name in os.listdir(root):
+            cur = os.path.join(root, name, "current")
+            try:
+                with open(cur) as f:
+                    seq = int(f.read().strip())
+                with open(os.path.join(root, name, f"snap-{seq}.json")) as f:
+                    out[name] = Snapshot.from_json(f.read()).snapshot_id
+            except (FileNotFoundError, ValueError):
+                continue
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        """Delete the branch log. Data files only the branch referenced
+        become orphans (reaped by remove_orphans after the age guard)."""
+        self._require_main("drop_branch")
+        import shutil as _shutil
+
+        bdir = os.path.join(self._branches_root(), name)
+        if not os.path.isdir(bdir):
+            raise ValueError(f"no such branch: {name}")
+        _shutil.rmtree(bdir)
+
+    def fast_forward(self, name: str) -> Snapshot:
+        """Publish a branch onto main (Iceberg ``fast_forward``): requires
+        main's head to be an ancestor of the branch head (no divergence —
+        the WAP contract), then claims main's next sequence slots with the
+        branch's snapshots, commit by commit, via the same CAS every
+        publish uses. Snapshot ids, parent links, and per-snapshot
+        added_files carry over verbatim, so time travel and CDC walk
+        straight through the published commits."""
+        self._require_main("fast_forward")
+        b = self.branch(name)
+        head = self.current_snapshot()
+        if head is None:
+            raise NoSuchTableError(self.path)
+        bsnaps = b.snapshots()
+        ids = [s.snapshot_id for s in bsnaps]
+        if head.snapshot_id not in ids:
+            raise CommitConflict(
+                f"main advanced past branch {name!r}'s fork point; "
+                "fast-forward requires main to be an ancestor of the branch"
+            )
+        pending = bsnaps[ids.index(head.snapshot_id) + 1 :]
+        if not pending:
+            return head
+        claimed: list[str] = []
+        try:
+            for s in pending:
+                dst = self._snapshot_path(s.sequence)
+                with open(dst, "x") as f:
+                    f.write(s.to_json())
+                claimed.append(dst)
+        except FileExistsError:
+            for p in claimed:
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+            raise CommitConflict(
+                f"concurrent commit on main while fast-forwarding {name!r}"
+            ) from None
+        tmp = os.path.join(self.metadata_dir, f".current.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(pending[-1].sequence))
+        os.replace(tmp, os.path.join(self.metadata_dir, "current"))
+        return pending[-1]
+
+    def _branch_referenced_files(self) -> set[str]:
+        """Every data/delete file any branch snapshot references — the
+        set main-side GC must not reap."""
+        root = self._branches_root()
+        out: set[str] = set()
+        if not os.path.isdir(root):
+            return out
+        for name in os.listdir(root):
+            bdir = os.path.join(root, name)
+            for f in os.listdir(bdir):
+                if not (f.startswith("snap-") and f.endswith(".json")):
+                    continue
+                try:
+                    with open(os.path.join(bdir, f)) as fh:
+                        s = Snapshot.from_json(fh.read())
+                except (OSError, ValueError, KeyError):
+                    continue
+                out.update(s.manifest)
+                out.update(s.added_files)
+                out.update(s.delete_files)
+                for paths, _fids, _seq in s.eq_delete_files:
+                    out.update(paths)
+        return out
+
     # ---------- maintenance (Iceberg: expire_snapshots / remove_orphan_files) ----------
 
     def _zorder_cluster(
@@ -1645,6 +1803,7 @@ class IceTable:
         deleted relative file paths. Pure driver-side metadata + unlink —
         never touches live data files (they are still in a kept
         manifest)."""
+        self._require_main("expire_snapshots")
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         snaps = self.snapshots()
@@ -1653,7 +1812,8 @@ class IceTable:
         tagged = set(self.tags().values())
         expired = [s for s in snaps[:-keep_last] if s.snapshot_id not in tagged]
         kept = [s for s in snaps if s.snapshot_id in tagged] + snaps[-keep_last:]
-        keep_files: set[str] = set()
+        # branch refs protect their files like tags protect snapshots
+        keep_files: set[str] = self._branch_referenced_files()
         for s in kept:
             keep_files.update(s.manifest)
             keep_files.update(s.added_files)
@@ -1687,7 +1847,8 @@ class IceTable:
         guards in-flight stages: files younger than it are kept, like
         Iceberg's remove_orphan_files timestamp cutoff. Returns the
         deleted relative paths."""
-        referenced: set[str] = set()
+        self._require_main("remove_orphans")
+        referenced: set[str] = self._branch_referenced_files()
         for s in self.snapshots():
             referenced.update(s.manifest)
             referenced.update(s.added_files)

@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from icerunner_spark.connector import Connector
-from icerunner_spark.table import IceTable
+from icerunner_spark.table import CommitConflict, IceTable
 
 
 def _batch(ids, values):
@@ -1364,3 +1364,93 @@ def test_zorder_compaction_prunes_both_dimensions(spark, warehouse):
         t2 = IceTable(spark, os.path.join(warehouse, "zbad"))
         t2.create(spark.createDataFrame([("a", 1)], "s string, v long"))
         t2.compact(zorder=["s"])
+
+
+def test_branch_wap_publish(spark, warehouse):
+    """Write-audit-publish: stage an append + a merge-on-read delete on a
+    branch (main untouched), audit the branch with full scans and the
+    row-level changelog, then fast_forward publishes the chain onto main
+    — snapshot ids and per-commit added_files carry over, so time travel
+    and the changelog walk straight through the published commits."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "wap"))
+    t.create(
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, v string")
+    )
+    main_head = t.current_snapshot().snapshot_id
+
+    b = t.create_branch("audit")
+    assert t.branches() == {"audit": main_head}
+    b.append(spark.createDataFrame([(100, "new")], "id long, v string"))
+    b.delete_where(F.col("id") == 3, mode="merge-on-read")
+    # isolation: branch sees staged state, main does not
+    assert b.scan().count() == 10
+    assert t.scan().count() == 10
+    assert t.current_snapshot().snapshot_id == main_head
+    # audit via the branch changelog
+    kinds = {
+        (r.id, r._change_type)
+        for r in b.scan_changelog(
+            main_head, b.current_snapshot().snapshot_id
+        ).collect()
+    }
+    assert kinds == {(100, "insert"), (3, "delete")}
+
+    head = t.fast_forward("audit")
+    assert t.current_snapshot().snapshot_id == head.snapshot_id
+    assert sorted(r.id for r in t.scan().collect()) == [0, 1, 2, 4, 5, 6, 7, 8, 9, 100]
+    # published history: time travel + changelog on MAIN
+    assert t.scan(snapshot_id=main_head).count() == 10
+    got = {
+        (r.id, r._change_type)
+        for r in t.scan_changelog(main_head, head.snapshot_id).collect()
+    }
+    assert got == kinds
+    # idempotent fast-forward (nothing pending) and cleanup
+    assert t.fast_forward("audit").snapshot_id == head.snapshot_id
+    t.drop_branch("audit")
+    assert t.branches() == {}
+    with pytest.raises(ValueError, match="no such branch"):
+        t.branch("audit")
+
+
+def test_branch_divergence_guards_and_gc(spark, warehouse):
+    """fast_forward refuses when main diverged (the WAP contract); branch
+    management and GC are main-only; live branches protect their files
+    from main-side expire/remove_orphans; dropping the branch releases
+    them."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "wap2"))
+    t.create(spark.createDataFrame([(i,) for i in range(8)], "id long"))
+    b = t.create_branch("feature")
+    b.append(spark.createDataFrame([(200,)], "id long"))
+    t.append(spark.createDataFrame([(300,)], "id long"))  # main diverges
+    with pytest.raises(CommitConflict, match="fork point"):
+        t.fast_forward("feature")
+    assert sorted(r.id for r in t.scan().collect()) == [0, 1, 2, 3, 4, 5, 6, 7, 300]
+
+    # GC on main keeps branch-referenced files alive
+    t.append(spark.createDataFrame([(301,)], "id long"))
+    t.expire_snapshots(keep_last=1)
+    t.remove_orphans(older_than_s=0)
+    assert sorted(r.id for r in b.scan().collect())[-1] == 200
+    assert b.scan().count() == 9
+
+    # guards: no GC / branch management from a branch handle
+    with pytest.raises(ValueError, match="main table"):
+        b.expire_snapshots()
+    with pytest.raises(ValueError, match="main table"):
+        b.remove_orphans()
+    with pytest.raises(ValueError, match="main table"):
+        b.create_branch("nested")
+    with pytest.raises(ValueError, match="invalid branch name"):
+        t.create_branch("bad/name")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("feature")
+
+    # dropping the branch releases its exclusive files to the orphan reaper
+    t.drop_branch("feature")
+    t.remove_orphans(older_than_s=0)
+    assert sorted(r.id for r in t.scan().collect()) == [0, 1, 2, 3, 4, 5, 6, 7, 300, 301]
