@@ -5152,6 +5152,61 @@ def stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "type_widening_roundtrip",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey, o_orderstatus
+        FROM orders WHERE o_orderkey < 600
+        UNION ALL
+        SELECT o_orderkey + 3000000000, o_orderstatus
+        FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 900
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM t GROUP BY o_orderstatus
+    """,
+)
+def type_widening_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only type promotion (Iceberg ALTER COLUMN TYPE): the base
+    slice commits with an INT key column, ``widen_column`` promotes it to
+    BIGINT without touching a data file, and an append lands keys beyond
+    int range — one scan then reads old-narrow and new-wide files
+    together (Spark's parquet reader upcasts int32 pages natively; pinned
+    in tests/test_table.py). The oracle unions the two slices with the
+    same casts over the raw parquet, verifying the widened read is
+    value-exact. At 100 TB this is the evolution path that avoids an
+    O(table) rewrite when an id column outgrows int32 — the schema
+    changes, history stays byte-identical, and time travel still reads
+    old snapshots under the old type."""
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_widen_demo", sf_dir)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = c.catalog.table("orders_widen")
+    t.create(
+        orders.filter(F.col("o_orderkey") < 600).withColumn(
+            "o_orderkey", F.col("o_orderkey").cast("int")
+        )
+    )
+    t.widen_column("o_orderkey", "long")
+    t.append(
+        orders.filter(
+            (F.col("o_orderkey") >= 600) & (F.col("o_orderkey") < 900)
+        ).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(3_000_000_000))
+    )
+    return (
+        t.scan()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+@register(
     "wap_branch_publish",
     oracle="""
     SELECT o_orderstatus,

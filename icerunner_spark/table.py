@@ -973,7 +973,14 @@ class IceTable:
                         poison.add(name)
                         raw.pop(name, None)
                         continue
-                    lo, hi = st.min, st.max
+                    try:
+                        lo, hi = st.min, st.max
+                    except Exception:
+                        # pyarrow can't decode stats for some logical
+                        # types (e.g. small decimals) — skip, never fail
+                        poison.add(name)
+                        raw.pop(name, None)
+                        continue
                     if name in raw:
                         plo, phi = raw[name]
                         try:
@@ -2270,6 +2277,68 @@ class IceTable:
             "alter", [], new_schema.json(),
             summary={"operation_detail": f"add_column {name} {dtype}"},
             evolve=lambda fids, nid: ({**fids, name: nid}, nid + 1),
+        )
+
+    # widenings Iceberg permits (type promotion, spec v2): the NEW logical
+    # type must read every OLD physical value exactly. Spark's parquet
+    # reader upcasts all of these natively (verified by
+    # tests/test_table.py::test_widen_column_metadata_only), so the alter
+    # is pure metadata — historical files are never rewritten.
+    _WIDEN_OK = {
+        ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+        ("short", "integer"), ("short", "long"),
+        ("integer", "long"),
+        ("float", "double"),
+    }
+
+    def widen_column(self, name: str, new_type: str) -> Snapshot:
+        """Metadata-only type promotion (Iceberg ``ALTER TABLE ... ALTER
+        COLUMN ... TYPE``): int-family upcasts, float->double, and
+        decimal precision growth (same scale). The field keeps its id;
+        each snapshot pins its own schema, so time travel still reads
+        history under the old type. Bucket-transform partition SOURCES
+        refuse to widen: Spark's xxhash64 hashes int-backed and long
+        types through different byte widths, so the same value would land
+        in (and prune to) different buckets before and after — the one
+        widening that silently breaks layout correctness."""
+        from pyspark.sql.types import StructField, _parse_datatype_string
+
+        schema = self.schema()
+        fields = {f.name: f for f in schema.fields}
+        if name not in fields:
+            raise ValueError(f"no such column: {name}")
+        old_dt = fields[name].dataType
+        new_dt = _parse_datatype_string(new_type)
+        ok = (old_dt.typeName(), new_dt.typeName()) in self._WIDEN_OK
+        if old_dt.typeName() == "decimal" and new_dt.typeName() == "decimal":
+            ok = (
+                new_dt.scale == old_dt.scale
+                and new_dt.precision >= old_dt.precision
+            )
+        if not ok:
+            raise ValueError(
+                f"cannot widen {name}: {old_dt.simpleString()} -> "
+                f"{new_dt.simpleString()} is not a safe promotion"
+            )
+        for sf in _parse_spec(self.partition_spec()):
+            if sf.source == name and sf.transform == "bucket":
+                raise ValueError(
+                    f"cannot widen bucket-partition source column: {name}"
+                )
+        new_schema = StructType(
+            [
+                StructField(name, new_dt, f.nullable) if f.name == name else f
+                for f in schema.fields
+            ]
+        )
+        return self._publish(
+            "alter", [], new_schema.json(),
+            summary={
+                "operation_detail": (
+                    f"widen_column {name} "
+                    f"{old_dt.simpleString()} -> {new_dt.simpleString()}"
+                )
+            },
         )
 
     def drop_column(self, name: str) -> Snapshot:

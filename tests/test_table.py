@@ -1454,3 +1454,68 @@ def test_branch_divergence_guards_and_gc(spark, warehouse):
     t.drop_branch("feature")
     t.remove_orphans(older_than_s=0)
     assert sorted(r.id for r in t.scan().collect()) == [0, 1, 2, 3, 4, 5, 6, 7, 300, 301]
+
+
+def test_widen_column_metadata_only(spark, warehouse):
+    """Type promotion (Iceberg ALTER COLUMN TYPE): int-family -> long,
+    float -> double, decimal precision growth — metadata-only; Spark's
+    parquet reader upcasts the old physical values natively, so widened
+    tables mix old-narrow and new-wide files in one scan. Time travel
+    keeps the old types (snapshot-pinned schemas); unsafe promotions and
+    bucket-partition sources refuse."""
+    import os
+    from decimal import Decimal
+
+    t = IceTable(spark, os.path.join(warehouse, "widen"))
+    t.create(
+        spark.createDataFrame(
+            [(1, 1.5, Decimal("9.99"))], "i int, f float, d decimal(5,2)"
+        )
+    )
+    s0 = t.current_snapshot().snapshot_id
+    t.widen_column("i", "long")
+    t.widen_column("f", "double")
+    t.widen_column("d", "decimal(12,2)")
+    t.append(
+        spark.createDataFrame(
+            [(2**40, 2.25, Decimal("12345678.10"))],
+            "i long, f double, d decimal(12,2)",
+        )
+    )
+    rows = sorted((r.i, r.f, str(r.d)) for r in t.scan().collect())
+    assert rows == [(1, 1.5, "9.99"), (2**40, 2.25, "12345678.10")]
+    got_types = {f.name: f.dataType.simpleString() for f in t.schema().fields}
+    assert got_types == {"i": "bigint", "f": "double", "d": "decimal(12,2)"}
+    # time travel pins the pre-widen schema
+    old_types = {
+        f.name: f.dataType.simpleString()
+        for f in t.scan(snapshot_id=s0).schema.fields
+    }
+    assert old_types == {"i": "int", "f": "float", "d": "decimal(5,2)"}
+    # manifest stats recorded under the old type still serve the new one
+    assert t.scan(where=[("i", "=", 2**40)]).count() == 1
+    assert t.scan(where=[("i", "=", 1)]).count() == 1
+    # unsafe promotions refuse
+    for bad in [("i", "int"), ("f", "float"), ("d", "decimal(12,4)"),
+                ("i", "double"), ("d", "string")]:
+        with pytest.raises(ValueError):
+            t.widen_column(*bad)
+
+    # bucket sources refuse (xxhash64 width would change the layout)...
+    tb = IceTable(spark, os.path.join(warehouse, "widen_b"))
+    tb.create(
+        spark.createDataFrame([(1, "a")], "k int, s string"),
+        partition_by=["bucket(4, k)"],
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        tb.widen_column("k", "long")
+    # ...but order-preserving transform sources widen fine
+    tt = IceTable(spark, os.path.join(warehouse, "widen_t"))
+    tt.create(
+        spark.createDataFrame([(15, "a")], "k int, s string"),
+        partition_by=["truncate(10, k)"],
+    )
+    tt.widen_column("k", "long")
+    tt.append(spark.createDataFrame([(25, "b")], "k long, s string"))
+    assert sorted(r.k for r in tt.scan().collect()) == [15, 25]
+    assert {r.k for r in tt.scan(where=[("k", ">", 20)]).collect()} == {25}
