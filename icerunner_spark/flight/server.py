@@ -14,6 +14,10 @@ the reference's mirror client speaks but its own server never implemented
          "snapshot_id": s}``                          -> insert/delete rows
          (+ ``_change_type``) — survives merge-on-read maintenance
     * ``{"command": "get_metadata", "table": t}``     -> snapshot_id / row stats
+    * ``{"command": "scan", "table": t,
+         "where": [[col, op, value], ...]}``          -> predicate-pushdown
+         stream: manifest/column-bounds/partition-transform pruning picks
+         the files, a pyarrow dataset filter keeps rows exact — zero Spark
     * ``{"sql": "..."}``                              -> Spark SQL result stream
 - ``get_flight_info`` accepts path descriptors (table) and command
   descriptors (``LIST_TABLES`` bytes or the JSON commands above), returns
@@ -175,13 +179,100 @@ class IceFlightServer(flight.FlightServerBase):
             raise flight.FlightServerError(f"table not found: {name}")
         return self._logical_arrow_schema(t, snap)
 
-    def _stream_resolved(self, t, files_rel, snap, mappings=None):
+    def _typed_preds(self, snap, where) -> list[tuple]:
+        """JSON ticket ``where`` (list of [col, op, value] conjuncts,
+        date/timestamp values as ISO strings) -> typed predicates keyed to
+        the snapshot schema — the same triples ``IceTable.scan(where=)``
+        takes, so manifest pruning and the residual filter agree with the
+        table API exactly."""
+        from pyspark.sql.types import StructType
+
+        from icerunner_spark.table import _decode_bound, _normalize_predicates
+
+        preds = _normalize_predicates([tuple(p) for p in where])
+        types = {
+            f.name: f.dataType
+            for f in StructType.fromJson(json.loads(snap.schema_json)).fields
+        }
+        out = []
+        for col, op, val in preds:
+            if col not in types:
+                raise flight.FlightServerError(f"unknown column in where: {col}")
+            dt = types[col]
+            conv = lambda v, dt=dt: _decode_bound(dt, v)  # noqa: E731
+            out.append(
+                (col, op, [conv(x) for x in val] if op == "in" else conv(val))
+            )
+        return out
+
+    @staticmethod
+    def _arrow_filter(preds: list[tuple], rename: dict | None = None):
+        """Predicate conjunction as a pyarrow dataset filter — row-exact
+        results AND parquet row-group statistics skipping, still without
+        engaging Spark. ``rename`` maps logical -> physical column names
+        for post-rename file groups."""
+        import pyarrow.compute as pc
+
+        expr = None
+        for col, op, val in preds:
+            f = pc.field((rename or {}).get(col, col))
+            e = {
+                "=": lambda: f == val,
+                "<": lambda: f < val,
+                "<=": lambda: f <= val,
+                ">": lambda: f > val,
+                ">=": lambda: f >= val,
+                "in": lambda: f.isin(list(val)),
+            }[op]()
+            expr = e if expr is None else expr & e
+        return expr
+
+    @staticmethod
+    def _const_satisfies(pv, op, val, dtype) -> bool:
+        """Evaluate one predicate against a group-constant partition value
+        (a decoded hive path string; None = hive null partition). EXACT,
+        not conservative — the value is constant for every row of the
+        group, so a False skips the group and a True drops the conjunct."""
+        if pv is None:
+            return False  # SQL comparison semantics: NULL matches nothing
+        from icerunner_spark.table import _decode_bound
+
+        t = dtype.typeName()
+        try:
+            if t in ("integer", "long", "short", "byte"):
+                v = int(pv)
+            elif t in ("float", "double"):
+                v = float(pv)
+            else:
+                v = _decode_bound(dtype, pv)
+        except (TypeError, ValueError):
+            return True  # undecodable -> keep the group (conservative)
+        try:
+            if op == "=":
+                return v == val
+            if op == "<":
+                return v < val
+            if op == "<=":
+                return v <= val
+            if op == ">":
+                return v > val
+            if op == ">=":
+                return v >= val
+            if op == "in":
+                return v in list(val)
+        except TypeError:
+            return True
+        return True
+
+    def _stream_resolved(self, t, files_rel, snap, mappings=None, preds=None):
         """File-stream ``files_rel`` under the snapshot's logical names.
         No schema evolution in play -> the zero-copy single-dataset path.
         Otherwise: one dataset scan per physical layout, each batch's
         columns renamed (zero-copy — Arrow rename is metadata) / padded
         with typed nulls to the logical schema. Memory stays bounded by
-        chunk_rows either way."""
+        chunk_rows either way. ``preds`` (typed conjuncts) become pyarrow
+        dataset filters — row-exact, with parquet row-group skipping — and
+        evaluate against group-constant partition values driver-side."""
         schema, groups = self._resolved_groups(t, files_rel, snap, mappings)
         identity = all(
             p == l for _, pairs, _pv in groups for p, l in pairs
@@ -191,8 +282,12 @@ class IceFlightServer(flight.FlightServerBase):
             arrow_schema = (
                 pq.read_schema(files[0]) if files else _spark_schema_to_arrow(schema)
             )
-            return self._stream_files(files, arrow_schema)
+            return self._stream_files(
+                files, arrow_schema,
+                filt=self._arrow_filter(preds) if preds else None,
+            )
         out_schema = self._logical_arrow_schema(t, snap)
+        types = {f.name: f.dataType for f in schema.fields}
 
         def _const(val_str, n, typ):
             """Group-constant partition column as a typed Arrow array."""
@@ -204,12 +299,39 @@ class IceFlightServer(flight.FlightServerBase):
             for files, pairs, pvals in groups:
                 if not files:
                     continue
+                # split the conjunction per group: predicates on columns
+                # physically IN the files filter via pyarrow (under the
+                # group's physical names); predicates on group-constant
+                # partition values (or columns added after this group was
+                # written, which read as NULL) resolve driver-side —
+                # False skips the whole group, True drops the conjunct
+                rename = {l: p for p, l in pairs if p is not None}
+                file_preds, skip = [], False
+                for pred in preds or []:
+                    col, op, val = pred
+                    if col in rename:
+                        file_preds.append(pred)
+                    elif not self._const_satisfies(
+                        pvals.get(col), op, val, types[col]
+                    ):
+                        skip = True
+                        break
+                if skip:
+                    continue
                 footer = pq.read_schema(files[0])
                 phys = [p for p, _ in pairs if p is not None]
                 read_schema = pa.schema([footer.field(p) for p in phys])
                 idx = {p: i for i, p in enumerate(phys)}
                 dataset = pads.dataset(files, format="parquet", schema=read_schema)
-                for batch in dataset.scanner(batch_size=self.chunk_rows).to_reader():
+                scanner = dataset.scanner(
+                    batch_size=self.chunk_rows,
+                    filter=(
+                        self._arrow_filter(file_preds, rename)
+                        if file_preds
+                        else None
+                    ),
+                )
+                for batch in scanner.to_reader():
                     arrays = []
                     for p, l in pairs:
                         typ = out_schema.field(l).type
@@ -237,11 +359,13 @@ class IceFlightServer(flight.FlightServerBase):
             rows -= pq.read_metadata(os.path.join(t.path, f)).num_rows
         return rows, bytes_
 
-    def _stream_files(self, files: list[str], schema: pa.Schema) -> flight.RecordBatchStream:
+    def _stream_files(
+        self, files: list[str], schema: pa.Schema, filt=None
+    ) -> flight.RecordBatchStream:
         if not files:
             return flight.GeneratorStream(schema, iter([pa.RecordBatch.from_pylist([], schema=schema)]))
         dataset = pads.dataset(files, format="parquet", schema=schema)
-        reader = dataset.scanner(batch_size=self.chunk_rows).to_reader()
+        reader = dataset.scanner(batch_size=self.chunk_rows, filter=filt).to_reader()
         return flight.RecordBatchStream(reader)
 
     def _stream_df(self, df) -> flight.GeneratorStream:
@@ -365,6 +489,7 @@ class IceFlightServer(flight.FlightServerBase):
             n = max(1, int(cmd.get("n", 4)))
             t = self.connector.table(table)
             snap = t.current_snapshot()
+            where = cmd.get("where") or []
             if snap is not None and (
                 snap.delete_files or snap.eq_delete_files
             ):
@@ -372,6 +497,17 @@ class IceFlightServer(flight.FlightServerBase):
                 # (positional or equality) deletes; degrade to ONE
                 # delete-applied endpoint
                 n = 1
+            elif where:
+                # predicate pushdown: size the endpoint fan-out by the
+                # PRUNED file count, not the manifest — a selective read
+                # of a huge table gets few streams, each moving only
+                # matching files (tickets carry the where; get_slice
+                # re-prunes against the pinned snapshot, so slices stay
+                # disjoint and exhaustive)
+                pruned = t._prune_files(
+                    snap, snap.manifest, self._typed_preds(snap, where)
+                )
+                n = max(1, min(n, len(pruned)))
             schema = self._table_arrow_schema(table)
             rows, nbytes = self._table_totals(table)
             endpoints = [
@@ -383,6 +519,7 @@ class IceFlightServer(flight.FlightServerBase):
                             "index": i,
                             "of": n,
                             "snapshot_id": snap.snapshot_id,
+                            **({"where": where} if where else {}),
                         }
                     ).encode(),
                     [self._advertised_location()],
@@ -527,11 +664,34 @@ class IceFlightServer(flight.FlightServerBase):
             # distributed writer and file-streamed — server memory stays
             # bounded by chunk_rows regardless of delta size
             return self._stream_df(df)
+        if op == "scan":
+            # predicate-pushdown read: the server prunes the file list
+            # against the manifest's column bounds / partition transforms
+            # (zero IO for excluded files), then the pyarrow stream
+            # applies the residual filter row-exactly — a filtered table
+            # leaves the server as O(matching files + matching rows), no
+            # Spark engaged unless merge-on-read deletes are pending
+            name = cmd["table"]
+            t = self.connector.table(name)
+            snap = t.current_snapshot()
+            if snap is None:
+                raise flight.FlightServerError(f"table not found: {name}")
+            preds = self._typed_preds(snap, cmd.get("where") or [])
+            if snap.delete_files or snap.eq_delete_files:
+                from icerunner_spark.table import _predicates_to_column
+
+                df = t._scan_snapshot(snap)
+                if preds:
+                    df = df.where(_predicates_to_column(preds))
+                return self._stream_df(df)
+            files = t._prune_files(snap, snap.manifest, preds)
+            return self._stream_resolved(t, files, snap, preds=preds)
         if op == "get_slice":
             name = cmd["table"]
             t = self.connector.table(name)
             snap = t.snapshot_by_id(int(cmd["snapshot_id"]))
             i, n = int(cmd["index"]), int(cmd["of"])
+            preds = self._typed_preds(snap, cmd.get("where") or [])
             if snap.delete_files or snap.eq_delete_files:
                 # deletes pending: the manifest under-describes the rows,
                 # so slicing can't apply. get_slices advertises ONE
@@ -546,8 +706,21 @@ class IceFlightServer(flight.FlightServerBase):
                         schema,
                         iter([pa.RecordBatch.from_pylist([], schema=schema)]),
                     )
-                return self._stream_df(t._scan_snapshot(snap))
-            return self._stream_resolved(t, snap.manifest[i::n], snap)
+                from icerunner_spark.table import _predicates_to_column
+
+                df = t._scan_snapshot(snap)
+                if preds:
+                    df = df.where(_predicates_to_column(preds))
+                return self._stream_df(df)
+            # prune FIRST, slice the pruned list: every crafted i-of-n
+            # ticket against the same pinned snapshot + where sees the
+            # same file list, so slices stay disjoint and exhaustive
+            files = (
+                t._prune_files(snap, snap.manifest, preds)
+                if preds
+                else snap.manifest
+            )
+            return self._stream_resolved(t, files[i::n], snap, preds=preds)
         if op == "get_metadata":
             name = cmd["table"]
             rows, nbytes = self._table_totals(name)

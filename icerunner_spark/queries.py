@@ -4449,6 +4449,15 @@ def _federated_flight_server(spark: SparkSession, sf_dir: str) -> int:
         c.create_table(
             "nation_fed", pq.read_table(os.path.join(sf_dir, "nation.parquet"))
         )
+        # orders arrive in two key-disjoint commits so the pushdown
+        # query's manifest pruning has files to skip
+        t = c.catalog.table("orders_fed")
+        orders = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+        cut = orders.agg(F.max("o_orderkey")).first()[0] // 2
+        t.create(orders.filter(F.col("o_orderkey") <= cut).repartition(2))
+        t.append(orders.filter(F.col("o_orderkey") > cut).repartition(2))
         srv = IceFlightServer(c, host="127.0.0.1", port=0)
         _FED_SERVERS[key] = (srv, srv.port)
     return _FED_SERVERS[key][1]
@@ -4491,6 +4500,45 @@ def flight_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             _money_sum(_dec("c_acctbal")).alias("total_acctbal"),
         )
+    )
+
+
+@register(
+    "flight_pushdown_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice >= 150000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def flight_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown over the Flight serve path: the client sends a
+    ``scan`` ticket carrying `where` conjuncts; the SERVER prunes the file
+    list against manifest column bounds (the orders table commits in two
+    key-disjoint halves) and applies the residual filter in its pyarrow
+    stream — the wire carries O(matching rows), Spark never runs
+    server-side. At 100 TB this is the difference between shipping a
+    table to filter it client-side and shipping an answer: the same
+    pruning the local scan(where=) path uses, now honored by the remote
+    protocol, matching Flight's DoExchange-style filtered reads and
+    DataFusion/Ballista's pushdown over Flight. The oracle runs the same
+    filter+aggregate over the raw parquet."""
+    from icerunner_spark.flight.client import read_table_filtered
+
+    port = _federated_flight_server(spark, sf_dir)
+    got = read_table_filtered(
+        "127.0.0.1", port, "orders_fed",
+        [["o_orderstatus", "=", "O"], ["o_totalprice", ">=", 150000.0]],
+    )
+    # the filtered result is O(matching rows) by construction — exactly
+    # what the server streamed; aggregate it Spark-side like any frame
+    local = spark.createDataFrame(got.to_pandas())
+    return local.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
 
 

@@ -11,6 +11,8 @@ import pyarrow as pa
 import pyarrow.flight as flight
 import pytest
 
+from pyspark.sql import functions as F
+
 from icerunner_spark.connector import Connector
 from icerunner_spark.flight.client import (
     get_remote_tables,
@@ -1036,3 +1038,84 @@ def test_mirror_incremental_across_equality_delete(spark, server, tmp_path):
     assert sorted(tgt.query("eq_m").column("id").to_pylist()) == [1, 3]
     state = SyncState(target_wh).get_last_sync_state(url, "eq_m")
     assert state["last_sync_status"] == "success_changelog"
+
+
+def test_scan_predicate_pushdown(spark, warehouse, server):
+    """Server-side predicate pushdown (``scan`` command / ``where`` on
+    slices): the server prunes the file list against manifest column
+    bounds and partition values, then a pyarrow dataset filter keeps rows
+    exact — a filtered table leaves the server as O(matching rows) with
+    Spark never engaged on the clean path."""
+    import datetime
+
+    from icerunner_spark.flight.client import (
+        read_table_filtered,
+        read_table_parallel,
+    )
+
+    c = server.connector
+    rows = [
+        (k, f"s{k % 5}", float(k), datetime.date(1995 + (k % 3), 1 + (k % 12), 5))
+        for k in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, v double, d date")
+    t = c.catalog.table("push_t")
+    t.create(df.filter("k < 200").repartition(3))
+    t.append(df.filter("k >= 200").repartition(3))
+
+    host, port = "127.0.0.1", server.port
+    got = read_table_filtered(host, port, "push_t", [["k", ">=", 50], ["k", "<", 90]])
+    assert sorted(got.column("k").to_pylist()) == list(range(50, 90))
+    # ISO date strings decode through the snapshot schema
+    cut = datetime.date(1997, 1, 1)
+    got = read_table_filtered(host, port, "push_t", [["d", ">=", "1997-01-01"]])
+    assert got.num_rows == df.filter(F.col("d") >= F.lit(cut)).count()
+    got = read_table_filtered(host, port, "push_t", [["k", "in", [5, 250, 399]]])
+    assert sorted(got.column("k").to_pylist()) == [5, 250, 399]
+    # parallel slices with where: disjoint, exhaustive, pruned fan-out
+    got = read_table_parallel(host, port, "push_t", n_streams=4, where=[["k", "<", 120]])
+    assert sorted(got.column("k").to_pylist()) == list(range(120))
+    # unknown column -> clean server error
+    with pytest.raises(flight.FlightServerError, match="unknown column"):
+        read_table_filtered(host, port, "push_t", [["nope", "=", 1]])
+
+
+def test_scan_pushdown_survives_rename_partition_and_deletes(spark, warehouse, server):
+    """The pushdown composes with the format's features: renamed columns
+    filter under their physical names per file group, identity-partition
+    predicates resolve against group-constant path values, hidden
+    (transform) partitioning prunes server-side, and pending merge-on-read
+    deletes fall back to the Spark residual path — all row-exact."""
+    import datetime
+
+    from icerunner_spark.flight.client import read_table_filtered
+
+    c = server.connector
+    rows = [
+        (k, f"s{k % 5}", float(k), datetime.date(1995 + (k % 3), 1 + (k % 12), 5))
+        for k in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, v double, d date")
+    host, port = "127.0.0.1", server.port
+
+    t2 = c.catalog.table("push_part")
+    t2.create(df.select("k", "s", "v"), partition_by=["s"])
+    t2.rename_column("v", "val")
+    t2.append(spark.createDataFrame([(5000, "s9", 1.25)], "k long, s string, val double"))
+    got = read_table_filtered(host, port, "push_part", [["s", "=", "s9"]])
+    assert got.column("val").to_pylist() == [1.25]
+    got = read_table_filtered(
+        host, port, "push_part", [["val", ">", 200.0], ["s", "=", "s2"]]
+    )
+    assert got.num_rows == df.filter((F.col("v") > 200) & (F.col("s") == "s2")).count()
+
+    t3 = c.catalog.table("push_mor")
+    t3.create(df.select("k", "s"))
+    t3.delete_where(F.col("k") % 2 == 0, mode="merge-on-read")
+    got = read_table_filtered(host, port, "push_mor", [["k", "<", 10]])
+    assert sorted(got.column("k").to_pylist()) == [1, 3, 5, 7, 9]
+
+    t4 = c.catalog.table("push_hidden")
+    t4.create(df, partition_by=["bucket(8, k)", "month(d)"])
+    got = read_table_filtered(host, port, "push_hidden", [["k", "=", 77]])
+    assert got.column("k").to_pylist() == [77]
