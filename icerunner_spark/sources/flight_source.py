@@ -79,19 +79,87 @@ def _parse(options) -> tuple[str, int, str, int]:
     return host, port, table, int(options.get("slices", "8"))
 
 
+def _filter_to_conjunct(f) -> list | None:
+    """One Spark DataSource Filter -> a JSON-safe ``[col, op, value]``
+    ticket conjunct, or None when the filter can't ride the wire (nested
+    column, unsupported shape/value type). Date/timestamp values travel
+    as ISO strings — the server decodes them back through the snapshot
+    schema (flight/server.py _typed_preds)."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    ops = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+        In: "in",
+    }
+    op = ops.get(type(f))
+    if op is None or len(f.attribute) != 1:
+        return None
+
+    def enc(v):
+        if isinstance(v, bool) or v is None:
+            return ...  # unsupported sentinel
+        if isinstance(v, (int, float, str)):
+            return v
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, Decimal):
+            return str(v)
+        return ...
+
+    if op == "in":
+        vals = [enc(v) for v in f.value]
+        if any(v is ... for v in vals):
+            return None
+        return [f.attribute[0], "in", vals]
+    v = enc(f.value)
+    return None if v is ... else [f.attribute[0], op, v]
+
+
 class FlightTableReader(DataSourceReader):
     def __init__(self, options):
         self._host, self._port, self._table, self._n = _parse(options)
+        self._where: list = []
+
+    def pushFilters(self, filters):
+        """Catalyst filter pushdown over the wire (Spark 4.1 Python
+        DataSource API): supported conjuncts become the ticket's ``where``
+        — the SERVER prunes files against manifest bounds/partition
+        transforms and filters rows in its pyarrow stream (row-exact, see
+        flight/server.py), so absorbed filters need no Spark re-check and
+        the wire moves O(matching rows). Unsupported filters stay with
+        Spark."""
+        for f in filters:
+            conj = _filter_to_conjunct(f)
+            if conj is None:
+                yield f
+            else:
+                self._where.append(conj)
 
     def partitions(self) -> list[FlightSlicePartition]:
         """Driver-side planning: one InputPartition per server slice.
-        Falls back to the single ``for_path`` endpoint for legacy servers
-        without ``get_slices`` (one partition, still streamed)."""
+        Falls back to a single endpoint for legacy servers without
+        ``get_slices`` (one partition, still streamed)."""
         import pyarrow.flight as flight
 
         client = flight.connect(f"grpc://{self._host}:{self._port}")
         try:
             cmd = {"command": "get_slices", "table": self._table, "n": self._n}
+            if self._where:
+                cmd["where"] = self._where
             info = client.get_flight_info(
                 flight.FlightDescriptor.for_command(json.dumps(cmd).encode())
             )
@@ -101,6 +169,22 @@ class FlightTableReader(DataSourceReader):
             # (FlightUnavailableError, FlightTimedOutError) propagate:
             # masking them here would resurface as a confusing secondary
             # failure on the fallback path.
+            if self._where:
+                # absorbed filters MUST be honored: use a single filtered
+                # scan ticket; a server too old for that errors loudly
+                # instead of silently returning unfiltered rows
+                return [
+                    FlightSlicePartition(
+                        f"grpc://{self._host}:{self._port}",
+                        json.dumps(
+                            {
+                                "command": "scan",
+                                "table": self._table,
+                                "where": self._where,
+                            }
+                        ).encode(),
+                    )
+                ]
             info = client.get_flight_info(
                 flight.FlightDescriptor.for_path(self._table.encode())
             )
@@ -297,5 +381,10 @@ class FlightDataSource(DataSource):
 
 
 def register_flight_source(spark) -> None:
-    """Make ``format("icerunner_flight")`` available on this session."""
+    """Make ``format("icerunner_flight")`` available on this session.
+    Also enables Python-DataSource filter pushdown (off by default in
+    Spark 4.1; reading a source that implements ``pushFilters`` ERRORS
+    with the flag off, so the engine sets it rather than relying on
+    session factories — vanilla sessions must work)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(FlightDataSource)

@@ -1119,3 +1119,60 @@ def test_scan_pushdown_survives_rename_partition_and_deletes(spark, warehouse, s
     t4.create(df, partition_by=["bucket(8, k)", "month(d)"])
     got = read_table_filtered(host, port, "push_hidden", [["k", "=", 77]])
     assert got.column("k").to_pylist() == [77]
+
+
+def test_python_datasource_filter_pushdown(spark, warehouse, server):
+    """Catalyst -> wire filter pushdown (Spark 4.1 Python DataSource
+    pushFilters): supported conjuncts ride the get_slices ticket, the
+    server prunes files + filters rows, and the absorbed filters need no
+    Spark re-check (no Filter node above the scan). Unsupported filters
+    stay Spark-side; results stay exact either way."""
+    import datetime
+
+    from icerunner_spark.sources.flight_source import (
+        _filter_to_conjunct,
+        register_flight_source,
+    )
+
+    # unit: Filter -> ticket conjunct conversion
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In, IsNull
+
+    assert _filter_to_conjunct(EqualTo(("k",), 5)) == ["k", "=", 5]
+    assert _filter_to_conjunct(
+        GreaterThan(("d",), datetime.date(1997, 1, 1))
+    ) == ["d", ">", "1997-01-01"]
+    assert _filter_to_conjunct(In(("k",), (1, 2))) == ["k", "in", [1, 2]]
+    assert _filter_to_conjunct(IsNull(("k",))) is None
+    assert _filter_to_conjunct(EqualTo(("a", "b"), 1)) is None  # nested col
+
+    c = server.connector
+    rows = [
+        (k, f"s{k % 5}", datetime.date(1995 + (k % 3), 1 + (k % 12), 5))
+        for k in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, d date")
+    t = c.catalog.table("push_src")
+    t.create(df.filter("k < 150").repartition(2))
+    t.append(df.filter("k >= 150").repartition(2))
+
+    register_flight_source(spark)
+    src = (
+        spark.read.format("icerunner_flight")
+        .option("url", f"grpc://127.0.0.1:{server.port}/push_src")
+        .option("slices", "3")
+        .load()
+    )
+    got = src.filter((F.col("k") >= 40) & (F.col("k") < 90))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert sorted(r.k for r in got.collect()) == list(range(40, 90))
+    # fully absorbed: no Spark-side Filter node remains in the plan
+    assert "Filter (" not in plan and "Filter [" not in plan
+    # date conjuncts decode server-side through the snapshot schema
+    cut = datetime.date(1997, 1, 1)
+    assert (
+        src.filter(F.col("d") >= F.lit(cut)).count()
+        == df.filter(F.col("d") >= F.lit(cut)).count()
+    )
+    # a filter the wire can't express stays with Spark, result still exact
+    mixed = src.filter(F.col("s").isNotNull() & (F.col("k") < 5))
+    assert mixed.count() == 5
