@@ -218,12 +218,21 @@ class FlightCDCStreamReader(DataSourceStreamReader):
     Append-only contract: if the range crosses an ``overwrite`` snapshot
     the server refuses (same as scan_changes) and the query fails rather
     than silently dropping the overwrite — restart the stream with a
-    fresh checkpoint to re-baseline."""
+    fresh checkpoint to re-baseline.
+
+    ``option("changelog", "true")`` upgrades the stream to a CHANGE DATA
+    FEED (Delta ``readChangeFeed`` shape): rows gain a ``_change_type``
+    column (insert/delete), deltas come from the server's
+    ``get_changelog`` — recovered row-level across merge-on-read
+    deletes/merges — and the initial load labels every row ``insert``.
+    Downstream replicas apply deletes instead of failing the query when
+    the source table is under continuous-clean maintenance."""
 
     _NONE = -1  # sentinel: nothing consumed yet / empty table
 
     def __init__(self, options):
         self._host, self._port, self._table, self._n = _parse(options)
+        self._changelog = str(options.get("changelog", "")).lower() == "true"
 
     def _uri(self) -> str:
         return f"grpc://{self._host}:{self._port}"
@@ -269,7 +278,9 @@ class FlightCDCStreamReader(DataSourceStreamReader):
                 self._uri(),
                 json.dumps(
                     {
-                        "command": "get_changes",
+                        "command": (
+                            "get_changelog" if self._changelog else "get_changes"
+                        ),
                         "table": self._table,
                         "snapshot_id": s,
                         "end_snapshot_id": e,
@@ -279,11 +290,23 @@ class FlightCDCStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: FlightSlicePartition):
+        import pyarrow as pa
         import pyarrow.flight as flight
 
         client = flight.connect(partition.uri)
         for chunk in client.do_get(flight.Ticket(partition.ticket)):
-            yield _normalize_batch(chunk.data)
+            batch = _normalize_batch(chunk.data)
+            if self._changelog and "_change_type" not in batch.schema.names:
+                # initial-load slices stream plain table rows; in the
+                # change feed every baseline row IS an insert
+                batch = pa.RecordBatch.from_arrays(
+                    list(batch.columns)
+                    + [pa.array(["insert"] * batch.num_rows, pa.string())],
+                    schema=batch.schema.append(
+                        pa.field("_change_type", pa.string())
+                    ),
+                )
+            yield batch
 
     def commit(self, end: dict) -> None:
         pass  # the checkpoint is the cursor; the server keeps no reader state
@@ -362,9 +385,16 @@ class FlightDataSource(DataSource):
             else f
             for f in info.schema
         ]
+        if str(self.options.get("changelog", "")).lower() == "true":
+            fields = fields + [pa.field("_change_type", pa.string())]
         return from_arrow_schema(pa.schema(fields))
 
     def reader(self, schema: StructType) -> FlightTableReader:
+        if str(self.options.get("changelog", "")).lower() == "true":
+            raise ValueError(
+                "changelog=true is a streaming option (readStream); batch "
+                "reads return current-state rows, not a change feed"
+            )
         return FlightTableReader(self.options)
 
     def streamReader(self, schema: StructType) -> FlightCDCStreamReader:

@@ -1176,3 +1176,69 @@ def test_python_datasource_filter_pushdown(spark, warehouse, server):
     # a filter the wire can't express stays with Spark, result still exact
     mixed = src.filter(F.col("s").isNotNull() & (F.col("k") < 5))
     assert mixed.count() == 5
+
+
+def test_python_datasource_stream_changelog(spark, server, tmp_path):
+    """readStream with option("changelog", "true"): a change data feed
+    (rows + _change_type) that SURVIVES merge-on-read maintenance — a
+    MOR delete between rounds arrives as delete rows in the next
+    microbatch instead of failing the append-only stream. Initial load
+    labels every baseline row insert."""
+    from pyspark.sql import functions as SF
+
+    from icerunner_spark.sources.flight_source import register_flight_source
+
+    c = server.connector
+    c.create_table("cdf_src", _writer_table([1, 2, 3], ["a", "b", "c"]))
+    register_flight_source(spark)
+    url = f"grpc://127.0.0.1:{server.port}/cdf_src"
+    out = str(tmp_path / "cdf_out")
+    ckpt = str(tmp_path / "cdf_ckpt")
+
+    def run_round():
+        q = (
+            spark.readStream.format("icerunner_flight")
+            .option("url", url)
+            .option("slices", "2")
+            .option("changelog", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_round()
+    feed = spark.read.parquet(out)
+    assert set(feed.columns) == {"id", "value", "_change_type"}
+    assert {(r.id, r._change_type) for r in feed.collect()} == {
+        (1, "insert"), (2, "insert"), (3, "insert"),
+    }
+
+    # maintenance between rounds: append + MOR delete in range
+    c.insert("cdf_src", _writer_table([4], ["d"]))
+    t = c.table("cdf_src")
+    t.delete_where(SF.col("id") == 2, mode="merge-on-read")
+    run_round()
+    feed2 = spark.read.parquet(out)
+    got = {(r.id, r._change_type) for r in feed2.collect()}
+    assert (4, "insert") in got and (2, "delete") in got
+    # replaying the feed rebuilds the table state exactly
+    state = (
+        feed2.withColumn("w", SF.when(SF.col("_change_type") == "delete", -1).otherwise(1))
+        .groupBy("id", "value").agg(SF.sum("w").alias("n"))
+        .where(SF.col("n") > 0)
+    )
+    assert sorted(r.id for r in state.collect()) == [1, 3, 4]
+
+    # batch reads refuse the streaming-only option with a clear error
+    with pytest.raises(Exception, match="changelog"):
+        (
+            spark.read.format("icerunner_flight")
+            .option("url", url)
+            .option("changelog", "true")
+            .load()
+            .collect()
+        )
