@@ -198,6 +198,9 @@ class IceFlightServer(flight.FlightServerBase):
         for col, op, val in preds:
             if col not in types:
                 raise flight.FlightServerError(f"unknown column in where: {col}")
+            if op in ("is_null", "is_not_null"):
+                out.append((col, op, None))
+                continue
             dt = types[col]
             conv = lambda v, dt=dt: _decode_bound(dt, v)  # noqa: E731
             out.append(
@@ -223,6 +226,8 @@ class IceFlightServer(flight.FlightServerBase):
                 ">": lambda: f > val,
                 ">=": lambda: f >= val,
                 "in": lambda: f.isin(list(val)),
+                "is_null": lambda: f.is_null(),
+                "is_not_null": lambda: ~f.is_null(),
             }[op]()
             expr = e if expr is None else expr & e
         return expr
@@ -233,6 +238,10 @@ class IceFlightServer(flight.FlightServerBase):
         (a decoded hive path string; None = hive null partition). EXACT,
         not conservative — the value is constant for every row of the
         group, so a False skips the group and a True drops the conjunct."""
+        if op == "is_null":
+            return pv is None
+        if op == "is_not_null":
+            return pv is not None
         if pv is None:
             return False  # SQL comparison semantics: NULL matches nothing
         from icerunner_spark.table import _decode_bound

@@ -93,6 +93,8 @@ def _filter_to_conjunct(f) -> list | None:
         GreaterThan,
         GreaterThanOrEqual,
         In,
+        IsNotNull,
+        IsNull,
         LessThan,
         LessThanOrEqual,
     )
@@ -104,10 +106,14 @@ def _filter_to_conjunct(f) -> list | None:
         LessThan: "<",
         LessThanOrEqual: "<=",
         In: "in",
+        IsNull: "is_null",
+        IsNotNull: "is_not_null",
     }
     op = ops.get(type(f))
     if op is None or len(f.attribute) != 1:
         return None
+    if op in ("is_null", "is_not_null"):
+        return [f.attribute[0], op, None]
 
     def enc(v):
         if isinstance(v, bool) or v is None:

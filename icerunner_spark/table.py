@@ -539,12 +539,13 @@ def _decode_bound(dtype, v):
     return v
 
 
-_PRED_OPS = ("=", "==", "<", "<=", ">", ">=", "in")
+_PRED_OPS = ("=", "==", "<", "<=", ">", ">=", "in", "is_null", "is_not_null")
 
 
 def _normalize_predicates(where) -> list[tuple]:
     """``where`` is a list of ``(column, op, value)`` conjuncts (op in
-    =, <, <=, >, >=, in). A single triple may be passed bare."""
+    =, <, <=, >, >=, in, is_null, is_not_null — the null ops ignore
+    their value slot). A single triple may be passed bare."""
     if where is None:
         return []
     if (
@@ -556,7 +557,7 @@ def _normalize_predicates(where) -> list[tuple]:
         where = [tuple(where)]
     preds = []
     for p in where:
-        col, op, val = p
+        col, op, val = (p[0], p[1], p[2] if len(p) > 2 else None)
         if op not in _PRED_OPS:
             raise ValueError(f"unsupported predicate op: {op!r}")
         preds.append((col, "=" if op == "==" else op, val))
@@ -597,6 +598,8 @@ def _predicates_to_column(preds: list[tuple]):
             ">": lambda: c > F.lit(val),
             ">=": lambda: c >= F.lit(val),
             "in": lambda: c.isin(list(val)),
+            "is_null": lambda: c.isNull(),
+            "is_not_null": lambda: c.isNotNull(),
         }[op]()
         out = expr if out is None else (out & expr)
     return out
@@ -872,6 +875,8 @@ class IceTable:
                     if phys in inv
                 }
                 if conv:
+                    if "__rows__" in per:
+                        conv["__rows__"] = per["__rows__"]
                     fstats[f] = conv
             live_files = set(manifest)
             fstats = {f: s for f, s in fstats.items() if f in live_files}
@@ -960,15 +965,27 @@ class IceTable:
         for rel in rel_files:
             md = _pq.read_metadata(os.path.join(self.path, rel))
             raw: dict = {}
+            nulls: dict = {}
             poison: set = set()
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
                 for ci in range(g.num_columns):
                     col = g.column(ci)
                     name = col.path_in_schema
-                    if "." in name or name in poison:
+                    if "." in name:
                         continue  # nested columns aren't tracked
                     st = col.statistics
+                    # null counts accumulate independently of min/max —
+                    # an all-null column HAS no bounds but its null count
+                    # is exactly what is_null/is_not_null pruning needs
+                    if st is not None and st.null_count is not None:
+                        if name in nulls or rg == 0:
+                            nulls[name] = nulls.get(name, 0) + int(st.null_count)
+                    else:
+                        nulls.pop(name, None)
+                        poison.add(name + "\0nulls")
+                    if name in poison:
+                        continue
                     if st is None or not st.has_min_max:
                         poison.add(name)
                         raw.pop(name, None)
@@ -990,12 +1007,25 @@ class IceTable:
                             raw.pop(name, None)
                     else:
                         raw[name] = (lo, hi)
+            nulls = {
+                n: c for n, c in nulls.items() if n + "\0nulls" not in poison
+            }
             stats = {}
-            for name, (lo, hi) in raw.items():
-                elo, ehi = _encode_bound(lo), _encode_bound(hi)
-                if elo is not None and ehi is not None:
-                    stats[name] = [elo, ehi]
+            for name in set(raw) | set(nulls):
+                lo_hi = raw.get(name)
+                elo = ehi = None
+                if lo_hi is not None:
+                    elo, ehi = _encode_bound(lo_hi[0]), _encode_bound(lo_hi[1])
+                    if elo is None or ehi is None:
+                        elo = ehi = None
+                nc = nulls.get(name)
+                if elo is None and nc is None:
+                    continue
+                # [lo, hi] when only bounds; [lo, hi, null_count] when
+                # null counts are known (lo/hi None for all-null columns)
+                stats[name] = [elo, ehi] if nc is None else [elo, ehi, nc]
             if stats:
+                stats["__rows__"] = md.num_rows
                 out[rel] = stats
         return out
 
@@ -2052,32 +2082,73 @@ class IceTable:
             for col, op, val in preds:
                 for sf in transforms.get(col, []):
                     # hidden partitioning: a predicate on the SOURCE
-                    # column prunes via the derived path value
-                    pv = pvals.get(sf.pname)
-                    if pv is not None and col in types and not (
+                    # column prunes via the derived path value. Every
+                    # supported transform maps NULL -> NULL, so the null
+                    # partition dir is exactly the null source rows.
+                    if sf.pname not in pvals:
+                        continue
+                    pv = pvals[sf.pname]
+                    if op == "is_null":
+                        if pv is not None:
+                            keep = False
+                    elif op == "is_not_null":
+                        if pv is None:
+                            keep = False
+                    elif pv is None:
+                        # null partition: no comparison can match
+                        keep = False
+                    elif col in types and not (
                         _transform_may_match(sf, pv, op, val, types[col])
                     ):
                         keep = False
+                    if not keep:
                         break
                 if not keep:
                     break
                 if col in spec:
                     # partition values are strings in the path; only
-                    # equality-shaped ops prune here (Catalyst's partition
-                    # pruning handles the rest once columns materialize)
-                    pv = pvals.get(col)
-                    if pv is None:
+                    # equality-shaped and null ops prune here (Catalyst's
+                    # partition pruning handles ranges once columns
+                    # materialize)
+                    if col not in pvals:
                         continue
-                    if op == "=" and pv != str(val):
+                    pv = pvals[col]
+                    if op == "is_null":
+                        if pv is not None:
+                            keep = False
+                            break
+                    elif op == "is_not_null":
+                        if pv is None:
+                            keep = False
+                            break
+                    elif pv is None:
+                        keep = False  # null partition matches no comparison
+                        break
+                    elif op == "=" and pv != str(val):
                         keep = False
                         break
-                    if op == "in" and pv not in {str(x) for x in val}:
+                    elif op == "in" and pv not in {str(x) for x in val}:
                         keep = False
                         break
                     continue
+                per = snap.file_stats.get(rel, {})
                 fid = str(snap.field_ids.get(col, ""))
-                bounds = snap.file_stats.get(rel, {}).get(fid)
+                bounds = per.get(fid)
                 if not bounds or col not in types:
+                    continue
+                nc = bounds[2] if len(bounds) > 2 else None
+                rows = per.get("__rows__")
+                if op == "is_null":
+                    if nc == 0:
+                        keep = False
+                        break
+                    continue
+                if nc is not None and rows is not None and nc == rows:
+                    # all-null column: neither is_not_null nor any
+                    # comparison can match a row in this file
+                    keep = False
+                    break
+                if op == "is_not_null" or bounds[0] is None or bounds[1] is None:
                     continue
                 dt = types[col]
                 try:
@@ -2763,12 +2834,12 @@ class IceTable:
             lower = {
                 id_to_name[fid]: str(b[0])
                 for fid, b in bounds.items()
-                if fid in id_to_name
+                if fid in id_to_name and b[0] is not None
             }
             upper = {
                 id_to_name[fid]: str(b[1])
                 for fid, b in bounds.items()
-                if fid in id_to_name
+                if fid in id_to_name and b[1] is not None
             }
             rows.append(
                 (

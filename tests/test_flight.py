@@ -1135,14 +1135,17 @@ def test_python_datasource_filter_pushdown(spark, warehouse, server):
     )
 
     # unit: Filter -> ticket conjunct conversion
-    from pyspark.sql.datasource import EqualTo, GreaterThan, In, IsNull
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, In, IsNull, StringContains,
+    )
 
     assert _filter_to_conjunct(EqualTo(("k",), 5)) == ["k", "=", 5]
     assert _filter_to_conjunct(
         GreaterThan(("d",), datetime.date(1997, 1, 1))
     ) == ["d", ">", "1997-01-01"]
     assert _filter_to_conjunct(In(("k",), (1, 2))) == ["k", "in", [1, 2]]
-    assert _filter_to_conjunct(IsNull(("k",))) is None
+    assert _filter_to_conjunct(IsNull(("k",))) == ["k", "is_null", None]
+    assert _filter_to_conjunct(StringContains(("s",), "x")) is None
     assert _filter_to_conjunct(EqualTo(("a", "b"), 1)) is None  # nested col
 
     c = server.connector
@@ -1174,7 +1177,7 @@ def test_python_datasource_filter_pushdown(spark, warehouse, server):
         == df.filter(F.col("d") >= F.lit(cut)).count()
     )
     # a filter the wire can't express stays with Spark, result still exact
-    mixed = src.filter(F.col("s").isNotNull() & (F.col("k") < 5))
+    mixed = src.filter(F.col("s").contains("s") & (F.col("k") < 5))
     assert mixed.count() == 5
 
 

@@ -1519,3 +1519,42 @@ def test_widen_column_metadata_only(spark, warehouse):
     tt.append(spark.createDataFrame([(25, "b")], "k long, s string"))
     assert sorted(r.k for r in tt.scan().collect()) == [15, 25]
     assert {r.k for r in tt.scan(where=[("k", ">", 20)]).collect()} == {25}
+
+
+def test_null_count_stats_pruning(spark, warehouse):
+    """Manifests record per-file null counts alongside min/max, so
+    is_null / is_not_null predicates prune at planning: a no-null file
+    skips is_null, an all-null file skips is_not_null AND every
+    comparison (no bounds exist, but the null count proves emptiness).
+    Identity-partition null dirs prune exactly (the hive sentinel IS the
+    null set for that column)."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "nullstats"))
+    t.create(spark.createDataFrame([(i, float(i)) for i in range(10)], "k long, v double"))
+    t.append(spark.createDataFrame([(100 + i, None) for i in range(5)], "k long, v double"))
+    t.append(spark.createDataFrame([(200, 5.0), (201, None)], "k long, v double"))
+    m = t.current_snapshot().manifest
+    assert len(t.plan_files([("v", "is_null", None)])) < len(m)
+    assert len(t.plan_files([("v", "is_not_null", None)])) < len(m)
+    # the all-null commit is skipped by ANY comparison on v
+    assert len(t.plan_files([("v", ">", 100.0)])) < len(m) - 3
+    assert sorted(
+        r.k for r in t.scan(where=[("v", "is_null", None)]).collect()
+    ) == [100, 101, 102, 103, 104, 201]
+    assert t.scan(where=[("v", "is_not_null", None)]).count() == 11
+    # bare 2-tuple form works
+    assert t.scan(where=[("v", "is_null")]).count() == 6
+
+    t2 = IceTable(spark, os.path.join(warehouse, "nullpart"))
+    t2.create(
+        spark.createDataFrame([("a", 1), (None, 2), ("b", 3)], "s string, x int"),
+        partition_by=["s"],
+    )
+    assert {r.x for r in t2.scan(where=[("s", "is_null", None)]).collect()} == {2}
+    assert {r.x for r in t2.scan(where=[("s", "is_not_null", None)]).collect()} == {1, 3}
+    assert len(t2.plan_files([("s", "is_null", None)])) < len(
+        t2.current_snapshot().manifest
+    )
+    # comparisons never surface the null partition
+    assert {r.x for r in t2.scan(where=[("s", ">", "a")]).collect()} == {3}
