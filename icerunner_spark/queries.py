@@ -5200,6 +5200,55 @@ def stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_update_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(
+               CASE WHEN o_orderkey % 7 = 0 THEN 0.0 ELSE o_totalprice END
+               AS DECIMAL(14,2))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey < 900
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE on the snapshot format: ``update_where`` in
+    merge-on-read mode commits ONE 'merge' snapshot — a positional delete
+    of the old row versions plus an append of the updated versions,
+    O(changed rows) IO where copy-on-write would rewrite the table. The
+    scan anti-joins the delete file and unions the appended rows like any
+    MOR read; the oracle replays the update as a CASE expression over the
+    raw parquet, pinning value-exactness. At 100 TB this is the UPDATE
+    path a CDC-apply or GDPR-rectification pipeline needs — cost follows
+    the changed rows, not the table."""
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_update_demo", sf_dir)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = c.catalog.table("orders_upd")
+    t.create(orders.filter(F.col("o_orderkey") < 900))
+    t.update_where(
+        F.col("o_orderkey") % 7 == 0,
+        {"o_totalprice": F.lit(0.0)},
+        mode="merge-on-read",
+    )
+    return (
+        t.scan()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice", 14)).cast("double"), 2).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+@register(
     "type_widening_roundtrip",
     oracle="""
     WITH t AS (

@@ -1313,6 +1313,92 @@ class IceTable:
         matches = self._scan_snapshot(snap, with_pos=True).where(cond)
         return self._publish_positional_deletes(matches, allow_empty=False)
 
+    def update_where(
+        self, condition, assignments: dict, *, mode: str = "copy-on-write"
+    ) -> Snapshot | None:
+        """Row-level UPDATE (Iceberg ``UPDATE ... SET ... WHERE`` parity).
+        ``assignments`` maps column name -> new value (a Column, SQL
+        expression string, or literal); every assignment casts to the
+        column's declared type so the table schema never drifts.
+
+        ``mode="copy-on-write"`` (default): one conditional projection
+        over the table (``WHEN cond THEN expr ELSE col``) rewrites every
+        file — simple, and the shape Iceberg prunes to touched files.
+
+        ``mode="merge-on-read"``: the matched rows' coordinates go to a
+        positional delete file and the UPDATED versions append — ONE
+        'merge' snapshot, O(changed rows) IO, exactly the upsert path
+        :meth:`merge` uses. Updating 0.1% of a 100 TB table costs MBs.
+        Returns None when nothing matches (a no-op must not break
+        append-only CDC ranges). Assignments may move rows across
+        partitions — the appended files land under their new partition
+        values like any write."""
+        if not self.exists():
+            raise NoSuchTableError(self.path)
+        if not assignments:
+            raise ValueError("update_where requires at least one assignment")
+        snap = self.current_snapshot()
+        table_schema = StructType.fromJson(json.loads(snap.schema_json))
+        types = {f.name: f.dataType for f in table_schema.fields}
+        bad = [c for c in assignments if c not in types]
+        if bad:
+            raise ValueError(f"no such columns: {bad}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+
+        def _as_expr(c, v):
+            from pyspark.sql import Column as _Col
+
+            e = F.expr(v) if isinstance(v, str) else (
+                v if isinstance(v, _Col) else F.lit(v)
+            )
+            return e.cast(types[c])
+
+        exprs = {c: _as_expr(c, v) for c, v in assignments.items()}
+        if mode == "copy-on-write":
+            updated = self._scan_snapshot(snap).select(
+                *[
+                    F.when(cond, exprs[f.name]).otherwise(F.col(f.name)).alias(f.name)
+                    if f.name in exprs
+                    else F.col(f.name)
+                    for f in table_schema.fields
+                ]
+            )
+            _, files = self._write_data_files(updated, list(snap.partition_spec))
+            return self._publish(
+                "overwrite", files, table_schema.json(), replace_manifest=True,
+                summary={"operation_detail": "update"},
+                require_parent_snapshot_id=snap.snapshot_id,
+            )
+        if mode != "merge-on-read":
+            raise ValueError(f"unknown update mode: {mode}")
+        matched = self._scan_snapshot(snap, with_pos=True).where(cond)
+        if matched.limit(1).count() == 0:
+            return None
+        commit_dir = f"snap-{uuid.uuid4().hex[:12]}-deletes"
+        out = os.path.join(self.data_dir, commit_dir)
+        matched.select(
+            F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+        ).distinct().write.mode("error").parquet(out)
+        new_deletes = sorted(
+            os.path.join("data", commit_dir, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+        updated_rows = matched.select(
+            *[
+                exprs[f.name].alias(f.name) if f.name in exprs else F.col(f.name)
+                for f in table_schema.fields
+            ]
+        )
+        _, files = self._write_data_files(
+            updated_rows, list(snap.partition_spec), field_ids=snap.field_ids
+        )
+        return self._publish(
+            "merge", files, table_schema.json(),
+            summary={"operation_detail": "update merge-on-read"},
+            add_delete_files=new_deletes, inherit_schema=True,
+        )
+
     def delete_rows(
         self, keys: DataFrame, key_cols: list[str], *, mode: str = "merge-on-read"
     ) -> Snapshot | None:

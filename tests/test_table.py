@@ -1558,3 +1558,56 @@ def test_null_count_stats_pruning(spark, warehouse):
     )
     # comparisons never surface the null partition
     assert {r.x for r in t2.scan(where=[("s", ">", "a")]).collect()} == {3}
+
+
+def test_update_where_cow_and_mor(spark, warehouse):
+    """UPDATE ... SET ... WHERE: copy-on-write rewrites with a conditional
+    projection; merge-on-read commits ONE 'merge' snapshot (positional
+    delete of the old versions + append of the updated rows, O(changed
+    rows) IO). Assignments cast to the declared column types, string
+    values parse as SQL expressions, rows may move across partitions, and
+    compaction materializes the MOR state."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "updw"))
+    t.create(
+        spark.createDataFrame(
+            [(i, f"v{i}", float(i)) for i in range(20)], "id long, s string, v double"
+        )
+    )
+    t.update_where(F.col("id") < 5, {"v": F.col("v") * 10, "s": F.lit("low")})
+    rows = {r.id: (r.s, r.v) for r in t.scan().collect()}
+    assert rows[3] == ("low", 30.0) and rows[10] == ("v10", 10.0)
+
+    s0 = t.current_snapshot()
+    res = t.update_where("id >= 18", {"v": "v + 0.5"}, mode="merge-on-read")
+    assert res.operation == "merge" and len(res.delete_files) == 1
+    rows = {r.id: r.v for r in t.scan().collect()}
+    assert rows[18] == 18.5 and rows[19] == 19.5 and rows[17] == 17.0
+    assert t.scan().count() == 20
+    # time travel reads pre-update values
+    assert {
+        r.v for r in t.scan(snapshot_id=s0.snapshot_id).where("id=18").collect()
+    } == {18.0}
+    # no-op publishes nothing
+    assert t.update_where("id > 999", {"v": 0.0}, mode="merge-on-read") is None
+    # literal casts to the declared type; schema never drifts
+    t.update_where("id = 0", {"v": 7})
+    assert [f.dataType.simpleString() for f in t.schema().fields] == [
+        "bigint", "string", "double",
+    ]
+    with pytest.raises(ValueError, match="no such columns"):
+        t.update_where("id=1", {"nope": 1})
+
+    # MOR update moves a row to another partition
+    t2 = IceTable(spark, os.path.join(warehouse, "updw_p"))
+    t2.create(
+        spark.createDataFrame([("en", 1), ("de", 2)], "lang string, x int"),
+        partition_by=["lang"],
+    )
+    t2.update_where("x = 2", {"lang": F.lit("fr")}, mode="merge-on-read")
+    assert {(r.lang, r.x) for r in t2.scan().collect()} == {("en", 1), ("fr", 2)}
+    assert {r.x for r in t2.scan(where=[("lang", "=", "fr")]).collect()} == {2}
+    t2.compact(mode="bin-pack", target_file_rows=100)
+    assert t2.current_snapshot().delete_files == []
+    assert {(r.lang, r.x) for r in t2.scan().collect()} == {("en", 1), ("fr", 2)}
