@@ -120,23 +120,31 @@ class IceFlightServer(flight.FlightServerBase):
         logical = [f.name for f in schema.fields]
         fid = snap.field_ids
         spec = list(getattr(snap, "partition_spec", []) or [])
+        dir_specs = dict(getattr(snap, "dir_specs", {}) or {})
         mappings = snap.file_mappings if mappings is None else mappings
         from icerunner_spark.table import _commit_dir_of
 
         groups: dict = {}
         for f in files_rel:
-            m = mappings.get(_commit_dir_of(f))
+            d = _commit_dir_of(f)
+            # spec evolution: each dir serves under the spec it was
+            # written with (identity columns of THAT spec come from the
+            # hive path; other dirs carry the column physically)
+            dspec = dir_specs.get(d, spec)
+            m = mappings.get(d)
             key = tuple(
                 None
-                if n in spec
+                if n in dspec
                 else (n if m is None else m.get(str(fid.get(n))))
                 for n in logical
             )
-            pvals = IceFlightServer._partition_values(f, spec) if spec else ()
-            groups.setdefault((key, pvals), []).append(os.path.join(t.path, f))
+            pvals = IceFlightServer._partition_values(f, dspec) if dspec else ()
+            groups.setdefault((key, pvals, tuple(dspec)), []).append(
+                os.path.join(t.path, f)
+            )
         return schema, [
-            (fs, list(zip(k, logical)), dict(zip(spec, pv)))
-            for (k, pv), fs in groups.items()
+            (fs, list(zip(k, logical)), dict(zip(list(ds), pv)))
+            for (k, pv, ds), fs in groups.items()
         ]
 
     def _logical_arrow_schema(self, t, snap) -> pa.Schema:

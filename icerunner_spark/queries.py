@@ -5200,6 +5200,53 @@ def stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "partition_spec_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution (Iceberg ALTER TABLE ADD PARTITION FIELD):
+    half of orders commits UNPARTITIONED, then ``update_partition_spec``
+    switches the table to identity partitioning on o_orderpriority —
+    metadata-only, zero files touched — and the second half lands in
+    hive-partitioned dirs. One scan filters the priority across BOTH
+    layouts: the new dirs prune by path, the old dirs read the column
+    physically, and the result must equal the oracle's plain filtered
+    aggregate over the raw parquet. At 100 TB this is how a table adopts
+    a better layout without an O(table) rewrite — history keeps its
+    shape, the future gets the index, compaction migrates at leisure.
+    The inline assertion pins that the spec actually changed mid-table."""
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_specev_demo", sf_dir)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    cut = orders.agg(F.max("o_orderkey")).first()[0] // 2
+    t = c.catalog.table("orders_specev")
+    t.create(orders.filter(F.col("o_orderkey") <= cut))
+    assert t.partition_spec() == []
+    t.update_partition_spec(["o_orderpriority"])
+    t.append(orders.filter(F.col("o_orderkey") > cut))
+    assert t.partition_spec() == ["o_orderpriority"]
+    return (
+        t.scan(where=[("o_orderpriority", "=", "1-URGENT")])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+@register(
     "snapshot_update_roundtrip",
     oracle="""
     SELECT o_orderstatus,

@@ -104,6 +104,12 @@ class Snapshot:
     # dir's sequence so scans can evaluate the strictly-older rule.
     eq_delete_files: list = field(default_factory=list)
     dir_seqs: dict = field(default_factory=dict)
+    # Per-commit-dir partition spec (Iceberg partition-spec EVOLUTION
+    # parity): each data dir records the spec its files were WRITTEN
+    # under, so update_partition_spec changes the layout going forward
+    # while historical dirs keep reading/pruning under their own layout.
+    # Dirs absent from the map (legacy) default to the snapshot's spec.
+    dir_specs: dict = field(default_factory=dict)
     # Per-data-file column min/max bounds (Iceberg manifest-stats parity):
     # {relpath: {field_id(str): [lo, hi]}} harvested from parquet footers
     # at write time. Planning-time file skipping (plan_files / scan(where=))
@@ -133,6 +139,7 @@ class Snapshot:
                 "delete_files": self.delete_files,
                 "eq_delete_files": self.eq_delete_files,
                 "dir_seqs": self.dir_seqs,
+                "dir_specs": self.dir_specs,
                 "file_stats": self.file_stats,
             }
         )
@@ -164,6 +171,7 @@ class Snapshot:
             delete_files=d.get("delete_files", []),
             eq_delete_files=d.get("eq_delete_files", []),
             dir_seqs=d.get("dir_seqs", {}),
+            dir_specs=d.get("dir_specs", {}),
             file_stats=d.get("file_stats", {}),
         )
 
@@ -753,6 +761,10 @@ class IceTable:
             d: self._load_file_stats_sidecar(d)
             for d in {_commit_dir_of(f) for f in added_files or []}
         }
+        spec_sidecars = {
+            d: self._load_write_spec(d)
+            for d in {_commit_dir_of(f) for f in added_files or []}
+        }
         for _ in range(max_retries):
             parent = self.current_snapshot()
             if require_parent_snapshot_id is not None and (
@@ -859,6 +871,16 @@ class IceTable:
             for f in added_files or []:
                 dseqs.setdefault(_commit_dir_of(f), seq)
             dseqs = {d: s for d, s in dseqs.items() if d in live_dirs}
+            # spec each dir was written under (partition-spec evolution):
+            # the write-time sidecar wins; sidecar-less dirs default to
+            # the spec this snapshot publishes (pre-evolution behavior)
+            dspecs = dict(parent.dir_specs) if parent else {}
+            for f in added_files or []:
+                d = _commit_dir_of(f)
+                if d not in dspecs:
+                    side = spec_sidecars.get(d)
+                    dspecs[d] = list(side) if side is not None else list(spec)
+            dspecs = {d: s for d, s in dspecs.items() if d in live_dirs}
             # Column bounds: inherit the parent's per-file stats, add the
             # new files' (sidecar physical names resolved to field ids
             # through the dir's mapping), prune to the live manifest.
@@ -897,6 +919,7 @@ class IceTable:
                 delete_files=dels,
                 eq_delete_files=eq_dels,
                 dir_seqs=dseqs,
+                dir_specs=dspecs,
                 file_stats=fstats,
             )
             try:
@@ -927,6 +950,19 @@ class IceTable:
 
     _WRITE_MAPPING = "_write_mapping.json"
     _FILE_STATS = "_file_stats.json"
+    _WRITE_SPEC = "_write_spec.json"
+
+    def _load_write_spec(self, commit_dir: str) -> list | None:
+        """The partition spec a commit dir's files were written under
+        (see :meth:`_write_data_files`), or None for pre-sidecar dirs
+        (those read under the snapshot's spec — the old behavior)."""
+        try:
+            with open(
+                os.path.join(self.data_dir, commit_dir, self._WRITE_SPEC)
+            ) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
 
     def _load_write_mapping(self, commit_dir: str) -> dict | None:
         """The {field_id: physical_name} sidecar staged next to a commit
@@ -1086,6 +1122,10 @@ class IceTable:
         stats = self._harvest_column_stats(files)
         with open(os.path.join(out, self._FILE_STATS), "w") as f:
             json.dump(stats, f)
+        # record the spec these files were WRITTEN under — the layout a
+        # later update_partition_spec must keep reading this dir with
+        with open(os.path.join(out, self._WRITE_SPEC), "w") as f:
+            json.dump(list(partition_by or []), f)
         return commit_dir, files
 
     # ---------- public write API ----------
@@ -2032,6 +2072,7 @@ class IceTable:
         field_ids: dict | None = None,
         file_mappings: dict | None = None,
         partition_spec: list | None = None,
+        dir_specs: dict | None = None,
         with_pos: bool = False,
     ) -> DataFrame:
         """Read data files resolving columns BY FIELD ID: each file group's
@@ -2056,6 +2097,8 @@ class IceTable:
                 file_mappings = snap.file_mappings
             if partition_spec is None:
                 partition_spec = snap.partition_spec
+            if dir_specs is None:
+                dir_specs = snap.dir_specs
         if not files:
             df = self.spark.createDataFrame([], schema)
             if with_pos:
@@ -2085,13 +2128,16 @@ class IceTable:
         # physical layout instead, which collapses a never-renamed table to
         # ONE scan over all commits.
         groups: dict = {}
-        if partition_spec:
-            for f in files:
-                d = _commit_dir_of(f)
-                groups.setdefault((d, _resolved(file_mappings.get(d))), []).append(f)
-        else:
-            for f in files:
-                key = _resolved(file_mappings.get(_commit_dir_of(f)))
+        dir_specs = dir_specs or {}
+        for f in files:
+            d = _commit_dir_of(f)
+            # spec evolution: each dir reads under the spec it was
+            # WRITTEN with (dir_specs), not the snapshot's current one
+            dspec = dir_specs.get(d, partition_spec)
+            key = _resolved(file_mappings.get(d))
+            if dspec:
+                groups.setdefault((d, key), []).append(f)
+            else:
                 groups.setdefault((None, key), []).append(f)
         parts = []
         for (d, key), fs in groups.items():
@@ -2155,15 +2201,30 @@ class IceTable:
         #conjuncts), no IO."""
         schema = StructType.fromJson(json.loads(snap.schema_json))
         types = {f.name: f.dataType for f in schema.fields}
-        spec_fields = _parse_spec(snap.partition_spec or [])
-        spec = {sf.source for sf in spec_fields if sf.transform == "identity"}
-        transforms: dict[str, list[_SpecField]] = {}
-        for sf in spec_fields:
-            if sf.transform != "identity":
-                transforms.setdefault(sf.source, []).append(sf)
+
+        # spec evolution: prune each file under the spec its COMMIT DIR
+        # was written with, not the snapshot's current one (cached per dir)
+        def _dir_layout(d: str):
+            spec_fields = _parse_spec(
+                (snap.dir_specs or {}).get(d, snap.partition_spec or [])
+            )
+            identity = {
+                sf.source for sf in spec_fields if sf.transform == "identity"
+            }
+            transforms: dict[str, list[_SpecField]] = {}
+            for sf in spec_fields:
+                if sf.transform != "identity":
+                    transforms.setdefault(sf.source, []).append(sf)
+            return spec_fields, identity, transforms
+
+        layouts: dict = {}
         out = []
         for rel in files:
             keep = True
+            d = _commit_dir_of(rel)
+            if d not in layouts:
+                layouts[d] = _dir_layout(d)
+            spec_fields, spec, transforms = layouts[d]
             pvals = _hive_partition_values(rel) if spec_fields else {}
             for col, op, val in preds:
                 for sf in transforms.get(col, []):
@@ -2337,6 +2398,7 @@ class IceTable:
             field_ids=snap.field_ids,
             file_mappings=snap.file_mappings,
             partition_spec=snap.partition_spec,
+            dir_specs=snap.dir_specs,
             with_pos=need_pos,
         )
         if snap.delete_files:
@@ -2436,6 +2498,62 @@ class IceTable:
             evolve=lambda fids, nid: ({**fids, name: nid}, nid + 1),
         )
 
+    def _live_specs(self) -> list[list]:
+        """The current spec plus every live commit dir's write-time spec —
+        the union evolution guards must respect (an old dir's hive paths
+        are keyed by ITS spec's names even after update_partition_spec)."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return []
+        return [list(snap.partition_spec or [])] + [
+            list(s) for s in (snap.dir_specs or {}).values()
+        ]
+
+    def update_partition_spec(self, new_spec: list) -> Snapshot:
+        """Partition-spec EVOLUTION (Iceberg ``ALTER TABLE ... ADD/DROP
+        PARTITION FIELD``): metadata-only — commits from here on write
+        the new layout while every existing commit dir keeps reading,
+        pruning, and CDC-ing under the spec it was written with
+        (``dir_specs``). No data file is touched; compaction gradually
+        migrates old dirs to the current layout since its rewrites use
+        the current spec. Validation matches :meth:`create`."""
+        if not self.exists():
+            raise NoSuchTableError(self.path)
+        new_spec = list(new_spec or [])
+        schema = self.schema()
+        names = [f.name for f in schema.fields]
+        types = {f.name: f.dataType for f in schema.fields}
+        spec_fields = _parse_spec(new_spec)
+        missing = [sf.source for sf in spec_fields if sf.source not in names]
+        if missing:
+            raise ValueError(f"partition columns not in schema: {missing}")
+        bad = [
+            sf
+            for sf in spec_fields
+            if not _transform_supported(sf, types[sf.source])
+        ]
+        if bad:
+            raise ValueError(
+                "partition transform not supported for column type: "
+                + ", ".join(f"{sf.transform}({sf.source})" for sf in bad)
+            )
+        clash = [
+            sf.pname
+            for sf in spec_fields
+            if sf.transform != "identity" and sf.pname in names
+        ]
+        if clash:
+            raise ValueError(
+                f"derived partition column name collides with schema: {clash}"
+            )
+        return self._publish(
+            "alter", [], schema.json(),
+            summary={
+                "operation_detail": f"update_partition_spec {new_spec}"
+            },
+            partition_spec=new_spec,
+        )
+
     # widenings Iceberg permits (type promotion, spec v2): the NEW logical
     # type must read every OLD physical value exactly. Spark's parquet
     # reader upcasts all of these natively (verified by
@@ -2477,11 +2595,12 @@ class IceTable:
                 f"cannot widen {name}: {old_dt.simpleString()} -> "
                 f"{new_dt.simpleString()} is not a safe promotion"
             )
-        for sf in _parse_spec(self.partition_spec()):
-            if sf.source == name and sf.transform == "bucket":
-                raise ValueError(
-                    f"cannot widen bucket-partition source column: {name}"
-                )
+        for spec in self._live_specs():
+            for sf in _parse_spec(spec):
+                if sf.source == name and sf.transform == "bucket":
+                    raise ValueError(
+                        f"cannot widen bucket-partition source column: {name}"
+                    )
         new_schema = StructType(
             [
                 StructField(name, new_dt, f.nullable) if f.name == name else f
@@ -2507,7 +2626,7 @@ class IceTable:
             raise ValueError(f"no such column: {name}")
         if len(schema.fields) == 1:
             raise ValueError("cannot drop the only column")
-        if name in _spec_sources(self.partition_spec()):
+        if any(name in _spec_sources(s) for s in self._live_specs()):
             raise ValueError(f"cannot drop partition column: {name}")
         snap = self.current_snapshot()
         fid = int(snap.field_ids.get(name, -1))
@@ -2540,7 +2659,7 @@ class IceTable:
         names = {f.name for f in schema.fields}
         if old not in names:
             raise ValueError(f"no such column: {old}")
-        if old in _spec_sources(self.partition_spec()):
+        if any(old in _spec_sources(s) for s in self._live_specs()):
             # partition values live in directory names keyed by the
             # column name; a safe rename needs spec evolution (rewrite or
             # spec-versioned path parsing) — explicit, like Iceberg
@@ -2638,6 +2757,7 @@ class IceTable:
             field_ids=ctx.field_ids,
             file_mappings=mappings,
             partition_spec=ctx.partition_spec,
+            dir_specs=ctx.dir_specs,
         )
         return df.where(_predicates_to_column(preds)) if preds else df
 
@@ -2680,6 +2800,7 @@ class IceTable:
             field_ids=snap.field_ids,
             file_mappings=snap.file_mappings,
             partition_spec=snap.partition_spec,
+            dir_specs=snap.dir_specs,
             with_pos=True,
         )
         dels = (
@@ -2784,6 +2905,7 @@ class IceTable:
             field_ids=ctx.field_ids,
             file_mappings=insert_mappings,
             partition_spec=ctx.partition_spec,
+            dir_specs=ctx.dir_specs,
         ).withColumn("_change_type", F.lit("insert"))
         out = inserts
         for snap, new_dels in delete_parts:

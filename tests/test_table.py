@@ -1611,3 +1611,85 @@ def test_update_where_cow_and_mor(spark, warehouse):
     t2.compact(mode="bin-pack", target_file_rows=100)
     assert t2.current_snapshot().delete_files == []
     assert {(r.lang, r.x) for r in t2.scan().collect()} == {("en", 1), ("fr", 2)}
+
+
+def test_partition_spec_evolution(spark, warehouse):
+    """update_partition_spec (Iceberg ADD/DROP PARTITION FIELD): commits
+    from then on write the new layout while every existing commit dir
+    keeps reading and PRUNING under the spec it was written with
+    (dir_specs). One table serves three layouts — unpartitioned history,
+    an identity-partitioned middle, a bucket-transformed tail — through
+    scans, pruning, time travel, CDC, and merge-on-read deletes; compact
+    migrates everything to the current layout."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "specev"))
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i)) for i in range(30)], "k long, s string, v double"
+    )
+    t.create(df.filter("k < 10"))
+    s0 = t.current_snapshot().snapshot_id
+    t.update_partition_spec(["s"])
+    t.append(df.filter("k >= 10 and k < 20"))
+    t.update_partition_spec(["bucket(4, k)"])
+    t.append(df.filter("k >= 20"))
+    assert t.partition_spec() == ["bucket(4, k)"]
+
+    assert sorted(r.k for r in t.scan().collect()) == list(range(30))
+    rows = {r.k: (r.s, r.v) for r in t.scan().collect()}
+    assert rows[5] == ("s2", 5.0) and rows[15] == ("s0", 15.0) and rows[25] == ("s1", 25.0)
+    # per-dir pruning: the identity dir prunes on s, the bucket dir on k,
+    # the unpartitioned dir via its column stats
+    m = t.current_snapshot().manifest
+    assert len(t.plan_files([("s", "=", "s0")])) < len(m)
+    assert len(t.plan_files([("k", "=", 25)])) < len(m)
+    assert {r.k for r in t.scan(where=[("s", "=", "s0")]).collect()} == {
+        0, 3, 6, 9, 12, 15, 18, 21, 24, 27,
+    }
+    assert {r.k for r in t.scan(where=[("k", "=", 25)]).collect()} == {25}
+    assert t.scan(snapshot_id=s0).count() == 10
+    assert t.scan_changes(s0).count() == 20
+
+    # guards respect HISTORICAL dirs' specs, not just the current one
+    with pytest.raises(ValueError, match="partition column"):
+        t.rename_column("s", "lang")
+    with pytest.raises(ValueError, match="partition columns not in schema"):
+        t.update_partition_spec(["nope"])
+
+    t.delete_where("k = 7", mode="merge-on-read")
+    assert t.scan().count() == 29
+    t.compact(target_file_rows=10)
+    assert t.scan().count() == 29
+    assert len(t.plan_files([("k", "=", 25)])) < len(t.current_snapshot().manifest)
+    # post-compact every dir carries the current spec: old guard releases
+    t.rename_column("s", "lang")
+    assert "lang" in [f.name for f in t.schema().fields]
+
+
+def test_partition_spec_evolution_over_flight(spark, warehouse):
+    """The serve path streams evolved tables correctly: identity columns
+    of each dir's own spec resolve from ITS hive paths, older dirs carry
+    the column physically, and pushdown filters stay row-exact."""
+    import os
+
+    from icerunner_spark.flight.client import read_table_filtered, read_table_once
+    from icerunner_spark.flight.server import IceFlightServer
+
+    c = Connector(spark, os.path.join(warehouse, "specev_f"))
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "k long, s string"
+    )
+    t = c.catalog.table("ev2")
+    t.create(df.filter("k < 10"))
+    t.update_partition_spec(["s"])
+    t.append(df.filter("k >= 10"))
+    srv = IceFlightServer(c, host="127.0.0.1", port=0)
+    try:
+        got = read_table_once("127.0.0.1", srv.port, "ev2")
+        assert got.num_rows == 30
+        assert sorted(set(got.column("s").to_pylist())) == ["s0", "s1", "s2"]
+        got2 = read_table_filtered("127.0.0.1", srv.port, "ev2", [["s", "=", "s1"]])
+        assert got2.num_rows == 10
+        assert set(got2.column("s").to_pylist()) == {"s1"}
+    finally:
+        srv.shutdown()
