@@ -96,16 +96,16 @@ _DRIVER_WINDOW = [
     "corpus_clean_pipeline",
     "bm25_retrieval",
     "lang_id_documents",
-    "text_token_stats",
-    "pii_redact_documents",
+    "partition_spec_evolution",
+    "flight_pushdown_scan",
     "multimodal_byte_features",
     "unigram_logprob_quality",
     "token_budget_mixture",
     "clustered_compact_scan",
     "stream_join_view_purchases",
     "wap_branch_publish",
-    "udtf_token_explode",
-    "percentiles_lineitem",
+    "type_widening_roundtrip",
+    "snapshot_update_roundtrip",
     "snapshot_eq_delete_roundtrip",
     "transform_partition_prune",
 ]
