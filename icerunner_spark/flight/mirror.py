@@ -368,6 +368,21 @@ def perform_sync(
                 _evolve_target_schema(
                     src_fields, state.get("source_field_ids"), connector, target_table
                 )
+            # Replay source partition-spec EVOLUTION (update_partition_spec
+            # is metadata-only; the target's existing dirs keep their own
+            # layout via dir_specs, exactly like the source's). Layout is
+            # an optimization — a failed replay logs and never blocks the
+            # row sync.
+            try:
+                src_spec = json.loads(
+                    _source_metadata().get("partition_spec") or "[]"
+                )
+                tt = connector.table(target_table)
+                if list(tt.partition_spec()) != list(src_spec):
+                    tt.update_partition_spec(src_spec)
+                    logger.info("replayed source partition spec: %s", src_spec)
+            except Exception as e_spec:
+                logger.warning("partition-spec replay skipped: %s", e_spec)
             changes_cmd = {
                 "command": "get_changes",
                 "table": source_table,

@@ -1245,3 +1245,50 @@ def test_python_datasource_stream_changelog(spark, server, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_mirror_replays_partition_spec_evolution(spark, server, tmp_path):
+    """A source update_partition_spec between syncs replays onto the
+    target (metadata-only, like schema evolution): the replica adopts
+    the new layout for FUTURE appends while its existing dirs keep
+    their own spec — and the delta rows still move incrementally."""
+    from icerunner_spark.table import IceTable
+
+    c = server.connector
+    t = IceTable(spark, c.catalog.table_path("evsrc"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "en", "a"), (2, "de", "b")], "id long, lang string, text string"
+        )
+    )
+    target_wh = str(tmp_path / "target_wh")
+    url = f"grpc://127.0.0.1:{server.port}/evsrc"
+    n = run_mirror(url, target_table="ev_m", warehouse_path=target_wh,
+                   continuous=False, spark=spark)
+    assert n == 2
+    tgt = Connector(spark, target_wh)
+    assert tgt.table("ev_m").partition_spec() == []
+
+    # source evolves its layout, then appends under the new spec
+    t.update_partition_spec(["lang"])
+    t.append(
+        spark.createDataFrame([(3, "fr", "c")], "id long, lang string, text string")
+    )
+    n2 = run_mirror(url, target_table="ev_m", warehouse_path=target_wh,
+                    continuous=False, spark=spark)
+    assert n2 == 1  # still incremental — spec replay is metadata-only
+    assert tgt.table("ev_m").partition_spec() == ["lang"]
+    assert {r["id"]: r["lang"] for r in tgt.query("ev_m").to_pylist()} == {
+        1: "en", 2: "de", 3: "fr",
+    }
+    # the replica's NEXT append lands under the replicated layout and prunes
+    tgt.insert("ev_m", pa.table({
+        "id": pa.array([4], pa.int64()),
+        "lang": pa.array(["es"], pa.string()),
+        "text": pa.array(["d"], pa.string()),
+    }))
+    tt = tgt.table("ev_m")
+    assert {r.id for r in tt.scan(where=[("lang", "=", "es")]).collect()} == {4}
+    assert len(tt.plan_files([("lang", "=", "es")])) < len(
+        tt.current_snapshot().manifest
+    )
