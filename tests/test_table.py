@@ -1693,3 +1693,129 @@ def test_partition_spec_evolution_over_flight(spark, warehouse):
         assert set(got2.column("s").to_pylist()) == {"s1"}
     finally:
         srv.shutdown()
+
+
+def test_table_format_model_random_ops(spark, warehouse):
+    """Model-based stress: a seeded random sequence of appends, CoW/MOR
+    merges, predicate deletes, updates, equality deletes, compactions
+    (full/bin-pack/sorted), and partition-spec evolutions runs against
+    both the table and a plain Python dict model; after EVERY op the scan
+    must equal the model exactly, and at the end three historical
+    snapshots must time-travel back to their recorded model states. This
+    is the whole-format invariant: no operator interleaving may lose,
+    duplicate, or resurrect a row."""
+    import os
+    import random
+
+    rnd = random.Random(77)
+    t = IceTable(spark, os.path.join(warehouse, "model"))
+    schema = "id long, v long, s string"
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, schema)
+
+    model: dict[int, tuple] = {i: (i * 10, f"g{i % 4}") for i in range(30)}
+    t.create(df_of([(i, v, s) for i, (v, s) in model.items()]))
+    next_id = 100
+    history = [
+        (t.current_snapshot().snapshot_id, dict(model))
+    ]
+
+    def check():
+        got = sorted((r.id, r.v, r.s) for r in t.scan().collect())
+        want = sorted((i, v, s) for i, (v, s) in model.items())
+        assert got == want, (len(got), len(want))
+
+    specs = [[], ["bucket(4, id)"], ["s"], ["truncate(50, v)"]]
+    for step in range(24):
+        op = rnd.choice(
+            ["append", "merge", "delete_where", "update", "delete_rows",
+             "compact", "evolve"]
+        )
+        if op == "append":
+            rows = [(next_id + j, (next_id + j) * 10, f"g{j % 4}") for j in range(rnd.randint(1, 6))]
+            t.append(df_of(rows))
+            model.update({i: (v, s) for i, v, s in rows})
+            next_id += 10
+        elif op == "merge":
+            ids = rnd.sample(sorted(model), min(4, len(model))) + [next_id]
+            next_id += 1
+            rows = [(i, rnd.randint(0, 999), f"g{rnd.randint(0, 3)}") for i in ids]
+            t.merge(df_of(rows), ["id"],
+                    mode=rnd.choice(["copy-on-write", "merge-on-read"]))
+            model.update({i: (v, s) for i, v, s in rows})
+        elif op == "delete_where":
+            r = rnd.randint(0, 6)
+            t.delete_where(f"v % 7 = {r}",
+                           mode=rnd.choice(["copy-on-write", "merge-on-read"]))
+            model = {i: (v, s) for i, (v, s) in model.items() if v % 7 != r}
+        elif op == "update":
+            r = rnd.randint(0, 4)
+            res = t.update_where(
+                f"id % 5 = {r}", {"v": "v + 1000"},
+                mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+            )
+            model = {
+                i: ((v + 1000) if i % 5 == r else v, s)
+                for i, (v, s) in model.items()
+            }
+            assert res is not None or not any(i % 5 == r for i in model)
+        elif op == "delete_rows":
+            if model:
+                ids = rnd.sample(sorted(model), min(3, len(model)))
+                t.delete_rows(
+                    spark.createDataFrame([(i,) for i in ids], "id long"),
+                    ["id"], mode=rnd.choice(["merge-on-read", "equality"]),
+                )
+                for i in ids:
+                    model.pop(i)
+        elif op == "compact":
+            kind = rnd.choice(["full", "bin-pack", "sorted"])
+            if kind == "sorted":
+                t.compact(target_file_rows=20, sort_by=["id"])
+            else:
+                t.compact(mode=kind if kind != "sorted" else "full",
+                          target_file_rows=20)
+        elif op == "evolve":
+            t.update_partition_spec(rnd.choice(specs))
+        check()
+        history.append((t.current_snapshot().snapshot_id, dict(model)))
+
+    # time travel: three random historical states replay exactly
+    for sid, past in rnd.sample(history[:-1], 3):
+        got = sorted((r.id, r.v, r.s) for r in t.scan(snapshot_id=sid).collect())
+        assert got == sorted((i, v, s) for i, (v, s) in past.items())
+    # GC keeps the current state intact
+    t.expire_snapshots(keep_last=3)
+    t.remove_orphans(older_than_s=0)
+    check()
+
+
+def test_staged_append_survives_concurrent_spec_evolution(spark, warehouse):
+    """A staged append races update_partition_spec: the files were
+    physically written under the OLD layout, and the write-spec sidecar
+    ensures publish stamps dir_specs with that layout — the published
+    rows read and prune correctly even though the table's current spec
+    changed between stage and publish."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "stage_spec"))
+    t.create(
+        spark.createDataFrame([(1, "en")], "id long, lang string"),
+        partition_by=["lang"],
+    )
+    staged = t.stage_append(
+        spark.createDataFrame([(2, "de"), (3, "fr")], "id long, lang string")
+    )
+    # spec evolves while the append is in flight
+    t.update_partition_spec([])
+    t.publish_append(staged)
+    assert sorted((r.id, r.lang) for r in t.scan().collect()) == [
+        (1, "en"), (2, "de"), (3, "fr"),
+    ]
+    # the staged dir still prunes under ITS layout (identity on lang)
+    assert {r.id for r in t.scan(where=[("lang", "=", "de")]).collect()} == {2}
+    # and a post-evolution append lands unpartitioned, reads fine too
+    t.append(spark.createDataFrame([(4, "es")], "id long, lang string"))
+    assert t.scan().count() == 4
+    assert {r.id for r in t.scan(where=[("lang", "=", "es")]).collect()} == {4}
