@@ -5200,6 +5200,55 @@ def stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "add_files_import",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_orderkey < 1200
+    GROUP BY o_orderstatus
+    """,
+)
+def add_files_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-cost ingestion (Iceberg's ``add_files`` procedure): half
+    the slice commits normally, the other half is a pre-existing parquet
+    export REGISTERED into the table — hard-linked, schema-checked,
+    footer stats harvested into the manifest — without reading or
+    rewriting a row of it. The scan then reads both halves as one table,
+    and the oracle (a plain aggregate over the raw parquet) pins that
+    registration changed nothing about the values. At 100 TB this is how
+    a day's crawl output or a vendor drop joins the table: O(files)
+    metadata, zero data movement, stats-pruned scans from the first
+    query."""
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_addfiles_demo", sf_dir)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    ext = os.path.join(wh, "external_export")
+    orders.filter(
+        (F.col("o_orderkey") >= 600) & (F.col("o_orderkey") < 1200)
+    ).repartition(2).write.parquet(ext)
+    ext_files = sorted(
+        os.path.join(ext, f) for f in os.listdir(ext) if f.endswith(".parquet")
+    )
+    t = c.catalog.table("orders_imported")
+    t.create(orders.filter(F.col("o_orderkey") < 600))
+    t.add_files(ext_files)
+    return (
+        t.scan()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+@register(
     "partition_spec_evolution",
     oracle="""
     SELECT o_orderstatus,

@@ -1219,6 +1219,78 @@ class IceTable:
             summary=summary, inherit_schema=True,
         )
 
+    def add_files(self, paths: list[str], *, link: bool = True) -> Snapshot:
+        """Register EXISTING parquet files as one append WITHOUT reading
+        or rewriting their data (Iceberg's ``add_files`` procedure — the
+        ingestion path for registering a crawl dump or an exported
+        dataset at metadata cost). Files hard-link (fallback: copy) into
+        a fresh commit dir; their footers are schema-checked against the
+        table — same column-name set, each physical type either exactly
+        the declared type or safely below it on the widening lattice
+        (the reader upcasts narrow pages natively) — and their column
+        stats harvest into the manifest like any write. The imported dir
+        records an EMPTY write-spec, so on a partitioned table it simply
+        reads as an unpartitioned dir (per-dir layout machinery);
+        compaction migrates it into the table's layout later."""
+        import shutil as _shutil
+
+        import pyarrow.parquet as _pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        if not self.exists():
+            raise NoSuchTableError(self.path)
+        if not paths:
+            raise ValueError("add_files requires at least one path")
+        snap = self.current_snapshot()
+        table_schema = StructType.fromJson(json.loads(snap.schema_json))
+        declared = {f.name: f.dataType for f in table_schema.fields}
+        for p in paths:
+            file_schema = from_arrow_schema(_pq.read_schema(p))
+            got = {f.name: f.dataType for f in file_schema.fields}
+            if set(got) != set(declared):
+                raise ValueError(
+                    f"{p}: column names {sorted(got)} do not match table "
+                    f"schema {sorted(declared)}"
+                )
+            for n, ft in got.items():
+                dt = declared[n]
+                if ft == dt:
+                    continue
+                ok = (ft.typeName(), dt.typeName()) in self._WIDEN_OK
+                if ft.typeName() == "decimal" and dt.typeName() == "decimal":
+                    ok = ft.scale == dt.scale and ft.precision <= dt.precision
+                if not ok:
+                    raise ValueError(
+                        f"{p}: column {n} is {ft.simpleString()}, table "
+                        f"declares {dt.simpleString()} — not readable as-is"
+                    )
+        commit_dir = f"snap-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.data_dir, commit_dir)
+        os.makedirs(out)
+        files = []
+        for i, p in enumerate(sorted(paths)):
+            dst = os.path.join(out, f"part-{i:05d}-added.parquet")
+            try:
+                if link:
+                    os.link(p, dst)
+                else:
+                    raise OSError
+            except OSError:
+                _shutil.copy2(p, dst)
+            files.append(os.path.relpath(dst, self.path))
+        with open(os.path.join(out, self._WRITE_MAPPING), "w") as f:
+            json.dump({str(v): k for k, v in snap.field_ids.items()}, f)
+        with open(os.path.join(out, self._FILE_STATS), "w") as f:
+            json.dump(self._harvest_column_stats(files), f)
+        with open(os.path.join(out, self._WRITE_SPEC), "w") as f:
+            json.dump([], f)
+        return self._publish(
+            "append", files, snap.schema_json,
+            summary={"operation_detail": f"add_files {len(files)}"},
+            inherit_schema=True,
+        )
+
     def overwrite(self, df: DataFrame) -> Snapshot:
         """Full replace (new manifest drops previous files logically;
         physical files stay for time travel until expire_snapshots).
@@ -1956,7 +2028,9 @@ class IceTable:
             require_parent_snapshot_id=snap.snapshot_id,
         )
 
-    def expire_snapshots(self, *, keep_last: int = 1) -> list[str]:
+    def expire_snapshots(
+        self, *, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> list[str]:
         """Drop all but the newest ``keep_last`` snapshots and delete the
         data files no surviving snapshot references. Snapshots pinned by
         a tag SURVIVE regardless of age (Iceberg retention semantics:
@@ -1973,8 +2047,21 @@ class IceTable:
         if len(snaps) <= keep_last:
             return []
         tagged = set(self.tags().values())
-        expired = [s for s in snaps[:-keep_last] if s.snapshot_id not in tagged]
-        kept = [s for s in snaps if s.snapshot_id in tagged] + snaps[-keep_last:]
+        # age retention (Iceberg older_than): a snapshot expires only when
+        # BOTH outside the keep_last window and older than the cutoff
+        cutoff_ms = (
+            None
+            if older_than_ms is None
+            else int(time.time() * 1000) - int(older_than_ms)
+        )
+        expired = [
+            s
+            for s in snaps[:-keep_last]
+            if s.snapshot_id not in tagged
+            and (cutoff_ms is None or s.timestamp_ms <= cutoff_ms)
+        ]
+        expired_ids = {s.snapshot_id for s in expired}
+        kept = [s for s in snaps if s.snapshot_id not in expired_ids]
         # branch refs protect their files like tags protect snapshots
         keep_files: set[str] = self._branch_referenced_files()
         for s in kept:

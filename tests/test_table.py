@@ -1819,3 +1819,81 @@ def test_staged_append_survives_concurrent_spec_evolution(spark, warehouse):
     t.append(spark.createDataFrame([(4, "es")], "id long, lang string"))
     assert t.scan().count() == 4
     assert {r.id for r in t.scan(where=[("lang", "=", "es")]).collect()} == {4}
+
+
+def test_add_files_registers_external_parquet(spark, warehouse):
+    """add_files (Iceberg add_files procedure): existing parquet registers
+    as one append at metadata cost — hard-linked in, schema-checked
+    against the table (same names; physical types at-or-below the
+    declared type on the widening lattice), stats harvested, CDC sees a
+    plain append. On a partitioned table the imported dir reads as an
+    unpartitioned dir via the per-dir spec machinery until compaction
+    migrates it."""
+    import os
+
+    ext = os.path.join(warehouse, "external")
+    df = spark.createDataFrame(
+        [(i, float(i), f"s{i % 3}") for i in range(60)], "k long, v double, s string"
+    )
+    df.repartition(2).write.parquet(ext)
+    ext_files = sorted(
+        os.path.join(ext, f) for f in os.listdir(ext) if f.endswith(".parquet")
+    )
+
+    t = IceTable(spark, os.path.join(warehouse, "imp"))
+    t.create(spark.createDataFrame([(1000, 1.5, "x")], "k long, v double, s string"))
+    s0 = t.current_snapshot().snapshot_id
+    snap = t.add_files(ext_files)
+    assert snap.operation == "append"
+    assert t.scan().count() == 61
+    # imported stats prune; CDC sees a plain append; originals untouched
+    assert len(t.plan_files([("k", "=", 1000)])) < len(t.current_snapshot().manifest)
+    assert t.scan_changes(s0).count() == 60
+    assert all(os.path.exists(p) for p in ext_files)
+
+    # wrong column set refuses
+    bad = os.path.join(warehouse, "bad_ext")
+    spark.createDataFrame([(1, "no")], "k long, other string").write.parquet(bad)
+    badf = [os.path.join(bad, f) for f in os.listdir(bad) if f.endswith(".parquet")]
+    with pytest.raises(ValueError, match="column names"):
+        t.add_files(badf)
+    # narrow physical types import and read via native upcast
+    nrw = os.path.join(warehouse, "narrow_ext")
+    spark.createDataFrame([(7, 2.0, "z")], "k int, v float, s string").write.parquet(nrw)
+    nf = [os.path.join(nrw, f) for f in os.listdir(nrw) if f.endswith(".parquet")]
+    t.add_files(nf)
+    assert (7, 2.0, "z") in {(r.k, r.v, r.s) for r in t.scan().collect()}
+    # a WIDER physical type than declared refuses
+    t2 = IceTable(spark, os.path.join(warehouse, "imp_narrowtable"))
+    t2.create(spark.createDataFrame([(1, 1.0, "a")], "k int, v double, s string"))
+    with pytest.raises(ValueError, match="not readable"):
+        t2.add_files(ext_files)  # files carry k as long, table declares int
+
+    # partitioned table: imported dir reads as unpartitioned, compaction migrates
+    tp = IceTable(spark, os.path.join(warehouse, "imp_part"))
+    tp.create(df.limit(10), partition_by=["s"])
+    tp.add_files(ext_files[:1])
+    n = tp.scan().count()
+    assert n > 10
+    got = {r.s for r in tp.scan(where=[("s", "=", "s1")]).collect()}
+    assert got == {"s1"}
+    tp.compact(target_file_rows=1000)
+    assert tp.scan().count() == n
+    assert {r.s for r in tp.scan(where=[("s", "=", "s1")]).collect()} == {"s1"}
+
+
+def test_expire_snapshots_age_retention(spark, warehouse):
+    """older_than_ms: a snapshot expires only when BOTH outside keep_last
+    and older than the cutoff — young history survives even beyond
+    keep_last (Iceberg's expire_snapshots(older_than) contract)."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "age_exp"))
+    t.create(spark.createDataFrame([(1,)], "a long"))
+    t.append(spark.createDataFrame([(2,)], "a long"))
+    t.append(spark.createDataFrame([(3,)], "a long"))
+    assert t.expire_snapshots(keep_last=1, older_than_ms=10_000_000) == []
+    assert len(t.snapshots()) == 3
+    t.expire_snapshots(keep_last=1, older_than_ms=0)
+    assert len(t.snapshots()) == 1
+    assert t.scan().count() == 3
