@@ -122,6 +122,22 @@ def _maintenance_ops(spark, sf_dir: str) -> dict[str, float]:
             "maint_compact_sorted",
             lambda: t.compact(target_file_rows=2_000_000, sort_by=["o_orderkey"]),
         )
+        # MOR UPDATE of ~1% of rows (r5): positional delete + updated append
+        timed(
+            "maint_update_mor",
+            lambda: t.update_where(
+                "o_orderkey % 101 = 0",
+                {"o_totalprice": "o_totalprice * 1.5"},
+                mode="merge-on-read",
+            ),
+        )
+        # register an external parquet export at metadata cost (r5)
+        ext = os.path.join(base, "external_export")
+        orders.limit(50_000).write.mode("overwrite").parquet(ext)
+        ext_files = sorted(
+            os.path.join(ext, f) for f in os.listdir(ext) if f.endswith(".parquet")
+        )
+        timed("maint_add_files", lambda: t.add_files(ext_files))
         # copy-on-write twin of the same upsert, for the cost contrast
         t2 = IceTable(spark, os.path.join(base, "orders_cow"))
         t2.create(orders)
