@@ -260,6 +260,11 @@ class IceFlightServer(flight.FlightServerBase):
                 v = int(pv)
             elif t in ("float", "double"):
                 v = float(pv)
+            elif t == "boolean":
+                # hive renders booleans lowercase in paths
+                v = {"true": True, "false": False}.get(str(pv).lower())
+                if v is None:
+                    return True
             else:
                 v = _decode_bound(dtype, pv)
         except (TypeError, ValueError):
@@ -365,7 +370,11 @@ class IceFlightServer(flight.FlightServerBase):
     def _table_totals(self, name: str) -> tuple[int, int]:
         """(rows, bytes) from parquet footers — metadata only, no scan.
         Pending merge-on-read delete files subtract their positions from
-        the row total (each delete row names one deleted data row)."""
+        the row total (each delete row names one deleted data row).
+        Pending EQUALITY deletes cannot be costed without a scan (the key
+        set's match count is unknown until applied), so totals may
+        overcount until compaction materializes them — the same
+        approximation Iceberg metadata tables make."""
         rows = bytes_ = 0
         for f in self._table_files(name):
             rows += pq.read_metadata(f).num_rows

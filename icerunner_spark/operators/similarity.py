@@ -357,11 +357,14 @@ def _deterministic_centroids(
         n = math.sqrt(sum(x * x for x in v)) or 1.0
         return [x / n for x in v]
 
-    cents = [_unit(list(r["v"])) for r in rows]
-    if lloyd_iters <= 0:
+    cents = [_unit(list(r["v"])) for r in rows if r["v"] is not None]
+    # fewer vectors than requested centroids (tiny/empty corpus): train on
+    # what exists — every later step sizes off len(cents), never the ask
+    if not cents or lloyd_iters <= 0:
         return cents
+    dim = len(cents[0])
     vecs = df.select(_as_double_array(vec_col).alias("__v")).where(
-        F.col("__v").isNotNull()
+        F.col("__v").isNotNull() & (F.size("__v") == dim)
     )
     for _ in range(lloyd_iters):
         assigned = ivf_assign(vecs, cents, vec_col="__v", cell_col="__c")
@@ -374,16 +377,17 @@ def _deterministic_centroids(
             )
             .collect()
         )
-        dim = len(cents[0])
         sums: dict[int, list] = {}
         counts: dict[int, int] = {}
         for r in stats:
             c = r["__c"]
+            if c is None or not (0 <= r["pos"] < dim):
+                continue
             sums.setdefault(c, [0.0] * dim)[r["pos"]] = float(r["s"])
             counts[c] = r["n"]
         cents = [
             _unit([x / counts[c] for x in sums[c]]) if counts.get(c) else cents[c]
-            for c in range(n_centroids)
+            for c in range(len(cents))
         ]
     return cents
 
@@ -464,6 +468,10 @@ def ivf_topk(
     cents = centroids or _deterministic_centroids(
         df, vec_col=vec_col, id_col=id_cols[0], n_centroids=n_centroids
     )
+    if not cents:  # empty corpus -> empty result, not an index error
+        return df.select(
+            *id_cols, F.lit(None).cast("double").alias("cos_sim")
+        ).limit(0)
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     q = [x / qn for x in query_vec]
     by_dist = sorted(
@@ -513,14 +521,20 @@ def pq_train_codebooks(
         .limit(n_codes)
         .collect()
     )
+    rows = [r for r in rows if r["v"] is not None]
+    if not rows:
+        raise ValueError("pq_train_codebooks: no non-null vectors to train on")
     dim = len(rows[0]["v"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    # fewer vectors than requested codes: train the codes that exist —
+    # every later step sizes off the actual book length, never the ask
     books = [
         [[float(x) for x in r["v"][s * sub : (s + 1) * sub]] for r in rows]
         for s in range(m)
     ]
+    n_codes = len(books[0])
     if lloyd_iters <= 0:
         return books
     vecs = df.select(_as_double_array(vec_col).alias("__v")).where(
@@ -550,6 +564,8 @@ def pq_train_codebooks(
         counts: dict[tuple, int] = {}
         for r in stats:
             key = (r["s"], r["code"])
+            if r["code"] is None or not (0 <= r["pos"] < sub):
+                continue
             sums.setdefault(key, [0.0] * sub)[r["pos"]] = float(r["sm"])
             counts[key] = r["n"]
         books = [

@@ -189,6 +189,25 @@ def _commit_dir_of(relpath: str) -> str:
     return parts[1] if len(parts) >= 3 and parts[0] == "data" else relpath
 
 
+def _hive_value_str(val) -> str | None:
+    """A predicate value formatted the way Spark's hive-partitioned
+    writer renders it in the path, for EXACT comparison against a decoded
+    path segment. Returns None for types whose rendering we don't pin
+    down (floats — Java vs Python formatting differs in scientific
+    notation); callers must then keep the file, never prune it."""
+    import datetime
+
+    if isinstance(val, bool):
+        return "true" if val else "false"
+    if isinstance(val, int):
+        return str(val)
+    if isinstance(val, str):
+        return val
+    if isinstance(val, (datetime.datetime, datetime.date)):
+        return str(val)
+    return None
+
+
 def _hive_partition_values(relpath: str) -> dict:
     """Decode the hive-style ``col=value`` path segments of one data
     file's table-relative path (``data/snap-x/lang=a%2Fb/part-*.parquet``
@@ -301,28 +320,38 @@ def _spark_xxhash64(val, dtype) -> int | None:
     import struct
 
     t = dtype.typeName()
-    if t == "long":
-        raw = struct.pack("<q", int(val))
-    elif t in ("integer", "short", "byte"):
-        # int-backed types hash through Spark's 4-byte XXH64 path
-        raw = struct.pack("<i", int(val))
-    elif t == "string":
-        raw = str(val).encode("utf-8")
-    elif t == "date":
-        d = val if isinstance(val, datetime.date) else datetime.date.fromisoformat(str(val))
-        raw = struct.pack("<i", (d - datetime.date(1970, 1, 1)).days)
-    elif t in ("timestamp", "timestamp_ntz"):
-        ts = (
-            val
-            if isinstance(val, datetime.datetime)
-            else datetime.datetime.fromisoformat(str(val))
-        )
-        delta = ts.replace(tzinfo=None) - datetime.datetime(1970, 1, 1)
-        micros = (
-            delta.days * 86_400 + delta.seconds
-        ) * 1_000_000 + delta.microseconds
-        raw = struct.pack("<q", micros)
-    else:
+    try:
+        if t == "long":
+            raw = struct.pack("<q", int(val))
+        elif t in ("integer", "short", "byte"):
+            # int-backed types hash through Spark's 4-byte XXH64 path
+            raw = struct.pack("<i", int(val))
+        elif t == "string":
+            raw = str(val).encode("utf-8")
+        elif t == "date":
+            d = (
+                val
+                if isinstance(val, datetime.date)
+                else datetime.date.fromisoformat(str(val))
+            )
+            raw = struct.pack("<i", (d - datetime.date(1970, 1, 1)).days)
+        elif t in ("timestamp", "timestamp_ntz"):
+            ts = (
+                val
+                if isinstance(val, datetime.datetime)
+                else datetime.datetime.fromisoformat(str(val))
+            )
+            delta = ts.replace(tzinfo=None) - datetime.datetime(1970, 1, 1)
+            micros = (
+                delta.days * 86_400 + delta.seconds
+            ) * 1_000_000 + delta.microseconds
+            raw = struct.pack("<q", micros)
+        else:
+            return None
+    except (struct.error, TypeError, ValueError):
+        # unhashable predicate value (e.g. 2**31 against an int column —
+        # a type-legal comparison that simply matches nothing): no bucket
+        # can be computed, the caller must keep the file
         return None
     h = _xxh64(raw, 42)
     return h - (1 << 64) if h >= (1 << 63) else h
@@ -1483,9 +1512,11 @@ class IceTable:
             )
         if mode != "merge-on-read":
             raise ValueError(f"unknown update mode: {mode}")
+        import shutil as _shutil
+
+        import pyarrow.parquet as _pq
+
         matched = self._scan_snapshot(snap, with_pos=True).where(cond)
-        if matched.limit(1).count() == 0:
-            return None
         commit_dir = f"snap-{uuid.uuid4().hex[:12]}-deletes"
         out = os.path.join(self.data_dir, commit_dir)
         matched.select(
@@ -1496,6 +1527,14 @@ class IceTable:
             for f in os.listdir(out)
             if f.endswith(".parquet")
         )
+        # no-op check from the already-written footers (no extra Spark
+        # job): publish nothing when the condition matched zero rows
+        if not any(
+            _pq.read_metadata(os.path.join(self.path, p)).num_rows
+            for p in new_deletes
+        ):
+            _shutil.rmtree(out, ignore_errors=True)
+            return None
         updated_rows = matched.select(
             *[
                 exprs[f.name].alias(f.name) if f.name in exprs else F.col(f.name)
@@ -2008,7 +2047,12 @@ class IceTable:
                 eq_max is not None
                 and int(snap.dir_seqs.get(_commit_dir_of(f), 0)) < eq_max
             )
-            or _pq.read_metadata(os.path.join(self.path, f)).num_rows < small
+            or int(
+                snap.file_stats.get(f, {}).get("__rows__")
+                # legacy pre-stats dirs: one footer read as fallback
+                or _pq.read_metadata(os.path.join(self.path, f)).num_rows
+            )
+            < small
         ]
         if not dirty and not snap.delete_files and not snap.eq_delete_files:
             return None
@@ -2358,12 +2402,16 @@ class IceTable:
                     elif pv is None:
                         keep = False  # null partition matches no comparison
                         break
-                    elif op == "=" and pv != str(val):
-                        keep = False
-                        break
-                    elif op == "in" and pv not in {str(x) for x in val}:
-                        keep = False
-                        break
+                    elif op == "=":
+                        hv = _hive_value_str(val)
+                        if hv is not None and pv != hv:
+                            keep = False
+                            break
+                    elif op == "in":
+                        hvs = {_hive_value_str(x) for x in val}
+                        if None not in hvs and pv not in hvs:
+                            keep = False
+                            break
                     continue
                 per = snap.file_stats.get(rel, {})
                 fid = str(snap.field_ids.get(col, ""))
@@ -2579,6 +2627,10 @@ class IceTable:
         # `replace`. The column gets a FRESH field id: if the same name was
         # dropped earlier, its retired id (and the bytes under it) stay
         # invisible — re-add never resurrects old data.
+        if name in self._derived_pnames():
+            raise ValueError(
+                f"column name collides with a derived partition column: {name}"
+            )
         return self._publish(
             "alter", [], new_schema.json(),
             summary={"operation_detail": f"add_column {name} {dtype}"},
@@ -2595,6 +2647,17 @@ class IceTable:
         return [list(snap.partition_spec or [])] + [
             list(s) for s in (snap.dir_specs or {}).values()
         ]
+
+    def _derived_pnames(self) -> set:
+        """Hidden-partition column names any live spec derives — a user
+        column may not take one of these names (the write path would
+        silently overwrite it with transform values)."""
+        out: set = set()
+        for spec in self._live_specs():
+            for sf in _parse_spec(spec):
+                if sf.transform != "identity":
+                    out.add(sf.pname)
+        return out
 
     def update_partition_spec(self, new_spec: list) -> Snapshot:
         """Partition-spec EVOLUTION (Iceberg ``ALTER TABLE ... ADD/DROP
@@ -2756,6 +2819,10 @@ class IceTable:
             raise ValueError(f"column already exists: {new}")
         if not new or not new.isidentifier():
             raise ValueError(f"invalid column name: {new!r}")
+        if new in self._derived_pnames():
+            raise ValueError(
+                f"column name collides with a derived partition column: {new}"
+            )
         new_schema = StructType(
             [
                 StructField(new, f.dataType, f.nullable) if f.name == old else f
@@ -3006,14 +3073,34 @@ class IceTable:
             # so the sequence clause is vacuously true here)
             from functools import reduce
 
-            base = self._scan_snapshot(prevsnap) if prevsnap else None
-            if base is None:
+            if prevsnap is None:
                 continue
             inv = {int(v): k for k, v in prevsnap.field_ids.items()}
             for paths, fids, _dseq in new_eq:
                 keys = self.spark.read.parquet(
                     *[os.path.join(self.path, p) for p in paths]
                 )
+                # manifest pruning on the key VALUES keeps this read
+                # O(matching files), not O(parent table): eq-delete key
+                # sets are small by design (the O(keys) commit), so a
+                # bounded driver collect builds per-column IN predicates
+                # — a conservative superset for multi-column keys. Null
+                # keys or oversized sets skip pruning, never correctness.
+                files = None
+                krows = keys.limit(10_001).collect()
+                if len(krows) <= 10_000:
+                    preds = []
+                    for f in fids:
+                        vals = [r[f"__eq_{int(f)}"] for r in krows]
+                        if any(v is None for v in vals):
+                            preds = None
+                            break
+                        preds.append((inv[int(f)], "in", vals))
+                    if preds:
+                        files = self._prune_files(
+                            prevsnap, prevsnap.manifest, preds
+                        )
+                base = self._scan_snapshot(prevsnap, files=files)
                 cond = reduce(
                     lambda a, b: a & b,
                     [

@@ -869,3 +869,28 @@ def test_bpe_encode_word_merge_order():
     assert encode_word("abc", [("a", "b"), ("ab", "c")]) == ["abc"]
     assert encode_word("abc", [("ab", "c"), ("a", "b")]) == ["ab", "c"]
     assert encode_word("aaa", [("a", "a")]) == ["aa", "a"]
+
+
+def test_ann_training_survives_tiny_and_dirty_corpora(spark):
+    """Lloyd-refined IVF/PQ training on corpora SMALLER than the
+    requested centroid/code count (and with dirty rows) degrades to the
+    vectors that exist instead of raising IndexError; empty input yields
+    an empty result."""
+    from icerunner_spark.operators.similarity import (
+        ivf_topk,
+        pq_train_codebooks,
+    )
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 2.0]) for i in range(5)]
+        + [(99, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = ivf_topk(tiny, [1.0, 0.0, 0.0, 2.0], k=3, n_centroids=16)
+    assert got.count() <= 3 and got.count() > 0
+
+    books = pq_train_codebooks(tiny, m=2, n_codes=16)
+    assert len(books) == 2 and 0 < len(books[0]) <= 5
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ivf_topk(empty, [1.0, 0.0, 0.0, 2.0], k=3, n_centroids=8).count() == 0

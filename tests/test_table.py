@@ -1897,3 +1897,70 @@ def test_expire_snapshots_age_retention(spark, warehouse):
     t.expire_snapshots(keep_last=1, older_than_ms=0)
     assert len(t.snapshots()) == 1
     assert t.scan().count() == 3
+
+
+def test_boolean_partition_pruning_exact(spark, warehouse):
+    """Hive renders booleans lowercase in partition paths; pruning must
+    compare against THAT rendering — str(True) == 'True' used to
+    mismatch 'true' and silently prune every matching file."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "boolpart"))
+    t.create(
+        spark.createDataFrame(
+            [(1, True), (2, False), (3, True)], "id long, flag boolean"
+        ),
+        partition_by=["flag"],
+    )
+    assert {r.id for r in t.scan(where=[("flag", "=", True)]).collect()} == {1, 3}
+    assert {r.id for r in t.scan(where=[("flag", "=", False)]).collect()} == {2}
+    assert {r.id for r in t.scan(where=[("flag", "in", [True])]).collect()} == {1, 3}
+    # float identity-partition values never prune (rendering differs
+    # across engines) but stay exact through the residual filter
+    t2 = IceTable(spark, os.path.join(warehouse, "floatpart"))
+    t2.create(
+        spark.createDataFrame([(1, 0.5), (2, 1.5)], "id long, w double"),
+        partition_by=["w"],
+    )
+    assert {r.id for r in t2.scan(where=[("w", "=", 0.5)]).collect()} == {1}
+
+
+def test_schema_evolution_rejects_derived_pname_collision(spark, warehouse):
+    """add_column / rename_column refuse names a live spec derives
+    (e.g. k_bucket for bucket(8, k)) — the write path would otherwise
+    silently overwrite the user column with transform values."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "pnameguard"))
+    t.create(
+        spark.createDataFrame([(1, "a")], "k long, s string"),
+        partition_by=["bucket(8, k)"],
+    )
+    with pytest.raises(ValueError, match="derived partition column"):
+        t.add_column("k_bucket", "int")
+    with pytest.raises(ValueError, match="derived partition column"):
+        t.rename_column("s", "k_bucket")
+    # unrelated evolution still fine
+    t.add_column("extra", "int")
+    t.rename_column("s", "txt")
+
+
+def test_bucket_prune_out_of_range_value_conservative(spark, warehouse):
+    """A predicate value outside the column's physical range (2**31 on an
+    int bucket source) is a type-legal comparison that matches nothing —
+    it must plan and return empty, not crash in the hash packer."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "oor"))
+    t.create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"),
+        partition_by=["bucket(4, k)"],
+    )
+    # plans without crashing (the stats path may legitimately prove the
+    # value impossible and prune everything); result is exactly empty
+    assert isinstance(t.plan_files([("k", "=", 2**31)]), list)
+    assert t.scan(where=[("k", "=", 2**31)]).count() == 0
+    # and with stats unable to disprove it, the bucket path keeps files
+    # rather than crash: widen bounds by including a large in-range value
+    t.append(spark.createDataFrame([(2**31 - 1, "c")], "k int, s string"))
+    assert t.scan(where=[("k", "=", 2**31)]).count() == 0
