@@ -638,7 +638,7 @@ class IceFlightServer(flight.FlightServerBase):
                     # erroring here forces mirror clients onto their
                     # full-overwrite resync path instead of silently
                     # appending rows the source logically deleted.
-                    if s.operation in ("overwrite", "delete", "merge"):
+                    if s.operation in ("overwrite", "delete", "merge", "rollback"):
                         raise flight.FlightServerError(
                             "get_changes crosses an overwrite/delete/merge "
                             "snapshot; incremental diff is append-only — "

@@ -5200,6 +5200,58 @@ def stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_rollback_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_orderkey < 900
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational rollback (Iceberg rollback_to_snapshot): the base
+    slice commits, a bad pipeline run lands a merge-on-read delete AND a
+    junk append, ``rollback_to`` restores the good snapshot's exact state
+    as one metadata-only commit, and ingestion resumes with the second
+    slice. The final scan must be indistinguishable from the bad run
+    never happening — which is precisely what the oracle (a plain
+    aggregate over the raw parquet) checks. The bad commits stay
+    time-travelable for forensics until expiry. At 100 TB this is the
+    recovery story: undoing a corrupted ingest costs one commit, not a
+    restore from backup."""
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_rollback_demo", sf_dir)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = c.catalog.table("orders_rb")
+    t.create(orders.filter(F.col("o_orderkey") < 600))
+    good = t.current_snapshot().snapshot_id
+    # the bad run: rows vanish and junk arrives
+    t.delete_where(F.col("o_orderkey") % 3 == 0, mode="merge-on-read")
+    t.append(
+        orders.filter(F.col("o_orderkey") < 50).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(5_000_000)
+        )
+    )
+    t.rollback_to(good)
+    # ingestion resumes on the restored state
+    t.append(
+        orders.filter((F.col("o_orderkey") >= 600) & (F.col("o_orderkey") < 900))
+    )
+    return (
+        t.scan()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+@register(
     "add_files_import",
     oracle="""
     SELECT o_orderstatus,

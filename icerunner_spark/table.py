@@ -1662,6 +1662,57 @@ class IceTable:
             add_delete_files=new_deletes, inherit_schema=True,
         )
 
+    def rollback_to(self, snapshot_id: int) -> Snapshot:
+        """Restore an ancestor snapshot's exact state as a NEW commit
+        (Iceberg ``rollback_to_snapshot``): manifest, schema, field ids,
+        pending deletes, stats, and partition layout all copy from the
+        target — metadata only, no data file moves — while history stays
+        append-only, so the rolled-back commits remain time-travelable
+        until expiry. Incremental CDC treats the rollback like an
+        overwrite (rows were removed; the diff is not append-only).
+        ``next_field_id`` takes the max of target and current so a column
+        added after the target and re-added after the rollback can never
+        reuse a retired id (resurrection-proof, same rule as drop/re-add)."""
+        target = self.snapshot_by_id(snapshot_id)
+        for _ in range(20):
+            parent = self.current_snapshot()
+            if parent is None:
+                raise NoSuchTableError(self.path)
+            if parent.snapshot_id == target.snapshot_id:
+                return parent
+            seq = parent.sequence + 1
+            snap = Snapshot(
+                snapshot_id=_new_snapshot_id(),
+                sequence=seq,
+                parent_id=parent.snapshot_id,
+                timestamp_ms=int(time.time() * 1000),
+                operation="rollback",
+                added_files=[],
+                manifest=list(target.manifest),
+                schema_json=target.schema_json,
+                summary={"operation_detail": f"rollback_to {snapshot_id}"},
+                field_ids=dict(target.field_ids),
+                next_field_id=max(target.next_field_id, parent.next_field_id),
+                file_mappings=dict(target.file_mappings),
+                partition_spec=list(target.partition_spec),
+                delete_files=list(target.delete_files),
+                eq_delete_files=[list(e) for e in target.eq_delete_files],
+                dir_seqs=dict(target.dir_seqs),
+                dir_specs=dict(target.dir_specs),
+                file_stats=dict(target.file_stats),
+            )
+            try:
+                with open(self._snapshot_path(seq), "x") as f:
+                    f.write(snap.to_json())
+            except FileExistsError:
+                continue  # lost the race; recompute against new current
+            tmp = os.path.join(self.metadata_dir, f".current.{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(str(seq))
+            os.replace(tmp, os.path.join(self.metadata_dir, "current"))
+            return snap
+        raise CommitConflict(f"gave up after 20 retries: {self.path}")
+
     # ---------- named refs (Iceberg tag parity) ----------
 
     def _ref_path(self, name: str) -> str:
@@ -2881,7 +2932,7 @@ class IceTable:
         ctx = None
         for snap in snaps:
             if started:
-                if snap.operation in ("overwrite", "delete", "merge"):
+                if snap.operation in ("overwrite", "delete", "merge", "rollback"):
                     # merge-on-read deletes/upserts remove or replace rows
                     # without an overwrite commit — equally non-append
                     raise ValueError(
@@ -3023,11 +3074,11 @@ class IceTable:
         prev: Snapshot | None = None
         for snap in snaps:
             if started:
-                if snap.operation == "overwrite":
+                if snap.operation in ("overwrite", "rollback"):
                     raise ValueError(
-                        "scan_changelog crosses an overwrite snapshot; a "
-                        "wholesale replace has no row-level diff — full "
-                        "resync required"
+                        "scan_changelog crosses an overwrite/rollback "
+                        "snapshot; a wholesale replace has no row-level "
+                        "diff — full resync required"
                     )
                 if snap.operation in ("append", "create", "merge"):
                     insert_files.extend(snap.added_files)

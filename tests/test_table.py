@@ -2041,3 +2041,42 @@ def test_concurrent_mixed_writers_converge(spark, warehouse):
     # compaction materializes the concurrent state losslessly
     t.compact(mode="bin-pack", target_file_rows=1000, small_file_rows=0)
     assert sorted(r.id for r in t.scan().collect()) == got
+
+
+def test_rollback_to_restores_exact_state(spark, warehouse):
+    """rollback_to (Iceberg rollback_to_snapshot): a NEW commit restores
+    an ancestor's exact state — rows, schema, field ids, pending deletes,
+    layout — while the bad commits stay time-travelable; CDC refuses to
+    cross the rollback (rows were removed), writes continue after, and GC
+    keeps the restored files."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "rollback"))
+    t.create(spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, v string"))
+    good = t.current_snapshot().snapshot_id
+    t.delete_where("id % 2 = 0", mode="merge-on-read")
+    t.add_column("extra", "int")
+    t.append(spark.createDataFrame([(100, "bad", 1)], "id long, v string, extra int"))
+    assert t.scan().count() == 6
+
+    snap = t.rollback_to(good)
+    assert snap.operation == "rollback"
+    assert sorted(r.id for r in t.scan().collect()) == list(range(10))
+    assert [f.name for f in t.schema().fields] == ["id", "v"]
+    assert t.current_snapshot().delete_files == []
+    # bad history still time-travelable
+    bad = [s for s in t.snapshots() if s.operation == "append"][-1]
+    assert t.scan(snapshot_id=bad.snapshot_id).count() == 6
+    # writes continue; CDC refuses across, works after
+    t.append(spark.createDataFrame([(200, "new")], "id long, v string"))
+    with pytest.raises(ValueError, match="append-only"):
+        t.scan_changes(good)
+    with pytest.raises(ValueError, match="rollback"):
+        t.scan_changelog(good)
+    assert {r.id for r in t.scan_changes(snap.snapshot_id).collect()} == {200}
+    # no-op rollback to head; GC keeps restored files
+    head = t.current_snapshot().snapshot_id
+    assert t.rollback_to(head).snapshot_id == head
+    t.expire_snapshots(keep_last=2)
+    t.remove_orphans(older_than_s=0)
+    assert t.scan().count() == 11
