@@ -91,7 +91,7 @@ _DRIVER_WINDOW = [
     "dedup_exact_documents",
     "dedup_minhash_lsh",
     "neardup_ngram_jaccard",
-    "embedding_cosine_neardup",
+    "incremental_mv_refresh",
     "incremental_dedup_cdc",
     "corpus_clean_pipeline",
     "bm25_retrieval",
@@ -912,6 +912,65 @@ def cdc_changelog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.scan_changelog(s0).select(
         "o_orderkey", F.col("_change_type").alias("change_type")
+    )
+
+
+@register(
+    "incremental_mv_refresh",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS row_count,
+           CAST(ROUND(SUM(CASE WHEN o_orderkey % 13 = 0
+                               THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                               ELSE CAST(o_totalprice AS DECIMAL(12,2)) END),
+                      2) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey % 4 < 3 AND o_orderkey % 9 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained GROUP BY materialization
+    (matview.IncrementalAggView) over the snapshot format's row-level
+    changelog: build the view from an initial orders slice, then append
+    new rows, merge-on-read delete a key slice, and MOR-upsert doubled
+    prices for another — and advance the view with ONE refresh that
+    reads only the changelog delta and commits one keyed upsert of the
+    touched groups. The result must equal the oracle's full GROUP BY of
+    the final state. Scale: the refresh is O(changed rows + touched
+    groups) — at 100 TB the view answers the aggregation without ever
+    rescanning the fact table, and maintenance cost tracks the CDC
+    delta, not the table."""
+    from icerunner_spark.connector import Connector
+    from icerunner_spark.matview import IncrementalAggView
+
+    wh = _demo_warehouse("icerunner_mv_demo", sf_dir)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = c.catalog.table("orders_mv_base")
+    t.create(orders.filter(F.col("o_orderkey") % 4 < 2))
+    view = IncrementalAggView(
+        t,
+        os.path.join(wh, "orders_by_status_mv"),
+        ["o_orderstatus"],
+        {"total_price": "CAST(o_totalprice AS DECIMAL(12,2))"},
+    )
+    view.create()
+    # one refresh covers an append + a MOR delete + a MOR upsert
+    t.append(orders.filter(F.col("o_orderkey") % 4 == 2))
+    t.delete_where("o_orderkey % 9 = 0", mode="merge-on-read")
+    upd = t.scan().filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    t.merge(upd, ["o_orderkey"], mode="merge-on-read")
+    view.refresh()
+    assert view.refresh() is None  # already current: refresh is a no-op
+    return view.read().select(
+        "o_orderstatus",
+        "row_count",
+        F.round("total_price", 2).cast("double").alias("total_price"),
     )
 
 

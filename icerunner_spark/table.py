@@ -1208,6 +1208,37 @@ class IceTable:
             raise NoSuchTableError(self.path)
         return self.publish_append(self.stage_append(df), summary=summary)
 
+    def _align_df_to_schema(self, df: DataFrame, schema: StructType) -> DataFrame:
+        """Reorder ``df`` to the table's column order and upcast columns
+        sitting safely BELOW their declared type on the widening lattice
+        (int-family up, float->double, same-scale decimal precision
+        growth). A WIDER input type refuses loudly: writing it would put
+        physical pages above the declared type, which the reader cannot
+        downcast — the file would poison every future scan (e.g. a
+        decimal SUM that silently widened precision). Missing columns
+        raise in the select, as before."""
+        types = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for f in schema.fields:
+            dt = types.get(f.name)
+            if dt is None or dt == f.dataType:
+                cols.append(F.col(f.name))
+                continue
+            ok = (dt.typeName(), f.dataType.typeName()) in self._WIDEN_OK
+            if dt.typeName() == "decimal" and f.dataType.typeName() == "decimal":
+                ok = (
+                    dt.scale == f.dataType.scale
+                    and dt.precision <= f.dataType.precision
+                )
+            if not ok:
+                raise ValueError(
+                    f"column {f.name} is {dt.simpleString()} but the table "
+                    f"declares {f.dataType.simpleString()} — not safely "
+                    f"writable; cast explicitly or widen_column first"
+                )
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
     def stage_append(self, df: DataFrame) -> list[str]:
         """Write append data files WITHOUT publishing a snapshot. Returns
         the relative file list; pass the concatenation of one or more
@@ -1220,9 +1251,10 @@ class IceTable:
         if snap is None:
             raise NoSuchTableError(self.path)
         # Align to table schema by name (reference appends Arrow tables whose
-        # schema must match, icerunner.py:163-178; we additionally reorder).
+        # schema must match, icerunner.py:163-178; we additionally reorder
+        # and upcast safely-narrower columns).
         table_schema = StructType.fromJson(json.loads(snap.schema_json))
-        df = df.select(*[c.name for c in table_schema.fields])
+        df = self._align_df_to_schema(df, table_schema)
         # stage-time field ids ride along in the sidecar so publish stays
         # correct across a concurrent rename (see _write_data_files)
         _, files = self._write_data_files(
@@ -1320,7 +1352,9 @@ class IceTable:
             inherit_schema=True,
         )
 
-    def overwrite(self, df: DataFrame) -> Snapshot:
+    def overwrite(
+        self, df: DataFrame, *, summary: dict | None = None
+    ) -> Snapshot:
         """Full replace (new manifest drops previous files logically;
         physical files stay for time travel until expire_snapshots).
         The partition spec carries over when the new schema still has the
@@ -1336,13 +1370,15 @@ class IceTable:
         _, files = self._write_data_files(df, spec)
         return self._publish(
             "overwrite", files, df.schema.json(), replace_manifest=True,
+            summary=summary,
             evolve=lambda fids, nid: _reconcile_ids(fids, nid, names),
             partition_spec=spec,
         )
 
     def merge(
         self, updates: DataFrame, key_cols: list[str], *,
-        mode: str = "copy-on-write",
+        mode: str = "copy-on-write", null_safe: bool = False,
+        summary: dict | None = None,
     ) -> Snapshot:
         """Upsert (Iceberg ``MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN
         NOT MATCHED THEN INSERT`` parity): rows in ``updates`` replace
@@ -1361,7 +1397,15 @@ class IceTable:
         production CDC-apply path: upserting 0.1% of a 100 TB table costs
         MBs. Incremental CDC treats it like an overwrite (rows were
         replaced, the diff is not append-only); compaction materializes
-        back to a plain manifest."""
+        back to a plain manifest.
+
+        ``null_safe=True`` matches keys with ``<=>`` semantics (a NULL
+        key equals a NULL key) — required by writers whose key domain
+        includes NULL groups, e.g. materialized-view maintenance, where
+        plain equality would insert a duplicate NULL-key row instead of
+        updating the existing one. ``summary`` entries land in the
+        published snapshot (idempotency markers, cursors)."""
+        from functools import reduce
         if not self.exists():
             raise NoSuchTableError(self.path)
         if not key_cols:
@@ -1373,10 +1417,22 @@ class IceTable:
             raise ValueError("updates contain duplicate merge keys")
         snap = self.current_snapshot()
         table_schema = StructType.fromJson(json.loads(snap.schema_json))
-        updates = updates.select(*[c.name for c in table_schema.fields])
+        updates = self._align_df_to_schema(updates, table_schema)
+        keys_df = updates.select(*key_cols).distinct()
+        if null_safe:
+            key_cond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}"))
+                    for k in key_cols
+                ],
+            )
         if mode == "copy-on-write":
-            kept = self._scan_snapshot(snap).join(
-                updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+            tgt = self._scan_snapshot(snap)
+            kept = (
+                tgt.alias("t").join(keys_df.alias("u"), key_cond, "left_anti")
+                if null_safe
+                else tgt.join(keys_df, on=key_cols, how="left_anti")
             )
             _, files = self._write_data_files(
                 kept.unionByName(updates), list(snap.partition_spec)
@@ -1385,14 +1441,18 @@ class IceTable:
             # in since would be silently undone, so conflict instead
             return self._publish(
                 "overwrite", files, table_schema.json(), replace_manifest=True,
-                summary={"operation_detail": "merge"},
+                summary={"operation_detail": "merge", **(summary or {})},
                 require_parent_snapshot_id=snap.snapshot_id,
             )
         if mode != "merge-on-read":
             raise ValueError(f"unknown merge mode: {mode}")
+        tgt = self._scan_snapshot(snap, with_pos=True)
         matched = (
-            self._scan_snapshot(snap, with_pos=True)
-            .join(updates.select(*key_cols).distinct(), on=key_cols, how="left_semi")
+            (
+                tgt.alias("t").join(keys_df.alias("u"), key_cond, "left_semi")
+                if null_safe
+                else tgt.join(keys_df, on=key_cols, how="left_semi")
+            )
             .select(
                 F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
             )
@@ -1411,7 +1471,7 @@ class IceTable:
         )
         return self._publish(
             "merge", files, table_schema.json(),
-            summary={"operation_detail": "merge merge-on-read"},
+            summary={"operation_detail": "merge merge-on-read", **(summary or {})},
             add_delete_files=new_deletes, inherit_schema=True,
         )
 
