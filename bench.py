@@ -160,6 +160,32 @@ def _maintenance_ops(spark, sf_dir: str) -> dict[str, float]:
             _, state["cursor"] = dedup_maintenance_pass(t3, state["cursor"])
 
         timed("maint_dedup_pass", _pass)
+        # bloom-indexed append (r5): the write-side cost of building
+        # per-file equality-skipping bitmaps (one extra hash pass over
+        # the indexed column, zero shuffle)
+        t4 = IceTable(spark, os.path.join(base, "orders_bloom"))
+        t4.create(
+            orders.filter(F.lit(False)),
+            properties={"write.bloom.columns": "o_orderkey"},
+        )
+        timed("maint_bloom_append", lambda: t4.append(orders))
+        # incremental materialized-view refresh (r5): advance a GROUP BY
+        # materialization over a ~2% changelog delta — cost must track
+        # the delta, not the base table
+        from icerunner_spark.matview import IncrementalAggView
+
+        t5 = IceTable(spark, os.path.join(base, "orders_mv"))
+        t5.create(orders)
+        mv = IncrementalAggView(
+            t5,
+            os.path.join(base, "orders_mv_view"),
+            ["o_orderstatus"],
+            {"total_price": "CAST(o_totalprice AS DECIMAL(12,2))"},
+        )
+        mv.create()
+        t5.append(upd.limit(1000))
+        t5.delete_where("o_orderkey % 103 = 0", mode="merge-on-read")
+        timed("maint_mv_refresh", lambda: mv.refresh())
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return ops

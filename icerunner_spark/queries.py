@@ -84,7 +84,7 @@ _DRIVER_WINDOW = [
     "hybrid_retrieval_rerank",
     # --- proven keepers, one per operator family ---
     "cdc_changes_since_snapshot",
-    "time_travel_snapshot_scan",
+    "bloom_pruned_scan",
     "flight_roundtrip_nation",
     "snapshot_mor_delete_roundtrip",
     "partitioned_table_prune",
@@ -5255,6 +5255,59 @@ def stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_price"
             ),
         )
+    )
+
+
+@register(
+    "bloom_pruned_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+       OR o_orderkey = (SELECT MAX(o_orderkey) FROM orders)
+    """,
+)
+def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file bloom-filter skipping (table property
+    ``write.bloom.columns``): orders land in four single-file commits
+    whose o_orderkey ranges fully overlap (interleaved by key mod 4), so
+    min/max manifest stats can never skip — but each file carries an
+    executor-built xxhash64 bloom bitmap in its commit sidecar, and a
+    point/IN probe drops every file whose bloom rejects the literal at
+    PLANNING time, zero IO. The residual Catalyst filter keeps the
+    result exact (bloom false positives only cost a read), which the
+    oracle checks by filtering the source directly. At 100 TB this is
+    the needle-in-haystack path — key lookups on an unclustered ingest
+    order read O(1) files instead of O(table) — the skipping tier
+    Iceberg gets from parquet bloom filters / Puffin blobs. The inline
+    assertion pins that files were actually skipped."""
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_bloom_demo", sf_dir)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    t = c.catalog.table("orders_bloom")
+    one = orders.repartition(1)  # one file per commit, overlapping bounds
+    t.create(
+        one.filter(F.col("o_orderkey") % 4 == 0),
+        properties={
+            "write.bloom.columns": "o_orderkey",
+            "write.bloom.nbits": "131072",
+        },
+    )
+    for i in (1, 2, 3):
+        t.append(one.filter(F.col("o_orderkey") % 4 == i))
+    probe = [("o_orderkey", "in", [int(lo), int(hi)])]
+    planned = t.plan_files(probe)
+    assert len(planned) < len(t.current_snapshot().manifest), "no bloom skip"
+    return t.scan(where=probe).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("total_price"),
     )
 
 

@@ -119,6 +119,12 @@ class Snapshot:
     # values are ISO strings, decimals are strings (typed back through the
     # schema at prune time).
     file_stats: dict = field(default_factory=dict)
+    # Table properties (Iceberg table-properties parity): free-form
+    # string config inherited commit-over-commit; set_properties publishes
+    # a metadata-only 'alter'. Write-path config lives here (e.g.
+    # ``write.bloom.columns`` — per-file bloom filters for planning-time
+    # equality skipping).
+    properties: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -141,6 +147,7 @@ class Snapshot:
                 "dir_seqs": self.dir_seqs,
                 "dir_specs": self.dir_specs,
                 "file_stats": self.file_stats,
+                "properties": self.properties,
             }
         )
 
@@ -173,6 +180,7 @@ class Snapshot:
             dir_seqs=d.get("dir_seqs", {}),
             dir_specs=d.get("dir_specs", {}),
             file_stats=d.get("file_stats", {}),
+            properties=d.get("properties", {}),
         )
 
 
@@ -355,6 +363,25 @@ def _spark_xxhash64(val, dtype) -> int | None:
         return None
     h = _xxh64(raw, 42)
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _bloom_positions_py(h: int, nbits: int, k: int) -> list[int]:
+    """Kirsch-Mitzenmacher double hashing over ONE xxhash64 value: the
+    64-bit hash splits into a 32-bit base and a 32-bit (odd) step, probe
+    i tests bit (base + i*step) mod nbits. The write side computes the
+    identical positions vectorized in numpy; nbits is a power of two so
+    the modulus is stable under any 2^64 wraparound."""
+    h &= _U64
+    lo = h & 0xFFFFFFFF
+    hi = (h >> 32) | 1
+    return [(lo + i * hi) % nbits for i in range(k)]
+
+
+def _bloom_may_contain(bits: bytes, nbits: int, k: int, h: int) -> bool:
+    for p in _bloom_positions_py(h, nbits, k):
+        if not (bits[p >> 3] & (0x80 >> (p & 7))):  # np.packbits MSB-first
+            return False
+    return True
 
 
 @dataclass(frozen=True)
@@ -669,6 +696,8 @@ class IceTable:
         self.metadata_dir = os.path.join(self.path, "metadata")
         self.data_dir = os.path.join(self.path, "data")
         self.branch_name: str | None = None  # set on branch() handles
+        # per-commit-dir bloom sidecars, parsed+decoded once per handle
+        self._bloom_cache: dict = {}
 
     # ---------- metadata plumbing ----------
 
@@ -740,6 +769,7 @@ class IceTable:
         require_parent_snapshot_id: int | None = None,
         inherit_schema: bool = False,
         full_manifest: list[str] | None = None,
+        properties: dict | None = None,
     ) -> Snapshot:
         """Optimistically commit a new snapshot referencing already-written
         data files. Pure metadata — safe to retry without rewriting data.
@@ -931,6 +961,13 @@ class IceTable:
                     fstats[f] = conv
             live_files = set(manifest)
             fstats = {f: s for f, s in fstats.items() if f in live_files}
+            # table properties inherit commit-over-commit unless the
+            # commit explicitly sets them (create / set_properties)
+            props = (
+                dict(properties)
+                if properties is not None
+                else (dict(parent.properties) if parent else {})
+            )
             snap = Snapshot(
                 snapshot_id=_new_snapshot_id(),
                 sequence=seq,
@@ -950,6 +987,7 @@ class IceTable:
                 dir_seqs=dseqs,
                 dir_specs=dspecs,
                 file_stats=fstats,
+                properties=props,
             )
             try:
                 with open(self._snapshot_path(seq), "x") as f:
@@ -980,6 +1018,13 @@ class IceTable:
     _WRITE_MAPPING = "_write_mapping.json"
     _FILE_STATS = "_file_stats.json"
     _WRITE_SPEC = "_write_spec.json"
+    _BLOOM = "_bloom.json"
+    _BLOOM_K = 7  # double-hashed probes per key (~1% FP at 10 bits/key)
+    # types whose driver-side literal hash provably equals F.xxhash64
+    _BLOOM_TYPES = (
+        "long", "integer", "short", "byte", "string", "date",
+        "timestamp", "timestamp_ntz",
+    )
 
     def _load_write_spec(self, commit_dir: str) -> list | None:
         """The partition spec a commit dir's files were written under
@@ -1016,6 +1061,36 @@ class IceTable:
                 return json.load(f)
         except (FileNotFoundError, json.JSONDecodeError):
             return {}
+
+    def _load_bloom_sidecar(self, commit_dir: str) -> dict:
+        """Parsed (and bit-decoded) bloom sidecar for one commit dir;
+        cached per handle. Empty dict for dirs without blooms."""
+        got = self._bloom_cache.get(commit_dir)
+        if got is None:
+            import base64
+
+            try:
+                with open(
+                    os.path.join(self.data_dir, commit_dir, self._BLOOM)
+                ) as f:
+                    got = json.load(f)
+                for per in got.values():
+                    for ent in per.values():
+                        ent["_bits"] = base64.b64decode(ent["bits"])
+            except (OSError, json.JSONDecodeError, KeyError, ValueError):
+                got = {}
+            self._bloom_cache[commit_dir] = got
+        return got
+
+    def _bloom_entry(self, snap: Snapshot, d: str, rel: str, col: str):
+        """The bloom record for (file, logical column), resolved through
+        the dir's field-id mapping so renames keep pruning."""
+        side = self._load_bloom_sidecar(d)
+        if not side:
+            return None
+        fid = str(snap.field_ids.get(col, ""))
+        phys = (snap.file_mappings.get(d) or {}).get(fid, col)
+        return side.get(rel, {}).get(phys)
 
     def _harvest_column_stats(self, rel_files: list[str]) -> dict:
         """Per-file column min/max from the just-written parquet footers:
@@ -1094,12 +1169,116 @@ class IceTable:
                 out[rel] = stats
         return out
 
+    def _harvest_bloom(
+        self, rel_files: list[str], cols: list[str], nbits: int
+    ) -> dict:
+        """Per-file bloom bitmaps for equality skipping:
+        ``{relpath: {physical_name: {nbits, k, type, bits(b64)}}}``.
+        One distributed pass over ONLY the indexed columns of the
+        just-written files (executor-side xxhash64 + per-file Arrow-
+        batched bitmap build; the driver receives nbits/8 bytes per
+        file-column, never row data). Columns whose type the driver-side
+        literal hash can't replicate are skipped — absent entries mean
+        'never skip on this column'."""
+        import base64
+
+        import pandas as pd
+
+        abs_files = [os.path.join(self.path, r) for r in rel_files]
+        sdf = self.spark.read.parquet(*abs_files)
+        avail = {f.name: f.dataType for f in sdf.schema.fields}
+        cols = [
+            c
+            for c in cols
+            if c in avail and avail[c].typeName() in self._BLOOM_TYPES
+        ]
+        if not cols or not rel_files:
+            return {}
+        k = self._BLOOM_K
+        hdf = sdf.select(
+            F.input_file_name().alias("__f"),
+            *[
+                F.xxhash64(F.col(c)).alias(f"__h{i}")
+                for i, c in enumerate(cols)
+            ],
+        )
+        n_cols = len(cols)
+
+        # Zero-shuffle build: each task accumulates per-(file, column)
+        # bitmaps across its Arrow batches and emits ONE partial bitmap
+        # row per pair; the driver ORs partials (a file split across
+        # tasks yields <= #tasks small rows, never row data). This is
+        # the 100 TB shape — no groupBy-by-file shuffle of the hashes.
+        def _build(batches):
+            import numpy as np
+
+            acc: dict = {}
+            for pdf in batches:
+                for fname, sub in pdf.groupby("__f", sort=False):
+                    maps = acc.setdefault(fname, [None] * n_cols)
+                    for i in range(n_cols):
+                        h = (
+                            sub[f"__h{i}"]
+                            .to_numpy(dtype=np.int64)
+                            .astype(np.uint64)
+                        )
+                        lo = h & np.uint64(0xFFFFFFFF)
+                        hi = (h >> np.uint64(32)) | np.uint64(1)
+                        if maps[i] is None:
+                            maps[i] = np.zeros(nbits, dtype=bool)
+                        for j in range(k):
+                            maps[i][
+                                (
+                                    (lo + np.uint64(j) * hi)
+                                    % np.uint64(nbits)
+                                ).astype(np.int64)
+                            ] = True
+            out = [
+                {"file": f, "idx": i, "bits": np.packbits(maps[i]).tobytes()}
+                for f, maps in acc.items()
+                for i in range(n_cols)
+                if maps[i] is not None
+            ]
+            if out:
+                yield pd.DataFrame(out)
+
+        rows = hdf.mapInPandas(
+            _build, schema="file string, idx int, bits binary"
+        ).collect()
+        from urllib.parse import unquote, urlparse
+
+        types = {c: avail[c].simpleString() for c in cols}
+        merged: dict = {}
+        for r in rows:
+            rel = os.path.relpath(unquote(urlparse(r["file"]).path), self.path)
+            key = (rel, r["idx"])
+            if key in merged:
+                import numpy as np
+
+                merged[key] = (
+                    np.frombuffer(merged[key], dtype="uint8")
+                    | np.frombuffer(r["bits"], dtype="uint8")
+                ).tobytes()
+            else:
+                merged[key] = r["bits"]
+        out: dict = {}
+        for (rel, idx), bits in merged.items():
+            c = cols[idx]
+            out.setdefault(rel, {})[c] = {
+                "nbits": nbits,
+                "k": k,
+                "type": types[c],
+                "bits": base64.b64encode(bits).decode("ascii"),
+            }
+        return out
+
     def _write_data_files(
         self,
         df: DataFrame,
         partition_by: list[str] | None = None,
         *,
         field_ids: dict | None = None,
+        properties: dict | None = None,
     ) -> tuple[str, list[str]]:
         """Distributed parquet write of one commit's data into a fresh
         subdirectory; returns (dirname, relative file list). With
@@ -1151,6 +1330,31 @@ class IceTable:
         stats = self._harvest_column_stats(files)
         with open(os.path.join(out, self._FILE_STATS), "w") as f:
             json.dump(stats, f)
+        # opt-in per-file bloom filters (write.bloom.columns): stay in a
+        # commit-dir sidecar, NOT the snapshot JSON — bitmaps are KBs per
+        # file-column and only equality scans ever load them
+        props = properties
+        if props is None:
+            snap0 = self.current_snapshot() if self.exists() else None
+            props = snap0.properties if snap0 else {}
+        bloom_cols = [
+            c.strip()
+            for c in (props or {}).get("write.bloom.columns", "").split(",")
+            if c.strip()
+        ]
+        # identity-partition columns live in paths, not files; transforms
+        # keep their source column physical — filter to what's in-file
+        path_cols = {sf.pname for sf in spec_fields}
+        bloom_cols = [c for c in bloom_cols if c not in path_cols]
+        if bloom_cols and files:
+            nbits = 1 << max(
+                10,
+                int(props.get("write.bloom.nbits", 1 << 20)).bit_length() - 1,
+            )
+            blooms = self._harvest_bloom(files, bloom_cols, nbits)
+            if blooms:
+                with open(os.path.join(out, self._BLOOM), "w") as f:
+                    json.dump(blooms, f)
         # record the spec these files were WRITTEN under — the layout a
         # later update_partition_spec must keep reading this dir with
         with open(os.path.join(out, self._WRITE_SPEC), "w") as f:
@@ -1162,6 +1366,7 @@ class IceTable:
     def create(
         self, df: DataFrame, *, overwrite_ok: bool = False,
         summary: dict | None = None, partition_by: list[str] | None = None,
+        properties: dict | None = None,
     ) -> Snapshot:
         if self.exists() and not overwrite_ok:
             raise ValueError(f"table already exists: {self.path}")
@@ -1195,12 +1400,43 @@ class IceTable:
             raise ValueError(
                 f"derived partition column name collides with schema: {clash}"
             )
-        _, files = self._write_data_files(df, partition_by)
+        _, files = self._write_data_files(
+            df, partition_by, properties=properties or {}
+        )
         return self._publish(
             "create", files, df.schema.json(), replace_manifest=True,
             summary={"added_rows_estimated": None, **(summary or {})},
             evolve=lambda fids, nid: _reconcile_ids(fids, nid, names),
             partition_spec=partition_by,
+            properties=properties or {},
+        )
+
+    def properties(self) -> dict:
+        snap = self.current_snapshot()
+        return dict(snap.properties) if snap else {}
+
+    def set_properties(self, updates: dict) -> Snapshot:
+        """Metadata-only table-property change (Iceberg ``ALTER TABLE
+        SET TBLPROPERTIES``): merge ``updates`` over the current map
+        (a None value unsets the key) and publish an 'alter' snapshot —
+        no data moves, CDC passes through. Write-path properties (e.g.
+        ``write.bloom.columns``) take effect for FUTURE writes only;
+        existing files without sidecars simply never skip."""
+        if not self.exists():
+            raise NoSuchTableError(self.path)
+        snap = self.current_snapshot()
+        merged = {
+            **snap.properties,
+            **{k: v for k, v in updates.items() if v is not None},
+        }
+        for k, v in updates.items():
+            if v is None:
+                merged.pop(k, None)
+        return self._publish(
+            "alter", [], snap.schema_json, inherit_schema=True,
+            summary={"operation_detail": "set-properties",
+                     "updated_keys": sorted(updates)},
+            properties={k: str(v) for k, v in merged.items()},
         )
 
     def append(self, df: DataFrame, *, summary: dict | None = None) -> Snapshot:
@@ -2524,6 +2760,28 @@ class IceTable:
                             keep = False
                             break
                     continue
+                if op in ("=", "in") and col in types:
+                    # per-file bloom (write.bloom.columns): equality
+                    # skipping where min/max can't help — unclustered
+                    # high-cardinality keys whose bounds span every file.
+                    # Type must equal the hash-time type (a widened
+                    # column hashes differently — skip, never mis-prune).
+                    ent = self._bloom_entry(snap, d, rel, col)
+                    if ent is not None and ent["type"] == types[col].simpleString():
+                        hit = False
+                        for v in val if op == "in" else [val]:
+                            if v is None:
+                                hit = True  # conservative on NULL literal
+                                break
+                            h = _spark_xxhash64(v, types[col])
+                            if h is None or _bloom_may_contain(
+                                ent["_bits"], ent["nbits"], ent["k"], h
+                            ):
+                                hit = True
+                                break
+                        if not hit:
+                            keep = False
+                            break
                 per = snap.file_stats.get(rel, {})
                 fid = str(snap.field_ids.get(col, ""))
                 bounds = per.get(fid)
