@@ -5312,6 +5312,49 @@ def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_ndv_stats",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           COUNT(DISTINCT o_custkey) AS exact_ndv,
+           TRUE AS within_5pct
+    FROM orders
+    """,
+)
+def table_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file HLL NDV sketches (table property ``write.ndv.columns``,
+    table.approx_ndv): orders land in two commits, each data file
+    staging a Datasketches HLL sketch of o_custkey in its commit sidecar
+    (hll_sketch_agg — map-side combinable, the shuffle moves KB sketch
+    partials). approx_ndv unions the sketches at METADATA cost — no data
+    scan — the role Iceberg's Puffin blobs play for its planner's NDV
+    stats. The estimate is approximate, so the oracle-comparable output
+    is (exact count, estimate-within-5% flag): deterministic for fixed
+    data and sketch config, and the flag failing IS the accuracy
+    regression signal. At 100 TB: per-column NDV for join planning /
+    dedup sizing without touching the table."""
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_ndv_demo", sf_dir)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    t = c.catalog.table("orders_ndv")
+    t.create(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        properties={"write.ndv.columns": "o_custkey"},
+    )
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    est = t.approx_ndv("o_custkey")
+    exact = orders.agg(
+        F.countDistinct("o_custkey").alias("n")
+    ).first()["n"]
+    ok = abs(est - exact) / max(exact, 1) < 0.05
+    return spark.createDataFrame(
+        [("o_custkey", int(exact), bool(ok))],
+        "col_name string, exact_ndv long, within_5pct boolean",
+    )
+
+
+@register(
     "snapshot_rollback_roundtrip",
     oracle="""
     SELECT o_orderstatus,

@@ -1019,6 +1019,9 @@ class IceTable:
     _FILE_STATS = "_file_stats.json"
     _WRITE_SPEC = "_write_spec.json"
     _BLOOM = "_bloom.json"
+    _NDV = "_ndv.json"
+    # types Spark's hll_sketch_agg accepts (Datasketches HLL)
+    _NDV_TYPES = ("long", "integer", "string")
     _BLOOM_K = 7  # double-hashed probes per key (~1% FP at 10 bits/key)
     # types whose driver-side literal hash provably equals F.xxhash64
     _BLOOM_TYPES = (
@@ -1272,6 +1275,108 @@ class IceTable:
             }
         return out
 
+    def _harvest_ndv(self, rel_files: list[str], cols: list[str]) -> dict:
+        """Per-file Datasketches HLL sketches for NDV statistics:
+        ``{relpath: {physical_name: b64(sketch)}}``. One aggregation
+        over the indexed columns grouped by file — hll_sketch_agg is
+        map-side combinable, so the shuffle moves KB-sized sketch
+        partials, never values. The same mergeable-sketch role Iceberg's
+        Puffin blobs play for its planner."""
+        import base64
+
+        abs_files = [os.path.join(self.path, r) for r in rel_files]
+        sdf = self.spark.read.parquet(*abs_files)
+        avail = {f.name: f.dataType for f in sdf.schema.fields}
+        cols = [
+            c
+            for c in cols
+            if c in avail and avail[c].typeName() in self._NDV_TYPES
+        ]
+        if not cols or not rel_files:
+            return {}
+        rows = (
+            sdf.groupBy(F.input_file_name().alias("__f"))
+            .agg(
+                *[
+                    F.hll_sketch_agg(F.col(c)).alias(f"__s{i}")
+                    for i, c in enumerate(cols)
+                ]
+            )
+            .collect()
+        )
+        from urllib.parse import unquote, urlparse
+
+        out: dict = {}
+        for r in rows:
+            rel = os.path.relpath(unquote(urlparse(r["__f"]).path), self.path)
+            for i, c in enumerate(cols):
+                sk = r[f"__s{i}"]
+                if sk is not None:
+                    out.setdefault(rel, {})[c] = base64.b64encode(
+                        bytes(sk)
+                    ).decode("ascii")
+        return out
+
+    def approx_ndv(self, col: str, snapshot_id: int | None = None) -> int:
+        """Approximate distinct-value count of ``col`` from per-file HLL
+        sketches (``write.ndv.columns``): files with a staged sketch
+        contribute at METADATA cost; uncovered files (pre-property
+        commits, unsupported types at their write time) are sketched
+        on the fly and unioned in — always correct to HLL error, cheap
+        in proportion to sketch coverage. Estimates ignore row-level
+        deletes (a sketch can't subtract) — like any file-level NDV
+        stat, it upper-bounds the live table after MOR deletes until
+        compaction rewrites."""
+        import base64
+
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else self.snapshot_by_id(snapshot_id)
+        )
+        if snap is None:
+            raise NoSuchTableError(self.path)
+        fid = str(snap.field_ids.get(col, ""))
+        sketches: list[bytes] = []
+        missing: list[str] = []
+        for rel in snap.manifest:
+            d = _commit_dir_of(rel)
+            phys = (snap.file_mappings.get(d) or {}).get(fid, col)
+            side = self._load_ndv_sidecar(d)
+            b64 = side.get(rel, {}).get(phys)
+            if b64 is not None:
+                sketches.append(base64.b64decode(b64))
+            else:
+                missing.append(rel)
+        if missing:
+            # one sketch over the uncovered files via the proper scan
+            # path (rename-proof: physical names resolve per dir)
+            row = (
+                self._scan_snapshot(snap, files=missing)
+                .agg(F.hll_sketch_agg(F.col(col)).alias("s"))
+                .first()
+            )
+            if row["s"] is not None:
+                sketches.append(bytes(row["s"]))
+        if not sketches:
+            return 0
+        df = self.spark.createDataFrame(
+            [(s,) for s in sketches], "sk binary"
+        )
+        est = df.agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("n")
+        ).first()["n"]
+        return int(est or 0)
+
+    def _load_ndv_sidecar(self, commit_dir: str) -> dict:
+        try:
+            with open(
+                os.path.join(self.data_dir, commit_dir, self._NDV)
+            ) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
     def _write_data_files(
         self,
         df: DataFrame,
@@ -1355,6 +1460,17 @@ class IceTable:
             if blooms:
                 with open(os.path.join(out, self._BLOOM), "w") as f:
                     json.dump(blooms, f)
+        # opt-in per-file HLL NDV sketches (write.ndv.columns)
+        ndv_cols = [
+            c.strip()
+            for c in (props or {}).get("write.ndv.columns", "").split(",")
+            if c.strip() and c.strip() not in path_cols
+        ]
+        if ndv_cols and files:
+            sketches = self._harvest_ndv(files, ndv_cols)
+            if sketches:
+                with open(os.path.join(out, self._NDV), "w") as f:
+                    json.dump(sketches, f)
         # record the spec these files were WRITTEN under — the layout a
         # later update_partition_spec must keep reading this dir with
         with open(os.path.join(out, self._WRITE_SPEC), "w") as f:
