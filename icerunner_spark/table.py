@@ -184,6 +184,44 @@ class Snapshot:
         )
 
 
+def _load_snapshot_payload(text: str, metadata_dir: str) -> Snapshot:
+    """Parse a snapshot file in either format:
+
+    - legacy/full: self-contained JSON carrying the whole manifest and
+      per-file stats inline (``Snapshot.to_json`` — still written by
+      branch copies and accepted forever);
+    - slim (``"format": 2``): the O(files) fields — manifest + file_stats
+      — live in immutable SEGMENT files under ``metadata/segments/``,
+      one per commit's added files; the snapshot stores segment refs
+      plus a tombstone list of removed paths. A commit's metadata write
+      is then O(delta), not O(table files) — Iceberg's manifest-list
+      indirection — while the reconstructed in-memory Snapshot is
+      identical either way.
+    """
+    d = json.loads(text)
+    if d.get("format") != 2:
+        return Snapshot.from_json(text)
+    seg_dir = os.path.join(metadata_dir, "segments")
+    manifest: list[str] = []
+    fstats: dict = {}
+    for ref in d.get("segments", []):
+        with open(os.path.join(seg_dir, ref)) as f:
+            seg = json.load(f)
+        manifest.extend(seg["files"])
+        fstats.update(seg.get("file_stats", {}))
+    tomb = set(d.get("tombstones", []))
+    if tomb:
+        manifest = [f for f in manifest if f not in tomb]
+    live = set(manifest)
+    d = dict(d)
+    d["manifest"] = manifest
+    d["file_stats"] = {f: s for f, s in fstats.items() if f in live}
+    snap = Snapshot.from_json(json.dumps(d))
+    snap._segments = list(d.get("segments", []))  # type: ignore[attr-defined]
+    snap._tombstones = sorted(tomb)  # type: ignore[attr-defined]
+    return snap
+
+
 def _new_snapshot_id() -> int:
     # 63-bit random id, like Iceberg's; sequence number orders commits.
     return uuid.uuid4().int >> 65
@@ -716,7 +754,85 @@ class IceTable:
 
     def _load_snapshot_by_seq(self, seq: int) -> Snapshot:
         with open(self._snapshot_path(seq)) as f:
-            return Snapshot.from_json(f.read())
+            return _load_snapshot_payload(f.read(), self.metadata_dir)
+
+    def _segments_dir(self) -> str:
+        return os.path.join(self.metadata_dir, "segments")
+
+    def _write_segment(self, files: list[str], file_stats: dict) -> str:
+        """Write one immutable manifest segment; returns its ref."""
+        os.makedirs(self._segments_dir(), exist_ok=True)
+        ref = f"seg-{uuid.uuid4().hex[:12]}.json"
+        with open(os.path.join(self._segments_dir(), ref), "w") as f:
+            json.dump(
+                {
+                    "files": list(files),
+                    "file_stats": {
+                        p: file_stats[p] for p in files if p in file_stats
+                    },
+                },
+                f,
+            )
+        return ref
+
+    def _slim_snapshot_text(
+        self, snap: Snapshot, parent: Snapshot | None, *, fresh: bool = False
+    ) -> str:
+        """Serialize ``snap`` in slim (format 2): added files land in a
+        fresh segment, the parent's segments are referenced (a legacy-
+        format parent is reseeded into one segment first), and paths no
+        longer in the manifest become tombstones. When tombstones or the
+        segment list outgrow the manifest, everything consolidates into
+        one fresh segment — the self-tuning equivalent of Iceberg's
+        rewrite_manifests, amortized O(1) extra writes per commit."""
+        if parent is None or fresh:
+            # a wholesale replace (create/overwrite) IS the new state:
+            # start a fresh segment chain instead of tombstoning the
+            # whole parent manifest and dragging its segments along
+            psegs: list[str] = []
+            ptomb: list[str] = []
+            base_union: set[str] = set()
+        else:
+            psegs = getattr(parent, "_segments", None)
+            ptomb = getattr(parent, "_tombstones", []) or []
+            if psegs is None:
+                # legacy full-format parent: seed its state as a segment
+                psegs = (
+                    [self._write_segment(parent.manifest, parent.file_stats)]
+                    if parent.manifest
+                    else []
+                )
+                ptomb = []
+            base_union = set(parent.manifest) | set(ptomb)
+        segs = list(psegs)
+        if snap.added_files:
+            segs.append(
+                self._write_segment(list(snap.added_files), snap.file_stats)
+            )
+            base_union |= set(snap.added_files)
+        tomb = sorted(base_union - set(snap.manifest))
+        if (
+            not set(snap.manifest) <= base_union  # e.g. rollback past a
+            # consolidation: the restored files aren't in any referenced
+            # segment — only a fresh consolidated segment covers them
+            or len(tomb) > max(64, len(snap.manifest))
+            or len(segs) > 256
+        ):
+            segs = (
+                [self._write_segment(snap.manifest, snap.file_stats)]
+                if snap.manifest
+                else []
+            )
+            tomb = []
+        d = json.loads(snap.to_json())
+        del d["manifest"]
+        del d["file_stats"]
+        d["format"] = 2
+        d["segments"] = segs
+        d["tombstones"] = tomb
+        snap._segments = segs  # type: ignore[attr-defined]
+        snap._tombstones = tomb  # type: ignore[attr-defined]
+        return json.dumps(d)
 
     def current_snapshot(self) -> Snapshot | None:
         if not self.exists():
@@ -989,9 +1105,17 @@ class IceTable:
                 file_stats=fstats,
                 properties=props,
             )
+            # slim write: the commit's metadata IO is O(added files),
+            # not O(table files) — a losing attempt's segment file is an
+            # orphan the expire-time segment GC reaps (age-guarded); the
+            # snapshot-path CAS below stays the only commit point
+            payload = self._slim_snapshot_text(
+                snap, parent,
+                fresh=replace_manifest and full_manifest is None,
+            )
             try:
                 with open(self._snapshot_path(seq), "x") as f:
-                    f.write(snap.to_json())
+                    f.write(payload)
             except FileExistsError:
                 continue  # lost the race; recompute against new current
             tmp = os.path.join(self.metadata_dir, f".current.{uuid.uuid4().hex}")
@@ -2112,10 +2236,14 @@ class IceTable:
                 dir_seqs=dict(target.dir_seqs),
                 dir_specs=dict(target.dir_specs),
                 file_stats=dict(target.file_stats),
+                # restore the ancestor's properties with its state (a
+                # rollback undoes config changes too)
+                properties=dict(target.properties),
             )
+            payload = self._slim_snapshot_text(snap, parent)
             try:
                 with open(self._snapshot_path(seq), "x") as f:
-                    f.write(snap.to_json())
+                    f.write(payload)
             except FileExistsError:
                 continue  # lost the race; recompute against new current
             tmp = os.path.join(self.metadata_dir, f".current.{uuid.uuid4().hex}")
@@ -2247,8 +2375,10 @@ class IceTable:
                 with open(cur) as f:
                     seq = int(f.read().strip())
                 with open(os.path.join(root, name, f"snap-{seq}.json")) as f:
-                    out[name] = Snapshot.from_json(f.read()).snapshot_id
-            except (FileNotFoundError, ValueError):
+                    out[name] = _load_snapshot_payload(
+                        f.read(), os.path.join(root, name)
+                    ).snapshot_id
+            except (OSError, ValueError):
                 continue
         return out
 
@@ -2322,7 +2452,7 @@ class IceTable:
                     continue
                 try:
                     with open(os.path.join(bdir, f)) as fh:
-                        s = Snapshot.from_json(fh.read())
+                        s = _load_snapshot_payload(fh.read(), bdir)
                 except (OSError, ValueError, KeyError):
                     continue
                 out.update(s.manifest)
@@ -2595,8 +2725,33 @@ class IceTable:
                 os.remove(self._snapshot_path(s.sequence))
             except FileNotFoundError:
                 pass
+        self._gc_segments(kept)
         self._prune_empty_data_dirs()
         return sorted(removed)
+
+    def _gc_segments(
+        self, kept: list[Snapshot], *, min_age_s: float = 300.0
+    ) -> None:
+        """Reap manifest-segment files no kept snapshot references —
+        expired history's segments plus orphans from lost commit races.
+        The age guard keeps an in-flight publish's just-written segment
+        safe (its snapshot file isn't visible to us yet)."""
+        seg_dir = self._segments_dir()
+        if not os.path.isdir(seg_dir):
+            return
+        referenced: set[str] = set()
+        for s in kept:
+            referenced.update(getattr(s, "_segments", []) or [])
+        cutoff = time.time() - min_age_s
+        for name in os.listdir(seg_dir):
+            if name in referenced:
+                continue
+            p = os.path.join(seg_dir, name)
+            try:
+                if os.path.getmtime(p) <= cutoff:
+                    os.remove(p)
+            except OSError:
+                pass
 
     def remove_orphans(self, *, older_than_s: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO snapshot (e.g. staged
