@@ -886,6 +886,7 @@ class IceTable:
         inherit_schema: bool = False,
         full_manifest: list[str] | None = None,
         properties: dict | None = None,
+        fresh_segments: bool = False,
     ) -> Snapshot:
         """Optimistically commit a new snapshot referencing already-written
         data files. Pure metadata — safe to retry without rewriting data.
@@ -1111,7 +1112,8 @@ class IceTable:
             # snapshot-path CAS below stays the only commit point
             payload = self._slim_snapshot_text(
                 snap, parent,
-                fresh=replace_manifest and full_manifest is None,
+                fresh=(replace_manifest and full_manifest is None)
+                or fresh_segments,
             )
             try:
                 with open(self._snapshot_path(seq), "x") as f:
@@ -1654,6 +1656,21 @@ class IceTable:
     def properties(self) -> dict:
         snap = self.current_snapshot()
         return dict(snap.properties) if snap else {}
+
+    def rewrite_manifests(self) -> Snapshot:
+        """Consolidate the snapshot's segment chain into one fresh
+        manifest segment (Iceberg ``rewrite_manifests``): a metadata-only
+        'alter' commit — no data moves, CDC passes through. The chain
+        self-consolidates when tombstones or refs outgrow the manifest;
+        this is the explicit hook for after a burst of small commits."""
+        if not self.exists():
+            raise NoSuchTableError(self.path)
+        snap = self.current_snapshot()
+        return self._publish(
+            "alter", [], snap.schema_json, inherit_schema=True,
+            summary={"operation_detail": "rewrite-manifests"},
+            fresh_segments=True,
+        )
 
     def set_properties(self, updates: dict) -> Snapshot:
         """Metadata-only table-property change (Iceberg ``ALTER TABLE

@@ -102,6 +102,22 @@ def test_rollback_past_consolidation_covers_manifest(spark, warehouse):
     assert t2.properties() == {"write.bloom.columns": "k"}
 
 
+def test_rewrite_manifests_consolidates(spark, warehouse):
+    df = spark.range(600).select(F.col("id").alias("k"))
+    t = IceTable(spark, warehouse + "/t")
+    t.create(df.filter(F.col("k") < 100))
+    s0 = t.current_snapshot().snapshot_id
+    for i in range(1, 6):
+        t.append(df.filter((F.col("k") >= i * 100) & (F.col("k") < (i + 1) * 100)))
+    assert len(t.current_snapshot()._segments) == 6
+    t.rewrite_manifests()
+    d = json.load(open(_snap_file(t)))
+    assert d["format"] == 2 and len(d["segments"]) == 1 and d["tombstones"] == []
+    assert t.scan().count() == 600
+    # metadata-only: CDC passes straight through the alter commit
+    assert t.scan_changes(s0).count() == 500
+
+
 def test_expire_gc_reaps_unreferenced_segments(spark, warehouse):
     df = spark.range(300).select(F.col("id").alias("k"))
     t = IceTable(spark, warehouse + "/t")
