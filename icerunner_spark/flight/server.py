@@ -763,6 +763,16 @@ class IceFlightServer(flight.FlightServerBase):
                         "partition_spec": pa.array(
                             [json.dumps(spec)], pa.string()
                         ),
+                        # table properties ride along so remote readers
+                        # see write-path config (bloom/ndv columns etc.)
+                        "properties": pa.array(
+                            [
+                                json.dumps(
+                                    self.connector.table(name).properties()
+                                )
+                            ],
+                            pa.string(),
+                        ),
                     }
                 )
             )

@@ -2800,6 +2800,9 @@ class IceTable:
                         removed.append(rel)
                 except FileNotFoundError:
                     pass
+        # orphan manifest segments (lost commit races) age out here too,
+        # not only at expire time
+        self._gc_segments(self.snapshots(), min_age_s=older_than_s)
         self._prune_empty_data_dirs()
         return sorted(removed)
 
@@ -3131,12 +3134,15 @@ class IceTable:
         snapshot_id: int | None = None,
         *,
         tag: str | None = None,
+        as_of_ms: int | None = None,
         where=None,
     ) -> DataFrame:
-        """Read the table at the current (or a given) snapshot, or at a
-        named tag (`VERSION AS OF 'tag'` parity). Returns a lazy
-        DataFrame — filters/projections push into the parquet scan. Time
-        travel reads with the SNAPSHOT's schema (Iceberg semantics: each
+        """Read the table at the current (or a given) snapshot, at a
+        named tag (`VERSION AS OF 'tag'` parity), or as of a wall-clock
+        timestamp (`TIMESTAMP AS OF` parity: the newest snapshot whose
+        commit time is <= ``as_of_ms``). Returns a lazy DataFrame —
+        filters/projections push into the parquet scan. Time travel
+        reads with the SNAPSHOT's schema (Iceberg semantics: each
         snapshot pins its schema id), so a later add/drop_column doesn't
         rewrite history.
 
@@ -3146,13 +3152,22 @@ class IceTable:
         applies the same conjunction as a Catalyst filter so the result
         is exact. A selective predicate over a multi-commit table reads
         only the files whose bounds admit it — zero IO for the rest."""
+        if sum(x is not None for x in (snapshot_id, tag, as_of_ms)) > 1:
+            raise ValueError("pass at most one of snapshot_id, tag, as_of_ms")
         if tag is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id or tag, not both")
             refs = self.tags()
             if tag not in refs:
                 raise ValueError(f"no such tag: {tag}")
             snapshot_id = refs[tag]
+        if as_of_ms is not None:
+            older = [
+                s for s in self.snapshots() if s.timestamp_ms <= as_of_ms
+            ]
+            if not older:
+                raise ValueError(
+                    f"no snapshot at or before timestamp {as_of_ms}"
+                )
+            snapshot_id = older[-1].snapshot_id
         snap = (
             self.current_snapshot()
             if snapshot_id is None

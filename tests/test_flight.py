@@ -125,6 +125,11 @@ def test_get_changes_and_metadata_commands(server):
     meta = client.do_get(info.endpoints[0].ticket).read_all().to_pydict()
     assert meta["snapshot_id"][0] == c.get_current_snapshot_id("t")
     assert meta["total_rows"][0] == 3
+    # table properties ride the metadata reply (remote config visibility)
+    c.table("t").set_properties({"write.bloom.columns": "id"})
+    info = client.get_flight_info(flight.FlightDescriptor.for_command(json.dumps(cmd).encode()))
+    meta = client.do_get(info.endpoints[0].ticket).read_all().to_pydict()
+    assert json.loads(meta["properties"][0]) == {"write.bloom.columns": "id"}
 
 
 def test_sql_ticket(server):

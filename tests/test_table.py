@@ -2080,3 +2080,24 @@ def test_rollback_to_restores_exact_state(spark, warehouse):
     t.expire_snapshots(keep_last=2)
     t.remove_orphans(older_than_s=0)
     assert t.scan().count() == 11
+
+
+def test_timestamp_as_of_scan(spark, warehouse):
+    import time as _time
+
+    from icerunner_spark.table import IceTable
+
+    t = IceTable(spark, warehouse + "/asof")
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    ts1 = t.current_snapshot().timestamp_ms
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    ts2 = t.current_snapshot().timestamp_ms
+    # TIMESTAMP AS OF: newest snapshot at-or-before the cutoff
+    assert t.scan(as_of_ms=ts1).count() == 1
+    assert t.scan(as_of_ms=ts2).count() == 2
+    assert t.scan(as_of_ms=ts2 + 10_000).count() == 2
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.scan(as_of_ms=ts1 - 10_000)
+    with pytest.raises(ValueError, match="at most one"):
+        t.scan(snapshot_id=1, as_of_ms=ts1)
