@@ -44,6 +44,7 @@ like Iceberg's; the commit protocol would not change.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -184,6 +185,19 @@ class Snapshot:
         )
 
 
+@functools.lru_cache(maxsize=512)
+def _load_segment(path: str) -> tuple:
+    """(files, file_stats) of one manifest segment. Segments are
+    immutable and their uuid names are never reused, so caching by path
+    is safe across GC; history walks (snapshots(), CDC, expire) parse
+    each segment once per process instead of once per snapshot that
+    references it. Callers treat the returned structures as
+    read-only."""
+    with open(path) as f:
+        seg = json.load(f)
+    return seg["files"], seg.get("file_stats", {})
+
+
 def _load_snapshot_payload(text: str, metadata_dir: str) -> Snapshot:
     """Parse a snapshot file in either format:
 
@@ -205,10 +219,9 @@ def _load_snapshot_payload(text: str, metadata_dir: str) -> Snapshot:
     manifest: list[str] = []
     fstats: dict = {}
     for ref in d.get("segments", []):
-        with open(os.path.join(seg_dir, ref)) as f:
-            seg = json.load(f)
-        manifest.extend(seg["files"])
-        fstats.update(seg.get("file_stats", {}))
+        files, stats = _load_segment(os.path.join(seg_dir, ref))
+        manifest.extend(files)
+        fstats.update(stats)
     tomb = set(d.get("tombstones", []))
     if tomb:
         manifest = [f for f in manifest if f not in tomb]
