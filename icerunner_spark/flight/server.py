@@ -750,8 +750,13 @@ class IceFlightServer(flight.FlightServerBase):
         if op == "get_metadata":
             name = cmd["table"]
             rows, nbytes = self._table_totals(name)
-            snap_id = self.connector.get_current_snapshot_id(name)
-            spec = self.connector.table(name).partition_spec()
+            # ONE snapshot read: id, spec, and properties must describe
+            # the same table version (a commit racing between separate
+            # reads would hand mirror clients a mixed reply)
+            snap = self.connector.table(name).current_snapshot()
+            snap_id = snap.snapshot_id if snap else -1
+            spec = list(snap.partition_spec) if snap else []
+            props = dict(snap.properties) if snap else {}
             return flight.RecordBatchStream(
                 pa.table(
                     {
@@ -766,12 +771,7 @@ class IceFlightServer(flight.FlightServerBase):
                         # table properties ride along so remote readers
                         # see write-path config (bloom/ndv columns etc.)
                         "properties": pa.array(
-                            [
-                                json.dumps(
-                                    self.connector.table(name).properties()
-                                )
-                            ],
-                            pa.string(),
+                            [json.dumps(props)], pa.string()
                         ),
                     }
                 )

@@ -32,7 +32,7 @@ non-null value remains, and derives AVG as sum/nn).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window  # noqa: F401  (Window: future refreshes)
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from icerunner_spark.table import IceTable, NoSuchTableError
@@ -62,18 +62,39 @@ class IncrementalAggView:
         self.base = base
         self.keys = list(group_by)
         self.sums = dict(sums or {})
-        reserved = {"__mv_rows"} | {f"{o}__nn" for o in self.sums}
-        clash = [k for k in self.keys if k in reserved or k in self.sums]
-        if clash:
-            raise ValueError(f"group keys collide with maintained columns: {clash}")
+        # every maintained/output name must be distinct: group keys, sum
+        # names, their __nn companions, the internal row counter, and
+        # read()'s row_count output
+        names = list(self.keys) + ["__mv_rows", "row_count"]
+        for o in self.sums:
+            names += [o, f"{o}__nn"]
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        if dupes:
+            raise ValueError(
+                f"group keys / sum names collide with maintained columns: "
+                f"{dupes}"
+            )
         self.mv = IceTable(base.spark, path)
 
     # ---------- state ----------
 
     def cursor(self) -> int:
         """Base-table snapshot id the materialization reflects (stamped
-        in the summary of every commit that moved it)."""
-        for snap in reversed(self.mv.snapshots()):
+        in the summary of every commit that moved it). Every commit this
+        class makes stamps it, so the CURRENT snapshot almost always
+        answers; the fallback walks sequences newest-first one snapshot
+        at a time (never materializing the whole history)."""
+        cur = self.mv.current_snapshot()
+        if cur is None:
+            raise NoSuchTableError(self.mv.path)
+        for seq in range(cur.sequence, -1, -1):
+            try:
+                snap = (
+                    cur if seq == cur.sequence
+                    else self.mv._load_snapshot_by_seq(seq)
+                )
+            except FileNotFoundError:
+                break  # expired history: nothing older to find
             if _CURSOR_KEY in (snap.summary or {}):
                 return int(snap.summary[_CURSOR_KEY])
         raise NoSuchTableError(f"no materialization cursor at {self.mv.path}")

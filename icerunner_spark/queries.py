@@ -5289,14 +5289,20 @@ def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    lo, hi, n = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"), F.count(F.lit(1))
+    ).first()
     t = c.catalog.table("orders_bloom")
     one = orders.repartition(1)  # one file per commit, overlapping bounds
+    # size the filter to the data: ~12 bits per key per file (n/4 keys
+    # each) keeps the FP rate ~1% at ANY scale factor — a fixed nbits
+    # saturates at larger SFs and the skip (and its assert) vanishes
+    nbits = 1 << max(17, (int(n) * 3).bit_length())
     t.create(
         one.filter(F.col("o_orderkey") % 4 == 0),
         properties={
             "write.bloom.columns": "o_orderkey",
-            "write.bloom.nbits": "131072",
+            "write.bloom.nbits": str(nbits),
         },
     )
     for i in (1, 2, 3):

@@ -154,7 +154,10 @@ class Snapshot:
 
     @staticmethod
     def from_json(text: str) -> "Snapshot":
-        d = json.loads(text)
+        return Snapshot.from_dict(json.loads(text))
+
+    @staticmethod
+    def from_dict(d: dict) -> "Snapshot":
         # Legacy manifests (pre field-id) carry no id metadata: derive ids
         # positionally and leave file_mappings empty — the read path then
         # falls back to name-based resolution, the old behavior exactly.
@@ -185,17 +188,33 @@ class Snapshot:
         )
 
 
+_SEG_CACHE_MAX_BYTES = 4 << 20  # don't pin consolidated full-table segments
+
+
 @functools.lru_cache(maxsize=512)
+def _load_segment_cached(path: str) -> tuple:
+    with open(path) as f:
+        seg = json.load(f)
+    return seg["files"], seg.get("file_stats", {})
+
+
 def _load_segment(path: str) -> tuple:
     """(files, file_stats) of one manifest segment. Segments are
     immutable and their uuid names are never reused, so caching by path
     is safe across GC; history walks (snapshots(), CDC, expire) parse
     each segment once per process instead of once per snapshot that
-    references it. Callers treat the returned structures as
-    read-only."""
-    with open(path) as f:
-        seg = json.load(f)
-    return seg["files"], seg.get("file_stats", {})
+    references it. Only small (delta-sized) segments are cached — an
+    entry-count LRU doesn't bound MEMORY when a consolidated segment
+    carries a whole table's file list, so those parse uncached. Callers
+    treat the returned structures as read-only."""
+    try:
+        if os.path.getsize(path) > _SEG_CACHE_MAX_BYTES:
+            with open(path) as f:
+                seg = json.load(f)
+            return seg["files"], seg.get("file_stats", {})
+    except OSError:
+        pass  # race with GC: fall through, the open below raises cleanly
+    return _load_segment_cached(path)
 
 
 def _load_snapshot_payload(text: str, metadata_dir: str) -> Snapshot:
@@ -229,7 +248,7 @@ def _load_snapshot_payload(text: str, metadata_dir: str) -> Snapshot:
     d = dict(d)
     d["manifest"] = manifest
     d["file_stats"] = {f: s for f, s in fstats.items() if f in live}
-    snap = Snapshot.from_json(json.dumps(d))
+    snap = Snapshot.from_dict(d)
     snap._segments = list(d.get("segments", []))  # type: ignore[attr-defined]
     snap._tombstones = sorted(tomb)  # type: ignore[attr-defined]
     return snap
@@ -837,12 +856,31 @@ class IceTable:
                 else []
             )
             tomb = []
-        d = json.loads(snap.to_json())
-        del d["manifest"]
-        del d["file_stats"]
-        d["format"] = 2
-        d["segments"] = segs
-        d["tombstones"] = tomb
+        # field-by-field slim dict — never serializing the O(files)
+        # manifest/file_stats just to delete them (the whole point of
+        # the format is O(delta) commit CPU, not just O(delta) IO)
+        d = {
+            "format": 2,
+            "snapshot_id": snap.snapshot_id,
+            "sequence": snap.sequence,
+            "parent_id": snap.parent_id,
+            "timestamp_ms": snap.timestamp_ms,
+            "operation": snap.operation,
+            "added_files": snap.added_files,
+            "schema_json": snap.schema_json,
+            "summary": snap.summary,
+            "field_ids": snap.field_ids,
+            "next_field_id": snap.next_field_id,
+            "file_mappings": snap.file_mappings,
+            "partition_spec": snap.partition_spec,
+            "delete_files": snap.delete_files,
+            "eq_delete_files": snap.eq_delete_files,
+            "dir_seqs": snap.dir_seqs,
+            "dir_specs": snap.dir_specs,
+            "properties": snap.properties,
+            "segments": segs,
+            "tombstones": tomb,
+        }
         snap._segments = segs  # type: ignore[attr-defined]
         snap._tombstones = tomb  # type: ignore[attr-defined]
         return json.dumps(d)
@@ -1162,10 +1200,15 @@ class IceTable:
     # types Spark's hll_sketch_agg accepts (Datasketches HLL)
     _NDV_TYPES = ("long", "integer", "string")
     _BLOOM_K = 7  # double-hashed probes per key (~1% FP at 10 bits/key)
-    # types whose driver-side literal hash provably equals F.xxhash64
+    # types whose driver-side literal hash provably equals F.xxhash64.
+    # Session-tz TIMESTAMP is deliberately absent: Catalyst resolves a
+    # naive literal in the session timezone before hashing UTC micros,
+    # while the driver-side twin has no session context — a non-UTC
+    # session would make the bloom test the wrong key and MIS-PRUNE.
+    # date / timestamp_ntz are timezone-free and stay.
     _BLOOM_TYPES = (
         "long", "integer", "short", "byte", "string", "date",
-        "timestamp", "timestamp_ntz",
+        "timestamp_ntz",
     )
 
     def _load_write_spec(self, commit_dir: str) -> list | None:
@@ -1729,6 +1772,12 @@ class IceTable:
             dt = types.get(f.name)
             if dt is None or dt == f.dataType:
                 cols.append(F.col(f.name))
+                continue
+            if dt.simpleString() == f.dataType.simpleString():
+                # equal modulo nullability (e.g. array<string> with a
+                # different containsNull) — normalize with a cast, the
+                # pre-check behavior for these always-safe writes
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
                 continue
             ok = (dt.typeName(), f.dataType.typeName()) in self._WIDEN_OK
             if dt.typeName() == "decimal" and f.dataType.typeName() == "decimal":

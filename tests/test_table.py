@@ -2101,3 +2101,30 @@ def test_timestamp_as_of_scan(spark, warehouse):
         t.scan(as_of_ms=ts1 - 10_000)
     with pytest.raises(ValueError, match="at most one"):
         t.scan(snapshot_id=1, as_of_ms=ts1)
+
+
+def test_append_tolerates_nested_nullability_difference(spark, warehouse):
+    from icerunner_spark.table import IceTable
+    from pyspark.sql import functions as F
+
+    t = IceTable(spark, warehouse + "/arr")
+    t.create(
+        spark.createDataFrame([(1, ["a", "b"])], "id long, tags array<string>")
+    )
+    # F.array(lit) infers containsNull=false — equal modulo nullability,
+    # strictly safe to write, and must not be refused
+    t.append(
+        spark.range(1).select(
+            (F.col("id") + 10).alias("id"), F.array(F.lit("c")).alias("tags")
+        )
+    )
+    assert t.scan().count() == 2
+    # a genuinely wider type still refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not safely writable"):
+        t.append(
+            spark.createDataFrame(
+                [(3, [["x"]])], "id long, tags array<array<string>>"
+            )
+        )
