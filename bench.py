@@ -211,11 +211,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for trial in range(3):
             t0 = time.perf_counter()
             registry[name](spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
+            # heavy queries get a third trial: the throttling spikes
+            # this box shows scale with query length, so min-of-2 is
+            # noisier exactly where a regression signal matters most
+            if trial == 1 and best < 2.0:
+                break
         timings[name] = round(best, 4)
 
     timings.update(_maintenance_ops(spark, sf_dir))
