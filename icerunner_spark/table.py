@@ -1582,6 +1582,10 @@ class IceTable:
         columns would silently read back as NULL)."""
         commit_dir = f"snap-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.data_dir, commit_dir)
+        props = properties
+        if props is None:
+            snap0 = self.current_snapshot() if self.exists() else None
+            props = snap0.properties if snap0 else {}
         spec_fields = _parse_spec(partition_by or [])
         if spec_fields:
             # transform entries derive a hidden partition column (the
@@ -1593,6 +1597,18 @@ class IceTable:
                     df = df.withColumn(
                         sf.pname, _transform_expr(sf, types[sf.source])
                     )
+            # write.distribution-mode (Iceberg parity): without it, a
+            # partitioned write from N tasks opens a file in EVERY
+            # partition it touches — N x P small files at scale. 'hash'
+            # clusters rows by partition value first (one shuffle, ~1
+            # file per partition); 'range' range-partitions for sorted
+            # layouts. Default 'none' preserves task-parallel writes.
+            mode = (props or {}).get("write.distribution-mode", "none")
+            pcols = [F.col(sf.pname) for sf in spec_fields]
+            if mode == "hash":
+                df = df.repartition(*pcols)
+            elif mode == "range":
+                df = df.repartitionByRange(*pcols)
         w = df.write.mode("error")
         if spec_fields:
             w = w.partitionBy(*[sf.pname for sf in spec_fields])
@@ -1620,10 +1636,6 @@ class IceTable:
         # opt-in per-file bloom filters (write.bloom.columns): stay in a
         # commit-dir sidecar, NOT the snapshot JSON — bitmaps are KBs per
         # file-column and only equality scans ever load them
-        props = properties
-        if props is None:
-            snap0 = self.current_snapshot() if self.exists() else None
-            props = snap0.properties if snap0 else {}
         bloom_cols = [
             c.strip()
             for c in (props or {}).get("write.bloom.columns", "").split(",")

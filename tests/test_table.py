@@ -2128,3 +2128,34 @@ def test_append_tolerates_nested_nullability_difference(spark, warehouse):
                 [(3, [["x"]])], "id long, tags array<array<string>>"
             )
         )
+
+
+def test_write_distribution_mode_hash(spark, warehouse):
+    from icerunner_spark.table import IceTable
+    from pyspark.sql import functions as F
+
+    df = spark.range(4000).select(
+        (F.col("id") % 4).cast("string").alias("grp"), F.col("id").alias("v")
+    ).repartition(8)
+    # default ('none'): every task writes into every partition it
+    # touches -> up to 8 files per partition value
+    t0 = IceTable(spark, warehouse + "/none")
+    t0.create(df, partition_by=["grp"])
+    n_none = len(t0.current_snapshot().manifest)
+    assert n_none > 4
+    # hash distribution clusters rows by partition value first: one
+    # shuffle, ~one file per partition — the at-scale small-files fix
+    t1 = IceTable(spark, warehouse + "/hash")
+    t1.create(
+        df,
+        partition_by=["grp"],
+        properties={"write.distribution-mode": "hash"},
+    )
+    assert len(t1.current_snapshot().manifest) == 4
+    assert t1.scan().count() == 4000
+    # appends inherit the property
+    t1.append(df)
+    assert t1.scan().count() == 8000
+    assert len(t1.current_snapshot().manifest) == 8
+    # partition pruning still intact
+    assert len(t1.plan_files([("grp", "=", "2")])) == 2
