@@ -88,14 +88,14 @@ _DRIVER_WINDOW = [
     "flight_roundtrip_nation",
     "snapshot_mor_delete_roundtrip",
     "partitioned_table_prune",
-    "dedup_exact_documents",
+    "incremental_ann_maintenance",
     "dedup_minhash_lsh",
     "neardup_ngram_jaccard",
     "incremental_mv_refresh",
     "incremental_dedup_cdc",
     "corpus_clean_pipeline",
     "bm25_retrieval",
-    "lang_id_documents",
+    "table_ndv_stats",
     "partition_spec_evolution",
     "flight_pushdown_scan",
     "multimodal_byte_features",
@@ -5314,6 +5314,74 @@ def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         F.col("o_totalprice").cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "incremental_ann_maintenance",
+    oracle="""
+    WITH state AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE NOT (vec_id % 7 = 0 AND vec_id > 0)
+    ), q AS (
+        SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+    )
+    SELECT s.vec_id,
+           ROUND(list_cosine_similarity(s.embedding::DOUBLE[], q.qe), 6)
+               AS cos_sim
+    FROM state s, q
+    ORDER BY cos_sim DESC, s.vec_id
+    LIMIT 10
+    """,
+)
+def incremental_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index maintained from the CDC changelog
+    (operators.ann_index.IncrementalAnnIndex): build the index over half
+    the embeddings, append the rest, merge-on-read delete a key slice,
+    then advance the index with ONE refresh — an O(keys) equality delete
+    of departed ids plus an assign + merge-on-read upsert of arrivals,
+    resolved per-id by the changelog's ``_change_ordinal`` (an id
+    appended then deleted in-range nets to a removal). The index table
+    is identity-partitioned by IVF cell, so partial probes prune whole
+    partitions at planning. Here the search runs at FULL probe, making
+    it exact: top-10 by cosine through the index must equal the oracle's
+    brute-force ranking over the final base state. At 100 TB this is how
+    an ANN index follows a living corpus — refresh cost tracks the CDC
+    delta, never the corpus."""
+    from icerunner_spark.connector import Connector
+    from icerunner_spark.functions.vector import cosine_similarity
+    from icerunner_spark.operators.ann_index import IncrementalAnnIndex
+
+    wh = _demo_warehouse("icerunner_annidx_demo", sf_dir)
+    c = Connector(spark, wh)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    base = c.catalog.table("embeddings_base")
+    base.create(emb.filter(F.col("vec_id") % 2 == 0))
+    idx = IncrementalAnnIndex(base, os.path.join(wh, "ann_idx"), n_centroids=8)
+    idx.build()
+    base.append(emb.filter(F.col("vec_id") % 2 == 1))
+    base.delete_where("vec_id % 7 = 0 AND vec_id > 0", mode="merge-on-read")
+    idx.refresh()
+    assert idx.refresh() is None  # already current
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    qarr = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    # rank by the ROUNDED score on both sides so the LIMIT boundary is
+    # engine-independent under FP noise
+    return (
+        idx.index.scan()
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), qarr), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
     )
 
 

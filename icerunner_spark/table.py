@@ -3720,7 +3720,8 @@ class IceTable:
         ).select(*[f.name for f in schema.fields])
 
     def scan_changelog(
-        self, start_snapshot_id: int | None, end_snapshot_id: int | None = None
+        self, start_snapshot_id: int | None, end_snapshot_id: int | None = None,
+        *, with_ordinal: bool = False,
     ) -> DataFrame:
         """Row-level changelog over ``(start, end]`` — every row change
         as a row, with a ``_change_type`` column ('insert' | 'delete'):
@@ -3744,7 +3745,15 @@ class IceTable:
         :meth:`apply_changelog`) reproduces the end snapshot exactly:
         positions don't transfer across tables, but value multisets do.
         IO is O(changed rows): added files + the files the delete
-        coordinates reference."""
+        coordinates reference.
+
+        ``with_ordinal=True`` adds ``_change_ordinal`` (the producing
+        snapshot's sequence — Iceberg's changelog ordinal): consumers
+        that must resolve an id changed MULTIPLE times in the range
+        (e.g. inserted then deleted vs deleted then re-inserted) take
+        the row with the highest ordinal, inserts outranking deletes at
+        equal ordinal (a merge emits its delete+insert pair at one
+        sequence and the insert is the survivor)."""
         snaps = self.snapshots()
         ids = [s.snapshot_id for s in snaps]
         if start_snapshot_id is not None and start_snapshot_id not in ids:
@@ -3762,6 +3771,7 @@ class IceTable:
                 )
         started = start_snapshot_id is None
         insert_files: list[str] = []
+        insert_parts: list[tuple[int, list[str]]] = []
         insert_mappings: dict = {}
         delete_parts: list[tuple[Snapshot, list[str]]] = []
         eq_parts: list[tuple[Snapshot, Snapshot | None, list]] = []
@@ -3777,6 +3787,8 @@ class IceTable:
                     )
                 if snap.operation in ("append", "create", "merge"):
                     insert_files.extend(snap.added_files)
+                    if snap.added_files:
+                        insert_parts.append((snap.sequence, snap.added_files))
                     for f in snap.added_files:
                         d = _commit_dir_of(f)
                         if d in snap.file_mappings:
@@ -3799,19 +3811,34 @@ class IceTable:
                 break
             prev = snap
         ctx = ctx or self.current_snapshot()
-        inserts = self._read_files(
-            insert_files,
-            StructType.fromJson(json.loads(ctx.schema_json)),
-            field_ids=ctx.field_ids,
-            file_mappings=insert_mappings,
-            partition_spec=ctx.partition_spec,
-            dir_specs=ctx.dir_specs,
-        ).withColumn("_change_type", F.lit("insert"))
-        out = inserts
+        schema = StructType.fromJson(json.loads(ctx.schema_json))
+
+        def _insert_df(files):
+            return self._read_files(
+                files,
+                schema,
+                field_ids=ctx.field_ids,
+                file_mappings=insert_mappings,
+                partition_spec=ctx.partition_spec,
+                dir_specs=ctx.dir_specs,
+            ).withColumn("_change_type", F.lit("insert"))
+
+        if not with_ordinal:
+            out = _insert_df(insert_files)
+        else:
+            # one read per contributing snapshot so each carries its
+            # sequence; ranges are delta-sized, so the union stays short
+            out = _insert_df([]).withColumn("_change_ordinal", F.lit(0))
+            for seq, files in insert_parts:
+                out = out.unionByName(
+                    _insert_df(files).withColumn("_change_ordinal", F.lit(seq))
+                )
         for snap, new_dels in delete_parts:
             part = self._align_snapshot_columns(
                 self._deleted_rows_df(snap, new_dels), snap, ctx
             ).withColumn("_change_type", F.lit("delete"))
+            if with_ordinal:
+                part = part.withColumn("_change_ordinal", F.lit(snap.sequence))
             out = out.unionByName(part)
         for snap, prevsnap, new_eq in eq_parts:
             # rows an equality delete removed = the PARENT state's rows
@@ -3857,6 +3884,10 @@ class IceTable:
                 part = self._align_snapshot_columns(
                     base.join(keys, cond, "left_semi"), prevsnap, ctx
                 ).withColumn("_change_type", F.lit("delete"))
+                if with_ordinal:
+                    part = part.withColumn(
+                        "_change_ordinal", F.lit(snap.sequence)
+                    )
                 out = out.unionByName(part)
         return out
 

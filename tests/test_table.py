@@ -2159,3 +2159,29 @@ def test_write_distribution_mode_hash(spark, warehouse):
     assert len(t1.current_snapshot().manifest) == 8
     # partition pruning still intact
     assert len(t1.plan_files([("grp", "=", "2")])) == 2
+
+
+def test_changelog_ordinal_orders_in_range_changes(spark, warehouse):
+    from icerunner_spark.table import IceTable
+    from pyspark.sql import functions as F
+
+    t = IceTable(spark, warehouse + "/ord")
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    s0 = t.current_snapshot().snapshot_id
+    # id=3: inserted THEN deleted (nets to absent); id=1: deleted then
+    # re-inserted (nets to present with the new value)
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    t.delete_where("id IN (1, 3)", mode="merge-on-read")
+    t.append(spark.createDataFrame([(1, "a2")], "id long, v string"))
+    cl = t.scan_changelog(s0, with_ordinal=True)
+    assert "_change_ordinal" in cl.columns
+    rows = [
+        (r["id"], r["_change_type"], r["_change_ordinal"]) for r in cl.collect()
+    ]
+    # last change per id (max ordinal) reflects the net state
+    last = {}
+    for i, ct, o in sorted(rows, key=lambda x: x[2]):
+        last[i] = ct
+    assert last == {3: "delete", 1: "insert"}
+    # without the flag the schema is unchanged (back-compat)
+    assert "_change_ordinal" not in t.scan_changelog(s0).columns
