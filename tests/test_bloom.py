@@ -147,3 +147,55 @@ def test_bloom_rebuilt_by_compact(spark, warehouse):
     # rewritten files carry fresh sidecars under the inherited props
     assert t.plan_files([("k", "=", 999_999)]) == []
     assert t.scan(where=[("k", "=", 123)]).count() == 1
+
+
+def test_bloom_positions_numpy_python_equivalence():
+    """The write side computes probe positions vectorized in numpy; the
+    prune side recomputes them in pure Python. They must agree for any
+    signed-64 hash, or a skip could be a silent wrong answer."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from icerunner_spark.table import _bloom_positions_py
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.sampled_from([1 << 10, 1 << 14, 1 << 20]),
+    )
+    def check(h, nbits):
+        k = 7
+        hn = np.asarray([h], dtype=np.int64).astype(np.uint64)
+        lo = hn & np.uint64(0xFFFFFFFF)
+        hi = (hn >> np.uint64(32)) | np.uint64(1)
+        np_pos = [
+            int(((lo + np.uint64(j) * hi) % np.uint64(nbits)).astype(np.int64)[0])
+            for j in range(k)
+        ]
+        assert np_pos == _bloom_positions_py(h, nbits, k)
+
+    check()
+
+
+def test_bloom_no_false_negatives_property(spark, warehouse):
+    """Every value actually written must hit its file's bloom — a false
+    negative is a wrong answer, not a perf miss."""
+    from icerunner_spark.table import (
+        IceTable,
+        _bloom_may_contain,
+        _commit_dir_of,
+        _spark_xxhash64,
+    )
+
+    df = spark.range(997).select(F.col("id").alias("k")).repartition(1)
+    t = IceTable(spark, warehouse + "/fn")
+    t.create(df, properties={"write.bloom.columns": "k", "write.bloom.nbits": "16384"})
+    snap = t.current_snapshot()
+    [rel] = snap.manifest
+    ent = t._bloom_entry(snap, _commit_dir_of(rel), rel, "k")
+    assert ent is not None
+    dt = t.schema()["k"].dataType
+    for v in range(997):
+        h = _spark_xxhash64(v, dt)
+        assert _bloom_may_contain(ent["_bits"], ent["nbits"], ent["k"], h), v

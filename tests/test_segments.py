@@ -133,3 +133,20 @@ def test_expire_gc_reaps_unreferenced_segments(spark, warehouse):
     # every segment the kept snapshot references survives, scans work
     assert set(t.current_snapshot()._segments) <= live
     assert t.scan().count() == 100
+
+
+def test_properties_survive_branch_roundtrip(spark, warehouse):
+    df = spark.range(100).select(F.col("id").alias("k"))
+    t = IceTable(spark, warehouse + "/t")
+    t.create(df, properties={"write.bloom.columns": "k"})
+    t.create_branch("audit")
+    b = t.branch("audit")
+    assert b.properties() == {"write.bloom.columns": "k"}
+    b.append(spark.range(100, 150).select(F.col("id").alias("k")))
+    t.fast_forward("audit")
+    # fast-forwarded commits carry the properties back onto main, and
+    # the next main commit keeps inheriting them in slim format
+    assert t.properties() == {"write.bloom.columns": "k"}
+    t.append(spark.range(150, 160).select(F.col("id").alias("k")))
+    assert t.properties() == {"write.bloom.columns": "k"}
+    assert t.scan().count() == 160
