@@ -165,7 +165,10 @@ class IncrementalAggView:
             F.lit(-1)
         )
         d = delta.groupBy(*self.keys).agg(*self._agg_columns(sign=sign))
-        cur = self.mv.scan()
+        # pin the view state the upserts derive from; the merge below
+        # conflicts if anything commits past it (concurrent refresh)
+        mv_read = self.mv.current_snapshot()
+        cur = self.mv.scan(snapshot_id=mv_read.snapshot_id)
         # touched groups only: delta drives the join, existing state is
         # probed by key (null-safe — a NULL group key is a real group)
         merged = d.alias("d").join(
@@ -204,6 +207,7 @@ class IncrementalAggView:
             mode="merge-on-read",
             null_safe=True,
             summary={_CURSOR_KEY: str(snap.snapshot_id)},
+            require_parent_snapshot_id=mv_read.snapshot_id,
         )
 
     def full_refresh(self):

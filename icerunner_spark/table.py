@@ -1946,6 +1946,7 @@ class IceTable:
         self, updates: DataFrame, key_cols: list[str], *,
         mode: str = "copy-on-write", null_safe: bool = False,
         summary: dict | None = None,
+        require_parent_snapshot_id: int | None = None,
     ) -> Snapshot:
         """Upsert (Iceberg ``MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN
         NOT MATCHED THEN INSERT`` parity): rows in ``updates`` replace
@@ -1971,7 +1972,17 @@ class IceTable:
         includes NULL groups, e.g. materialized-view maintenance, where
         plain equality would insert a duplicate NULL-key row instead of
         updating the existing one. ``summary`` entries land in the
-        published snapshot (idempotency markers, cursors)."""
+        published snapshot (idempotency markers, cursors).
+
+        ``require_parent_snapshot_id``: read-modify-write callers
+        (materialized-view refresh, index maintenance) pass the snapshot
+        their upsert VALUES were derived from; if the table advanced
+        past it the commit raises :class:`CommitConflict` instead of
+        silently interleaving with the concurrent writer (for
+        merge-on-read that race would leave duplicate key rows — both
+        writers' appends survive with delete files that each only cover
+        the pre-race positions). Copy-on-write merges always enforce
+        this against the snapshot they rewrote."""
         from functools import reduce
         if not self.exists():
             raise NoSuchTableError(self.path)
@@ -2040,6 +2051,7 @@ class IceTable:
             "merge", files, table_schema.json(),
             summary={"operation_detail": "merge merge-on-read", **(summary or {})},
             add_delete_files=new_deletes, inherit_schema=True,
+            require_parent_snapshot_id=require_parent_snapshot_id,
         )
 
     def delete_where(

@@ -2185,3 +2185,28 @@ def test_changelog_ordinal_orders_in_range_changes(spark, warehouse):
     assert last == {3: "delete", 1: "insert"}
     # without the flag the schema is unchanged (back-compat)
     assert "_change_ordinal" not in t.scan_changelog(s0).columns
+
+
+def test_merge_mor_conflicts_on_stale_parent(spark, warehouse):
+    from icerunner_spark.table import CommitConflict, IceTable
+    from pyspark.sql import functions as F
+
+    t = IceTable(spark, warehouse + "/m")
+    t.create(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    stale = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([(3, 30)], "k long, v long"))
+    upd = spark.createDataFrame([(2, 99)], "k long, v long")
+    # a read-modify-write merge derived from the stale snapshot must
+    # conflict, not interleave
+    with pytest.raises(CommitConflict):
+        t.merge(
+            upd, ["k"], mode="merge-on-read",
+            require_parent_snapshot_id=stale,
+        )
+    # against the current snapshot it commits
+    t.merge(
+        upd, ["k"], mode="merge-on-read",
+        require_parent_snapshot_id=t.current_snapshot().snapshot_id,
+    )
+    got = {r["k"]: r["v"] for r in t.scan().collect()}
+    assert got == {1: 10, 2: 99, 3: 30}
