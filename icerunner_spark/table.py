@@ -126,6 +126,11 @@ class Snapshot:
     # ``write.bloom.columns`` — per-file bloom filters for planning-time
     # equality skipping).
     properties: dict = field(default_factory=dict)
+    # Initial column defaults (Iceberg v3 ``initial-default`` parity):
+    # {field_id(str): JSON-encoded value}. Rows in files written BEFORE
+    # the column existed read the default instead of NULL — add_column
+    # with a default stays metadata-only, no backfill rewrite.
+    field_defaults: dict = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -149,6 +154,7 @@ class Snapshot:
                 "dir_specs": self.dir_specs,
                 "file_stats": self.file_stats,
                 "properties": self.properties,
+                "field_defaults": self.field_defaults,
             }
         )
 
@@ -185,6 +191,7 @@ class Snapshot:
             dir_specs=d.get("dir_specs", {}),
             file_stats=d.get("file_stats", {}),
             properties=d.get("properties", {}),
+            field_defaults=d.get("field_defaults", {}),
         )
 
 
@@ -878,6 +885,7 @@ class IceTable:
             "dir_seqs": snap.dir_seqs,
             "dir_specs": snap.dir_specs,
             "properties": snap.properties,
+            "field_defaults": snap.field_defaults,
             "segments": segs,
             "tombstones": tomb,
         }
@@ -938,6 +946,7 @@ class IceTable:
         full_manifest: list[str] | None = None,
         properties: dict | None = None,
         fresh_segments: bool = False,
+        defaults_evolve=None,
     ) -> Snapshot:
         """Optimistically commit a new snapshot referencing already-written
         data files. Pure metadata — safe to retry without rewriting data.
@@ -1136,6 +1145,14 @@ class IceTable:
                 if properties is not None
                 else (dict(parent.properties) if parent else {})
             )
+            # column defaults inherit; ``defaults_evolve`` (add_column)
+            # runs INSIDE the retry loop so it attaches to the id the
+            # WINNING evolve assigned; dropped fids prune out
+            dfl = dict(parent.field_defaults) if parent else {}
+            if defaults_evolve is not None:
+                dfl = defaults_evolve(field_ids, dfl)
+            live_fids = {str(v) for v in field_ids.values()}
+            dfl = {k: v for k, v in dfl.items() if k in live_fids}
             snap = Snapshot(
                 snapshot_id=_new_snapshot_id(),
                 sequence=seq,
@@ -1156,6 +1173,7 @@ class IceTable:
                 dir_specs=dspecs,
                 file_stats=fstats,
                 properties=props,
+                field_defaults=dfl,
             )
             # slim write: the commit's metadata IO is O(added files),
             # not O(table files) — a losing attempt's segment file is an
@@ -2342,6 +2360,7 @@ class IceTable:
                 # restore the ancestor's properties with its state (a
                 # rollback undoes config changes too)
                 properties=dict(target.properties),
+                field_defaults=dict(target.field_defaults),
             )
             payload = self._slim_snapshot_text(snap, parent)
             try:
@@ -2928,6 +2947,7 @@ class IceTable:
         file_mappings: dict | None = None,
         partition_spec: list | None = None,
         dir_specs: dict | None = None,
+        field_defaults: dict | None = None,
         with_pos: bool = False,
     ) -> DataFrame:
         """Read data files resolving columns BY FIELD ID: each file group's
@@ -3016,10 +3036,19 @@ class IceTable:
                     "basePath", os.path.join(self.data_dir, d)
                 )
             df = reader.parquet(*paths)
+            dfl = field_defaults or {}
+
+            def _absent(fld):
+                # column added after this file was written: initial-
+                # default when declared (v3 metadata-only backfill),
+                # typed NULL otherwise
+                v = dfl.get(str(field_ids.get(fld.name)))
+                return F.lit(v).cast(fld.dataType).alias(fld.name)
+
             cols = [
                 F.col(phys).alias(fld.name)
                 if phys is not None
-                else F.lit(None).cast(fld.dataType).alias(fld.name)
+                else _absent(fld)
                 for phys, fld in zip(key, schema.fields)
             ]
             if with_pos:
@@ -3292,6 +3321,7 @@ class IceTable:
             file_mappings=snap.file_mappings,
             partition_spec=snap.partition_spec,
             dir_specs=snap.dir_specs,
+            field_defaults=snap.field_defaults,
             with_pos=need_pos,
         )
         if snap.delete_files:
@@ -3365,12 +3395,18 @@ class IceTable:
 
     # ---------- schema evolution (Iceberg ALTER TABLE parity) ----------
 
-    def add_column(self, name: str, dtype: str) -> Snapshot:
+    def add_column(
+        self, name: str, dtype: str, *, default=None
+    ) -> Snapshot:
         """Metadata-only ADD COLUMN (Iceberg `ALTER TABLE ... ADD COLUMN`):
         publishes an `alter` snapshot whose schema gains a nullable column;
-        no data file is touched — existing files read the column as NULL.
+        no data file is touched — existing files read the column as NULL,
+        or as ``default`` when given (Iceberg v3 ``initial-default``: a
+        metadata-only backfill — rows written BEFORE the column existed
+        read the default, rows written after carry their own values).
         Later appends must supply it. `dtype` is a Spark DDL type string
-        ("double", "array<string>", ...)."""
+        ("double", "array<string>", ...); scalar defaults only (JSON
+        natives ride as-is, temporals/decimals as castable strings)."""
         from pyspark.sql.types import StructField, _parse_datatype_string
 
         schema = self.schema()
@@ -3389,10 +3425,22 @@ class IceTable:
             raise ValueError(
                 f"column name collides with a derived partition column: {name}"
             )
+        enc = None
+        if default is not None:
+            enc = (
+                default
+                if isinstance(default, (int, float, str, bool))
+                else str(default)
+            )
         return self._publish(
             "alter", [], new_schema.json(),
             summary={"operation_detail": f"add_column {name} {dtype}"},
             evolve=lambda fids, nid: ({**fids, name: nid}, nid + 1),
+            defaults_evolve=(
+                None
+                if enc is None
+                else (lambda fids, dfl: {**dfl, str(fids[name]): enc})
+            ),
         )
 
     def _live_specs(self) -> list[list]:
@@ -3670,6 +3718,7 @@ class IceTable:
             file_mappings=mappings,
             partition_spec=ctx.partition_spec,
             dir_specs=ctx.dir_specs,
+            field_defaults=ctx.field_defaults,
         )
         return df.where(_predicates_to_column(preds)) if preds else df
 
@@ -3713,6 +3762,7 @@ class IceTable:
             file_mappings=snap.file_mappings,
             partition_spec=snap.partition_spec,
             dir_specs=snap.dir_specs,
+            field_defaults=snap.field_defaults,
             with_pos=True,
         )
         dels = (
@@ -3833,6 +3883,7 @@ class IceTable:
                 file_mappings=insert_mappings,
                 partition_spec=ctx.partition_spec,
                 dir_specs=ctx.dir_specs,
+                field_defaults=ctx.field_defaults,
             ).withColumn("_change_type", F.lit("insert"))
 
         if not with_ordinal:

@@ -2210,3 +2210,45 @@ def test_merge_mor_conflicts_on_stale_parent(spark, warehouse):
     )
     got = {r["k"]: r["v"] for r in t.scan().collect()}
     assert got == {1: 10, 2: 99, 3: 30}
+
+
+def test_add_column_with_initial_default(spark, warehouse):
+    import datetime
+
+    from icerunner_spark.table import IceTable
+    from pyspark.sql import functions as F
+
+    t = IceTable(spark, warehouse + "/dflt")
+    t.create(spark.createDataFrame([(1,), (2,)], "id long"))
+    t.add_column("score", "double", default=0.5)
+    t.add_column("since", "date", default=datetime.date(2020, 1, 2))
+    t.add_column("note", "string")  # no default -> NULL as before
+    # metadata-only backfill: old rows read the defaults
+    got = {r["id"]: (r["score"], r["since"], r["note"]) for r in t.scan().collect()}
+    assert got == {
+        1: (0.5, datetime.date(2020, 1, 2), None),
+        2: (0.5, datetime.date(2020, 1, 2), None),
+    }
+    # new writes carry their own values; old files keep the default
+    t.append(
+        spark.createDataFrame(
+            [(3, 9.0, datetime.date(2024, 5, 6), "x")],
+            "id long, score double, since date, note string",
+        )
+    )
+    got = {r["id"]: r["score"] for r in t.scan().collect()}
+    assert got == {1: 0.5, 2: 0.5, 3: 9.0}
+    # time travel BEFORE the add_column sees neither column
+    first = t.snapshots()[0]
+    assert [f.name for f in t.scan(snapshot_id=first.snapshot_id).schema.fields] == ["id"]
+    # rename keeps the default (field-id keyed), drop removes it
+    t.rename_column("score", "quality")
+    assert {r["id"]: r["quality"] for r in t.scan().collect()} == {1: 0.5, 2: 0.5, 3: 9.0}
+    t.drop_column("quality")
+    assert t.current_snapshot().field_defaults.keys().isdisjoint([])  # still a dict
+    # re-added same name gets a FRESH id: no default resurrects
+    t.add_column("quality", "double")
+    assert {r["id"]: r["quality"] for r in t.scan().collect()} == {1: None, 2: None, 3: None}
+    # changelog inserts read defaults too
+    cl = t.scan_changelog(first.snapshot_id)
+    assert {r["id"]: r["since"] for r in cl.collect()}[3] == datetime.date(2024, 5, 6)
