@@ -762,6 +762,36 @@ def json_events_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_events_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_odd_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_events_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of semi-structured data: parse_json
+    turns the props string into a binary VARIANT once, and typed
+    variant_get paths extract without per-access string re-parsing —
+    the engine-native semi-structured path (get_json_object re-parses
+    the string per call; at 100 TB a table would store the VARIANT
+    column itself and pay parsing once at ingest). The oracle extracts
+    the same paths through DuckDB's JSON functions."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.sum(F.when(k % 2 == 1, 1).otherwise(0)).cast("bigint").alias("n_odd_k"),
+    )
+
+
+@register(
     "array_embedding_norms",
     oracle="""
     SELECT label,
