@@ -173,11 +173,19 @@ class IncrementalAnnIndex:
                 ),
                 cents,
             )
+            # conflict-guarded against a concurrent refresher: a stale
+            # refresh committing second would move the cursor BACKWARDS
+            # (the newest summary wins) and interleaved merges could
+            # leave duplicate id rows — conflict and retry instead
+            idx_read = self.index.current_snapshot()
             return self.index.merge(
                 arrivals,
                 [self.id_col],
                 mode="merge-on-read",
                 summary={_CURSOR_KEY: str(snap.snapshot_id)},
+                require_parent_snapshot_id=(
+                    idx_read.snapshot_id if idx_read else None
+                ),
             )
         finally:
             last.unpersist()
