@@ -143,21 +143,29 @@ def _apply_changelog_stream(
 
 def _source_fields(client: flight.FlightClient, source_table: str):
     """Source schema via the get_schema command as ``[(field_id_or_None,
-    name, arrow_type)]`` in schema order. Field ids ride in Arrow field
-    metadata (``ICE:field_id``, flight/server.py); a server that doesn't
-    send them yields ids of None and the caller falls back to name-diffs."""
+    name, arrow_type, initial_default_or_None)]`` in schema order. Field
+    ids and initial column defaults ride in Arrow field metadata
+    (``ICE:field_id`` / ``ICE:default``, flight/server.py); a server that
+    doesn't send them yields ids of None and the caller falls back to
+    name-diffs (defaults then replay as None — pre-evolution rows on the
+    mirror read NULL, the best a default-blind server allows)."""
     reader = _command_reader(
         client, {"command": "get_schema", "table": source_table}
     )
     out = []
     for f in reader.schema:
-        fid = None
+        fid = dfl = None
         if f.metadata and b"ICE:field_id" in f.metadata:
             try:
                 fid = int(f.metadata[b"ICE:field_id"].decode())
             except ValueError:
                 fid = None
-        out.append((fid, f.name, f.type))
+        if f.metadata and b"ICE:default" in f.metadata:
+            try:
+                dfl = json.loads(f.metadata[b"ICE:default"].decode())
+            except ValueError:
+                dfl = None
+        out.append((fid, f.name, f.type, dfl))
     return out
 
 
@@ -180,11 +188,11 @@ def _evolve_target_schema(
     overwrite resync, which converges regardless."""
     t = connector.table(target_table)
     tgt_names = [f.name for f in t.schema().fields]
-    cur_names = [n for _, n, _ in fields]
-    has_ids = bool(fields) and all(i is not None for i, _, _ in fields)
+    cur_names = [n for _, n, _t, _d in fields]
+    has_ids = bool(fields) and all(i is not None for i, _, _t, _d in fields)
     if has_ids and prev_ids:
-        cur = {str(i): (n, typ) for i, n, typ in fields}
-        if {f: n for f, (n, _t) in cur.items()} == prev_ids:
+        cur = {str(i): (n, typ, dfl) for i, n, typ, dfl in fields}
+        if {f: n for f, (n, _t, _d) in cur.items()} == prev_ids:
             return  # no id-level change (a name-set compare would miss a swap-rename)
         for fid, old_name in prev_ids.items():
             if fid not in cur:
@@ -195,16 +203,16 @@ def _evolve_target_schema(
                 t.drop_column(old_name)
         renames = [
             (prev_ids[fid], n, fid)
-            for fid, (n, _typ) in cur.items()
+            for fid, (n, _typ, _d) in cur.items()
             if fid in prev_ids and prev_ids[fid] != n
         ]
         for old, _new, fid in renames:
             t.rename_column(old, f"__mirror_tmp_{fid}")
         for _old, new, fid in renames:
             t.rename_column(f"__mirror_tmp_{fid}", new)
-        for fid, (n, typ) in cur.items():
+        for fid, (n, typ, dfl) in cur.items():
             if fid not in prev_ids:
-                t.add_column(n, _arrow_type_ddl(typ))
+                t.add_column(n, _arrow_type_ddl(typ), default=dfl)
     else:
         if set(cur_names) == set(tgt_names):
             return  # without ids a same-name-set change is undetectable
@@ -216,9 +224,9 @@ def _evolve_target_schema(
             )
         for n in removed:
             t.drop_column(n)
-        for _fid, n, typ in fields:
+        for _fid, n, typ, dfl in fields:
             if n in added:
-                t.add_column(n, _arrow_type_ddl(typ))
+                t.add_column(n, _arrow_type_ddl(typ), default=dfl)
     if {f.name for f in t.schema().fields} != set(cur_names):
         raise RuntimeError("schema sync did not converge")
 
@@ -441,8 +449,8 @@ def perform_sync(
             # id->name map of the source schema this pass synced to; the
             # next pass diffs against it to replay schema evolution
             "source_field_ids": (
-                {str(i): n for i, n, _t in src_fields}
-                if src_fields and all(i is not None for i, _, _ in src_fields)
+                {str(i): n for i, n, _t, _d in src_fields}
+                if src_fields and all(i is not None for i, _, _t, _d in src_fields)
                 else None
             ),
         },

@@ -171,6 +171,15 @@ class IceFlightServer(flight.FlightServerBase):
             # target metadata-only instead of a full resync.
             fid = snap.field_ids.get(fld.name)
             meta = {b"ICE:field_id": str(fid).encode()} if fid is not None else None
+            # carry the initial default over the wire: mirrors replay
+            # add_column metadata-only, and pre-evolution rows never
+            # re-ship through the changelog — without this the mirror
+            # permanently reads NULL where the source reads the default
+            dflv = (getattr(snap, "field_defaults", None) or {}).get(str(fid))
+            if meta is not None and dflv is not None:
+                import json as _json
+
+                meta[b"ICE:default"] = _json.dumps(dflv).encode()
             fields.append(
                 pa.field(
                     fld.name,
@@ -310,6 +319,16 @@ class IceFlightServer(flight.FlightServerBase):
             )
         out_schema = self._logical_arrow_schema(t, snap)
         types = {f.name: f.dataType for f in schema.fields}
+        # initial column defaults (add_column(default=)): columns absent
+        # from a group's files serve the default, NOT null — same answer
+        # as IceTable.scan. Keyed by logical name via the field ids.
+        _dfl = getattr(snap, "field_defaults", None) or {}
+        _fids = snap.field_ids or {}
+        defaults = {
+            f.name: _dfl[str(_fids[f.name])]
+            for f in schema.fields
+            if f.name in _fids and str(_fids[f.name]) in _dfl
+        }
 
         def _const(val_str, n, typ):
             """Group-constant partition column as a typed Arrow array."""
@@ -333,11 +352,18 @@ class IceFlightServer(flight.FlightServerBase):
                     col, op, val = pred
                     if col in rename:
                         file_preds.append(pred)
-                    elif not self._const_satisfies(
-                        pvals.get(col), op, val, types[col]
-                    ):
-                        skip = True
-                        break
+                    else:
+                        # group-constant value: the hive partition value,
+                        # or — for a column added after this group was
+                        # written — its declared initial default
+                        pv = pvals.get(col)
+                        if col not in pvals and col in defaults:
+                            pv = str(defaults[col])
+                        if not self._const_satisfies(
+                            pv, op, val, types[col]
+                        ):
+                            skip = True
+                            break
                 if skip:
                     continue
                 footer = pq.read_schema(files[0])
@@ -361,6 +387,10 @@ class IceFlightServer(flight.FlightServerBase):
                             arrays.append(batch.column(idx[p]))
                         elif l in pvals:
                             arrays.append(_const(pvals[l], batch.num_rows, typ))
+                        elif l in defaults:
+                            arrays.append(
+                                pa.array([defaults[l]] * batch.num_rows).cast(typ)
+                            )
                         else:
                             arrays.append(pa.nulls(batch.num_rows, type=typ))
                     yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)

@@ -80,17 +80,24 @@ class IncrementalAggView:
 
     def cursor(self) -> int:
         """Base-table snapshot id the materialization reflects (stamped
-        in the summary of every commit that moved it). Every commit this
-        class makes stamps it, so the CURRENT snapshot almost always
-        answers; the fallback walks sequences newest-first one snapshot
-        at a time (never materializing the whole history)."""
+        in the summary of every commit that moved it)."""
         cur = self.mv.current_snapshot()
         if cur is None:
             raise NoSuchTableError(self.mv.path)
-        for seq in range(cur.sequence, -1, -1):
+        return self._cursor_from(cur)
+
+    def _cursor_from(self, pinned) -> int:
+        """Cursor as of the PINNED view snapshot — refresh derives both
+        its read state and its conflict guard from the same pin, so a
+        concurrent refresh committing in between cannot slip a newer
+        state (and its already-applied delta) under this one. Every
+        commit this class makes stamps the cursor, so the pinned
+        snapshot almost always answers; the fallback walks sequences
+        newest-first one snapshot at a time."""
+        for seq in range(pinned.sequence, -1, -1):
             try:
                 snap = (
-                    cur if seq == cur.sequence
+                    pinned if seq == pinned.sequence
                     else self.mv._load_snapshot_by_seq(seq)
                 )
             except FileNotFoundError:
@@ -154,7 +161,14 @@ class IncrementalAggView:
         Raises ``ValueError`` if the range crosses an overwrite/rollback
         (no row-level diff exists) — call :meth:`full_refresh`.
         """
-        start = self.cursor()
+        # ONE pin drives the whole read-modify-write: cursor, state scan,
+        # and conflict guard all come from mv_read — a concurrent
+        # refresh landing anywhere in between makes the commit conflict
+        # instead of double-applying the overlapping delta
+        mv_read = self.mv.current_snapshot()
+        if mv_read is None:
+            raise NoSuchTableError(self.mv.path)
+        start = self._cursor_from(mv_read)
         snap = self.base.current_snapshot()
         if snap is None:
             raise NoSuchTableError(self.base.path)
@@ -165,9 +179,6 @@ class IncrementalAggView:
             F.lit(-1)
         )
         d = delta.groupBy(*self.keys).agg(*self._agg_columns(sign=sign))
-        # pin the view state the upserts derive from; the merge below
-        # conflicts if anything commits past it (concurrent refresh)
-        mv_read = self.mv.current_snapshot()
         cur = self.mv.scan(snapshot_id=mv_read.snapshot_id)
         # touched groups only: delta drives the join, existing state is
         # probed by key (null-safe — a NULL group key is a real group)

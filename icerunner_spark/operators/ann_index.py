@@ -76,10 +76,15 @@ class IncrementalAnnIndex:
         cur = self.index.current_snapshot()
         if cur is None:
             raise NoSuchTableError(self.index.path)
-        for seq in range(cur.sequence, -1, -1):
+        return self._cursor_from(cur)
+
+    def _cursor_from(self, pinned) -> int:
+        """Cursor as of the PINNED index snapshot (refresh anchors its
+        conflict guards on the same pin)."""
+        for seq in range(pinned.sequence, -1, -1):
             try:
                 snap = (
-                    cur if seq == cur.sequence
+                    pinned if seq == pinned.sequence
                     else self.index._load_snapshot_by_seq(seq)
                 )
             except FileNotFoundError:
@@ -135,7 +140,14 @@ class IncrementalAnnIndex:
         changelog: equality-delete departed ids (O(keys), no index
         read), assign + merge-on-read upsert arrivals, cursor on the
         final commit. Returns that snapshot, or None when current."""
-        start = self.cursor()
+        # ONE pin drives the whole read-modify-write: the cursor and the
+        # conflict guards on BOTH commits chain from idx_read, so a
+        # concurrent refresher landing anywhere in the span conflicts
+        # instead of moving the cursor backwards / interleaving rows
+        idx_read = self.index.current_snapshot()
+        if idx_read is None:
+            raise NoSuchTableError(self.index.path)
+        start = self._cursor_from(idx_read)
         snap = self.base.current_snapshot()
         if snap is None:
             raise NoSuchTableError(self.base.path)
@@ -165,27 +177,26 @@ class IncrementalAnnIndex:
             gone = last.filter(F.col("_change_type") == "delete").select(
                 self.id_col
             )
+            expected = idx_read.snapshot_id
             if gone.limit(1).count():
-                self.index.delete_rows(gone, [self.id_col], mode="equality")
+                dsnap = self.index.delete_rows(
+                    gone, [self.id_col], mode="equality",
+                    require_parent_snapshot_id=expected,
+                )
+                if dsnap is not None:
+                    expected = dsnap.snapshot_id
             arrivals = self._assigned(
                 last.filter(F.col("_change_type") == "insert").select(
                     self.id_col, self.vec_col
                 ),
                 cents,
             )
-            # conflict-guarded against a concurrent refresher: a stale
-            # refresh committing second would move the cursor BACKWARDS
-            # (the newest summary wins) and interleaved merges could
-            # leave duplicate id rows — conflict and retry instead
-            idx_read = self.index.current_snapshot()
             return self.index.merge(
                 arrivals,
                 [self.id_col],
                 mode="merge-on-read",
                 summary={_CURSOR_KEY: str(snap.snapshot_id)},
-                require_parent_snapshot_id=(
-                    idx_read.snapshot_id if idx_read else None
-                ),
+                require_parent_snapshot_id=expected,
             )
         finally:
             last.unpersist()

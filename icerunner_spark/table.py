@@ -2012,6 +2012,17 @@ class IceTable:
         if dupes:
             raise ValueError("updates contain duplicate merge keys")
         snap = self.current_snapshot()
+        if (
+            require_parent_snapshot_id is not None
+            and snap.snapshot_id != require_parent_snapshot_id
+        ):
+            # the caller derived `updates` from that snapshot; honor the
+            # pin in BOTH modes (copy-on-write would otherwise substitute
+            # its own freshly-read id and silently commit stale work)
+            raise CommitConflict(
+                f"table advanced past snapshot {require_parent_snapshot_id} "
+                f"(now {snap.snapshot_id}); recompute and retry"
+            )
         table_schema = StructType.fromJson(json.loads(snap.schema_json))
         updates = self._align_df_to_schema(updates, table_schema)
         keys_df = updates.select(*key_cols).distinct()
@@ -2208,7 +2219,8 @@ class IceTable:
         )
 
     def delete_rows(
-        self, keys: DataFrame, key_cols: list[str], *, mode: str = "merge-on-read"
+        self, keys: DataFrame, key_cols: list[str], *, mode: str = "merge-on-read",
+        require_parent_snapshot_id: int | None = None,
     ) -> Snapshot | None:
         """Row-level DELETE by a KEY SET (a DataFrame of key columns)
         instead of a predicate — the shape a dedup/maintenance pass
@@ -2265,6 +2277,7 @@ class IceTable:
                 summary={"operation_detail": f"delete equality keys={key_cols}"},
                 add_eq_delete_files=[(paths, fids)],
                 inherit_schema=True,
+                require_parent_snapshot_id=require_parent_snapshot_id,
             )
         if mode == "copy-on-write":
             kept = self._scan_snapshot(snap).join(
@@ -3432,6 +3445,23 @@ class IceTable:
                 if isinstance(default, (int, float, str, bool))
                 else str(default)
             )
+            # eagerly evaluate the exact expression every scan will run
+            # (F.lit(enc).cast(dtype)) — a non-castable default must be
+            # rejected HERE, not surface later as an ANSI cast error (or
+            # a silent NULL) on every read of a committed table
+            try:
+                probe = self.spark.range(1).select(
+                    F.lit(enc).cast(dtype).alias("v")
+                ).first()
+            except Exception as e:
+                raise ValueError(
+                    f"default {default!r} is not castable to {dtype}: {e}"
+                ) from None
+            if probe["v"] is None:
+                raise ValueError(
+                    f"default {default!r} casts to NULL as {dtype}; "
+                    "omit default= for a NULL-backfilled column"
+                )
         return self._publish(
             "alter", [], new_schema.json(),
             summary={"operation_detail": f"add_column {name} {dtype}"},

@@ -692,6 +692,65 @@ def test_do_get_serves_renamed_columns(spark, server):
     assert got.schema.names == ["id", "label", "score"]
 
 
+def test_do_get_serves_initial_defaults(spark, server):
+    """Initial column defaults over the wire: files written BEFORE
+    add_column(default=) serve the default (not NULL) on every Flight
+    read path, and pushdown predicates on the default column evaluate
+    against the default — same answers as IceTable.scan."""
+    c = server.connector
+    c.create_table("dflt", _writer_table([1, 2], ["a", "b"]))
+    t = c.table("dflt")
+    t.add_column("score", "double", default=0.5)
+    t.append(
+        spark.createDataFrame([(3, "c", 9.0)], "id long, value string, score double")
+    )
+
+    out = read_table_once("127.0.0.1", server.port, "dflt")
+    rows = {r["id"]: r["score"] for r in out.to_pylist()}
+    assert rows == {1: 0.5, 2: 0.5, 3: 9.0}
+
+    client = _client(server)
+
+    def _scan(where):
+        reader = client.do_get(
+            flight.Ticket(
+                json.dumps(
+                    {"command": "scan", "table": "dflt", "where": where}
+                ).encode()
+            )
+        )
+        return {r["id"]: r["score"] for r in reader.read_all().to_pylist()}
+
+    # = on the default keeps the pre-evolution group (rows match via the
+    # default); IS NULL matches nothing; > excludes the default rows
+    assert _scan([["score", "=", 0.5]]) == {1: 0.5, 2: 0.5}
+    assert _scan([["score", "is_null", None]]) == {}
+    assert _scan([["score", ">", 1.0]]) == {3: 9.0}
+    assert _scan([["score", "is_not_null", None]]) == {1: 0.5, 2: 0.5, 3: 9.0}
+
+
+def test_mirror_replays_add_column_default(spark, server, tmp_path):
+    """add_column(default=) reaches the mirror metadata-only: the
+    ICE:default field metadata carries the encoded default, and the
+    replayed add_column backfills the mirror's pre-evolution rows —
+    without it they'd permanently read NULL (old rows never re-ship)."""
+    src = server.connector
+    src.create_table("evd", _writer_table([1, 2], ["a", "b"]))
+    target_wh = str(tmp_path / "target_wh")
+    url = f"grpc://127.0.0.1:{server.port}/evd"
+    assert run_mirror(url, target_table="evd_m", warehouse_path=target_wh,
+                      continuous=False, spark=spark) == 2
+
+    src.table("evd").add_column("score", "double", default=0.5)
+    assert run_mirror(url, target_table="evd_m", warehouse_path=target_wh,
+                      continuous=False, spark=spark) == 0
+    tgt = Connector(spark, target_wh)
+    out = {r["id"]: r["score"] for r in tgt.query("evd_m").to_pylist()}
+    assert out == {1: 0.5, 2: 0.5}
+    state = SyncState(target_wh).get_last_sync_state(url, "evd_m")
+    assert state["last_sync_status"] == "success"
+
+
 def test_mirror_replays_schema_evolution(spark, server, tmp_path):
     """Source schema evolution reaches the mirror target METADATA-ONLY:
     a rename with no new rows converges without moving data; add_column

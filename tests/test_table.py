@@ -857,6 +857,51 @@ def test_commit_conflict_stale_positional_deletes(spark, warehouse):
     assert t.current_snapshot().delete_files == []
 
 
+def test_merge_honors_caller_parent_pin_both_modes(spark, warehouse):
+    """merge(require_parent_snapshot_id=X) must conflict when the table
+    advanced past X in BOTH modes — the copy-on-write branch used to
+    substitute its own freshly-read snapshot id, silently committing
+    updates derived from stale state (r5 review finding)."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "merge_pin"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    pinned = t.current_snapshot()
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    upd = spark.createDataFrame([(2, "B")], "id long, v string")
+    for mode in ("copy-on-write", "merge-on-read"):
+        with pytest.raises(CommitConflict, match="advanced past"):
+            t.merge(
+                upd, ["id"], mode=mode,
+                require_parent_snapshot_id=pinned.snapshot_id,
+            )
+    # nothing committed; a current pin succeeds
+    assert {r.id: r.v for r in t.scan().collect()} == {1: "a", 2: "b", 3: "c"}
+    t.merge(
+        upd, ["id"], mode="copy-on-write",
+        require_parent_snapshot_id=t.current_snapshot().snapshot_id,
+    )
+    assert {r.id: r.v for r in t.scan().collect()} == {1: "a", 2: "B", 3: "c"}
+
+
+def test_add_column_rejects_uncastable_default(spark, warehouse):
+    """A default that doesn't cast to the declared dtype must be
+    rejected AT add_column time — committed, it would make every later
+    scan raise (ANSI) or silently NULL-backfill (non-ANSI)."""
+    import os
+
+    t = IceTable(spark, os.path.join(warehouse, "bad_dflt"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    before = t.current_snapshot().snapshot_id
+    with pytest.raises(ValueError, match="castable|NULL"):
+        t.add_column("score", "double", default="abc")
+    with pytest.raises(ValueError, match="castable|NULL"):
+        t.add_column("xs", "array<int>", default=[1, 2])
+    # nothing was committed and the table still scans
+    assert t.current_snapshot().snapshot_id == before
+    assert t.scan().count() == 1
+
+
 def test_staged_append_survives_concurrent_rename(spark, warehouse):
     """A rename committing between stage_append and publish_append must
     neither revert the rename nor NULL the staged columns: the staged
@@ -2244,8 +2289,13 @@ def test_add_column_with_initial_default(spark, warehouse):
     # rename keeps the default (field-id keyed), drop removes it
     t.rename_column("score", "quality")
     assert {r["id"]: r["quality"] for r in t.scan().collect()} == {1: 0.5, 2: 0.5, 3: 9.0}
+    qfid = t.current_snapshot().field_ids["quality"]
+    sfid = t.current_snapshot().field_ids["since"]
     t.drop_column("quality")
-    assert t.current_snapshot().field_defaults.keys().isdisjoint([])  # still a dict
+    # drop prunes the dead field's default; the live one survives
+    dfl = t.current_snapshot().field_defaults
+    assert str(qfid) not in dfl
+    assert str(sfid) in dfl
     # re-added same name gets a FRESH id: no default resurrects
     t.add_column("quality", "double")
     assert {r["id"]: r["quality"] for r in t.scan().collect()} == {1: None, 2: None, 3: None}
