@@ -37,10 +37,10 @@ def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     """(word, cnt) — the one corpus-scaled pass of BPE training. Token
     skew (stopwords shared by every doc) is absorbed by the partial
     aggregate; only (word, partial-count) rows shuffle."""
-    spread = max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        df.rdd.getNumPartitions(),
-    )
+    # defaultParallelism alone: touching .rdd (getNumPartitions) would
+    # force an analysis pass and break pure-DataFrame lineage for what is
+    # only a sizing hint
+    spread = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.repartition(spread)
         .select(F.explode(tokens(text_col)).alias("word"))

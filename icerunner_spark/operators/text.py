@@ -125,10 +125,10 @@ def winnowing_fingerprint_table(
     parallelism spread for compact document tables."""
     from icerunner_spark.functions.text import char_ngrams, normalize_ws
 
-    spread = max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        df.rdd.getNumPartitions(),
-    )
+    # defaultParallelism alone: touching .rdd (getNumPartitions) would
+    # force an analysis pass and break pure-DataFrame lineage for what is
+    # only a sizing hint
+    spread = df.sparkSession.sparkContext.defaultParallelism
     hashed = (
         df.repartition(spread, id_col)
         # materialize the normalization before the gram lambda
