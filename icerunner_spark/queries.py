@@ -100,7 +100,7 @@ _DRIVER_WINDOW = [
     "flight_pushdown_scan",
     "multimodal_byte_features",
     "unigram_logprob_quality",
-    "token_budget_mixture",
+    "dynamic_file_prune_join",  # r5 new: dim-driven fact-file skipping
     "clustered_compact_scan",
     "stream_join_view_purchases",
     "wap_branch_publish",
@@ -5344,6 +5344,74 @@ def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         F.col("o_totalprice").cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "dynamic_file_prune_join",
+    oracle="""
+    WITH cut AS (SELECT MAX(o_orderkey) // 5 AS c FROM orders)
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderkey > 4 * (SELECT c FROM cut)
+    GROUP BY o_orderpriority
+    """,
+)
+def dynamic_file_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic file pruning on a star join (operators.dfp): lineitem
+    lands in three commits covering disjoint l_orderkey ranges (the
+    key-ordered ingest every time-series fact table has), then a
+    selective orders-side filter drives the join. dim_join_predicates
+    collects the dim's bounded key set (or just its [min, max] past
+    ``max_keys``) and plans the fact scan through the manifest's
+    per-file bounds — the two non-matching commits are skipped at
+    PLANNING, zero IO, before Catalyst sees a reader; the residual
+    filter plus the join keep the result exact, which the oracle (a
+    plain filtered join over the sources) checks. At 100 TB this is
+    Delta's dynamic file pruning / Iceberg's runtime filtering: the fact
+    side reads O(files matching the dim), not O(table). The inline
+    assertion pins that files were actually skipped. Join strategy is
+    left to AQE — the dim side is never force-broadcast."""
+    from icerunner_spark.connector import Connector
+    from icerunner_spark.operators.dfp import (
+        dim_join_predicates,
+        dynamic_pruned_join,
+    )
+
+    wh = _demo_warehouse("icerunner_dfp_demo", sf_dir)
+    c = Connector(spark, wh)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    cut = orders.agg(F.max("o_orderkey")).first()[0] // 5
+    t = c.catalog.table("lineitem_dfp")
+    t.create(li.filter(F.col("l_orderkey") <= 2 * cut).repartition(2))
+    t.append(
+        li.filter(
+            (F.col("l_orderkey") > 2 * cut) & (F.col("l_orderkey") <= 4 * cut)
+        ).repartition(2)
+    )
+    t.append(li.filter(F.col("l_orderkey") > 4 * cut).repartition(2))
+    dim = orders.filter(F.col("o_orderkey") > 4 * cut)
+    planned = t.plan_files(
+        dim_join_predicates(dim, "o_orderkey", "l_orderkey")
+    )
+    assert len(planned) < len(t.current_snapshot().manifest), "no DFP skip"
+    return (
+        dynamic_pruned_join(t, "l_orderkey", dim, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _money_sum(
+                _dec("l_extendedprice") * (1 - _dec("l_discount", 4, 2))
+            ).alias("revenue"),
+        )
     )
 
 
