@@ -56,28 +56,31 @@ def read_table_once(host: str, port: int, table_name: str) -> pa.Table:
 
 
 def read_table_filtered(
-    host: str, port: int, table_name: str, where: list
+    host: str, port: int, table_name: str, where: list,
+    columns: list | None = None,
 ) -> pa.Table:
     """Predicate-pushdown read (server command ``scan``): the server
     prunes the file list against manifest column bounds and partition
     transforms, then filters rows server-side — the client receives
     O(matching rows), not the table. ``where`` is a list of
     ``[col, op, value]`` conjuncts (op in =, <, <=, >, >=, in;
-    date/timestamp values as ISO strings)."""
+    date/timestamp values as ISO strings). ``columns`` projects the
+    stream server-side: only those column chunks are decoded and move
+    over the wire (returned in table-schema order); predicates may name
+    columns outside the projection."""
     import json as _json
 
     client = flight.connect(f"grpc://{host}:{port}")
-    ticket = flight.Ticket(
-        _json.dumps(
-            {"command": "scan", "table": table_name, "where": where}
-        ).encode()
-    )
+    cmd = {"command": "scan", "table": table_name, "where": where}
+    if columns:
+        cmd["columns"] = list(columns)
+    ticket = flight.Ticket(_json.dumps(cmd).encode())
     return client.do_get(ticket).read_all()
 
 
 def read_table_parallel(
     host: str, port: int, table_name: str, *, n_streams: int = 4,
-    where: list | None = None,
+    where: list | None = None, columns: list | None = None,
 ) -> pa.Table:
     """Read a table through N concurrent slice endpoints (server command
     ``get_slices``): get_flight_info returns one endpoint per disjoint
@@ -92,6 +95,8 @@ def read_table_parallel(
     cmd = {"command": "get_slices", "table": table_name, "n": n_streams}
     if where:
         cmd["where"] = where
+    if columns:
+        cmd["columns"] = list(columns)
     info = client.get_flight_info(
         flight.FlightDescriptor.for_command(_json.dumps(cmd).encode())
     )

@@ -15,9 +15,12 @@ the reference's mirror client speaks but its own server never implemented
          (+ ``_change_type``) — survives merge-on-read maintenance
     * ``{"command": "get_metadata", "table": t}``     -> snapshot_id / row stats
     * ``{"command": "scan", "table": t,
-         "where": [[col, op, value], ...]}``          -> predicate-pushdown
+         "where": [[col, op, value], ...],
+         "columns": [c, ...]}``                       -> predicate-pushdown
          stream: manifest/column-bounds/partition-transform pruning picks
-         the files, a pyarrow dataset filter keeps rows exact — zero Spark
+         the files, a pyarrow dataset filter keeps rows exact — zero Spark.
+         ``columns`` projects the stream: only those column chunks are
+         decoded and cross the wire (predicates may name dropped columns)
     * ``{"sql": "..."}``                              -> Spark SQL result stream
 - ``get_flight_info`` accepts path descriptors (table) and command
   descriptors (``LIST_TABLES`` bytes or the JSON commands above), returns
@@ -295,7 +298,9 @@ class IceFlightServer(flight.FlightServerBase):
             return True
         return True
 
-    def _stream_resolved(self, t, files_rel, snap, mappings=None, preds=None):
+    def _stream_resolved(
+        self, t, files_rel, snap, mappings=None, preds=None, columns=None
+    ):
         """File-stream ``files_rel`` under the snapshot's logical names.
         No schema evolution in play -> the zero-copy single-dataset path.
         Otherwise: one dataset scan per physical layout, each batch's
@@ -303,7 +308,10 @@ class IceFlightServer(flight.FlightServerBase):
         with typed nulls to the logical schema. Memory stays bounded by
         chunk_rows either way. ``preds`` (typed conjuncts) become pyarrow
         dataset filters — row-exact, with parquet row-group skipping — and
-        evaluate against group-constant partition values driver-side."""
+        evaluate against group-constant partition values driver-side.
+        ``columns`` projects the stream (normalized to table-schema order
+        by the ticket handlers): only those column chunks are decoded and
+        leave the server; predicates may still name dropped columns."""
         schema, groups = self._resolved_groups(t, files_rel, snap, mappings)
         identity = all(
             p == l for _, pairs, _pv in groups for p, l in pairs
@@ -316,8 +324,11 @@ class IceFlightServer(flight.FlightServerBase):
             return self._stream_files(
                 files, arrow_schema,
                 filt=self._arrow_filter(preds) if preds else None,
+                columns=columns,
             )
         out_schema = self._logical_arrow_schema(t, snap)
+        if columns is not None:
+            out_schema = pa.schema([out_schema.field(c) for c in columns])
         types = {f.name: f.dataType for f in schema.fields}
         # initial column defaults (add_column(default=)): columns absent
         # from a group's files serve the default, NOT null — same answer
@@ -369,10 +380,18 @@ class IceFlightServer(flight.FlightServerBase):
                 footer = pq.read_schema(files[0])
                 phys = [p for p, _ in pairs if p is not None]
                 read_schema = pa.schema([footer.field(p) for p in phys])
-                idx = {p: i for i, p in enumerate(phys)}
+                # projection: emit pairs in out_schema order; the dataset
+                # schema keeps every physical column visible so filters
+                # on non-projected columns still evaluate, the scanner's
+                # column list decodes only what leaves the server
+                pair_of = {l: p for p, l in pairs}
+                out_pairs = [(pair_of.get(l), l) for l in out_schema.names]
+                proj_phys = [p for p, _ in out_pairs if p is not None]
+                idx = {p: i for i, p in enumerate(proj_phys)}
                 dataset = pads.dataset(files, format="parquet", schema=read_schema)
                 scanner = dataset.scanner(
                     batch_size=self.chunk_rows,
+                    columns=proj_phys,
                     filter=(
                         self._arrow_filter(file_preds, rename)
                         if file_preds
@@ -381,7 +400,7 @@ class IceFlightServer(flight.FlightServerBase):
                 )
                 for batch in scanner.to_reader():
                     arrays = []
-                    for p, l in pairs:
+                    for p, l in out_pairs:
                         typ = out_schema.field(l).type
                         if p is not None:
                             arrays.append(batch.column(idx[p]))
@@ -396,6 +415,22 @@ class IceFlightServer(flight.FlightServerBase):
                     yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
         return flight.GeneratorStream(out_schema, gen())
+
+    def _proj_columns(self, t, snap, cols) -> list | None:
+        """Validate and normalize a ticket's ``columns`` projection to
+        table-schema order (deterministic batches regardless of request
+        order). Unknown names error loudly — silently serving a subset
+        would corrupt a client's positional decoding."""
+        if not cols:
+            return None
+        names = list(self._logical_arrow_schema(t, snap).names)
+        unknown = [c for c in cols if c not in names]
+        if unknown:
+            raise flight.FlightServerError(
+                f"unknown columns: {unknown} (table has {names})"
+            )
+        want = set(cols)
+        return [n for n in names if n in want]
 
     def _table_totals(self, name: str) -> tuple[int, int]:
         """(rows, bytes) from parquet footers — metadata only, no scan.
@@ -416,12 +451,22 @@ class IceFlightServer(flight.FlightServerBase):
         return rows, bytes_
 
     def _stream_files(
-        self, files: list[str], schema: pa.Schema, filt=None
+        self, files: list[str], schema: pa.Schema, filt=None, columns=None
     ) -> flight.RecordBatchStream:
+        # ``columns`` projects the stream: only those parquet column
+        # chunks are decoded and cross the wire. Filters may reference
+        # non-projected columns — the dataset schema keeps them visible
+        # to the scanner, the projection drops them from the output.
+        if columns is not None:
+            out_schema = pa.schema([schema.field(c) for c in columns])
+        else:
+            out_schema = schema
         if not files:
-            return flight.GeneratorStream(schema, iter([pa.RecordBatch.from_pylist([], schema=schema)]))
+            return flight.GeneratorStream(out_schema, iter([pa.RecordBatch.from_pylist([], schema=out_schema)]))
         dataset = pads.dataset(files, format="parquet", schema=schema)
-        reader = dataset.scanner(batch_size=self.chunk_rows, filter=filt).to_reader()
+        reader = dataset.scanner(
+            batch_size=self.chunk_rows, filter=filt, columns=columns
+        ).to_reader()
         return flight.RecordBatchStream(reader)
 
     def _stream_df(self, df) -> flight.GeneratorStream:
@@ -565,6 +610,11 @@ class IceFlightServer(flight.FlightServerBase):
                 )
                 n = max(1, min(n, len(pruned)))
             schema = self._table_arrow_schema(table)
+            cols = self._proj_columns(t, snap, cmd.get("columns"))
+            if cols:
+                # column projection rides every slice ticket: each stream
+                # decodes and ships only the requested column chunks
+                schema = pa.schema([schema.field(c) for c in cols])
             rows, nbytes = self._table_totals(table)
             endpoints = [
                 flight.FlightEndpoint(
@@ -576,6 +626,7 @@ class IceFlightServer(flight.FlightServerBase):
                             "of": n,
                             "snapshot_id": snap.snapshot_id,
                             **({"where": where} if where else {}),
+                            **({"columns": cols} if cols else {}),
                         }
                     ).encode(),
                     [self._advertised_location()],
@@ -733,21 +784,27 @@ class IceFlightServer(flight.FlightServerBase):
             if snap is None:
                 raise flight.FlightServerError(f"table not found: {name}")
             preds = self._typed_preds(snap, cmd.get("where") or [])
+            cols = self._proj_columns(t, snap, cmd.get("columns"))
             if snap.delete_files or snap.eq_delete_files:
                 from icerunner_spark.table import _predicates_to_column
 
                 df = t._scan_snapshot(snap)
                 if preds:
                     df = df.where(_predicates_to_column(preds))
+                if cols:
+                    df = df.select(*cols)
                 return self._stream_df(df)
             files = t._prune_files(snap, snap.manifest, preds)
-            return self._stream_resolved(t, files, snap, preds=preds)
+            return self._stream_resolved(
+                t, files, snap, preds=preds, columns=cols
+            )
         if op == "get_slice":
             name = cmd["table"]
             t = self.connector.table(name)
             snap = t.snapshot_by_id(int(cmd["snapshot_id"]))
             i, n = int(cmd["index"]), int(cmd["of"])
             preds = self._typed_preds(snap, cmd.get("where") or [])
+            cols = self._proj_columns(t, snap, cmd.get("columns"))
             if snap.delete_files or snap.eq_delete_files:
                 # deletes pending: the manifest under-describes the rows,
                 # so slicing can't apply. get_slices advertises ONE
@@ -758,6 +815,8 @@ class IceFlightServer(flight.FlightServerBase):
                 # would duplicate the whole table.
                 if i != 0:
                     schema = self._table_arrow_schema(name)
+                    if cols:
+                        schema = pa.schema([schema.field(c) for c in cols])
                     return flight.GeneratorStream(
                         schema,
                         iter([pa.RecordBatch.from_pylist([], schema=schema)]),
@@ -767,6 +826,8 @@ class IceFlightServer(flight.FlightServerBase):
                 df = t._scan_snapshot(snap)
                 if preds:
                     df = df.where(_predicates_to_column(preds))
+                if cols:
+                    df = df.select(*cols)
                 return self._stream_df(df)
             # prune FIRST, slice the pruned list: every crafted i-of-n
             # ticket against the same pinned snapshot + where sees the
@@ -776,7 +837,9 @@ class IceFlightServer(flight.FlightServerBase):
                 if preds
                 else snap.manifest
             )
-            return self._stream_resolved(t, files[i::n], snap, preds=preds)
+            return self._stream_resolved(
+                t, files[i::n], snap, preds=preds, columns=cols
+            )
         if op == "get_metadata":
             name = cmd["table"]
             rows, nbytes = self._table_totals(name)

@@ -4613,7 +4613,11 @@ def flight_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     table to filter it client-side and shipping an answer: the same
     pruning the local scan(where=) path uses, now honored by the remote
     protocol, matching Flight's DoExchange-style filtered reads and
-    DataFusion/Ballista's pushdown over Flight. The oracle runs the same
+    DataFusion/Ballista's pushdown over Flight. The ``columns``
+    projection rides the same ticket: only the two aggregated columns'
+    chunks are decoded and cross the wire (o_orderstatus/o_totalprice
+    filter server-side WITHOUT being shipped), so the wire moves
+    O(matching rows x needed columns). The oracle runs the same
     filter+aggregate over the raw parquet."""
     from icerunner_spark.flight.client import read_table_filtered
 
@@ -4621,6 +4625,7 @@ def flight_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = read_table_filtered(
         "127.0.0.1", port, "orders_fed",
         [["o_orderstatus", "=", "O"], ["o_totalprice", ">=", 150000.0]],
+        columns=["o_orderkey", "o_orderpriority"],
     )
     # the filtered result is O(matching rows) by construction — exactly
     # what the server streamed; aggregate it Spark-side like any frame

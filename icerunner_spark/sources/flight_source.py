@@ -79,6 +79,12 @@ def _parse(options) -> tuple[str, int, str, int]:
     return host, port, table, int(options.get("slices", "8"))
 
 
+def _columns_option(options) -> list | None:
+    raw = options.get("columns") or ""
+    cols = [c.strip() for c in raw.split(",") if c.strip()]
+    return cols or None
+
+
 def _filter_to_conjunct(f) -> list | None:
     """One Spark DataSource Filter -> a JSON-safe ``[col, op, value]``
     ticket conjunct, or None when the filter can't ride the wire (nested
@@ -139,6 +145,11 @@ class FlightTableReader(DataSourceReader):
     def __init__(self, options):
         self._host, self._port, self._table, self._n = _parse(options)
         self._where: list = []
+        # explicit column projection (the Python DataSource API has no
+        # Catalyst column-pruning hook, so the user opts in):
+        # .option("columns", "a,b") — the server decodes and ships only
+        # those column chunks, and schema() advertises the projection
+        self._columns = _columns_option(options)
 
     def pushFilters(self, filters):
         """Catalyst filter pushdown over the wire (Spark 4.1 Python
@@ -166,6 +177,8 @@ class FlightTableReader(DataSourceReader):
             cmd = {"command": "get_slices", "table": self._table, "n": self._n}
             if self._where:
                 cmd["where"] = self._where
+            if self._columns:
+                cmd["columns"] = self._columns
             info = client.get_flight_info(
                 flight.FlightDescriptor.for_command(json.dumps(cmd).encode())
             )
@@ -175,20 +188,20 @@ class FlightTableReader(DataSourceReader):
             # (FlightUnavailableError, FlightTimedOutError) propagate:
             # masking them here would resurface as a confusing secondary
             # failure on the fallback path.
-            if self._where:
-                # absorbed filters MUST be honored: use a single filtered
-                # scan ticket; a server too old for that errors loudly
-                # instead of silently returning unfiltered rows
+            if self._where or self._columns:
+                # absorbed filters and the advertised projection MUST be
+                # honored: use a single filtered/projected scan ticket; a
+                # server too old for that errors loudly instead of
+                # silently returning unfiltered or mis-shaped rows
+                cmd = {"command": "scan", "table": self._table}
+                if self._where:
+                    cmd["where"] = self._where
+                if self._columns:
+                    cmd["columns"] = self._columns
                 return [
                     FlightSlicePartition(
                         f"grpc://{self._host}:{self._port}",
-                        json.dumps(
-                            {
-                                "command": "scan",
-                                "table": self._table,
-                                "where": self._where,
-                            }
-                        ).encode(),
+                        json.dumps(cmd).encode(),
                     )
                 ]
             info = client.get_flight_info(
@@ -391,6 +404,17 @@ class FlightDataSource(DataSource):
             else f
             for f in info.schema
         ]
+        cols = _columns_option(self.options)
+        if cols:
+            # projection: advertise exactly what the server will stream
+            # (table-schema order — the server normalizes request order)
+            unknown = [c for c in cols if c not in {f.name for f in fields}]
+            if unknown:
+                raise ValueError(
+                    f"icerunner_flight: unknown columns {unknown}"
+                )
+            want = set(cols)
+            fields = [f for f in fields if f.name in want]
         if str(self.options.get("changelog", "")).lower() == "true":
             fields = fields + [pa.field("_change_type", pa.string())]
         return from_arrow_schema(pa.schema(fields))
@@ -404,6 +428,11 @@ class FlightDataSource(DataSource):
         return FlightTableReader(self.options)
 
     def streamReader(self, schema: StructType) -> FlightCDCStreamReader:
+        if _columns_option(self.options):
+            raise ValueError(
+                "icerunner_flight: 'columns' projection is a batch-read "
+                "option; CDC streams move whole change rows"
+            )
         return FlightCDCStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> FlightArrowWriter:

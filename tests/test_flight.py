@@ -1356,3 +1356,125 @@ def test_mirror_replays_partition_spec_evolution(spark, server, tmp_path):
     assert len(tt.plan_files([("lang", "=", "es")])) < len(
         tt.current_snapshot().manifest
     )
+
+
+def test_scan_column_projection(spark, warehouse, server):
+    """Column projection on the serve path (``columns`` on scan /
+    get_slices tickets): only the requested column chunks are decoded and
+    cross the wire, in table-schema order regardless of request order;
+    predicates may name columns outside the projection; unknown columns
+    error loudly. At 100 TB a 2-column read of a 100-column fact table
+    must not ship 98 dead columns per row."""
+    from icerunner_spark.flight.client import (
+        read_table_filtered,
+        read_table_parallel,
+    )
+
+    c = server.connector
+    df = spark.createDataFrame(
+        [(k, f"s{k % 5}", float(k), f"pad{k}") for k in range(300)],
+        "k long, s string, v double, pad string",
+    )
+    t = c.catalog.table("proj_t")
+    t.create(df.filter("k < 150").repartition(2))
+    t.append(df.filter("k >= 150").repartition(2))
+
+    host, port = "127.0.0.1", server.port
+    # request order is normalized to table-schema order
+    got = read_table_filtered(host, port, "proj_t", [], columns=["v", "k"])
+    assert got.schema.names == ["k", "v"]
+    assert got.num_rows == 300
+    assert sorted(got.column("k").to_pylist()) == list(range(300))
+    # predicate on a column OUTSIDE the projection still filters rows
+    got = read_table_filtered(
+        host, port, "proj_t", [["s", "=", "s2"], ["k", "<", 50]], columns=["v"]
+    )
+    assert got.schema.names == ["v"]
+    assert sorted(got.column("v").to_pylist()) == [float(k) for k in range(2, 50, 5)]
+    # parallel slices carry the projection on every ticket
+    got = read_table_parallel(
+        host, port, "proj_t", n_streams=3, where=[["k", "<", 120]], columns=["k"]
+    )
+    assert got.schema.names == ["k"]
+    assert sorted(got.column("k").to_pylist()) == list(range(120))
+    with pytest.raises(flight.FlightServerError, match="unknown columns"):
+        read_table_filtered(host, port, "proj_t", [], columns=["nope"])
+
+
+def test_scan_projection_evolved_partitioned_and_mor(spark, warehouse, server):
+    """Projection composes with the format: renamed columns project under
+    their physical names per file group, identity-partition columns are
+    served from path values inside a projection, initial defaults fill
+    projected columns older files lack, and pending merge-on-read deletes
+    fall back to the Spark path with the same projected shape."""
+    from icerunner_spark.flight.client import read_table_filtered
+
+    c = server.connector
+    df = spark.createDataFrame(
+        [(k, f"s{k % 3}", float(k)) for k in range(90)],
+        "k long, s string, v double",
+    )
+    t = c.catalog.table("proj_evo")
+    t.create(df, partition_by=["s"])
+    t.rename_column("v", "val")
+    t.add_column("flag", "string", default="new")
+    t.append(
+        spark.createDataFrame(
+            [(900, "s9", 9.5, "fresh")], "k long, s string, val double, flag string"
+        )
+    )
+    host, port = "127.0.0.1", server.port
+    got = read_table_filtered(
+        host, port, "proj_evo", [["k", ">=", 88]], columns=["val", "flag", "s"]
+    )
+    assert got.schema.names == ["s", "val", "flag"]
+    by_val = {r["val"]: r for r in got.to_pylist()}
+    assert by_val[88.0]["flag"] == "new" and by_val[88.0]["s"] == "s1"
+    assert by_val[9.5]["flag"] == "fresh" and by_val[9.5]["s"] == "s9"
+
+    # pending MOR deletes: projection holds on the Spark fallback path
+    t.delete_where(F.col("k") % 2 == 1, mode="merge-on-read")
+    got = read_table_filtered(
+        host, port, "proj_evo", [["k", "<", 10]], columns=["k"]
+    )
+    assert got.schema.names == ["k"]
+    assert sorted(got.column("k").to_pylist()) == [0, 2, 4, 6, 8]
+
+
+def test_python_datasource_column_projection(spark, warehouse, server):
+    """.option("columns", ...) on the icerunner_flight source: the
+    advertised schema is the projection, every slice ticket carries it
+    (only those column chunks move), and the streaming reader refuses the
+    option rather than mis-shaping the change feed."""
+    from icerunner_spark.sources.flight_source import register_flight_source
+
+    register_flight_source(spark)
+    c = server.connector
+    df = spark.createDataFrame(
+        [(k, f"s{k}", float(k)) for k in range(40)], "k long, s string, v double"
+    )
+    c.catalog.table("proj_ds").create(df.repartition(2))
+
+    url = f"grpc://127.0.0.1:{server.port}/proj_ds"
+    out = (
+        spark.read.format("icerunner_flight")
+        .option("url", url)
+        .option("columns", "v,k")
+        .load()
+    )
+    assert out.columns == ["k", "v"]
+    assert out.count() == 40
+    assert {r.k for r in out.filter("v >= 35.0").collect()} == {35, 36, 37, 38, 39}
+
+    with pytest.raises(Exception, match="unknown columns"):
+        spark.read.format("icerunner_flight").option("url", url).option(
+            "columns", "k,zz"
+        ).load().collect()
+
+    # streamReader is constructed at stream START, so assert the guard on
+    # the source class directly (CDC streams move whole change rows)
+    from icerunner_spark.sources.flight_source import FlightDataSource
+
+    ds = FlightDataSource(options={"url": url, "columns": "k"})
+    with pytest.raises(ValueError, match="batch-read option"):
+        ds.streamReader(None)
