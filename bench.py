@@ -110,6 +110,10 @@ def _maintenance_ops(spark, sf_dir: str) -> dict[str, float]:
             "maint_delete_mor",
             lambda: t.delete_where("o_orderkey % 97 = 0", mode="merge-on-read"),
         )
+        # consolidate the pending positional delete files (merge + delete
+        # above attached several) into one sorted file — metadata +
+        # O(delete rows), data untouched (r5)
+        timed("maint_rewrite_pos_deletes", lambda: t.rewrite_position_deletes())
         # bin-pack: rewrite ONLY the dirty files, clear the deletes
         timed(
             "maint_compact_binpack",

@@ -941,6 +941,7 @@ class IceTable:
         partition_spec: list | None = None,
         add_delete_files: list | None = None,
         add_eq_delete_files: list | None = None,
+        set_delete_files: list | None = None,
         require_parent_snapshot_id: int | None = None,
         inherit_schema: bool = False,
         full_manifest: list[str] | None = None,
@@ -1048,6 +1049,14 @@ class IceTable:
             else:
                 dels = list(parent.delete_files)
                 eq_dels = [list(e) for e in parent.eq_delete_files]
+            if set_delete_files is not None:
+                # wholesale replacement of the pending positional delete
+                # set (rewrite_position_deletes). Only sound when the
+                # parent is pinned — a racing MOR delete's file would be
+                # silently dropped otherwise — so callers MUST pass
+                # require_parent_snapshot_id (checked above each retry).
+                assert require_parent_snapshot_id is not None
+                dels = list(set_delete_files)
             if add_eq_delete_files:
                 # the committing snapshot's sequence stamps the
                 # strictly-older rule: these keys delete only from files
@@ -2797,6 +2806,63 @@ class IceTable:
                 "rewritten_files": str(len(dirty)),
                 "kept_files": str(len(clean)),
             },
+            require_parent_snapshot_id=snap.snapshot_id,
+        )
+
+    def rewrite_position_deletes(
+        self, *, target_file_rows: int = 2_000_000
+    ) -> Snapshot | None:
+        """Consolidate pending positional delete files (Iceberg's
+        ``rewrite_position_delete_files`` procedure). A merge-on-read
+        workload under continuous maintenance attaches one small delete
+        file per pass; every scan then opens all of them and anti-joins
+        possibly-duplicated coordinates. This rewrites the pending set
+        into few files, distinct-deduped and RANGE-SORTED by
+        (file_path, pos) — so each consolidated file covers a contiguous
+        slice of data files and parquet row-group stats make the
+        delete-side read of any one data file O(its coordinates).
+        Metadata + O(pending delete rows) IO; data files are untouched
+        (unlike :meth:`compact`, which rewrites them to materialize).
+
+        Commits a 'replace' snapshot with the SAME manifest — no row
+        delta, so CDC (scan_changes / scan_changelog / Flight
+        get_changes) passes over it like a compaction. The parent is
+        pinned: a delete/compact racing the consolidation raises
+        :class:`CommitConflict` rather than losing its delete file or
+        keeping coordinates into replaced data files. Returns None when
+        fewer than two delete files are pending."""
+        self._require_main("rewrite_position_deletes")
+        snap = self.current_snapshot()
+        if snap is None or len(snap.delete_files) <= 1:
+            return None
+        dels = (
+            self.spark.read.schema("file_path string, pos long")
+            .parquet(*[os.path.join(self.path, f) for f in snap.delete_files])
+            .distinct()
+        )
+        n = dels.count()
+        n_out = max(1, -(-n // max(1, int(target_file_rows))))
+        commit_dir = f"snap-{uuid.uuid4().hex[:12]}-deletes"
+        out = os.path.join(self.data_dir, commit_dir)
+        (
+            dels.repartitionByRange(n_out, "file_path", "pos")
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("error")
+            .parquet(out)
+        )
+        new_deletes = sorted(
+            os.path.join("data", commit_dir, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+        return self._publish(
+            "replace", [], snap.schema_json, inherit_schema=True,
+            summary={
+                "operation_detail": "rewrite_position_deletes",
+                "consolidated_files": str(len(snap.delete_files)),
+                "delete_rows": str(n),
+            },
+            set_delete_files=new_deletes,
             require_parent_snapshot_id=snap.snapshot_id,
         )
 

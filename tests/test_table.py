@@ -2302,3 +2302,92 @@ def test_add_column_with_initial_default(spark, warehouse):
     # changelog inserts read defaults too
     cl = t.scan_changelog(first.snapshot_id)
     assert {r["id"]: r["since"] for r in cl.collect()}[3] == datetime.date(2024, 5, 6)
+
+
+def test_rewrite_position_deletes_consolidates(spark, warehouse):
+    """rewrite_position_delete_files parity: pending positional delete
+    files consolidate into one sorted file via a 'replace' snapshot —
+    same rows, same manifest, CDC passes over it, time travel still
+    applies each historical snapshot's own delete set, and bin-pack
+    compaction still materializes afterwards."""
+    from icerunner_spark.catalog import Catalog
+
+    t = Catalog(spark, warehouse).table("posdel_t")
+    df = spark.createDataFrame([(k, f"v{k}") for k in range(300)], "id long, v string")
+    t.create(df.repartition(3))
+    # nothing pending -> no-op
+    assert t.rewrite_position_deletes() is None
+
+    for lo in (0, 100, 200):  # three maintenance passes, three delete files
+        t.delete_where(
+            (F.col("id") >= lo) & (F.col("id") < lo + 30), mode="merge-on-read"
+        )
+    pre = t.current_snapshot()
+    assert len(pre.delete_files) == 3
+    expect = {r["id"] for r in t.scan().collect()}
+    assert len(expect) == 300 - 90
+
+    snap = t.rewrite_position_deletes()
+    assert snap.operation == "replace"
+    assert snap.manifest == pre.manifest  # data files untouched
+    assert len(snap.delete_files) == 1
+    assert {r["id"] for r in t.scan().collect()} == expect
+    # the consolidated file is sorted by (file_path, pos)
+    import pyarrow.parquet as pq
+
+    import os as _os
+
+    rows = pq.read_table(
+        _os.path.join(t.path, snap.delete_files[0])
+    ).to_pylist()
+    assert rows == sorted(rows, key=lambda r: (r["file_path"], r["pos"]))
+    assert len(rows) == 90
+    # time travel BEFORE consolidation applies that snapshot's own set
+    assert {r["id"] for r in t.scan(pre.snapshot_id).collect()} == expect
+    # idempotent: one pending file -> None
+    assert t.rewrite_position_deletes() is None
+
+    # changelog across the consolidation: deletes stay attributed to
+    # their producing snapshots, the 'replace' contributes nothing
+    first = t.snapshots()[0]
+    cl = t.scan_changelog(first.snapshot_id).groupBy("_change_type").count()
+    got = {r["_change_type"]: r["count"] for r in cl.collect()}
+    assert got == {"delete": 90}
+
+    # a later MOR delete appends alongside the consolidated file,
+    # and bin-pack compaction materializes everything
+    t.delete_where(F.col("id") == 299, mode="merge-on-read")
+    assert len(t.current_snapshot().delete_files) == 2
+    t.compact(mode="bin-pack")
+    cur = t.current_snapshot()
+    assert cur.delete_files == []
+    assert {r["id"] for r in t.scan().collect()} == expect - {299}
+
+
+def test_rewrite_position_deletes_conflicts_with_racing_delete(spark, warehouse):
+    """The consolidation commit pins its parent: a merge-on-read delete
+    landing between the read and the publish must raise CommitConflict
+    (an unpinned replacement would silently drop the racer's file)."""
+    from icerunner_spark.catalog import Catalog
+    from icerunner_spark.table import CommitConflict
+
+    t = Catalog(spark, warehouse).table("posdel_race")
+    df = spark.createDataFrame([(k,) for k in range(100)], "id long")
+    t.create(df.repartition(2))
+    t.delete_where(F.col("id") < 5, mode="merge-on-read")
+    t.delete_where(F.col("id") >= 95, mode="merge-on-read")
+    pinned = t.current_snapshot()
+
+    # racer lands after the consolidation "read"
+    t.delete_where(F.col("id") == 50, mode="merge-on-read")
+
+    with pytest.raises(CommitConflict):
+        t._publish(
+            "replace", [], pinned.schema_json, inherit_schema=True,
+            set_delete_files=list(pinned.delete_files),
+            require_parent_snapshot_id=pinned.snapshot_id,
+        )
+    # the live path re-reads the current snapshot and succeeds
+    snap = t.rewrite_position_deletes()
+    assert len(snap.delete_files) == 1
+    assert {r["id"] for r in t.scan().collect()} == set(range(5, 95)) - {50}
