@@ -3155,13 +3155,16 @@ class IceTable:
         return out
 
     def _prune_files(
-        self, snap: Snapshot, files: list[str], preds: list[tuple]
+        self, snap: Snapshot, files: list[str], preds: list[tuple],
+        report: dict | None = None,
     ) -> list[str]:
         """Manifest pruning: drop files whose recorded column bounds (or
         hive partition path values) prove no row can satisfy the
         conjunction. Conservative — a file without bounds for a predicate
         column always survives. Pure driver-side metadata: O(#files ×
-        #conjuncts), no IO."""
+        #conjuncts), no IO. ``report`` (optional dict) counts skipped
+        files per tier: transform / partition / bloom / bounds — the
+        explain_scan observability surface."""
         schema = StructType.fromJson(json.loads(snap.schema_json))
         types = {f.name: f.dataType for f in schema.fields}
 
@@ -3184,6 +3187,7 @@ class IceTable:
         out = []
         for rel in files:
             keep = True
+            tier = None
             d = _commit_dir_of(rel)
             if d not in layouts:
                 layouts[d] = _dir_layout(d)
@@ -3212,6 +3216,7 @@ class IceTable:
                     ):
                         keep = False
                     if not keep:
+                        tier = "transform"
                         break
                 if not keep:
                     break
@@ -3225,24 +3230,25 @@ class IceTable:
                     pv = pvals[col]
                     if op == "is_null":
                         if pv is not None:
-                            keep = False
+                            keep, tier = False, "partition"
                             break
                     elif op == "is_not_null":
                         if pv is None:
-                            keep = False
+                            keep, tier = False, "partition"
                             break
                     elif pv is None:
-                        keep = False  # null partition matches no comparison
+                        # null partition matches no comparison
+                        keep, tier = False, "partition"
                         break
                     elif op == "=":
                         hv = _hive_value_str(val)
                         if hv is not None and pv != hv:
-                            keep = False
+                            keep, tier = False, "partition"
                             break
                     elif op == "in":
                         hvs = {_hive_value_str(x) for x in val}
                         if None not in hvs and pv not in hvs:
-                            keep = False
+                            keep, tier = False, "partition"
                             break
                     continue
                 if op in ("=", "in") and col in types:
@@ -3265,7 +3271,7 @@ class IceTable:
                                 hit = True
                                 break
                         if not hit:
-                            keep = False
+                            keep, tier = False, "bloom"
                             break
                 per = snap.file_stats.get(rel, {})
                 fid = str(snap.field_ids.get(col, ""))
@@ -3276,13 +3282,13 @@ class IceTable:
                 rows = per.get("__rows__")
                 if op == "is_null":
                     if nc == 0:
-                        keep = False
+                        keep, tier = False, "bounds"
                         break
                     continue
                 if nc is not None and rows is not None and nc == rows:
                     # all-null column: neither is_not_null nor any
                     # comparison can match a row in this file
-                    keep = False
+                    keep, tier = False, "bounds"
                     break
                 if op == "is_not_null" or bounds[0] is None or bounds[1] is None:
                     continue
@@ -3300,10 +3306,12 @@ class IceTable:
                 except (ValueError, TypeError):
                     continue
                 if not _bounds_may_match(lo, hi, op, v):
-                    keep = False
+                    keep, tier = False, "bounds"
                     break
             if keep:
                 out.append(rel)
+            elif report is not None:
+                report[tier] = report.get(tier, 0) + 1
         return out
 
     def plan_files(
@@ -3322,6 +3330,48 @@ class IceTable:
             raise NoSuchTableError(self.path)
         preds = _normalize_predicates(where)
         return self._prune_files(snap, snap.manifest, preds)
+
+    def explain_scan(
+        self, where=None, snapshot_id: int | None = None
+    ) -> dict:
+        """Planning-time pruning report for ``scan(where=...)`` — the
+        observability surface behind the file-skipping tiers (Iceberg's
+        scan-metrics / Spark's numFiles, at METADATA cost before any
+        reader exists). Returns::
+
+            {"total_files": N, "read_files": K,
+             "skipped": {"partition": a, "transform": b,
+                         "bloom": c, "bounds": d},     # a+b+c+d == N-K
+             "read_rows_max": R | None,   # footer-stat row bound, if known
+             "total_rows": T | None}
+
+        Tiers are attributed in evaluation order (cheapest first): a file
+        skipped by both its partition value and its bounds counts under
+        the tier that actually dropped it. Pure driver-side — use it to
+        check a predicate prunes BEFORE paying for the scan, and to see
+        which tier (layout, stats, blooms) is doing the work."""
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else self.snapshot_by_id(snapshot_id)
+        )
+        if snap is None:
+            raise NoSuchTableError(self.path)
+        preds = _normalize_predicates(where)
+        skipped: dict = {}
+        files = self._prune_files(snap, snap.manifest, preds, report=skipped)
+
+        def _rows(fs):
+            vals = [snap.file_stats.get(f, {}).get("__rows__") for f in fs]
+            return None if any(v is None for v in vals) else sum(map(int, vals))
+
+        return {
+            "total_files": len(snap.manifest),
+            "read_files": len(files),
+            "skipped": skipped,
+            "read_rows_max": _rows(files),
+            "total_rows": _rows(snap.manifest),
+        }
 
     def scan(
         self,

@@ -2391,3 +2391,57 @@ def test_rewrite_position_deletes_conflicts_with_racing_delete(spark, warehouse)
     snap = t.rewrite_position_deletes()
     assert len(snap.delete_files) == 1
     assert {r["id"] for r in t.scan().collect()} == set(range(5, 95)) - {50}
+
+
+def test_explain_scan_reports_pruning_tiers(spark, warehouse):
+    """explain_scan: the planning-time report attributes each skipped
+    file to the tier that dropped it (partition path, hidden transform,
+    bloom sidecar, min/max bounds), the counts reconcile with the file
+    totals, and the row bounds come from footer stats at metadata cost."""
+    from icerunner_spark.catalog import Catalog
+
+    cat = Catalog(spark, warehouse)
+
+    # bounds tier: key-disjoint commits on an unpartitioned table
+    t = cat.table("ex_bounds")
+    df = spark.createDataFrame([(k, f"v{k}") for k in range(300)], "id long, v string")
+    t.create(df.filter("id < 100").coalesce(1))
+    t.append(df.filter("id >= 100 and id < 200").coalesce(1))
+    t.append(df.filter("id >= 200").coalesce(1))
+    rep = t.explain_scan([("id", ">=", 250)])
+    assert rep["total_files"] == 3 and rep["read_files"] == 1
+    assert rep["skipped"] == {"bounds": 2}
+    assert rep["read_rows_max"] == 100 and rep["total_rows"] == 300
+    assert t.explain_scan()["skipped"] == {}
+
+    # partition + transform tiers
+    t2 = cat.table("ex_part")
+    df2 = spark.createDataFrame(
+        [(k, f"s{k % 4}") for k in range(200)], "id long, s string"
+    )
+    t2.create(df2, partition_by=["s", "bucket(4, id)"])
+    rep = t2.explain_scan([("s", "=", "s1")])
+    assert rep["read_files"] < rep["total_files"]
+    assert set(rep["skipped"]) == {"partition"}
+    rep = t2.explain_scan([("id", "=", 7)])
+    assert rep["read_files"] < rep["total_files"]
+    # bucket transform drops non-matching buckets; min/max bounds may
+    # additionally drop matching-bucket files whose id range excludes 7
+    assert "transform" in rep["skipped"]
+    assert set(rep["skipped"]) <= {"transform", "bounds"}
+
+    # bloom tier: unclustered key, bounds span every file
+    t3 = cat.table("ex_bloom")
+    t3.create(
+        spark.createDataFrame([(k,) for k in range(0, 4000, 2)], "k long")
+        .repartition(4),
+        properties={"write.bloom.columns": "k"},
+    )
+    rep = t3.explain_scan([("k", "=", 1)])  # odd key: in no file
+    assert rep["read_files"] == 0
+    assert set(rep["skipped"]) == {"bloom"} and rep["skipped"]["bloom"] == rep["total_files"]
+
+    # report counts reconcile and scan() agrees with the plan
+    got = {r["k"] for r in t3.scan(where=[("k", "=", 1)]).collect()}
+    assert got == set()
+    assert sum(rep["skipped"].values()) == rep["total_files"] - rep["read_files"]
