@@ -94,7 +94,7 @@ _DRIVER_WINDOW = [
     "incremental_mv_refresh",
     "incremental_dedup_cdc",
     "corpus_clean_pipeline",
-    "bm25_retrieval",
+    "stream_exactly_once_ingest",  # r5 new: exactly-once streaming sink
     "table_ndv_stats",
     "partition_spec_evolution",
     "flight_pushdown_scan",
@@ -2466,6 +2466,67 @@ def stream_join_view_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_exactly_once_ingest",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_exactly_once_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest into the snapshot format
+    (streaming.pipeline.append_stream_to_table — the Iceberg/Flink sink
+    shape): the events fixture drains file-by-file through foreachBatch,
+    each microbatch committing via IceTable.append_once with a batch-id
+    high-water mark stamped INSIDE the table commit (snapshot summary +
+    an expiry-surviving table property). The second drain simulates the
+    crash-replay failure mode — same writer id, fresh checkpoint, batch
+    ids restart at 0 — and every batch is skipped as a replay, so the
+    aggregate over the ingested table equals the oracle's aggregate over
+    the raw source EXACTLY; at-least-once delivery would double it.
+    foreachBatch alone cannot do this: a crash between the table commit
+    and Spark's checkpoint commit replays the batch."""
+    from icerunner_spark.connector import Connector
+    from icerunner_spark.streaming.pipeline import (
+        append_stream_to_table,
+        read_events_stream,
+    )
+
+    wh = _demo_warehouse("icerunner_stream_ingest", sf_dir)
+    c = Connector(spark, wh)
+    t = c.catalog.table("events_ingest")
+    events_dir = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(events_dir):
+        # the file-stream source wants a directory; hard-link the single
+        # fixture file into one (zero-copy)
+        d = os.path.join(wh, "_src")
+        os.makedirs(d, exist_ok=True)
+        try:
+            os.link(events_dir, os.path.join(d, "events-0.parquet"))
+        except OSError:
+            shutil.copy(events_dir, os.path.join(d, "events-0.parquet"))
+        events_dir = d
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    append_stream_to_table(
+        stream, t, checkpoint_dir=os.path.join(wh, "_ingest_ckpt"),
+        writer_id="ingest",
+    )
+    replayed = append_stream_to_table(
+        stream, t, checkpoint_dir=os.path.join(wh, "_replay_ckpt"),
+        writer_id="ingest",
+    )
+    assert replayed == 0, "replayed batches must not re-apply"
+    return t.scan().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        _money_sum(_dec("value")).alias("total_value"),
+    )
+
+
 @register("similarity_knn_join")  # approximate: rows-only driver check;
 # recall vs per-query brute force pinned in tests/test_operators.py
 def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3253,6 +3314,81 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("o_totalprice", (F.col("o_totalprice") * 2).cast("double"))
     t.merge(updates, ["o_orderkey"])
     return t.scan()
+
+
+@register(
+    "merge_into_clauses",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    s AS (
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DECIMAL(12,2)) + 1000.00 AS new_price,
+               o_orderstatus = 'F' AS retract
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    kept AS (
+        SELECT t.o_orderkey,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price
+                    ELSE t.price END AS price
+        FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+        WHERE s.o_orderkey IS NULL OR NOT s.retract
+    ),
+    ins AS (
+        SELECT s.o_orderkey, s.new_price AS price
+        FROM s LEFT JOIN t ON s.o_orderkey = t.o_orderkey
+        WHERE t.o_orderkey IS NULL AND NOT s.retract
+    ),
+    final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+    SELECT COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(price), 2) AS DOUBLE) AS total_price
+    FROM final
+    """,
+)
+def merge_into_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO clause semantics (IceTable.merge_into — Iceberg
+    ``WHEN MATCHED [AND cond] THEN UPDATE / THEN DELETE / WHEN NOT
+    MATCHED THEN INSERT`` parity), run merge-on-read: a CDC-style change
+    set (repriced rows + retractions flagged by order status) applies to
+    a snapshot table in ONE snapshot — matched live rows reprice,
+    matched retractions delete, unmatched live changes insert, and
+    untouched rows never rewrite (positional delete file + appends,
+    O(changed rows) IO). The oracle replays the clause algebra
+    relationally. Exact-decimal prices keep the comparison bit-stable."""
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_merge_into", sf_dir)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders")
+    t = c.catalog.table("orders_mi")
+    t.create(
+        orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", _dec("o_totalprice").alias("price")
+        )
+    )
+    changes = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (_dec("o_totalprice") + F.lit(1000).cast("decimal(12,2)"))
+        .cast("decimal(12,2)")  # sum widens to (13,2); values still fit
+        .alias("new_price"),
+        (F.col("o_orderstatus") == "F").alias("retract"),
+    )
+    t.merge_into(
+        changes, ["o_orderkey"],
+        update={"price": "s.new_price"},
+        update_condition="NOT s.retract",
+        delete=True, delete_condition="s.retract",
+        insert_condition="NOT s.retract",
+        insert_values={"price": "s.new_price"},
+        mode="merge-on-read",
+    )
+    return t.scan().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _money_sum(F.col("price")).alias("total_price"),
+    )
 
 
 @register(

@@ -444,3 +444,74 @@ def high_water_marks_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+def append_stream_to_table(
+    stream_df: DataFrame,
+    table,
+    *,
+    checkpoint_dir: str,
+    writer_id: str | None = None,
+    timeout_s: int | None = 300,
+) -> int:
+    """Exactly-once streaming ingest into a snapshot table (the
+    Iceberg/Flink sink shape): drain ``stream_df`` with availableNow
+    through foreachBatch, committing each microbatch via
+    :meth:`IceTable.append_once`. foreachBatch alone is at-least-once —
+    a crash between the table commit and Spark's checkpoint commit
+    replays the batch — so the batch-id high-water mark stamped inside
+    each table commit (snapshot summary + an expiry-surviving table
+    property) turns replays into no-ops, making end-to-end delivery
+    exactly once. ``writer_id`` defaults to a checkpoint-derived id:
+    the SAME checkpoint resumes deduplicated; starting a FRESH
+    checkpoint against the same table requires a fresh writer_id (batch
+    ids restart at 0 and would otherwise be skipped as replays).
+    Returns rows appended this invocation."""
+    import hashlib
+
+    wid = writer_id or hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
+    stats = {"rows": 0}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n == 0:
+                return
+            if not table.exists():
+                # first batch creates the table, carrying the same
+                # idempotency stamp a replay will check
+                table.create(
+                    batch_df,
+                    summary={
+                        "stream_writer": wid,
+                        "stream_batch_id": str(int(batch_id)),
+                    },
+                    properties={f"stream.{wid}.high-water": str(int(batch_id))},
+                )
+                stats["rows"] += n
+            elif table.append_once(
+                batch_df, writer_id=wid, batch_id=batch_id
+            ) is not None:
+                stats["rows"] += n
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if timeout_s is None:
+            q.awaitTermination()
+        elif not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"availableNow ingest did not finish within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    return stats["rows"]

@@ -946,6 +946,7 @@ class IceTable:
         inherit_schema: bool = False,
         full_manifest: list[str] | None = None,
         properties: dict | None = None,
+        properties_update: dict | None = None,
         fresh_segments: bool = False,
         defaults_evolve=None,
     ) -> Snapshot:
@@ -1148,12 +1149,22 @@ class IceTable:
             live_files = set(manifest)
             fstats = {f: s for f, s in fstats.items() if f in live_files}
             # table properties inherit commit-over-commit unless the
-            # commit explicitly sets them (create / set_properties)
+            # commit explicitly sets them (create / set_properties).
+            # ``properties_update`` MERGES into the WINNING parent's
+            # properties inside the retry loop (None value = delete) —
+            # unlike the absolute ``properties`` dict, a concurrent
+            # property change is never reverted by this commit's retry.
             props = (
                 dict(properties)
                 if properties is not None
                 else (dict(parent.properties) if parent else {})
             )
+            if properties_update is not None:
+                for k, v in properties_update.items():
+                    if v is None:
+                        props.pop(k, None)
+                    else:
+                        props[k] = str(v)
             # column defaults inherit; ``defaults_evolve`` (add_column)
             # runs INSIDE the retry loop so it attaches to the id the
             # WINNING evolve assigned; dropped fids prune out
@@ -1777,24 +1788,66 @@ class IceTable:
         if not self.exists():
             raise NoSuchTableError(self.path)
         snap = self.current_snapshot()
-        merged = {
-            **snap.properties,
-            **{k: v for k, v in updates.items() if v is not None},
-        }
-        for k, v in updates.items():
-            if v is None:
-                merged.pop(k, None)
+        # merged INSIDE the commit retry loop (properties_update), so a
+        # property change racing this one is never silently reverted
         return self._publish(
             "alter", [], snap.schema_json, inherit_schema=True,
             summary={"operation_detail": "set-properties",
                      "updated_keys": sorted(updates)},
-            properties={k: str(v) for k, v in merged.items()},
+            properties_update=dict(updates),
         )
 
     def append(self, df: DataFrame, *, summary: dict | None = None) -> Snapshot:
         if not self.exists():
             raise NoSuchTableError(self.path)
         return self.publish_append(self.stage_append(df), summary=summary)
+
+    def _writer_high_water(self, writer_id: str) -> int:
+        """Highest batch id ``append_once`` has committed for this
+        writer: the table property survives snapshot expiry; summary
+        stamps cover histories from before the property existed."""
+        snap = self.current_snapshot()
+        last = int((snap.properties if snap else {}).get(
+            f"stream.{writer_id}.high-water", -1
+        ))
+        for s in self.snapshots():
+            if s.summary.get("stream_writer") == writer_id:
+                b = s.summary.get("stream_batch_id")
+                if b is not None:
+                    last = max(last, int(b))
+        return last
+
+    def append_once(
+        self, df: DataFrame, *, writer_id: str, batch_id: int,
+        summary: dict | None = None,
+    ) -> Snapshot | None:
+        """Idempotent append for exactly-once streaming delivery (the
+        Iceberg/Flink sink's checkpoint-id dedupe, Spark's foreachBatch
+        replay guard). ``batch_id`` must be monotonically increasing per
+        ``writer_id`` — Spark microbatch ids are. If the batch was
+        already committed (crash between the append and the stream's
+        checkpoint commit, then replay), returns None without writing.
+
+        The high-water mark is stamped twice in the SAME commit: in the
+        snapshot summary (audit trail) and as table property
+        ``stream.<writer_id>.high-water`` — properties inherit
+        commit-over-commit and are merged against the winning parent
+        inside the commit retry, so the mark survives snapshot EXPIRY
+        and concurrent writers with other ids never clobber it."""
+        if batch_id <= self._writer_high_water(writer_id):
+            return None
+        stamp = {
+            "stream_writer": writer_id,
+            "stream_batch_id": str(int(batch_id)),
+            **(summary or {}),
+        }
+        return self.publish_append(
+            self.stage_append(df),
+            summary=stamp,
+            properties_update={
+                f"stream.{writer_id}.high-water": str(int(batch_id))
+            },
+        )
 
     def _align_df_to_schema(self, df: DataFrame, schema: StructType) -> DataFrame:
         """Reorder ``df`` to the table's column order and upcast columns
@@ -1857,12 +1910,15 @@ class IceTable:
         return files
 
     def publish_append(
-        self, files: list[str], *, summary: dict | None = None
+        self, files: list[str], *, summary: dict | None = None,
+        properties_update: dict | None = None,
     ) -> Snapshot:
         """Atomically commit previously staged append files (metadata-only).
         ``summary`` entries land in the snapshot's summary dict — writers
         use this to stamp application-level idempotency markers (e.g. the
-        mirror's microbatch id) that survive crashes with the commit."""
+        mirror's microbatch id) that survive crashes with the commit.
+        ``properties_update`` merges table properties in the same commit
+        (race-free against the winning parent)."""
         if not self.exists():
             raise NoSuchTableError(self.path)
         # inherit_schema: the published snapshot takes the WINNING
@@ -1872,6 +1928,7 @@ class IceTable:
         return self._publish(
             "append", list(files), self.schema().json(),
             summary=summary, inherit_schema=True,
+            properties_update=properties_update,
         )
 
     def add_files(self, paths: list[str], *, link: bool = True) -> Snapshot:
@@ -2089,6 +2146,199 @@ class IceTable:
             "merge", files, table_schema.json(),
             summary={"operation_detail": "merge merge-on-read", **(summary or {})},
             add_delete_files=new_deletes, inherit_schema=True,
+            require_parent_snapshot_id=require_parent_snapshot_id,
+        )
+
+    def merge_into(
+        self, source: DataFrame, key_cols: list[str], *,
+        update: dict | str | None = "*",
+        update_condition=None,
+        delete: bool = False,
+        delete_condition=None,
+        insert: bool = True,
+        insert_condition=None,
+        insert_values: dict | None = None,
+        mode: str = "copy-on-write",
+        summary: dict | None = None,
+        require_parent_snapshot_id: int | None = None,
+    ) -> Snapshot | None:
+        """Full ``MERGE INTO`` clause semantics (Iceberg/ANSI parity)::
+
+            MERGE INTO t USING s ON t.k = s.k
+            WHEN MATCHED [AND update_condition] THEN UPDATE SET ...
+            WHEN MATCHED [AND delete_condition] THEN DELETE
+            WHEN NOT MATCHED [AND insert_condition] THEN INSERT *
+
+        - ``update``: ``"*"`` takes every table column from the source
+          row; a dict maps target columns to SQL expressions over the
+          joined row (target as ``t.<col>``, source as ``s.<col>``) —
+          unlisted columns keep their target values; ``None`` drops the
+          UPDATE clause.
+        - ``update_condition`` / ``delete_condition`` / ``insert_-
+          condition``: SQL strings or Columns. Matched rows try UPDATE
+          first, then DELETE (SQL clause order); rows matching neither
+          condition stay untouched. Insert conditions see only ``s.*``.
+        - ``delete=True`` enables the DELETE clause (condition optional
+          — unconditional when both update and its condition absent).
+        - ``mode="merge-on-read"``: touched rows' coordinates go to ONE
+          positional delete file; updated versions + inserts append in
+          the same 'merge' snapshot — O(changed rows) IO, the CDC-apply
+          shape. Copy-on-write rewrites the table under a parent pin.
+
+        The source may carry columns beyond the table's (condition
+        inputs); only table columns are written. Duplicate source keys
+        are rejected (multiple matches per target row — same rule as
+        :meth:`merge`). Returns None when no clause touches any row.
+        Plain upsert stays :meth:`merge` (skips the join-classify pass)."""
+        from functools import reduce
+
+        if not self.exists():
+            raise NoSuchTableError(self.path)
+        if not key_cols:
+            raise ValueError("merge_into requires at least one key column")
+        if update is None and not delete and not insert:
+            raise ValueError("merge_into with no clauses is a no-op")
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown merge mode: {mode}")
+        dupes = (
+            source.groupBy(*key_cols).count()
+            .where(F.col("count") > 1).limit(1).count()
+        )
+        if dupes:
+            raise ValueError("source contains duplicate merge keys")
+        snap = self.current_snapshot()
+        if (
+            require_parent_snapshot_id is not None
+            and snap.snapshot_id != require_parent_snapshot_id
+        ):
+            raise CommitConflict(
+                f"table advanced past snapshot {require_parent_snapshot_id} "
+                f"(now {snap.snapshot_id}); recompute and retry"
+            )
+        table_schema = StructType.fromJson(json.loads(snap.schema_json))
+        tcols = [f.name for f in table_schema.fields]
+
+        def _cond(c):
+            if c is None:
+                return F.lit(True)
+            return F.expr(c) if isinstance(c, str) else c
+
+        key_cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_cols],
+        )
+        tgt = self._scan_snapshot(snap, with_pos=True)
+        j = tgt.alias("t").join(source.alias("s"), key_cond, "inner")
+        upd_take = _cond(update_condition) if update is not None else F.lit(False)
+        del_take = (
+            (~upd_take) & _cond(delete_condition) if delete else F.lit(False)
+        )
+        touched = j.filter(upd_take | del_take)
+        coords = touched.select(
+            F.col("t.__file").alias("file_path"), F.col("t.__pos").alias("pos")
+        ).distinct()
+        if update is not None:
+            if update == "*":
+                # UPDATE SET *: same-named source columns; columns the
+                # source doesn't carry keep their target values
+                assign = {
+                    c: F.col(f"s.{c}") for c in tcols if c in set(source.columns)
+                }
+            else:
+                assign = {
+                    c: (F.expr(e) if isinstance(e, str) else e)
+                    for c, e in update.items()
+                }
+                unknown = set(assign) - set(tcols)
+                if unknown:
+                    raise ValueError(f"unknown update columns: {sorted(unknown)}")
+            updated = j.filter(upd_take).select(
+                *[assign.get(c, F.col(f"t.{c}")).alias(c) for c in tcols]
+            )
+        else:
+            updated = None
+        if insert:
+            # INSERT (cols) VALUES (...) shape: explicit expressions win,
+            # then same-named source columns, then typed NULL (ANSI MERGE
+            # inserts NULL for unnamed columns)
+            ivals = {
+                c: (F.expr(e) if isinstance(e, str) else e)
+                for c, e in (insert_values or {}).items()
+            }
+            unknown = set(ivals) - set(tcols)
+            if unknown:
+                raise ValueError(f"unknown insert columns: {sorted(unknown)}")
+            scols = set(source.columns)
+            ttypes = {f.name: f.dataType for f in table_schema.fields}
+            ins = (
+                source.alias("s")
+                .join(tgt.select(*key_cols).alias("t"), key_cond, "left_anti")
+                .filter(_cond(insert_condition))
+                .select(
+                    *[
+                        ivals.get(
+                            c,
+                            F.col(f"s.{c}")
+                            if c in scols
+                            else F.lit(None).cast(ttypes[c]),
+                        ).alias(c)
+                        for c in tcols
+                    ]
+                )
+            )
+        else:
+            ins = None
+        new_rows = updated
+        if ins is not None:
+            new_rows = ins if new_rows is None else new_rows.unionByName(ins)
+        new_rows = (
+            self._align_df_to_schema(new_rows, table_schema)
+            if new_rows is not None
+            else None
+        )
+        n_touched = coords.limit(1).count()
+        n_new = new_rows.limit(1).count() if new_rows is not None else 0
+        if not n_touched and not n_new:
+            return None
+        base_summary = {"operation_detail": f"merge_into {mode}", **(summary or {})}
+        if mode == "copy-on-write":
+            kept = tgt.join(
+                coords,
+                (F.col("__file") == F.col("file_path"))
+                & (F.col("__pos") == F.col("pos")),
+                "left_anti",
+            ).drop("__file", "__pos")
+            out_df = kept if new_rows is None else kept.unionByName(new_rows)
+            _, files = self._write_data_files(out_df, list(snap.partition_spec))
+            return self._publish(
+                "overwrite", files, table_schema.json(), replace_manifest=True,
+                summary=base_summary,
+                require_parent_snapshot_id=snap.snapshot_id,
+            )
+        new_deletes: list[str] = []
+        if n_touched:
+            commit_dir = f"snap-{uuid.uuid4().hex[:12]}-deletes"
+            out = os.path.join(self.data_dir, commit_dir)
+            coords.write.mode("error").parquet(out)
+            new_deletes = sorted(
+                os.path.join("data", commit_dir, f)
+                for f in os.listdir(out)
+                if f.endswith(".parquet")
+            )
+        files = (
+            self._write_data_files(
+                new_rows, list(snap.partition_spec), field_ids=snap.field_ids
+            )[1]
+            if new_rows is not None and n_new
+            else []
+        )
+        # insert-only outcome is genuinely append-only: publishing it as
+        # 'append' keeps incremental CDC readers on their fast path
+        op = "merge" if new_deletes else "append"
+        return self._publish(
+            op, files, table_schema.json(),
+            summary=base_summary,
+            add_delete_files=new_deletes or None, inherit_schema=True,
             require_parent_snapshot_id=require_parent_snapshot_id,
         )
 

@@ -2445,3 +2445,161 @@ def test_explain_scan_reports_pruning_tiers(spark, warehouse):
     got = {r["k"] for r in t3.scan(where=[("k", "=", 1)]).collect()}
     assert got == set()
     assert sum(rep["skipped"].values()) == rep["total_files"] - rep["read_files"]
+
+
+def test_append_once_exactly_once(spark, warehouse):
+    """append_once: replaying a committed batch id is a no-op, writer ids
+    are independent, and the high-water mark survives snapshot expiry
+    (it rides table properties, not just summaries)."""
+    from icerunner_spark.catalog import Catalog
+
+    t = Catalog(spark, warehouse).table("ao_t")
+    b0 = spark.createDataFrame([(1,), (2,)], "id long")
+    b1 = spark.createDataFrame([(3,)], "id long")
+    t.create(spark.createDataFrame([], "id long"))
+
+    assert t.append_once(b0, writer_id="w1", batch_id=0) is not None
+    assert t.append_once(b1, writer_id="w1", batch_id=1) is not None
+    # crash-replay of both batches: no-ops
+    assert t.append_once(b0, writer_id="w1", batch_id=0) is None
+    assert t.append_once(b1, writer_id="w1", batch_id=1) is None
+    assert sorted(r["id"] for r in t.scan().collect()) == [1, 2, 3]
+
+    # an unrelated writer's batch 0 is NOT a replay of w1's
+    assert t.append_once(b0, writer_id="w2", batch_id=0) is not None
+    assert sorted(r["id"] for r in t.scan().collect()) == [1, 1, 2, 2, 3]
+
+    # a racing property change between reads is preserved (in-loop merge)
+    t.set_properties({"owner": "me"})
+    assert t.append_once(b1, writer_id="w1", batch_id=2) is not None
+    props = t.properties()
+    assert props["owner"] == "me"
+    assert props["stream.w1.high-water"] == "2"
+    assert props["stream.w2.high-water"] == "0"
+
+    # expire ALL history except the tip: the dedupe still holds
+    t.compact()  # roll summaries out of the retained window
+    t.expire_snapshots(keep_last=1)
+    assert t.append_once(b0, writer_id="w1", batch_id=2) is None
+    assert t.append_once(b0, writer_id="w2", batch_id=0) is None
+
+
+def test_append_stream_to_table_exactly_once(spark, warehouse, tmp_path):
+    """End-to-end exactly-once streaming ingest: a file-source stream
+    drains into a snapshot table one file per microbatch; resuming the
+    SAME checkpoint appends only new data, and a manual crash-replay of
+    an already-committed batch id is skipped."""
+    from icerunner_spark.catalog import Catalog
+    from icerunner_spark.streaming.pipeline import append_stream_to_table
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1,), (2,)], "id long").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame([(3,)], "id long").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    t = Catalog(spark, warehouse).table("stream_ingest")
+    stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    n = append_stream_to_table(stream, t, checkpoint_dir=ckpt)
+    assert n == 3
+    assert sorted(r["id"] for r in t.scan().collect()) == [1, 2, 3]
+    hw = int(t.properties()[next(
+        k for k in t.properties() if k.endswith("high-water")
+    )])
+    assert hw >= 1  # two microbatches committed
+
+    # resume the same checkpoint with new data: only the delta lands
+    spark.createDataFrame([(4,)], "id long").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    n = append_stream_to_table(stream, t, checkpoint_dir=ckpt)
+    assert n == 1
+    assert sorted(r["id"] for r in t.scan().collect()) == [1, 2, 3, 4]
+
+    # no new data: zero appended, table untouched
+    snaps_before = len(t.snapshots())
+    assert append_stream_to_table(stream, t, checkpoint_dir=ckpt) == 0
+    assert len(t.snapshots()) == snaps_before
+
+
+def test_merge_into_clause_semantics(spark, warehouse):
+    """merge_into: WHEN MATCHED AND c THEN UPDATE / WHEN MATCHED AND c2
+    THEN DELETE / WHEN NOT MATCHED AND c3 THEN INSERT — SQL clause order
+    (update wins over delete), untouched matched rows survive, source
+    may carry extra condition columns, both write modes agree."""
+    from icerunner_spark.catalog import Catalog
+
+    for mode in ("copy-on-write", "merge-on-read"):
+        t = Catalog(spark, warehouse).table(f"mi_{mode.replace('-', '')}")
+        t.create(spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "a"), (4, 40.0, "a")],
+            "id long, v double, tag string",
+        ))
+        src = spark.createDataFrame(
+            [(1, 100.0, False), (2, 2.0, False), (3, 0.0, True),
+             (5, 50.0, False), (6, 60.0, True)],
+            "id long, v double, retract boolean",
+        )
+        snap = t.merge_into(
+            src, ["id"],
+            update={"v": "s.v", "tag": "'upd'"},
+            update_condition="s.v > t.v",          # only id=1 upgrades
+            delete=True, delete_condition="s.retract",  # id=3 retracts
+            insert_condition="NOT s.retract",       # id=5 inserts, 6 filtered
+            insert_values={"tag": "'a'"},  # source has no tag column
+            mode=mode,
+        )
+        assert snap is not None
+        got = {r["id"]: (r["v"], r["tag"]) for r in t.scan().collect()}
+        assert got == {
+            1: (100.0, "upd"),   # matched, condition true -> updated
+            2: (20.0, "a"),      # matched, no clause fired -> untouched
+            4: (40.0, "a"),      # never matched -> untouched
+            5: (50.0, "a"),      # not matched, insert condition true
+        }
+        if mode == "merge-on-read":
+            assert snap.operation == "merge"
+            assert len(snap.delete_files) == 1
+
+        # no clause fires -> None, no snapshot
+        before = len(t.snapshots())
+        assert t.merge_into(
+            spark.createDataFrame([(2, 1.0, False)], src.schema), ["id"],
+            update="*", update_condition="s.v > t.v", insert=False, mode=mode,
+        ) is None
+        assert len(t.snapshots()) == before
+
+
+def test_merge_into_insert_only_stays_append(spark, warehouse):
+    """An insert-only merge_into outcome publishes as 'append', so
+    incremental CDC readers stay on the append-only fast path."""
+    from icerunner_spark.catalog import Catalog
+
+    t = Catalog(spark, warehouse).table("mi_insert_only")
+    t.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    base = t.current_snapshot().snapshot_id
+    snap = t.merge_into(
+        spark.createDataFrame([(2, "b")], "id long, v string"), ["id"],
+        update=None, insert=True, mode="merge-on-read",
+    )
+    assert snap.operation == "append"
+    delta = t.scan_changes(base)  # must NOT raise append-only violation
+    assert [r["id"] for r in delta.collect()] == [2]
+
+    with pytest.raises(ValueError, match="no-op"):
+        t.merge_into(
+            spark.createDataFrame([(3, "c")], "id long, v string"), ["id"],
+            update=None, insert=False,
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge_into(
+            spark.createDataFrame([(9, "x"), (9, "y")], "id long, v string"),
+            ["id"],
+        )
