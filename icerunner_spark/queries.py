@@ -87,7 +87,7 @@ _DRIVER_WINDOW = [
     "bloom_pruned_scan",
     "flight_roundtrip_nation",
     "snapshot_mor_delete_roundtrip",
-    "partitioned_table_prune",
+    "row_lineage_scan",  # r5 new: v3 row lineage (identity prune rep: transform_partition_prune stays)
     "incremental_ann_maintenance",
     "dedup_minhash_lsh",
     "neardup_ngram_jaccard",
@@ -3388,6 +3388,51 @@ def merge_into_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan().agg(
         F.count(F.lit(1)).alias("n_rows"),
         _money_sum(F.col("price")).alias("total_price"),
+    )
+
+
+@register(
+    "row_lineage_scan",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
+        FROM orders WHERE o_orderkey < 512
+    )
+    SELECT o_orderkey, row_id, 0 AS last_updated_seq
+    FROM base WHERE o_orderkey % 5 <> 0
+    """,
+)
+def row_lineage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 row lineage (IceTable.scan(with_lineage=True)):
+    ``_row_id`` blocks allocate per data file at commit and derive as
+    first_row_id + position at read — pure metadata, no id column is
+    ever written. The table commits as ONE key-sorted file, so each
+    row's id is its sorted rank; a merge-on-read delete then removes
+    every fifth key WITHOUT moving surviving rows, and the oracle checks
+    the survivors still carry their ORIGINAL ids (an engine that
+    rewrote or renumbered rows would shift them).
+    ``_last_updated_sequence`` stays 0 — no survivor has been updated
+    since the create commit. This is the identity substrate CDC
+    consumers and incremental ML-feature pipelines key on at 100 TB:
+    row identity survives continuous delete maintenance for free."""
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_lineage", sf_dir)
+    c = Connector(spark, wh)
+    t = c.catalog.table("orders_lineage")
+    t.create(
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 512)
+        .select("o_orderkey")
+        .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    t.delete_where("o_orderkey % 5 = 0", mode="merge-on-read")
+    return t.scan(with_lineage=True).select(
+        "o_orderkey",
+        F.col("_row_id").alias("row_id"),
+        F.col("_last_updated_sequence").cast("int").alias("last_updated_seq"),
     )
 
 

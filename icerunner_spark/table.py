@@ -131,6 +131,12 @@ class Snapshot:
     # the column existed read the default instead of NULL — add_column
     # with a default stays metadata-only, no backfill rewrite.
     field_defaults: dict = field(default_factory=dict)
+    # Row lineage (Iceberg v3): the table's next unassigned row id.
+    # Each commit allocates a contiguous block per added file (the
+    # file's ``__first_row_id__`` stats entry); ``_row_id`` derives as
+    # first_row_id + position at read time, ``_last_updated_sequence``
+    # as the file's commit sequence. None = pre-lineage legacy snapshot.
+    next_row_id: int | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -155,6 +161,7 @@ class Snapshot:
                 "file_stats": self.file_stats,
                 "properties": self.properties,
                 "field_defaults": self.field_defaults,
+                "next_row_id": self.next_row_id,
             }
         )
 
@@ -192,6 +199,7 @@ class Snapshot:
             file_stats=d.get("file_stats", {}),
             properties=d.get("properties", {}),
             field_defaults=d.get("field_defaults", {}),
+            next_row_id=d.get("next_row_id"),
         )
 
 
@@ -886,6 +894,7 @@ class IceTable:
             "dir_specs": snap.dir_specs,
             "properties": snap.properties,
             "field_defaults": snap.field_defaults,
+            "next_row_id": snap.next_row_id,
             "segments": segs,
             "tombstones": tomb,
         }
@@ -1148,6 +1157,34 @@ class IceTable:
                     fstats[f] = conv
             live_files = set(manifest)
             fstats = {f: s for f, s in fstats.items() if f in live_files}
+            # Iceberg v3 ROW LINEAGE: every added data file gets a block
+            # of row ids allocated from the winning parent's counter
+            # (first_row_id rides the file's stats entry; _row_id =
+            # first_row_id + position at read). Allocation is in-loop so
+            # racing commits get disjoint blocks; ids are never reused —
+            # a replaced file's block simply retires with it. Files whose
+            # row count is unknowable keep NULL lineage (conservative).
+            import pyarrow.parquet as _pq
+
+            next_row = (
+                parent.next_row_id
+                if parent is not None and parent.next_row_id is not None
+                else 0
+            )
+            for f in sorted(added_files or []):
+                per = dict(fstats.get(f) or {})
+                n = per.get("__rows__")
+                if n is None:
+                    try:
+                        n = _pq.read_metadata(
+                            os.path.join(self.path, f)
+                        ).num_rows
+                    except OSError:
+                        continue
+                per["__first_row_id__"] = int(next_row)
+                per["__rows__"] = int(n)
+                fstats[f] = per
+                next_row += int(n)
             # table properties inherit commit-over-commit unless the
             # commit explicitly sets them (create / set_properties).
             # ``properties_update`` MERGES into the WINNING parent's
@@ -1194,6 +1231,7 @@ class IceTable:
                 file_stats=fstats,
                 properties=props,
                 field_defaults=dfl,
+                next_row_id=int(next_row),
             )
             # slim write: the commit's metadata IO is O(added files),
             # not O(table files) — a losing attempt's segment file is an
@@ -2633,6 +2671,17 @@ class IceTable:
                 # rollback undoes config changes too)
                 properties=dict(target.properties),
                 field_defaults=dict(target.field_defaults),
+                # row-id counter never rewinds: ids minted after the
+                # target stay retired even though their files drop out
+                next_row_id=(
+                    max(
+                        target.next_row_id or 0,
+                        parent.next_row_id or 0,
+                    )
+                    if (target.next_row_id is not None
+                        or parent.next_row_id is not None)
+                    else None
+                ),
             )
             payload = self._slim_snapshot_text(snap, parent)
             try:
@@ -3630,6 +3679,7 @@ class IceTable:
         tag: str | None = None,
         as_of_ms: int | None = None,
         where=None,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Read the table at the current (or a given) snapshot, at a
         named tag (`VERSION AS OF 'tag'` parity), or as of a wall-clock
@@ -3645,7 +3695,11 @@ class IceTable:
         before the reader is built (Iceberg manifest pruning), then
         applies the same conjunction as a Catalyst filter so the result
         is exact. A selective predicate over a multi-commit table reads
-        only the files whose bounds admit it — zero IO for the rest."""
+        only the files whose bounds admit it — zero IO for the rest.
+
+        ``with_lineage=True`` adds Iceberg v3 row-lineage columns
+        ``_row_id`` / ``_last_updated_sequence`` derived from metadata
+        (see :meth:`_with_lineage` for the stability contract)."""
         if sum(x is not None for x in (snapshot_id, tag, as_of_ms)) > 1:
             raise ValueError("pass at most one of snapshot_id, tag, as_of_ms")
         if tag is not None:
@@ -3670,12 +3724,74 @@ class IceTable:
         if snap is None:
             raise NoSuchTableError(self.path)
         preds = _normalize_predicates(where)
-        if not preds:
-            return self._scan_snapshot(snap)
-        files = self._prune_files(snap, snap.manifest, preds)
-        return self._scan_snapshot(snap, files=files).where(
-            _predicates_to_column(preds)
+        files = (
+            self._prune_files(snap, snap.manifest, preds) if preds else None
         )
+        df = self._scan_snapshot(snap, files=files, with_pos=with_lineage)
+        if preds:
+            df = df.where(_predicates_to_column(preds))
+        if with_lineage:
+            df = self._with_lineage(df, snap, files)
+        return df
+
+    def _with_lineage(
+        self, df: DataFrame, snap: Snapshot, files: list[str] | None
+    ) -> DataFrame:
+        """Decorate a positional scan with Iceberg v3 row-lineage
+        columns, derived purely from metadata:
+
+        - ``_row_id`` = the file's ``__first_row_id__`` block start + the
+          row's position — stable across appends, merge-on-read
+          delete/update/merge, equality deletes, delete consolidation
+          and partition evolution, because none of those move a
+          surviving row. Copy-on-write rewrites and compaction mint
+          fresh ids (this engine does not materialize lineage columns
+          into rewritten files); files from before lineage existed read
+          NULL until rewritten.
+        - ``_last_updated_sequence`` = the commit sequence of the file
+          holding the row's current version (a merge-on-read update's
+          new version lives in the merge commit's files, so it reports
+          that sequence — Iceberg's semantics exactly).
+
+        The id lookup is a broadcast join on O(#files) rows; the
+        sequence lookup is an O(#dirs) literal map."""
+        for c in ("_row_id", "_last_updated_sequence"):
+            if c in df.columns:
+                raise ValueError(
+                    f"table schema already has a column named {c!r} — "
+                    "reserved by row lineage"
+                )
+        flist = snap.manifest if files is None else files
+        rows = [
+            (f, int(snap.file_stats[f]["__first_row_id__"]))
+            for f in flist
+            if "__first_row_id__" in (snap.file_stats.get(f) or {})
+        ]
+        lookup = self.spark.createDataFrame(
+            rows or [], "__lin_file string, __lin_first long"
+        )
+        dirs = {_commit_dir_of(f) for f in flist}
+        seq_map = F.create_map(
+            *[
+                x
+                for d in sorted(dirs)
+                for x in (F.lit(d), F.lit(int(snap.dir_seqs.get(d, 0))))
+            ]
+        ) if dirs else F.create_map()
+        out = (
+            df.join(
+                F.broadcast(lookup),
+                F.col("__file") == F.col("__lin_file"),
+                "left",
+            )
+            .withColumn("_row_id", F.col("__lin_first") + F.col("__pos"))
+            .withColumn(
+                "_last_updated_sequence",
+                seq_map[F.regexp_extract(F.col("__file"), "^data/([^/]+)/", 1)],
+            )
+            .drop("__lin_file", "__lin_first", "__file", "__pos")
+        )
+        return out
 
     def _scan_snapshot(
         self,

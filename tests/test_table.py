@@ -2603,3 +2603,65 @@ def test_merge_into_insert_only_stays_append(spark, warehouse):
             spark.createDataFrame([(9, "x"), (9, "y")], "id long, v string"),
             ["id"],
         )
+
+
+def test_row_lineage_stability(spark, warehouse):
+    """Iceberg v3 row lineage: _row_id blocks allocate per added file and
+    stay stable across appends, merge-on-read delete/update, delete
+    consolidation and snapshot history; _last_updated_sequence reports
+    the commit holding the row's current version; copy-on-write rewrites
+    mint fresh ids and the counter never rewinds."""
+    from icerunner_spark.catalog import Catalog
+
+    t = Catalog(spark, warehouse).table("lineage_t")
+    t.create(spark.createDataFrame([(k, f"v{k}") for k in range(10)],
+                                   "id long, v string").coalesce(1))
+    t.append(spark.createDataFrame([(k, f"v{k}") for k in range(10, 15)],
+                                   "id long, v string").coalesce(1))
+
+    lin = {r["id"]: (r["_row_id"], r["_last_updated_sequence"])
+           for r in t.scan(with_lineage=True).collect()}
+    assert sorted(r[0] for r in lin.values()) == list(range(15))
+    assert len({r[0] for r in lin.values()}) == 15  # globally unique
+    assert lin[0][1] == 0 and lin[12][1] == 1  # per-commit sequences
+    assert t.current_snapshot().next_row_id == 15
+
+    # MOR delete: survivors keep their exact ids
+    t.delete_where(F.col("id") % 2 == 0, mode="merge-on-read")
+    lin2 = {r["id"]: r["_row_id"]
+            for r in t.scan(with_lineage=True).collect()}
+    assert lin2 == {k: v[0] for k, v in lin.items() if k % 2 == 1}
+
+    # MOR update: the new version gets a fresh id and the merge's sequence
+    t.update_where("id = 3", {"v": "'updated'"}, mode="merge-on-read")
+    lin3 = {r["id"]: (r["_row_id"], r["_last_updated_sequence"])
+            for r in t.scan(with_lineage=True).collect()}
+    assert lin3[3][0] >= 15  # freshly minted
+    assert lin3[3][1] == t.current_snapshot().sequence
+    for k in (1, 5, 7, 9, 11, 13):
+        assert lin3[k][0] == lin2[k]  # untouched rows unmoved
+
+    # consolidating delete files moves no rows
+    t.delete_where("id = 5", mode="merge-on-read")
+    t.rewrite_position_deletes()
+    lin4 = {r["id"]: r["_row_id"]
+            for r in t.scan(with_lineage=True).collect()}
+    assert lin4 == {k: v[0] for k, v in lin3.items() if k != 5}
+
+    # copy-on-write rewrite: fresh ids, counter strictly advances
+    before = t.current_snapshot().next_row_id
+    t.compact()
+    after = t.current_snapshot()
+    assert after.next_row_id > before
+    lin5 = [r["_row_id"] for r in t.scan(with_lineage=True).collect()]
+    assert min(lin5) >= before  # no retired id is ever reused
+
+    # time travel derives lineage from THAT snapshot's metadata
+    hist = t.scan(t.snapshots()[1].snapshot_id, with_lineage=True)
+    assert sorted(r["_row_id"] for r in hist.collect()) == list(range(15))
+
+    # reserved-name collision refuses loudly
+    t2 = Catalog(spark, warehouse).table("lineage_clash")
+    t2.create(spark.createDataFrame([(1, 2)], "id long, _row_id long"))
+    with pytest.raises(ValueError, match="reserved"):
+        t2.scan(with_lineage=True).collect()
