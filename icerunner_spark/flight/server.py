@@ -11,8 +11,9 @@ the reference's mirror client speaks but its own server never implemented
     * ``{"command": "get_changes", "table": t,
          "snapshot_id": s}``                          -> rows appended after s
     * ``{"command": "get_changelog", "table": t,
-         "snapshot_id": s}``                          -> insert/delete rows
-         (+ ``_change_type``) — survives merge-on-read maintenance
+         "snapshot_id": s, "lineage": bool}``         -> insert/delete rows
+         (+ ``_change_type``; ``lineage`` adds ``_row_id`` — Iceberg v3
+         row identity) — survives merge-on-read maintenance
     * ``{"command": "get_metadata", "table": t}``     -> snapshot_id / row stats
     * ``{"command": "scan", "table": t,
          "where": [[col, op, value], ...],
@@ -764,7 +765,10 @@ class IceFlightServer(flight.FlightServerBase):
             end_snapshot_id = None if end_snapshot_id is None else int(end_snapshot_id)
             t = self.connector.table(name)
             try:
-                df = t.scan_changelog(snapshot_id, end_snapshot_id)
+                df = t.scan_changelog(
+                    snapshot_id, end_snapshot_id,
+                    with_lineage=bool(cmd.get("lineage")),
+                )
             except ValueError as e:
                 raise flight.FlightServerError(str(e))
             # spill-backed stream: the delta is written by Spark's

@@ -3762,14 +3762,6 @@ class IceTable:
                     "reserved by row lineage"
                 )
         flist = snap.manifest if files is None else files
-        rows = [
-            (f, int(snap.file_stats[f]["__first_row_id__"]))
-            for f in flist
-            if "__first_row_id__" in (snap.file_stats.get(f) or {})
-        ]
-        lookup = self.spark.createDataFrame(
-            rows or [], "__lin_file string, __lin_first long"
-        )
         dirs = {_commit_dir_of(f) for f in flist}
         seq_map = F.create_map(
             *[
@@ -3779,19 +3771,40 @@ class IceTable:
             ]
         ) if dirs else F.create_map()
         out = (
+            self._lineage_join(df, snap.file_stats, flist)
+            .withColumn(
+                "_last_updated_sequence",
+                seq_map[F.regexp_extract(F.col("__file"), "^data/([^/]+)/", 1)],
+            )
+            .drop("__file", "__pos")
+        )
+        return out
+
+    def _lineage_join(
+        self, df: DataFrame, file_stats: dict, files
+    ) -> DataFrame:
+        """Attach ``_row_id`` (= the file's allocated block start + the
+        row's ``__pos``) to a positional frame via a broadcast lookup
+        bounded by ``files`` — never the whole manifest unless the read
+        itself was. Files without an allocation (pre-lineage) yield
+        NULL."""
+        rows = [
+            (f, int(file_stats[f]["__first_row_id__"]))
+            for f in files
+            if "__first_row_id__" in (file_stats.get(f) or {})
+        ]
+        lookup = self.spark.createDataFrame(
+            rows or [], "__lin_file string, __lin_first long"
+        )
+        return (
             df.join(
                 F.broadcast(lookup),
                 F.col("__file") == F.col("__lin_file"),
                 "left",
             )
             .withColumn("_row_id", F.col("__lin_first") + F.col("__pos"))
-            .withColumn(
-                "_last_updated_sequence",
-                seq_map[F.regexp_extract(F.col("__file"), "^data/([^/]+)/", 1)],
-            )
-            .drop("__lin_file", "__lin_first", "__file", "__pos")
+            .drop("__lin_file", "__lin_first")
         )
-        return out
 
     def _scan_snapshot(
         self,
@@ -4235,12 +4248,14 @@ class IceTable:
         return df.where(_predicates_to_column(preds)) if preds else df
 
     def _align_snapshot_columns(
-        self, df: DataFrame, from_snap: Snapshot, to_snap: Snapshot
+        self, df: DataFrame, from_snap: Snapshot, to_snap: Snapshot,
+        keep: tuple = (),
     ) -> DataFrame:
         """Re-express rows read under ``from_snap``'s schema in
         ``to_snap``'s logical column names, matched by FIELD ID (a rename
         in between maps through; a column added later reads as typed
-        NULL; a dropped column is not selected)."""
+        NULL; a dropped column is not selected). ``keep`` names
+        metadata columns (e.g. ``_row_id``) carried through verbatim."""
         to_schema = StructType.fromJson(json.loads(to_snap.schema_json))
         from_by_id = {v: k for k, v in from_snap.field_ids.items()}
         cols = []
@@ -4251,10 +4266,12 @@ class IceTable:
                 if src is not None and src in df.columns
                 else F.lit(None).cast(fld.dataType).alias(fld.name)
             )
+        cols += [F.col(k) for k in keep if k in df.columns]
         return df.select(*cols)
 
     def _deleted_rows_df(
-        self, snap: Snapshot, new_delete_files: list[str]
+        self, snap: Snapshot, new_delete_files: list[str],
+        with_lineage: bool = False,
     ) -> DataFrame:
         """The ROW VALUES removed by ``snap``'s newly attached positional
         delete files: the (file, pos) coordinates joined back to the data
@@ -4266,7 +4283,10 @@ class IceTable:
         refs = sorted(self._delete_file_refs(new_delete_files))
         schema = StructType.fromJson(json.loads(snap.schema_json))
         if not refs:
-            return self.spark.createDataFrame([], schema)
+            out = self.spark.createDataFrame([], schema)
+            if with_lineage:
+                out = out.withColumn("_row_id", F.lit(None).cast("long"))
+            return out
         data = self._read_files(
             refs,
             schema,
@@ -4286,16 +4306,24 @@ class IceTable:
             )
             .distinct()
         )
-        return data.join(
+        joined = data.join(
             dels,
             (F.col("__file") == F.col("__del_file"))
             & (F.col("__pos") == F.col("__del_pos")),
             "inner",
-        ).select(*[f.name for f in schema.fields])
+        )
+        names = [f.name for f in schema.fields]
+        if with_lineage:
+            # the deleted row's identity: its file's block start + pos —
+            # lookup bounded by the referenced files (O(deleted delta))
+            return self._lineage_join(joined, snap.file_stats, refs).select(
+                *names, "_row_id"
+            )
+        return joined.select(*names)
 
     def scan_changelog(
         self, start_snapshot_id: int | None, end_snapshot_id: int | None = None,
-        *, with_ordinal: bool = False,
+        *, with_ordinal: bool = False, with_lineage: bool = False,
     ) -> DataFrame:
         """Row-level changelog over ``(start, end]`` — every row change
         as a row, with a ``_change_type`` column ('insert' | 'delete'):
@@ -4320,6 +4348,13 @@ class IceTable:
         positions don't transfer across tables, but value multisets do.
         IO is O(changed rows): added files + the files the delete
         coordinates reference.
+
+        ``with_lineage=True`` adds ``_row_id`` (Iceberg v3 row lineage):
+        inserts carry the identity their rows will scan with; deletes
+        carry the identity the removed version HAD — so consumers apply
+        the delta by stable row id instead of value multiset (feature
+        stores, downstream indexes). Lookups stay bounded by the delta's
+        files. Pre-lineage files yield NULL ids.
 
         ``with_ordinal=True`` adds ``_change_ordinal`` (the producing
         snapshot's sequence — Iceberg's changelog ordinal): consumers
@@ -4347,6 +4382,7 @@ class IceTable:
         insert_files: list[str] = []
         insert_parts: list[tuple[int, list[str]]] = []
         insert_mappings: dict = {}
+        ins_lineage: dict = {}
         delete_parts: list[tuple[Snapshot, list[str]]] = []
         eq_parts: list[tuple[Snapshot, Snapshot | None, list]] = []
         ctx = None
@@ -4367,6 +4403,14 @@ class IceTable:
                         d = _commit_dir_of(f)
                         if d in snap.file_mappings:
                             insert_mappings[d] = snap.file_mappings[d]
+                        # row-id block starts, captured from the PRODUCING
+                        # snapshot (a later compaction may have dropped
+                        # the file from the end snapshot's stats)
+                        per = snap.file_stats.get(f) or {}
+                        if "__first_row_id__" in per:
+                            ins_lineage[f] = {
+                                "__first_row_id__": per["__first_row_id__"]
+                            }
                 if snap.operation in ("delete", "merge"):
                     prior = set(prev.delete_files) if prev else set()
                     new_dels = [f for f in snap.delete_files if f not in prior]
@@ -4388,7 +4432,7 @@ class IceTable:
         schema = StructType.fromJson(json.loads(ctx.schema_json))
 
         def _insert_df(files):
-            return self._read_files(
+            df = self._read_files(
                 files,
                 schema,
                 field_ids=ctx.field_ids,
@@ -4396,7 +4440,13 @@ class IceTable:
                 partition_spec=ctx.partition_spec,
                 dir_specs=ctx.dir_specs,
                 field_defaults=ctx.field_defaults,
-            ).withColumn("_change_type", F.lit("insert"))
+                with_pos=with_lineage,
+            )
+            if with_lineage:
+                df = self._lineage_join(df, ins_lineage, files).drop(
+                    "__file", "__pos"
+                )
+            return df.withColumn("_change_type", F.lit("insert"))
 
         if not with_ordinal:
             out = _insert_df(insert_files)
@@ -4410,7 +4460,8 @@ class IceTable:
                 )
         for snap, new_dels in delete_parts:
             part = self._align_snapshot_columns(
-                self._deleted_rows_df(snap, new_dels), snap, ctx
+                self._deleted_rows_df(snap, new_dels, with_lineage=with_lineage),
+                snap, ctx, keep=("_row_id",),
             ).withColumn("_change_type", F.lit("delete"))
             if with_ordinal:
                 part = part.withColumn("_change_ordinal", F.lit(snap.sequence))
@@ -4448,7 +4499,9 @@ class IceTable:
                         files = self._prune_files(
                             prevsnap, prevsnap.manifest, preds
                         )
-                base = self._scan_snapshot(prevsnap, files=files)
+                base = self._scan_snapshot(
+                    prevsnap, files=files, with_pos=with_lineage
+                )
                 cond = reduce(
                     lambda a, b: a & b,
                     [
@@ -4456,8 +4509,14 @@ class IceTable:
                         for f in fids
                     ],
                 )
+                matched_rows = base.join(keys, cond, "left_semi")
+                if with_lineage:
+                    matched_rows = self._lineage_join(
+                        matched_rows, prevsnap.file_stats,
+                        prevsnap.manifest if files is None else files,
+                    ).drop("__file", "__pos")
                 part = self._align_snapshot_columns(
-                    base.join(keys, cond, "left_semi"), prevsnap, ctx
+                    matched_rows, prevsnap, ctx, keep=("_row_id",)
                 ).withColumn("_change_type", F.lit("delete"))
                 if with_ordinal:
                     part = part.withColumn(
@@ -4516,7 +4575,13 @@ class IceTable:
         same-range insert+delete of one row net out exactly. Two
         snapshots (append + delete); returns the last one published, or
         None for an empty changelog."""
-        cols = [c for c in changes.columns if c != change_col]
+        # metadata columns (ordinal / lineage) are not row VALUES — a
+        # changelog read with them still applies by value multiset
+        cols = [
+            c
+            for c in changes.columns
+            if c not in (change_col, "_change_ordinal", "_row_id")
+        ]
         changes = changes.persist()
         try:
             inserts = changes.filter(F.col(change_col) == "insert").select(*cols)

@@ -968,6 +968,19 @@ def test_get_changelog_roundtrip(spark, server):
     ).read_all()
     changes = sorted((r["id"], r["_change_type"]) for r in got.to_pylist())
     assert changes == [(1, "delete"), (4, "delete"), (4, "insert")]
+    # lineage flag: rows gain _row_id — the delete names the ORIGINAL
+    # identity (position 0 of the create commit), the insert its fresh one
+    lin = client.do_get(
+        flight.Ticket(
+            json.dumps(
+                {"command": "get_changelog", "table": "clt",
+                 "snapshot_id": s0, "lineage": True}
+            ).encode()
+        )
+    ).read_all()
+    by = {(r["id"], r["_change_type"]): r["_row_id"] for r in lin.to_pylist()}
+    assert by[(1, "delete")] == 0
+    assert by[(4, "insert")] == by[(4, "delete")] == 3
     # get_flight_info advertises the widened schema
     info = client.get_flight_info(
         flight.FlightDescriptor.for_command(

@@ -2665,3 +2665,45 @@ def test_row_lineage_stability(spark, warehouse):
     t2.create(spark.createDataFrame([(1, 2)], "id long, _row_id long"))
     with pytest.raises(ValueError, match="reserved"):
         t2.scan(with_lineage=True).collect()
+
+
+def test_changelog_row_lineage(spark, warehouse):
+    """scan_changelog(with_lineage=True): inserts carry the _row_id the
+    rows scan with, deletes (positional AND equality) carry the id the
+    removed version had, a MOR update's delete+insert pair shares the
+    key but exposes old-id -> new-id, and apply_changelog ignores the
+    metadata column."""
+    from icerunner_spark.catalog import Catalog
+
+    t = Catalog(spark, warehouse).table("cl_lineage")
+    t.create(spark.createDataFrame([(k, f"v{k}") for k in range(8)],
+                                   "id long, v string").coalesce(1))
+    base = t.current_snapshot().snapshot_id
+    ids0 = {r["id"]: r["_row_id"] for r in t.scan(with_lineage=True).collect()}
+
+    t.append(spark.createDataFrame([(8, "v8")], "id long, v string"))
+    t.delete_where("id = 2", mode="merge-on-read")          # positional
+    t.delete_rows(spark.createDataFrame([(5,)], "id long"), ["id"])  # equality
+    t.update_where("id = 3", {"v": "'u'"}, mode="merge-on-read")
+
+    cl = t.scan_changelog(base, with_lineage=True).collect()
+    ins = {r["id"]: r["_row_id"] for r in cl if r["_change_type"] == "insert"}
+    dels = {(r["id"], r["_row_id"]) for r in cl if r["_change_type"] == "delete"}
+    # deletes name the ORIGINAL identities
+    assert (2, ids0[2]) in dels and (5, ids0[5]) in dels and (3, ids0[3]) in dels
+    # the update's new version and the append got fresh ids
+    assert ins[8] == 8  # next block after the create's 0..7
+    assert ins[3] is not None and ins[3] > ids0[3]
+    # live scan agrees with the changelog's insert identities
+    live = {r["id"]: r["_row_id"] for r in t.scan(with_lineage=True).collect()}
+    assert live[3] == ins[3] and live[8] == ins[8]
+    for k in (0, 1, 4, 6, 7):
+        assert live[k] == ids0[k]
+
+    # applying the lineage changelog to a copy converges by VALUE
+    t2 = Catalog(spark, warehouse).table("cl_lineage_copy")
+    t2.create(t.scan(base))
+    t2.apply_changelog(t.scan_changelog(base, with_lineage=True))
+    assert sorted((r["id"], r["v"]) for r in t2.scan().collect()) == sorted(
+        (r["id"], r["v"]) for r in t.scan().collect()
+    )
