@@ -1210,6 +1210,23 @@ class IceTable:
                 dfl = defaults_evolve(field_ids, dfl)
             live_fids = {str(v) for v in field_ids.values()}
             dfl = {k: v for k, v in dfl.items() if k in live_fids}
+            # Iceberg snapshot-summary metrics: file/record deltas and
+            # totals stamped on every commit (metadata already in hand —
+            # the lineage loop guarantees added files carry __rows__).
+            # Totals are omitted rather than guessed when any legacy
+            # file's count is unknown; caller-provided keys win.
+            summ = dict(summary or {})
+            summ.setdefault("added-data-files", str(len(added_files or [])))
+            arows = [
+                (fstats.get(f) or {}).get("__rows__")
+                for f in added_files or []
+            ]
+            if all(v is not None for v in arows):
+                summ.setdefault("added-records", str(sum(map(int, arows))))
+            summ.setdefault("total-data-files", str(len(manifest)))
+            trows = [(fstats.get(f) or {}).get("__rows__") for f in manifest]
+            if all(v is not None for v in trows):
+                summ.setdefault("total-records", str(sum(map(int, trows))))
             snap = Snapshot(
                 snapshot_id=_new_snapshot_id(),
                 sequence=seq,
@@ -1219,7 +1236,7 @@ class IceTable:
                 added_files=list(added_files),
                 manifest=manifest,
                 schema_json=df_schema_json,
-                summary=summary or {},
+                summary=summ,
                 field_ids=field_ids,
                 next_field_id=next_id,
                 file_mappings=mappings,
@@ -1685,7 +1702,32 @@ class IceTable:
                 df = df.repartition(*pcols)
             elif mode == "range":
                 df = df.repartitionByRange(*pcols)
+        # write.sort.columns (Iceberg ``WRITE ORDERED BY`` parity): sort
+        # every task's output on the listed columns, so the manifest's
+        # per-file min/max bounds are tight ON INGEST and parquet
+        # row-group stats cluster — the stats-as-index win of a sorted
+        # compaction without waiting for one. Task-local sort only (no
+        # extra shuffle); combine with write.distribution-mode=range on
+        # the same columns for globally disjoint file bounds.
+        sort_cols = [
+            c.strip()
+            for c in (props or {}).get("write.sort.columns", "").split(",")
+            if c.strip()
+        ]
+        if sort_cols:
+            missing = [c for c in sort_cols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"write.sort.columns references unknown columns {missing}"
+                )
+            df = df.sortWithinPartitions(*sort_cols)
         w = df.write.mode("error")
+        # write.parquet.compression-codec (Iceberg table property): the
+        # codec travels with the TABLE, not the session — replicas and
+        # maintenance rewrites keep the owner's storage choice
+        codec = (props or {}).get("write.parquet.compression-codec")
+        if codec:
+            w = w.option("compression", codec)
         if spec_fields:
             w = w.partitionBy(*[sf.pname for sf in spec_fields])
         w.parquet(out)

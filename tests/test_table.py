@@ -2707,3 +2707,43 @@ def test_changelog_row_lineage(spark, warehouse):
     assert sorted((r["id"], r["v"]) for r in t2.scan().collect()) == sorted(
         (r["id"], r["v"]) for r in t.scan().collect()
     )
+
+
+def test_write_properties_and_summary_metrics(spark, warehouse):
+    """write.sort.columns sorts every task's output (tight ingest
+    bounds -> range scans prune without a compaction), the
+    compression-codec property travels with the table, and every commit
+    stamps Iceberg-style summary metrics."""
+    import pyarrow.parquet as pq
+    from icerunner_spark.catalog import Catalog
+
+    t = Catalog(spark, warehouse).table("wprops")
+    df = spark.createDataFrame([(k,) for k in range(1000)], "id long")
+    t.create(
+        df.orderBy(F.rand(7)).repartitionByRange(4, "id"),
+        properties={
+            "write.sort.columns": "id",
+            "write.parquet.compression-codec": "gzip",
+        },
+    )
+    snap = t.current_snapshot()
+    # every file individually sorted + range-disjoint -> full skip works
+    rep = t.explain_scan([("id", ">=", 900)])
+    assert rep["read_files"] == 1 and rep["skipped"] == {"bounds": 3}
+    for f in snap.manifest:
+        meta = pq.ParquetFile(f"{t.path}/{f}")
+        assert meta.metadata.row_group(0).column(0).compression == "GZIP"
+        col = pq.read_table(f"{t.path}/{f}")["id"].to_pylist()
+        assert col == sorted(col)
+    # summary metrics on the create commit
+    assert snap.summary["added-data-files"] == "4"
+    assert snap.summary["added-records"] == "1000"
+    assert snap.summary["total-records"] == "1000"
+    t.append(spark.createDataFrame([(9999,)], "id long"))
+    s2 = t.current_snapshot()
+    assert s2.summary["added-records"] == "1"
+    assert s2.summary["total-records"] == "1001"
+    # unknown sort column refuses loudly
+    t.set_properties({"write.sort.columns": "nope"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.append(spark.createDataFrame([(1,)], "id long"))
