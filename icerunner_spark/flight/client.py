@@ -57,7 +57,8 @@ def read_table_once(host: str, port: int, table_name: str) -> pa.Table:
 
 def read_table_filtered(
     host: str, port: int, table_name: str, where: list,
-    columns: list | None = None,
+    columns: list | None = None, snapshot_id: int | None = None,
+    tag: str | None = None, as_of_ms: int | None = None,
 ) -> pa.Table:
     """Predicate-pushdown read (server command ``scan``): the server
     prunes the file list against manifest column bounds and partition
@@ -74,6 +75,13 @@ def read_table_filtered(
     cmd = {"command": "scan", "table": table_name, "where": where}
     if columns:
         cmd["columns"] = list(columns)
+    # remote time travel (VERSION / TIMESTAMP AS OF over the wire)
+    if snapshot_id is not None:
+        cmd["snapshot_id"] = int(snapshot_id)
+    if tag is not None:
+        cmd["tag"] = tag
+    if as_of_ms is not None:
+        cmd["as_of_ms"] = int(as_of_ms)
     ticket = flight.Ticket(_json.dumps(cmd).encode())
     return client.do_get(ticket).read_all()
 

@@ -21,7 +21,9 @@ the reference's mirror client speaks but its own server never implemented
          stream: manifest/column-bounds/partition-transform pruning picks
          the files, a pyarrow dataset filter keeps rows exact — zero Spark.
          ``columns`` projects the stream: only those column chunks are
-         decoded and cross the wire (predicates may name dropped columns)
+         decoded and cross the wire (predicates may name dropped columns);
+         ``snapshot_id`` / ``tag`` / ``as_of_ms`` pin the read — remote
+         VERSION / TIMESTAMP AS OF
     * ``{"sql": "..."}``                              -> Spark SQL result stream
 - ``get_flight_info`` accepts path descriptors (table) and command
   descriptors (``LIST_TABLES`` bytes or the JSON commands above), returns
@@ -784,7 +786,34 @@ class IceFlightServer(flight.FlightServerBase):
             # Spark engaged unless merge-on-read deletes are pending
             name = cmd["table"]
             t = self.connector.table(name)
-            snap = t.current_snapshot()
+            # remote time travel: the ticket may pin a snapshot id, a
+            # named tag, or a wall-clock timestamp (VERSION/TIMESTAMP AS
+            # OF over the wire) — resolution mirrors IceTable.scan
+            try:
+                snap_id = cmd.get("snapshot_id")
+                if cmd.get("tag") is not None:
+                    refs = t.tags()
+                    if cmd["tag"] not in refs:
+                        raise ValueError(f"no such tag: {cmd['tag']}")
+                    snap_id = refs[cmd["tag"]]
+                if cmd.get("as_of_ms") is not None:
+                    older = [
+                        s
+                        for s in t.snapshots()
+                        if s.timestamp_ms <= int(cmd["as_of_ms"])
+                    ]
+                    if not older:
+                        raise ValueError(
+                            f"no snapshot at or before {cmd['as_of_ms']}"
+                        )
+                    snap_id = older[-1].snapshot_id
+                snap = (
+                    t.current_snapshot()
+                    if snap_id is None
+                    else t.snapshot_by_id(int(snap_id))
+                )
+            except ValueError as e:
+                raise flight.FlightServerError(str(e))
             if snap is None:
                 raise flight.FlightServerError(f"table not found: {name}")
             preds = self._typed_preds(snap, cmd.get("where") or [])

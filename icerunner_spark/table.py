@@ -4682,6 +4682,7 @@ class IceTable:
                 for fid, b in bounds.items()
                 if fid in id_to_name and b[1] is not None
             }
+            first_rid = bounds.get("__first_row_id__")
             rows.append(
                 (
                     rel,
@@ -4692,13 +4693,15 @@ class IceTable:
                     os.path.getsize(full),
                     lower or None,
                     upper or None,
+                    int(first_rid) if first_rid is not None else None,
                 )
             )
         return self.spark.createDataFrame(
             rows,
             "file_path string, content string, commit_dir string, "
             "partition map<string,string>, record_count long, file_size_bytes long, "
-            "lower_bounds map<string,string>, upper_bounds map<string,string>",
+            "lower_bounds map<string,string>, upper_bounds map<string,string>, "
+            "first_row_id long",
         )
 
     def partitions_df(self, snapshot_id: int | None = None) -> DataFrame:
@@ -4731,4 +4734,54 @@ class IceTable:
             rows,
             "snapshot_id long, sequence int, parent_id long, committed_at_ms long, "
             "operation string, added_files int, total_files int",
+        )
+
+    def refs_df(self) -> DataFrame:
+        """Named refs as a DataFrame (Iceberg ``<t>.refs`` metadata
+        table): one row per tag and branch with the snapshot it pins."""
+        rows = [
+            (name, "tag", sid) for name, sid in sorted(self.tags().items())
+        ] + [
+            (name, "branch", sid)
+            for name, sid in sorted(self.branches().items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+
+    def history_df(self) -> DataFrame:
+        """Commit lineage as a DataFrame (Iceberg ``<t>.history``
+        metadata table): commit time, snapshot, parent, and whether the
+        snapshot is an ancestor of the CURRENT state (false for states
+        rolled back past — Iceberg's is_current_ancestor)."""
+        snaps = self.snapshots()
+        cur = self.current_snapshot()
+        ancestors: set[int] = set()
+        by_id = {s.snapshot_id: s for s in snaps}
+        walk = cur
+        while walk is not None:
+            ancestors.add(walk.snapshot_id)
+            # a rollback restores an ancestor STATE as a new commit; for
+            # ancestry purposes it re-parents onto the restored snapshot
+            if walk.operation == "rollback":
+                det = walk.summary.get("operation_detail", "")
+                try:
+                    walk = by_id.get(int(det.rsplit(" ", 1)[-1]))
+                    continue
+                except ValueError:
+                    pass
+            walk = by_id.get(walk.parent_id) if walk.parent_id else None
+        rows = [
+            (
+                s.timestamp_ms,
+                s.snapshot_id,
+                s.parent_id,
+                s.snapshot_id in ancestors,
+            )
+            for s in snaps
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, snapshot_id long, parent_id long, "
+            "is_current_ancestor boolean",
         )

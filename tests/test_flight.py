@@ -1491,3 +1491,39 @@ def test_python_datasource_column_projection(spark, warehouse, server):
     ds = FlightDataSource(options={"url": url, "columns": "k"})
     with pytest.raises(ValueError, match="batch-read option"):
         ds.streamReader(None)
+
+
+def test_scan_ticket_time_travel(spark, warehouse, server):
+    """Remote VERSION / TIMESTAMP AS OF: the scan ticket pins a snapshot
+    id, a named tag, or a wall-clock timestamp; predicates and
+    projection compose with the pinned snapshot's own schema/manifest."""
+    from icerunner_spark.flight.client import read_table_filtered
+
+    c = server.connector
+    t = c.catalog.table("tt_scan")
+    t.create(spark.createDataFrame([(k, f"v{k}") for k in range(10)],
+                                   "id long, v string"))
+    s0 = t.current_snapshot()
+    t.create_tag("v1")
+    t.append(spark.createDataFrame([(10, "v10")], "id long, v string"))
+    t.delete_where("id < 3", mode="merge-on-read")
+    t.compact()
+
+    host, port = "127.0.0.1", server.port
+    cur = read_table_filtered(host, port, "tt_scan", [])
+    assert sorted(cur.column("id").to_pylist()) == list(range(3, 11))
+    old = read_table_filtered(host, port, "tt_scan", [], snapshot_id=s0.snapshot_id)
+    assert sorted(old.column("id").to_pylist()) == list(range(10))
+    tagged = read_table_filtered(
+        host, port, "tt_scan", [["id", ">=", 8]], tag="v1", columns=["id"]
+    )
+    assert tagged.schema.names == ["id"]
+    assert sorted(tagged.column("id").to_pylist()) == [8, 9]
+    as_of = read_table_filtered(
+        host, port, "tt_scan", [], as_of_ms=s0.timestamp_ms
+    )
+    assert as_of.num_rows == 10
+    with pytest.raises(flight.FlightServerError, match="no such tag"):
+        read_table_filtered(host, port, "tt_scan", [], tag="nope")
+    with pytest.raises(flight.FlightServerError, match="no snapshot"):
+        read_table_filtered(host, port, "tt_scan", [], as_of_ms=1)

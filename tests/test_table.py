@@ -2747,3 +2747,36 @@ def test_write_properties_and_summary_metrics(spark, warehouse):
     t.set_properties({"write.sort.columns": "nope"})
     with pytest.raises(ValueError, match="unknown columns"):
         t.append(spark.createDataFrame([(1,)], "id long"))
+
+
+def test_refs_history_and_files_metadata(spark, warehouse):
+    """refs_df / history_df metadata tables (Iceberg <t>.refs/.history)
+    and first_row_id exposure in files_df."""
+    from icerunner_spark.catalog import Catalog
+
+    t = Catalog(spark, warehouse).table("meta_t")
+    t.create(spark.createDataFrame([(1,), (2,)], "id long").coalesce(1))
+    s0 = t.current_snapshot()
+    t.create_tag("rel")
+    t.create_branch("dev")
+    t.append(spark.createDataFrame([(3,)], "id long").coalesce(1))
+
+    refs = {(r["name"], r["type"]): r["snapshot_id"]
+            for r in t.refs_df().collect()}
+    assert refs[("rel", "tag")] == s0.snapshot_id
+    assert ("dev", "branch") in refs
+
+    fdf = {r["file_path"]: r["first_row_id"]
+           for r in t.files_df().filter("content = 'data'").collect()}
+    assert sorted(fdf.values()) == [0, 2]
+
+    hist = t.history_df().collect()
+    assert all(r["is_current_ancestor"] for r in hist)
+    # roll back: the abandoned commit stays in history, flagged non-ancestor
+    t.rollback_to(s0.snapshot_id)
+    flags = {r["snapshot_id"]: r["is_current_ancestor"]
+             for r in t.history_df().collect()}
+    assert flags[s0.snapshot_id] is True
+    abandoned = [s for s in t.snapshots()
+                 if s.operation == "append"][0].snapshot_id
+    assert flags[abandoned] is False
