@@ -90,7 +90,7 @@ _DRIVER_WINDOW = [
     "row_lineage_scan",  # r5 new: v3 row lineage (identity prune rep: transform_partition_prune stays)
     "incremental_ann_maintenance",
     "dedup_minhash_lsh",
-    "neardup_ngram_jaccard",
+    "recursive_cte_hierarchy",  # r5 new: WITH RECURSIVE (dedup family keeps 4 reps)
     "incremental_mv_refresh",
     "incremental_dedup_cdc",
     "corpus_clean_pipeline",
@@ -3388,6 +3388,48 @@ def merge_into_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan().agg(
         F.count(F.lit(1)).alias("n_rows"),
         _money_sum(F.col("price")).alias("total_price"),
+    )
+
+
+@register(
+    "recursive_cte_hierarchy",
+    oracle="""
+    WITH RECURSIVE up AS (
+        SELECT s_suppkey AS start, s_suppkey AS node, 0 AS depth
+        FROM supplier
+        UNION ALL
+        SELECT start, node // 2, depth + 1 FROM up WHERE node > 1
+    )
+    SELECT depth,
+           COUNT(*) AS n_chains,
+           CAST(SUM(node) AS BIGINT) AS node_sum
+    FROM up GROUP BY depth
+    """,
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 ``WITH RECURSIVE``): every supplier
+    walks its implicit binary-tree ancestry (parent = key div 2) up to
+    the root, then the per-depth rollup aggregates all chains — the
+    org-chart / BOM transitive-closure shape SQL engines express with
+    recursion. Spark executes the recursion as iterated union steps
+    (each level one join against the previous frontier — the same
+    frontier-at-a-time plan an iterative graph algorithm would hand-roll
+    with a driver loop, but planned and fused by Catalyst); depth is
+    bounded by log2(max key), far under the recursion-level limit. The
+    oracle is DuckDB's own WITH RECURSIVE over the same table."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE up (start, node, depth) AS (
+            SELECT s_suppkey, s_suppkey, 0 FROM supplier_rc
+            UNION ALL
+            SELECT start, node DIV 2, depth + 1 FROM up WHERE node > 1
+        )
+        SELECT depth,
+               COUNT(*) AS n_chains,
+               CAST(SUM(node) AS BIGINT) AS node_sum
+        FROM up GROUP BY depth
+        """
     )
 
 
