@@ -1,4 +1,6 @@
-"""CLI: serve / read / write / mirror (reference: icerunner.py:1158-1239).
+"""CLI: serve / read / write / mirror (reference: icerunner.py:1158-1239)
+plus sql (remote SQL over the served sql ticket) and maintain
+(policy-driven table maintenance, table.py run_maintenance).
 
 Same verbs and flags; ``--batch-size`` counts ROWS (the reference documents
 rows but implements batches — bug at icerunner.py:1118)."""
@@ -44,6 +46,21 @@ def main(argv: list[str] | None = None) -> int:
         help="replicate via a Structured Streaming CDC query (checkpoint = cursor)",
     )
 
+    q = sub.add_parser("sql", help="run SQL on a Flight server (remote sql ticket)")
+    q.add_argument("-q", "--query", required=True)
+    q.add_argument("-p", "--port", type=int, default=8816)
+    q.add_argument("--host", default="localhost")
+    q.add_argument("--max-rows", type=int, default=50, help="rows to print")
+
+    mt = sub.add_parser(
+        "maintain", help="policy-driven maintenance pass over warehouse tables"
+    )
+    mt.add_argument("-w", "--warehouse", default="warehouse")
+    mt.add_argument(
+        "-n", "--table-name", default=None,
+        help="one table (default: every table in the warehouse)",
+    )
+
     args = p.parse_args(argv)
 
     if args.mode == "serve":
@@ -66,6 +83,27 @@ def main(argv: list[str] | None = None) -> int:
         from icerunner_spark.flight.client import run_writer
 
         run_writer(args.table_name, port=args.port, interval=args.interval)
+        return 0
+    if args.mode == "sql":
+        import pyarrow.flight as flight
+        import json as _json
+
+        client = flight.connect(f"grpc://{args.host}:{args.port}")
+        got = client.do_get(
+            flight.Ticket(_json.dumps({"sql": args.query}).encode())
+        ).read_all()
+        logging.info("%d rows x %d cols", got.num_rows, got.num_columns)
+        print(got.slice(0, args.max_rows).to_pandas().to_string(index=False))
+        return 0
+    if args.mode == "maintain":
+        from icerunner_spark.connector import Connector
+        from icerunner_spark.session import get_spark
+
+        c = Connector(get_spark(app_name="icerunner_maintain"), args.warehouse)
+        names = [args.table_name] if args.table_name else c.tables
+        for name in names:
+            report = c.table(name).run_maintenance()
+            logging.info("%s: %s", name, report or "healthy, nothing to do")
         return 0
     if args.mode == "mirror":
         from icerunner_spark.flight.mirror import run_mirror, run_mirror_streaming

@@ -3295,6 +3295,96 @@ class IceTable:
             except OSError:
                 pass
 
+    def run_maintenance(self) -> dict:
+        """Policy-driven maintenance pass (the one loop a 1000-table
+        warehouse runs): each step fires only when its table property
+        asks for it and its trigger condition holds, so calling this on
+        a cadence keeps every table healthy without per-table tuning.
+        Iceberg ships the pieces as manual procedures; the policy knobs
+        here mirror its property names where they exist.
+
+        Properties (all optional — absent means the step never fires):
+
+        - ``maintenance.delete-files.max`` (int): consolidate pending
+          positional delete files (:meth:`rewrite_position_deletes`)
+          when more than this many are pending.
+        - ``maintenance.small-file-rows`` (int): bin-pack compact
+          (:meth:`compact` ``mode="bin-pack"``) when any data file is
+          smaller than this many rows or any delete/eq-delete files are
+          pending; ``maintenance.target-file-rows`` (int, default
+          1_000_000) sizes the rewrite.
+        - ``maintenance.expire.keep-last`` (int) and/or
+          ``maintenance.expire.older-than-ms`` (int): expire snapshots
+          (:meth:`expire_snapshots`; keep-last defaults to 1 when only
+          the age knob is set).
+        - ``maintenance.orphans.older-than-s`` (int): sweep orphan files
+          (:meth:`remove_orphans`).
+
+        Steps run cheapest-trigger-first and each commits independently;
+        a :class:`CommitConflict` from a racing writer skips that step
+        (reported) rather than failing the pass — the next cadence
+        retries. Returns a report dict of what fired."""
+        snap = self.current_snapshot()
+        if snap is None:
+            raise NoSuchTableError(self.path)
+        props = snap.properties
+        report: dict = {}
+
+        def _int(key):
+            v = props.get(key)
+            return None if v is None else int(v)
+
+        max_dels = _int("maintenance.delete-files.max")
+        if max_dels is not None and len(snap.delete_files) > max_dels:
+            try:
+                out = self.rewrite_position_deletes()
+                report["rewrite_position_deletes"] = (
+                    {"from": len(snap.delete_files),
+                     "to": len(out.delete_files)}
+                    if out is not None else "no-op"
+                )
+            except CommitConflict as e:
+                report["rewrite_position_deletes"] = f"conflict: {e}"
+
+        small = _int("maintenance.small-file-rows")
+        if small is not None:
+            cur = self.current_snapshot()
+            dirty = bool(cur.delete_files or cur.eq_delete_files) or any(
+                int((cur.file_stats.get(f) or {}).get("__rows__") or 0) < small
+                for f in cur.manifest
+                if (cur.file_stats.get(f) or {}).get("__rows__") is not None
+            )
+            if dirty:
+                try:
+                    out = self.compact(
+                        mode="bin-pack",
+                        small_file_rows=small,
+                        target_file_rows=_int("maintenance.target-file-rows")
+                        or 1_000_000,
+                    )
+                    report["compact_binpack"] = (
+                        {"rewritten": out.summary.get("rewritten_files"),
+                         "kept": out.summary.get("kept_files")}
+                        if out is not None else "no-op"
+                    )
+                except CommitConflict as e:
+                    report["compact_binpack"] = f"conflict: {e}"
+
+        keep_last = _int("maintenance.expire.keep-last")
+        older_ms = _int("maintenance.expire.older-than-ms")
+        if keep_last is not None or older_ms is not None:
+            expired = self.expire_snapshots(
+                keep_last=keep_last if keep_last is not None else 1,
+                older_than_ms=older_ms,
+            )
+            report["expire_snapshots"] = {"deleted_files": len(expired)}
+
+        orphan_s = _int("maintenance.orphans.older-than-s")
+        if orphan_s is not None:
+            gone = self.remove_orphans(older_than_s=orphan_s)
+            report["remove_orphans"] = {"deleted_files": len(gone)}
+        return report
+
     def remove_orphans(self, *, older_than_s: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO snapshot (e.g. staged
         appends whose upload died before publish). ``older_than_s``

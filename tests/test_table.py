@@ -2780,3 +2780,45 @@ def test_refs_history_and_files_metadata(spark, warehouse):
     abandoned = [s for s in t.snapshots()
                  if s.operation == "append"][0].snapshot_id
     assert flags[abandoned] is False
+
+
+def test_run_maintenance_policy(spark, warehouse):
+    """Policy-driven maintenance: each step fires only when its property
+    asks AND its trigger holds; a pass on a healthy table is a no-op;
+    results stay row-identical throughout."""
+    from icerunner_spark.catalog import Catalog
+
+    t = Catalog(spark, warehouse).table("maint_policy")
+    df = spark.createDataFrame([(k, f"v{k}") for k in range(400)], "id long, v string")
+    t.create(df.coalesce(1))
+    expect = {(r["id"], r["v"]) for r in t.scan().collect()}
+
+    # no policy -> nothing fires
+    assert t.run_maintenance() == {}
+
+    t.set_properties({
+        "maintenance.delete-files.max": "1",
+        "maintenance.small-file-rows": "50",
+        "maintenance.orphans.older-than-s": "0",
+    })
+    # two MOR deletes -> consolidation + binpack (delete files pending)
+    t.delete_where("id % 100 = 0", mode="merge-on-read")
+    t.delete_where("id % 100 = 1", mode="merge-on-read")
+    expect = {p for p in expect if p[0] % 100 > 1}
+    rep = t.run_maintenance()
+    assert "rewrite_position_deletes" in rep and rep["rewrite_position_deletes"]["to"] == 1
+    assert "compact_binpack" in rep
+    assert t.current_snapshot().delete_files == []
+    assert {(r["id"], r["v"]) for r in t.scan().collect()} == expect
+
+    # healthy table: nothing left to do (orphan sweep finds nothing live)
+    rep2 = t.run_maintenance()
+    assert "compact_binpack" not in rep2 and "rewrite_position_deletes" not in rep2
+    assert rep2.get("remove_orphans", {}).get("deleted_files", 0) >= 0
+
+    # expiry policy trims history
+    t.set_properties({"maintenance.expire.keep-last": "2"})
+    rep3 = t.run_maintenance()
+    assert "expire_snapshots" in rep3
+    assert len(t.snapshots()) <= 2
+    assert {(r["id"], r["v"]) for r in t.scan().collect()} == expect
