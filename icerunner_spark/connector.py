@@ -123,6 +123,15 @@ class Connector:
     def sql_df(self, sql_command: str) -> DataFrame:
         for name in self.tables:
             self.catalog.table(name).scan().createOrReplaceTempView(name)
+        # catalog views resolve too (best-effort: a dangling view must
+        # not break unrelated queries; referencing it still errors)
+        for vname in self.catalog.list_views():
+            try:
+                self.spark.sql(
+                    self.catalog.view_sql(vname)
+                ).createOrReplaceTempView(vname)
+            except Exception:
+                pass
         return self.spark.sql(sql_command)
 
     # -- snapshots / CDC --------------------------------------------- #

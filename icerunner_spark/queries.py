@@ -86,7 +86,7 @@ _DRIVER_WINDOW = [
     "cdc_changes_since_snapshot",
     "bloom_pruned_scan",
     "flight_roundtrip_nation",
-    "snapshot_mor_delete_roundtrip",
+    "catalog_view_query",  # r5 new: versioned views (MOR delete family: update/eq-delete stay)
     "row_lineage_scan",  # r5 new: v3 row lineage (identity prune rep: transform_partition_prune stays)
     "incremental_ann_maintenance",
     "dedup_minhash_lsh",
@@ -3388,6 +3388,60 @@ def merge_into_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan().agg(
         F.count(F.lit(1)).alias("n_rows"),
         _money_sum(F.col("price")).alias("total_price"),
+    )
+
+
+@register(
+    "catalog_view_query",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice >= 100000
+    GROUP BY o_orderpriority
+    """,
+)
+def catalog_view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned catalog views (Iceberg view-spec shape, replacing the
+    reference's per-query DuckDB view reflection, icerunner.py:90-103):
+    a view's SQL lives in the catalog with a version log — REPLACE
+    bumps the version and keeps history, any version stays resolvable —
+    and resolution happens at query time against the CURRENT table
+    state through the same Connector.sql path the Flight sql ticket
+    serves. The first definition is deliberately wrong-threshold and
+    replaced; the query must see v2. The aggregate runs THROUGH the
+    view, and Catalyst still pushes the view's filter into the parquet
+    scan (views are declarative, not materialization boundaries)."""
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_views", sf_dir)
+    c = Connector(spark, wh)
+    t = c.catalog.table("orders_v")
+    t.create(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+    )
+    c.catalog.create_view(
+        "open_pricey",
+        "SELECT * FROM orders_v WHERE o_orderstatus = 'O' AND o_totalprice >= 1",
+    )
+    c.catalog.create_view(
+        "open_pricey",
+        "SELECT * FROM orders_v "
+        "WHERE o_orderstatus = 'O' AND o_totalprice >= 100000",
+        replace=True,
+    )
+    return c.sql_df(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+                    AS DOUBLE) AS total_price
+        FROM open_pricey GROUP BY o_orderpriority
+        """
     )
 
 

@@ -2822,3 +2822,65 @@ def test_run_maintenance_policy(spark, warehouse):
     assert "expire_snapshots" in rep3
     assert len(t.snapshots()) <= 2
     assert {(r["id"], r["v"]) for r in t.scan().collect()} == expect
+
+
+def test_versioned_catalog_views(spark, warehouse):
+    """Iceberg view-spec shape: versioned SQL definitions with history,
+    atomic replace, any version resolvable, one level of nesting, and
+    pushdown reaching the parquet scan under the view."""
+    from icerunner_spark.catalog import Catalog
+
+    cat = Catalog(spark, warehouse)
+    t = cat.table("v_orders")
+    t.create(spark.createDataFrame(
+        [(k, float(k * 10), "AB"[k % 2]) for k in range(100)],
+        "id long, price double, status string",
+    ))
+
+    cat.create_view("big_orders", "SELECT id, price FROM v_orders WHERE price > 500")
+    assert cat.list_views() == ["big_orders"]
+    assert cat.view_df("big_orders").count() == 49
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_view("big_orders", "SELECT 1")
+    with pytest.raises(ValueError, match="a table named"):
+        cat.create_view("v_orders", "SELECT 1")
+
+    # replace keeps history; both versions stay resolvable
+    cat.create_view(
+        "big_orders", "SELECT id, price FROM v_orders WHERE price > 900",
+        replace=True,
+    )
+    assert [v["version"] for v in cat.view_history("big_orders")] == [1, 2]
+    assert cat.view_df("big_orders").count() == 9
+    assert cat.view_df("big_orders", version=1).count() == 49
+
+    # view resolves CURRENT table state
+    t.append(spark.createDataFrame([(200, 2000.0, "A")],
+                                   "id long, price double, status string"))
+    assert cat.view_df("big_orders").count() == 10
+
+    # nesting: a view over a view
+    cat.create_view("big_a", "SELECT * FROM big_orders")
+    assert cat.view_df("big_a").count() == 10
+
+    # pushdown reaches the scan under the view
+    plan = cat.view_df("big_orders")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "price" in plan
+
+    assert cat.drop_view("big_a") and not cat.view_exists("big_a")
+    # tables listing is unaffected by the views dir
+    assert cat.list_tables() == ["v_orders"]
+
+
+def test_views_over_flight_sql(spark, warehouse):
+    """Catalog views resolve through the Connector SQL path — the same
+    path the Flight sql ticket serves remotely."""
+    from icerunner_spark.connector import Connector
+
+    c = Connector(spark, warehouse)
+    import pyarrow as pa
+
+    c.create_table("vt", pa.table({"id": pa.array([1, 2, 3], pa.int64())}))
+    c.catalog.create_view("vt_big", "SELECT id FROM vt WHERE id >= 2")
+    got = c.sql("SELECT COUNT(*) AS n FROM vt_big")
+    assert got.column("n").to_pylist() == [2]
