@@ -227,7 +227,13 @@ class IceFlightServer(flight.FlightServerBase):
             dt = types[col]
             conv = lambda v, dt=dt: _decode_bound(dt, v)  # noqa: E731
             out.append(
-                (col, op, [conv(x) for x in val] if op == "in" else conv(val))
+                (
+                    col,
+                    op,
+                    [conv(x) for x in val]
+                    if op in ("in", "not_in")
+                    else conv(val),
+                )
             )
         return out
 
@@ -249,6 +255,8 @@ class IceFlightServer(flight.FlightServerBase):
                 ">": lambda: f > val,
                 ">=": lambda: f >= val,
                 "in": lambda: f.isin(list(val)),
+                "!=": lambda: f != val,
+                "not_in": lambda: ~f.isin(list(val)),
                 "is_null": lambda: f.is_null(),
                 "is_not_null": lambda: ~f.is_null(),
             }[op]()
@@ -297,6 +305,10 @@ class IceFlightServer(flight.FlightServerBase):
                 return v >= val
             if op == "in":
                 return v in list(val)
+            if op == "!=":
+                return v != val
+            if op == "not_in":
+                return v not in list(val)
         except TypeError:
             return True
         return True

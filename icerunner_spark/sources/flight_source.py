@@ -103,7 +103,18 @@ def _filter_to_conjunct(f) -> list | None:
         IsNull,
         LessThan,
         LessThanOrEqual,
+        Not,
     )
+
+    if isinstance(f, Not):
+        # negated equality/membership ride the wire as their own ops;
+        # other negations stay Spark-side (returning None keeps them)
+        inner = _filter_to_conjunct(f.child)
+        if inner is not None and inner[1] == "=":
+            return [inner[0], "!=", inner[2]]
+        if inner is not None and inner[1] == "in":
+            return [inner[0], "not_in", inner[2]]
+        return None
 
     ops = {
         EqualTo: "=",

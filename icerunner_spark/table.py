@@ -688,7 +688,10 @@ def _decode_bound(dtype, v):
     return v
 
 
-_PRED_OPS = ("=", "==", "<", "<=", ">", ">=", "in", "is_null", "is_not_null")
+_PRED_OPS = (
+    "=", "==", "<", "<=", ">", ">=", "in", "is_null", "is_not_null",
+    "!=", "<>", "not_in", "between",
+)
 
 
 def _normalize_predicates(where) -> list[tuple]:
@@ -709,7 +712,15 @@ def _normalize_predicates(where) -> list[tuple]:
         col, op, val = (p[0], p[1], p[2] if len(p) > 2 else None)
         if op not in _PRED_OPS:
             raise ValueError(f"unsupported predicate op: {op!r}")
-        preds.append((col, "=" if op == "==" else op, val))
+        if op == "between":
+            # sugar: rewrite to the two range conjuncts so every tier
+            # (bounds, transforms, blooms-not-applicable) sees plain ops
+            lo, hi = val
+            preds.append((col, ">=", lo))
+            preds.append((col, "<=", hi))
+            continue
+        op = {"==": "=", "<>": "!="}.get(op, op)
+        preds.append((col, op, val))
     return preds
 
 
@@ -729,6 +740,11 @@ def _bounds_may_match(lo, hi, op: str, val) -> bool:
             return hi >= val
         if op == "in":
             return any(lo <= x <= hi for x in val)
+        if op == "!=":
+            # only a single-valued file (lo == hi == val) provably fails
+            return not (lo == hi == val)
+        if op == "not_in":
+            return not (lo == hi and lo in val)
     except TypeError:
         return True  # incomparable (mixed types) -> never skip
     return True
@@ -747,6 +763,8 @@ def _predicates_to_column(preds: list[tuple]):
             ">": lambda: c > F.lit(val),
             ">=": lambda: c >= F.lit(val),
             "in": lambda: c.isin(list(val)),
+            "!=": lambda: c != F.lit(val),
+            "not_in": lambda: ~c.isin(list(val)),
             "is_null": lambda: c.isNull(),
             "is_not_null": lambda: c.isNotNull(),
         }[op]()
@@ -3679,6 +3697,17 @@ class IceTable:
                     elif op == "in":
                         hvs = {_hive_value_str(x) for x in val}
                         if None not in hvs and pv not in hvs:
+                            keep, tier = False, "partition"
+                            break
+                    elif op == "!=":
+                        # identity partition: every row carries pv exactly
+                        hv = _hive_value_str(val)
+                        if hv is not None and pv == hv:
+                            keep, tier = False, "partition"
+                            break
+                    elif op == "not_in":
+                        hvs = {_hive_value_str(x) for x in val}
+                        if pv in hvs:
                             keep, tier = False, "partition"
                             break
                     continue

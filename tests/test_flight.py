@@ -1527,3 +1527,42 @@ def test_scan_ticket_time_travel(spark, warehouse, server):
         read_table_filtered(host, port, "tt_scan", [], tag="nope")
     with pytest.raises(flight.FlightServerError, match="no snapshot"):
         read_table_filtered(host, port, "tt_scan", [], as_of_ms=1)
+
+
+def test_scan_negated_predicates_over_wire(spark, warehouse, server):
+    """!=, not_in and between ride scan tickets and the data source's
+    Not(...) pushdown; server results stay row-exact."""
+    from icerunner_spark.flight.client import read_table_filtered
+    from icerunner_spark.sources.flight_source import (
+        _filter_to_conjunct,
+        register_flight_source,
+    )
+    from pyspark.sql.datasource import EqualTo, In, IsNull, Not
+
+    c = server.connector
+    c.catalog.table("neg_t").create(
+        spark.createDataFrame([(k, f"s{k % 3}") for k in range(60)],
+                              "k long, s string")
+    )
+    host, port = "127.0.0.1", server.port
+    got = read_table_filtered(host, port, "neg_t", [["s", "!=", "s0"]])
+    assert {r["k"] for r in got.to_pylist()} == {k for k in range(60) if k % 3}
+    got = read_table_filtered(
+        host, port, "neg_t", [["k", "between", [10, 14]], ["s", "not_in", ["s0"]]]
+    )
+    assert sorted(r["k"] for r in got.to_pylist()) == [10, 11, 13, 14]
+
+    assert _filter_to_conjunct(Not(EqualTo(("s",), "s0"))) == ["s", "!=", "s0"]
+    assert _filter_to_conjunct(Not(In(("k",), (1, 2)))) == ["k", "not_in", [1, 2]]
+    assert _filter_to_conjunct(Not(IsNull(("k",)))) is None  # stays Spark-side
+
+    register_flight_source(spark)
+    out = (
+        spark.read.format("icerunner_flight")
+        .option("url", f"grpc://127.0.0.1:{port}/neg_t")
+        .load()
+        .filter("s != 's0' AND k NOT IN (4, 5)")
+    )
+    assert {r.k for r in out.collect()} == {
+        k for k in range(60) if k % 3 and k not in (4, 5)
+    }

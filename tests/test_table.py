@@ -2884,3 +2884,50 @@ def test_views_over_flight_sql(spark, warehouse):
     c.catalog.create_view("vt_big", "SELECT id FROM vt WHERE id >= 2")
     got = c.sql("SELECT COUNT(*) AS n FROM vt_big")
     assert got.column("n").to_pylist() == [2]
+
+
+def test_negated_and_between_predicates(spark, warehouse):
+    """scan(where=) vocabulary extension: !=, not_in, between — between
+    expands to range conjuncts (bounds-prunable), != / not_in prune
+    single-valued files and identity partitions, and the residual filter
+    keeps every answer exact (SQL three-valued semantics: NULLs drop)."""
+    from icerunner_spark.catalog import Catalog
+
+    cat = Catalog(spark, warehouse)
+    t = cat.table("negpred")
+    df = spark.createDataFrame(
+        [(k, k % 3) for k in range(90)] + [(1000, None)], "id long, g int"
+    )
+    t.create(df.filter("id < 30").coalesce(1))
+    t.append(df.filter("id >= 30 and id < 60").coalesce(1))
+    t.append(df.filter("id >= 60").coalesce(1))
+
+    got = {r["id"] for r in t.scan(where=[("id", "between", [10, 19])]).collect()}
+    assert got == set(range(10, 20))
+    rep = t.explain_scan([("id", "between", [10, 19])])
+    assert rep["read_files"] == 1  # expanded range conjuncts prune
+
+    got = {r["id"] for r in t.scan(where=[("g", "!=", 0)]).collect()}
+    assert got == {k for k in range(90) if k % 3 != 0}  # NULL g drops
+    got = {r["id"] for r in t.scan(where=[("g", "not_in", [0, 2])]).collect()}
+    assert got == {k for k in range(90) if k % 3 == 1}
+
+    # single-valued file prunes under !=
+    t2 = cat.table("negpred_const")
+    t2.create(spark.createDataFrame([(7,)] * 5, "v long").coalesce(1))
+    t2.append(spark.createDataFrame([(8,)] * 5, "v long").coalesce(1))
+    rep = t2.explain_scan([("v", "!=", 7)])
+    assert rep["read_files"] == 1 and rep["skipped"] == {"bounds": 1}
+
+    # identity partition prunes under != / not_in
+    t3 = cat.table("negpred_part")
+    t3.create(
+        spark.createDataFrame([(k, f"s{k % 3}") for k in range(30)],
+                              "id long, s string"),
+        partition_by=["s"],
+    )
+    rep = t3.explain_scan([("s", "!=", "s0")])
+    assert rep["read_files"] < rep["total_files"]
+    assert set(rep["skipped"]) == {"partition"}
+    got = {r["id"] for r in t3.scan(where=[("s", "not_in", ["s0", "s1"])]).collect()}
+    assert got == {k for k in range(30) if k % 3 == 2}
