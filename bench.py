@@ -60,6 +60,12 @@ HEADLINE = [
     "corpus_clean_pipeline",
     "unigram_logprob_quality",
     "token_budget_mixture",
+    # r5 additions tracked round-over-round: recursion, the view layer,
+    # metadata-derived row lineage, and full-clause MERGE (MOR)
+    "recursive_cte_hierarchy",
+    "catalog_view_query",
+    "row_lineage_scan",
+    "merge_into_clauses",
 ]
 
 
