@@ -110,10 +110,15 @@ class Connector:
         return self.catalog.table(table_name).scan(snapshot_id)
 
     def count(self, table_name: str) -> int:
-        """COUNT(*) (icerunner.py:190-198). Metadata-only would be possible
-        from manifests; row-accurate via Spark's parquet count-star
-        aggregate pushdown."""
-        return self.catalog.table(table_name).scan().count()
+        """COUNT(*) (icerunner.py:190-198). Answered from manifest
+        metadata when provably exact (sum of file row counts minus
+        positional-delete positions — a driver-side walk, no Spark job;
+        at 100 TB this is the difference between milliseconds and a
+        cluster scan), falling back to a real count when metadata can't
+        answer (pending equality deletes)."""
+        t = self.catalog.table(table_name)
+        n = t.metadata_count()
+        return n if n is not None else t.scan().count()
 
     def sql(self, sql_command: str) -> pa.Table:
         """Arbitrary SQL over the managed tables (icerunner.py:200-207).

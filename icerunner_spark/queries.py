@@ -5630,6 +5630,58 @@ def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "metadata_agg_pushdown",
+    oracle="""
+    WITH cut AS (SELECT MAX(o_orderkey) // 2 AS c FROM orders)
+    SELECT (SELECT COUNT(*) FROM orders
+            WHERE o_orderkey <= (SELECT c FROM cut)) AS n_low,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderkey % 7 <> 0) AS n_after_delete,
+           (SELECT MIN(o_orderkey) FROM orders) AS min_key,
+           (SELECT MAX(o_orderkey) FROM orders) AS max_key
+    """,
+)
+def metadata_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregate pushdown on the snapshot format
+    (IceTable.metadata_count / metadata_min_max): COUNT(*) — unfiltered
+    and over a bounds-provable key range — plus MIN/MAX answered from
+    manifest row counts and column bounds alone, zero Spark jobs and
+    zero data IO; after a merge-on-read delete the count stays exact
+    (file rows minus recorded delete positions) while MIN/MAX correctly
+    REFUSES (the extreme row might be deleted) — proven by inline
+    assertions, with the oracle recomputing every number the slow way
+    over the source table. This is Iceberg's count-star pushdown: on a
+    100 TB table these aggregates are a millisecond driver-side manifest
+    walk instead of a 1000-executor scan. The filtered count only
+    answers when every surviving file's bounds prove ALL rows match
+    (null-count zero, range containment) — partial files fall back."""
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_metaagg_demo", sf_dir)
+    c = Connector(spark, wh)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    cut = orders.agg(F.max("o_orderkey")).first()[0] // 2
+    t = c.catalog.table("orders_metaagg")
+    t.create(orders.filter(F.col("o_orderkey") <= cut).repartition(2))
+    t.append(orders.filter(F.col("o_orderkey") > cut).repartition(2))
+    n_low = t.metadata_count([("o_orderkey", "<=", cut)])
+    assert n_low is not None, "filtered count should answer from metadata"
+    mm = t.metadata_min_max("o_orderkey")
+    assert mm is not None, "min/max should answer from metadata"
+    t.delete_where(F.col("o_orderkey") % 7 == 0, mode="merge-on-read")
+    n_after = t.metadata_count()
+    assert n_after is not None, "MOR delete count should stay metadata-only"
+    assert t.metadata_min_max("o_orderkey") is None, (
+        "min/max must refuse while deletes are pending"
+    )
+    assert n_after == t.scan().count()  # metadata count == real count
+    return spark.createDataFrame(
+        [(n_low, n_after, int(mm[0]), int(mm[1]))],
+        "n_low long, n_after_delete long, min_key long, max_key long",
+    )
+
+
+@register(
     "dynamic_file_prune_join",
     oracle="""
     WITH cut AS (SELECT MAX(o_orderkey) // 5 AS c FROM orders)

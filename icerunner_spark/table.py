@@ -750,6 +750,35 @@ def _bounds_may_match(lo, hi, op: str, val) -> bool:
     return True
 
 
+def _bounds_all_match(lo, hi, op: str, val) -> bool:
+    """Dual of :func:`_bounds_may_match`: does EVERY value inside
+    ``[lo, hi]`` provably satisfy ``col <op> val``? False whenever
+    uncertain — the caller falls back to scanning. Safe even when a
+    writer widened the recorded bounds (truncated-string lower/upper):
+    proving the property over a SUPERSET interval still proves it for
+    the file's actual values."""
+    try:
+        if op == "=":
+            return lo == hi == val
+        if op == "<":
+            return hi < val
+        if op == "<=":
+            return hi <= val
+        if op == ">":
+            return lo > val
+        if op == ">=":
+            return lo >= val
+        if op == "in":
+            return lo == hi and lo in val
+        if op == "!=":
+            return hi < val or val < lo
+        if op == "not_in":
+            return all(hi < x or x < lo for x in val)
+    except TypeError:
+        return False  # incomparable -> can't prove anything
+    return False
+
+
 def _predicates_to_column(preds: list[tuple]):
     """The same conjunction as a Catalyst filter — pruning is an
     optimization, the residual filter is what makes scan(where=) exact."""
@@ -3832,6 +3861,163 @@ class IceTable:
             "read_rows_max": _rows(files),
             "total_rows": _rows(snap.manifest),
         }
+
+    # -- metadata-only aggregate pushdown ---------------------------- #
+
+    def _file_rows(self, snap: Snapshot, rel: str) -> int:
+        """Row count of one file: manifest ``__rows__`` stat when
+        recorded, else a driver-side footer read (same cost class as
+        files_df — metadata, never data)."""
+        v = snap.file_stats.get(rel, {}).get("__rows__")
+        if v is not None:
+            return int(v)
+        import pyarrow.parquet as _pq
+
+        return _pq.read_metadata(os.path.join(self.path, rel)).num_rows
+
+    def metadata_count(
+        self, where=None, snapshot_id: int | None = None
+    ) -> int | None:
+        """``COUNT(*) [WHERE ...]`` answered from manifest metadata
+        alone — Iceberg's count-star aggregate pushdown (what makes
+        ``SELECT COUNT(*)`` on a 100 TB table a millisecond driver-side
+        walk instead of a cluster job). Returns the EXACT count, or
+        ``None`` when metadata cannot prove it, in which case the caller
+        should fall back to ``scan(where=...).count()``.
+
+        Unfiltered: sum of live data-file row counts minus pending
+        positional-delete positions (each position is recorded at most
+        once — delete_rows/delete_where consult prior delete files — so
+        the subtraction is exact). Filtered: every surviving file after
+        manifest pruning must PROVE all its rows match (bounds fully
+        inside the predicate range and a zero null count, since SQL
+        comparisons are false on NULL); one unprovable file → ``None``.
+        Pending equality deletes always → ``None`` (their matched
+        multiplicity is unknowable without reading data)."""
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else self.snapshot_by_id(snapshot_id)
+        )
+        if snap is None:
+            raise NoSuchTableError(self.path)
+        if snap.eq_delete_files:
+            return None
+        preds = _normalize_predicates(where)
+        if preds and snap.delete_files:
+            # deleted positions hit an unknown share of the matched set
+            return None
+        files = (
+            self._prune_files(snap, list(snap.manifest), preds)
+            if preds
+            else list(snap.manifest)
+        )
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        types = {f.name: f.dataType for f in schema.fields}
+        total = 0
+        for rel in files:
+            per = snap.file_stats.get(rel, {})
+            rows = self._file_rows(snap, rel)
+            if rows == 0:
+                continue
+            # per predicate, the file must prove ALL rows match (count
+            # them), or NO rows match (contribute zero) — anything in
+            # between is unprovable and the whole count refuses
+            contributes = True
+            for col, op, val in preds:
+                fid = str(snap.field_ids.get(col, ""))
+                bounds = per.get(fid)
+                if not bounds or col not in types:
+                    return None
+                nc = bounds[2] if len(bounds) > 2 else None
+                if op == "is_null":
+                    if nc is not None and nc == rows:
+                        continue  # all rows NULL -> all match
+                    if nc == 0:
+                        contributes = False  # no NULLs -> no rows match
+                        break
+                    return None
+                if op == "is_not_null":
+                    if nc == 0:
+                        continue
+                    if nc is not None and nc == rows:
+                        contributes = False  # all-NULL file
+                        break
+                    return None
+                if nc is not None and nc == rows:
+                    contributes = False  # comparisons are false on NULL
+                    break
+                if nc != 0:  # unknown or mixed NULLs
+                    return None
+                if bounds[0] is None or bounds[1] is None:
+                    return None
+                dt = types[col]
+                try:
+                    lo = _decode_bound(dt, bounds[0])
+                    hi = _decode_bound(dt, bounds[1])
+                    v = (
+                        [_decode_bound(dt, _encode_bound(x) or x) for x in val]
+                        if op in ("in", "not_in")
+                        else _decode_bound(dt, _encode_bound(val) or val)
+                    )
+                except (ValueError, TypeError):
+                    return None
+                if not _bounds_may_match(lo, hi, op, v):
+                    contributes = False  # provably empty intersection
+                    break
+                if not _bounds_all_match(lo, hi, op, v):
+                    return None
+            if contributes:
+                total += rows
+        for rel in snap.delete_files:
+            total -= self._file_rows(snap, rel)
+        return total
+
+    def metadata_min_max(
+        self, col: str, snapshot_id: int | None = None
+    ) -> tuple | None:
+        """``(MIN(col), MAX(col))`` from manifest bounds, or ``None``
+        when metadata cannot answer exactly: any pending row-level
+        delete (the extreme row might be deleted), a string/binary
+        column (footer stats may be width-truncated, so recorded bounds
+        are containing, not achieved — fine for pruning, wrong as an
+        answer), or any live file lacking bounds that isn't provably
+        all-NULL/empty. NULLs are ignored, matching SQL MIN/MAX."""
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else self.snapshot_by_id(snapshot_id)
+        )
+        if snap is None:
+            raise NoSuchTableError(self.path)
+        if snap.delete_files or snap.eq_delete_files:
+            return None
+        schema = StructType.fromJson(json.loads(snap.schema_json))
+        types = {f.name: f.dataType for f in schema.fields}
+        dt = types.get(col)
+        if dt is None or dt.typeName() in ("string", "binary"):
+            return None
+        fid = str(snap.field_ids.get(col, ""))
+        mn = mx = None
+        for rel in snap.manifest:
+            per = snap.file_stats.get(rel, {})
+            rows = self._file_rows(snap, rel)
+            if rows == 0:
+                continue
+            bounds = per.get(fid)
+            nc = (bounds[2] if bounds and len(bounds) > 2 else None)
+            if not bounds or bounds[0] is None or bounds[1] is None:
+                if nc is not None and nc == rows:
+                    continue  # all-NULL file contributes nothing
+                return None
+            try:
+                lo = _decode_bound(dt, bounds[0])
+                hi = _decode_bound(dt, bounds[1])
+            except (ValueError, TypeError):
+                return None
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+        return None if mn is None else (mn, mx)
 
     def scan(
         self,

@@ -2931,3 +2931,86 @@ def test_negated_and_between_predicates(spark, warehouse):
     assert set(rep["skipped"]) == {"partition"}
     got = {r["id"] for r in t3.scan(where=[("s", "not_in", ["s0", "s1"])]).collect()}
     assert got == {k for k in range(30) if k % 3 == 2}
+
+
+def test_metadata_count_and_min_max(spark, warehouse):
+    """Metadata-only aggregate pushdown (Iceberg count-star parity):
+    COUNT/MIN/MAX answered from manifest row counts + column bounds with
+    zero data IO, refusing (None) whenever metadata can't prove the
+    exact answer — the caller's fallback is the real scan."""
+    from icerunner_spark.catalog import Catalog
+
+    cat = Catalog(spark, warehouse)
+    t = cat.table("metaagg")
+    df = spark.createDataFrame(
+        [(k, float(k) / 2, f"v{k}") for k in range(100)],
+        "id long, x double, s string",
+    )
+    t.create(df.filter("id < 40").coalesce(1))
+    t.append(df.filter("id >= 40").repartition(2))
+
+    # unfiltered: pure manifest walk, equals the real count
+    assert t.metadata_count() == 100
+    # bounds-provable range: commit 1 fully matches, commit 2 prunes
+    assert t.metadata_count([("id", "<", 40)]) == 40
+    # range splitting a file: unprovable -> None, never a wrong number
+    assert t.metadata_count([("id", "<", 17)]) is None
+    # null-count stats prove both null ops exactly on a non-null column
+    assert t.metadata_count([("id", "is_not_null", None)]) == 100
+    assert t.metadata_count([("id", "is_null", None)]) == 0
+    # fully out-of-range predicate: provably empty -> 0, not None
+    assert t.metadata_count([("id", ">", 1000)]) == 0
+
+    assert t.metadata_min_max("id") == (0, 99)
+    assert t.metadata_min_max("x") == (0.0, 49.5)
+    # strings never answer (footer stats may be truncated bounds)
+    assert t.metadata_min_max("s") is None
+    assert t.metadata_min_max("nope") is None
+
+    # time travel: counts resolve against the pinned snapshot
+    first = t.snapshots()[0].snapshot_id
+    assert t.metadata_count(snapshot_id=first) == 40
+
+    # merge-on-read delete: count stays exact (rows minus recorded
+    # positions), filtered count and min/max refuse
+    t.delete_where(F.col("id") % 10 == 0, mode="merge-on-read")
+    assert t.metadata_count() == 90 == t.scan().count()
+    assert t.metadata_count([("id", "<", 40)]) is None
+    assert t.metadata_min_max("id") is None
+
+    # compact materializes the deletes -> metadata answers again
+    t.compact()
+    assert t.metadata_count() == 90
+    assert t.metadata_min_max("id") == (1, 99)
+
+    # equality deletes are never answerable from metadata
+    t.delete_rows(
+        spark.createDataFrame([(5,)], "id long"), ["id"], mode="equality"
+    )
+    assert t.metadata_count() is None
+    # connector fast path falls back to the true count
+    c = Connector(spark, warehouse)
+    assert c.count("metaagg") == 89
+
+
+def test_metadata_count_all_null_and_empty_files(spark, warehouse):
+    """All-NULL files contribute their row count (is_null proves) and
+    nothing to MIN/MAX; empty tables count 0."""
+    from icerunner_spark.catalog import Catalog
+
+    cat = Catalog(spark, warehouse)
+    t = cat.table("metaagg_nulls")
+    t.create(spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"))
+    t.append(
+        spark.createDataFrame([(3, None), (4, None)], "id long, v long")
+        .coalesce(1)
+    )
+    assert t.metadata_count() == 4
+    # the all-null file proves is_null for its rows, but the clean file
+    # can't prove it has none? it can: null_count == 0 -> is_not_null
+    assert t.metadata_count([("v", "is_not_null", None)]) == 2
+    assert t.metadata_min_max("v") == (10, 20)  # all-null file skipped
+    e = cat.table("metaagg_empty")
+    e.create(spark.createDataFrame([], "id long"))
+    assert e.metadata_count() == 0
+    assert e.metadata_min_max("id") is None
