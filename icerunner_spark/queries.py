@@ -1316,6 +1316,96 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmeans_cluster_profile",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS c, v
+      FROM emb
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 4
+    ),
+    a0 AS (
+      SELECT e.vec_id, e.label, e.v,
+             (SELECT s.c FROM seeds s
+              ORDER BY list_distance(s.v, e.v), s.c LIMIT 1) AS c
+      FROM emb e
+    ),
+    m1 AS (
+      SELECT a.c, t.ord,
+             ROUND(CAST(SUM(CAST(a.v[t.ord] AS DECIMAL(30,15))) AS DOUBLE)
+                   / COUNT(*), 9) AS m
+      FROM a0 a, UNNEST(generate_series(1, len(a.v))) AS t(ord)
+      GROUP BY a.c, t.ord
+    ),
+    c1 AS (
+      SELECT c, LIST(m ORDER BY ord) AS v FROM m1 GROUP BY c
+      UNION ALL
+      SELECT s.c, s.v FROM seeds s WHERE s.c NOT IN (SELECT c FROM m1)
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.label, e.v,
+             (SELECT s.c FROM c1 s
+              ORDER BY list_distance(s.v, e.v), s.c LIMIT 1) AS c
+      FROM emb e
+    ),
+    m2 AS (
+      SELECT a.c, t.ord,
+             ROUND(CAST(SUM(CAST(a.v[t.ord] AS DECIMAL(30,15))) AS DOUBLE)
+                   / COUNT(*), 9) AS m
+      FROM a1 a, UNNEST(generate_series(1, len(a.v))) AS t(ord)
+      GROUP BY a.c, t.ord
+    ),
+    c2 AS (
+      SELECT c, LIST(m ORDER BY ord) AS v FROM m2 GROUP BY c
+      UNION ALL
+      SELECT s.c, s.v FROM c1 s WHERE s.c NOT IN (SELECT c FROM m2)
+    ),
+    a2 AS (
+      SELECT e.vec_id, e.label,
+             (SELECT s.c FROM c2 s
+              ORDER BY list_distance(s.v, e.v), s.c LIMIT 1) AS c
+      FROM emb e
+    )
+    SELECT c AS cluster_id,
+           COUNT(*) AS n_vecs,
+           MIN(vec_id) AS min_vec_id,
+           MAX(vec_id) AS max_vec_id,
+           COUNT(DISTINCT label) AS n_labels
+    FROM a2 GROUP BY c
+    """,
+)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (operators.clustering) over the embedding
+    corpus: md5-seeded centroids, two Lloyd rounds, final assignment —
+    the clustering primitive behind semantic sharding and
+    cluster-balanced mixture curation. Every stage is deterministic AND
+    engine-portable (seed order by md5, DECIMAL-exact means rounded 9dp,
+    sequential-fold distances), so the DuckDB oracle replays the whole
+    algorithm — both engines must land every vector in the same cluster
+    for the profile to hash-match; the integer profile (counts, id
+    range, label spread per cluster) pins the full assignment. Scale:
+    assignment is per-row Catalyst codegen; each Lloyd round moves only
+    k x dim aggregate rows to the driver (map-side-combined partial
+    sums), never vectors — the same shape at 500 rows or 100 TB."""
+    from icerunner_spark.operators.clustering import kmeans
+
+    e = _t(spark, sf_dir, "embeddings")
+    _, assigned = kmeans(e, vec_col="embedding", id_col="vec_id", k=4, iters=2)
+    return assigned.groupBy(
+        F.col("cluster_id").cast("long").alias("cluster_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+@register(
     "dedup_exact_fingerprint",
     oracle="""
     SELECT MIN(doc_id) AS keep_doc_id,

@@ -894,3 +894,95 @@ def test_ann_training_survives_tiny_and_dirty_corpora(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert ivf_topk(empty, [1.0, 0.0, 0.0, 2.0], k=3, n_centroids=8).count() == 0
+
+
+# --------------------------------------------------------------------------- #
+# distributed k-means (operators.clustering)
+# --------------------------------------------------------------------------- #
+
+
+def test_kmeans_separated_blobs_and_determinism(spark):
+    """Two well-separated blobs must split into their own clusters, and
+    training twice must be bit-identical (decimal-exact means)."""
+    from icerunner_spark.operators.clustering import kmeans
+
+    rows = [(i, [0.0 + (i % 5) * 0.01, 0.0]) for i in range(20)] + [
+        (100 + i, [10.0 + (i % 5) * 0.01, 10.0]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1, a1 = kmeans(df, vec_col="embedding", id_col="vec_id", k=2, iters=2)
+    c2, a2 = kmeans(df, vec_col="embedding", id_col="vec_id", k=2, iters=2)
+    assert c1 == c2
+    got1 = {r["vec_id"]: r["cluster_id"] for r in a1.collect()}
+    got2 = {r["vec_id"]: r["cluster_id"] for r in a2.collect()}
+    assert got1 == got2
+    low = {got1[i] for i in range(20)}
+    high = {got1[100 + i] for i in range(20)}
+    assert len(low) == 1 and len(high) == 1 and low != high
+
+
+def test_kmeans_inertia_nonincreasing(spark):
+    """Lloyd's invariant: total within-cluster distance never grows."""
+    from icerunner_spark.operators.clustering import (
+        assign_clusters,
+        kmeans,
+        seed_centroids,
+    )
+
+    e = load_table(spark, "embeddings", SF)
+
+    def inertia(cents):
+        a = assign_clusters(e, cents, vec_col="embedding", dist_col="d")
+        return a.agg(F.sum(F.col("d") * F.col("d"))).first()[0]
+
+    seeds = seed_centroids(e, vec_col="embedding", id_col="vec_id", k=4)
+    trained, _ = kmeans(e, vec_col="embedding", id_col="vec_id", k=4, iters=2)
+    assert inertia(trained) <= inertia(seeds) + 1e-9
+
+
+def test_kmeans_null_and_ragged_vectors_degrade(spark):
+    """NULL / wrong-length vectors assign NULL cluster, never fail, and
+    are excluded from Lloyd means; an empty cluster keeps its centroid."""
+    from icerunner_spark.operators.clustering import (
+        assign_clusters,
+        lloyd_step,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, None), (4, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[0.0, 0.0], [50.0, 50.0]]
+    a = assign_clusters(df, cents, vec_col="embedding")
+    got = {r["vec_id"]: r["cluster_id"] for r in a.collect()}
+    assert got[1] == 0 and got[2] == 0
+    assert got[3] is None and got[4] is None
+    new = lloyd_step(df, cents, vec_col="embedding")
+    assert new[1] == [50.0, 50.0]  # empty cluster: centroid retained
+    assert new[0] == [0.05, 0.0]  # exact decimal mean of the two members
+
+
+def test_cluster_balanced_sample_caps_and_is_deterministic(spark):
+    from icerunner_spark.operators.clustering import (
+        cluster_balanced_sample,
+        kmeans,
+    )
+
+    e = load_table(spark, "embeddings", SF)
+    _, a = kmeans(e, vec_col="embedding", id_col="vec_id", k=4, iters=1)
+    s1 = cluster_balanced_sample(a, id_col="vec_id", cap=25)
+    sizes = {
+        r["cluster_id"]: r["n"]
+        for r in s1.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes and all(n <= 25 for n in sizes.values())
+    full = {
+        r["cluster_id"]: r["n"]
+        for r in a.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for c, n in full.items():
+        assert sizes.get(c, 0) == min(n, 25)
+    s2 = cluster_balanced_sample(a, id_col="vec_id", cap=25)
+    assert {r["vec_id"] for r in s1.collect()} == {
+        r["vec_id"] for r in s2.collect()
+    }
