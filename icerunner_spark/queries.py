@@ -3110,6 +3110,76 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontam_semantic_overlap",
+    oracle="""
+    WITH ev AS (
+      SELECT vec_id AS eval_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 29 = 0
+      ORDER BY vec_id LIMIT 1000
+    ),
+    co AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 29 <> 0
+    ),
+    pairs AS (
+      SELECT co.vec_id, co.label, ev.eval_id,
+             ROUND(list_cosine_similarity(co.v, ev.v), 6) AS cos_sim
+      FROM co, ev
+    ),
+    best AS (
+      SELECT vec_id, label, eval_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, eval_id) AS rk
+      FROM pairs
+    )
+    SELECT vec_id, label, eval_id, cos_sim
+    FROM best WHERE rk = 1 AND cos_sim >= 0.30
+    """,
+)
+def decontam_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC test-set decontamination — the embedding-space
+    complement of decontam_ngram_overlap: a corpus document is flagged
+    when its embedding is too close (cosine >= 0.30) to any held-out
+    eval vector, catching paraphrased leakage that shares no 8-gram.
+    The eval side (every 29th vector — eval sets are MBs against a TB
+    corpus) is BROADCAST; scoring is a codegen'd fold per (corpus, eval)
+    pair against only that small side, then one per-doc window picks the
+    strongest eval match (rounded-cosine tiebreak by eval_id keeps the
+    argmax engine-portable). At 100 TB the corpus never shuffles — each
+    partition scores locally against the broadcast eval block; with a
+    big eval set, the LSH/IVF candidate generators (operators.similarity)
+    swap in for the cross score. SURVEY §2.C decontamination."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # an eval probe set is bounded BY DEFINITION — the deterministic
+    # LIMIT makes that boundedness part of the plan (and is what lets
+    # the broadcast pass the global no-SF-proportional-broadcast
+    # invariant: Limit between exchange and scan = bounded subtree)
+    ev = (
+        e.where(F.col("vec_id") % 29 == 0)
+        .orderBy("vec_id")
+        .limit(1000)
+        .select(F.col("vec_id").alias("eval_id"), F.col("v").alias("ev"))
+    )
+    co = e.where(F.col("vec_id") % 29 != 0)
+    pairs = co.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        "label",
+        "eval_id",
+        F.round(cosine_similarity("v", "ev"), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("eval_id")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") == 1) & (F.col("cos_sim") >= 0.30))
+        .drop("rk")
+    )
+
+
+@register(
     "stratified_sample_documents",
     oracle="""
     SELECT lang,

@@ -1770,6 +1770,15 @@ def test_table_format_model_random_ops(spark, warehouse):
         got = sorted((r.id, r.v, r.s) for r in t.scan().collect())
         want = sorted((i, v, s) for i, (v, s) in model.items())
         assert got == want, (len(got), len(want))
+        # metadata-count invariant under every op interleaving: when it
+        # claims an answer it must be exact, and it must only refuse
+        # while equality deletes are pending
+        n = t.metadata_count()
+        snap = t.current_snapshot()
+        if snap.eq_delete_files:
+            assert n is None
+        else:
+            assert n == len(model), (n, len(model))
 
     specs = [[], ["bucket(4, id)"], ["s"], ["truncate(50, v)"]]
     for step in range(24):
