@@ -65,6 +65,24 @@ class Catalog:
         shutil.rmtree(path)
         return True
 
+    def rename_table(self, name: str, new_name: str) -> bool:
+        """``ALTER TABLE RENAME`` parity: one directory rename — atomic
+        on a POSIX filesystem, and metadata-free because everything a
+        table's snapshots reference (data files, segments, branches,
+        refs) lives under its own directory as RELATIVE paths. Returns
+        False when the source doesn't exist; refuses to clobber an
+        existing target. Catalog views that referenced the old name
+        resolve lazily and will error until re-created — standard
+        late-binding view semantics."""
+        src = self.table_path(name)
+        dst = self.table_path(new_name)
+        if not self.table_exists(name):
+            return False
+        if os.path.exists(dst):
+            raise ValueError(f"table already exists: {new_name}")
+        os.rename(src, dst)
+        return True
+
     # ---------- versioned views (Iceberg view-spec parity) ---------- #
     #
     # The reference exposes tables to its SQL engine through re-created

@@ -5341,6 +5341,79 @@ def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_bm25_index",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+    ),
+    toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text),
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]') AS t
+        FROM corpus
+    ),
+    tf AS (
+        SELECT doc_id, len(t) AS dl,
+               len(list_filter(t, x -> x = 'join')) AS tf_join,
+               len(list_filter(t, x -> x = 'hash')) AS tf_hash,
+               len(list_filter(t, x -> x = 'scan')) AS tf_scan
+        FROM toks
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+               SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+               SUM(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS df_scan
+        FROM tf
+    )
+    SELECT doc_id, bm25 FROM (
+      SELECT doc_id,
+             ROUND(
+               ln(1 + (n_docs - df_join + 0.5) / (df_join + 0.5))
+                 * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n_docs - df_hash + 0.5) / (df_hash + 0.5))
+                 * (tf_hash * 2.2) / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n_docs - df_scan + 0.5) / (df_scan + 0.5))
+                 * (tf_scan * 2.2) / (tf_scan + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+             6) AS bm25
+      FROM tf, stats
+    ) WHERE bm25 > 0
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def incremental_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted inverted index maintained from the CDC changelog
+    (operators.text_index.IncrementalBm25Index) — the lexical twin of
+    incremental_ann_maintenance: build postings + doclens tables over
+    part of the corpus, append the rest, merge-on-read delete a key
+    slice, advance the index with ONE refresh (O(changed docs) equality
+    deletes + appends, cursor lands last so crash-replay is idempotent),
+    then serve BM25 straight FROM THE INDEX: the term-IN probe prunes
+    bucket(term) partitions at planning, corpus stats are one narrow
+    doclens aggregate, and the score is the same fixed-association
+    double expression as the scan-time bm25_retrieval — so the oracle's
+    full recompute over the final corpus state must hash-match the
+    index-served top-20. At 100 TB a keyword query reads O(matching
+    postings), never re-tokenizing the corpus."""
+    from icerunner_spark.catalog import Catalog
+    from icerunner_spark.operators.text_index import IncrementalBm25Index
+
+    wh = _demo_warehouse("icerunner_bm25idx_demo", sf_dir)
+    cat = Catalog(spark, wh)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = cat.table("docs_bm25")
+    t.create(d.filter(F.col("doc_id") % 3 != 2))
+    idx = IncrementalBm25Index(t, os.path.join(wh, "bm25_idx"))
+    idx.build()
+    t.append(d.filter(F.col("doc_id") % 3 == 2))
+    t.delete_where("doc_id % 5 = 0", mode="merge-on-read")
+    idx.refresh()
+    assert idx.refresh() is None  # already current
+    assert idx.cursor() == t.current_snapshot().snapshot_id
+    return idx.query(("join", "hash", "scan"), k=20)
+
+
 @register("similarity_pq_topk")  # approximate: rows-only driver check;
 # code determinism + recall (uniform hard mode AND clustered corpus)
 # pinned in tests/test_operators.py::TestProductQuantization
