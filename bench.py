@@ -66,6 +66,12 @@ HEADLINE = [
     "catalog_view_query",
     "row_lineage_scan",
     "merge_into_clauses",
+    # r5b additions: metadata-only aggregates, distributed k-means,
+    # semantic decontamination, and the CDC-maintained BM25 index
+    "metadata_agg_pushdown",
+    "kmeans_cluster_profile",
+    "decontam_semantic_overlap",
+    "incremental_bm25_index",
 ]
 
 
