@@ -126,6 +126,12 @@ class Connector:
         return df_to_arrow(self.sql_df(sql_command))
 
     def sql_df(self, sql_command: str) -> DataFrame:
+        # the engine's text/vector primitives are in scope as SQL
+        # functions (ice_token_count, ice_cos_sim, ...) for every SQL
+        # entry point: this method, Flight sql tickets, the CLI verb
+        from icerunner_spark.functions.sql_udfs import register_sql_functions
+
+        register_sql_functions(self.spark)
         for name in self.tables:
             self.catalog.table(name).scan().createOrReplaceTempView(name)
         # catalog views resolve too (best-effort: a dangling view must

@@ -2744,6 +2744,70 @@ def _pii_oracle() -> str:
     """
 
 
+def _sql_udf_oracle() -> str:
+    """Assembled from the same PII pattern table as the operator — one
+    source of truth for the redact chain, like _pii_oracle."""
+    from icerunner_spark.functions.text import PII_PATTERNS
+
+    red = "d.text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id = 0 LIMIT 1
+    )
+    SELECT d.doc_id,
+           len(regexp_extract_all(lower(d.text),
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens,
+           length({red}) AS n_chars_redacted,
+           substr(md5(CAST(d.doc_id AS VARCHAR) || '-udf'), 1, 8) AS bucket,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+               AS cos_q
+    FROM documents d
+    JOIN embeddings e ON e.vec_id = d.doc_id, q
+    WHERE d.doc_id % 11 = 0
+    """
+
+
+@register("sql_udf_surface", oracle=_sql_udf_oracle())
+def sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's primitives driven PURELY through SQL text — the way
+    a remote Flight sql-ticket / CLI user consumes them: Spark 4 SQL
+    UDFs (functions/sql_udfs.py) put ice_token_count / ice_redact_pii /
+    ice_md5_bucket / ice_cos_sim in scope, and Catalyst INLINES the
+    bodies at analysis (expression macros, not Python — the plan is
+    whole-stage codegen, identical to the Column-builder originals;
+    equality is pinned in tests/test_plans.py). The oracle re-derives
+    every value with DuckDB-native expressions, proving the SQL surface
+    computes exactly what the DataFrame surface does. The query vector
+    is a LIMIT-bounded broadcast; the doc-embedding join is a plain
+    equi-join AQE is free to shape."""
+    from icerunner_spark.functions.sql_udfs import register_sql_functions
+
+    register_sql_functions(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql("""
+        WITH q AS (
+          SELECT embedding FROM embeddings WHERE vec_id = 0 LIMIT 1
+        )
+        SELECT /*+ BROADCAST(q) */
+               d.doc_id,
+               CAST(ice_token_count(d.text) AS BIGINT) AS n_tokens,
+               CAST(length(ice_redact_pii(d.text)) AS BIGINT)
+                   AS n_chars_redacted,
+               ice_md5_bucket(CAST(d.doc_id AS STRING), 'udf') AS bucket,
+               ROUND(ice_cos_sim(CAST(e.embedding AS ARRAY<DOUBLE>),
+                                 CAST(q.embedding AS ARRAY<DOUBLE>)), 6)
+                   AS cos_q
+        FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id
+        CROSS JOIN q
+        WHERE d.doc_id % 11 = 0
+    """)
+
+
 @register("pii_redact_documents", oracle=_pii_oracle())
 def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (functions.text.redact_pii): emails / SSNs / phone

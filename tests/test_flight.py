@@ -145,6 +145,25 @@ def test_sql_ticket(server):
     assert out.column("n").to_pylist() == [2, 1]
 
 
+def test_sql_ticket_engine_functions_in_scope(server):
+    """Remote SQL can call the engine's ice_* SQL UDFs (expression
+    macros registered by Connector.sql_df) — the surface a reference
+    sql() user gets, extended with the pipeline primitives."""
+    import json
+
+    c = server.connector
+    c.create_table("t", _writer_table([1, 2], ["a  b", "c@d.com x"]))
+    client = _client(server)
+    cmd = {"sql": "SELECT id, ice_token_count(value) AS n, "
+                  "ice_redact_pii(value) AS red FROM t ORDER BY id"}
+    info = client.get_flight_info(
+        flight.FlightDescriptor.for_command(json.dumps(cmd).encode())
+    )
+    out = client.do_get(info.endpoints[0].ticket).read_all()
+    assert out.column("n").to_pylist() == [2, 6]  # c@d.com = 5 tokens
+    assert out.column("red").to_pylist()[1] == "<EMAIL> x"
+
+
 def test_sql_ticket_streams_without_materializing(server):
     """SQL-ticket serve path pin: the result reaches the client in
     chunk_rows-bounded batches via the parquet spill path — the server

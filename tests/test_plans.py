@@ -154,3 +154,54 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS cust_bkt")
         spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_sql_udfs_inline_and_match_column_builders(spark):
+    """Spark 4 SQL UDFs (functions/sql_udfs.py) are expression macros:
+    Catalyst inlines the bodies (no Python eval operator in the plan),
+    and every ice_* function computes bit-identically to the
+    functions/text.py / functions/vector.py Column builder it mirrors."""
+    import pyspark.sql.functions as F
+
+    from icerunner_spark.functions.sql_udfs import register_sql_functions
+    from icerunner_spark.functions.text import (
+        fingerprint64,
+        md5_bucket,
+        redact_pii,
+        token_count,
+    )
+    from icerunner_spark.functions.vector import cosine_similarity
+    from icerunner_spark.sources.testdata import load_table
+
+    register_sql_functions(spark)
+    d = load_table(spark, "documents", "/root/testdata/sf0.001")
+    d.createOrReplaceTempView("plans_docs")
+    got = spark.sql(
+        "SELECT doc_id, ice_token_count(text) AS n, "
+        "ice_fingerprint64(text) AS fp, ice_redact_pii(text) AS red, "
+        "ice_md5_bucket(CAST(doc_id AS STRING), 's') AS b "
+        "FROM plans_docs"
+    )
+    assert "BatchEvalPython" not in got._jdf.queryExecution().executedPlan().toString()
+    want = d.select(
+        "doc_id",
+        token_count("text").alias("n"),
+        fingerprint64("text").alias("fp"),
+        redact_pii("text").alias("red"),
+        md5_bucket(F.col("doc_id"), "s").alias("b"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    e.select(F.col("embedding").cast("array<double>").alias("v")).limit(
+        50
+    ).createOrReplaceTempView("plans_vecs")
+    got = spark.sql(
+        "SELECT ice_cos_sim(v, reverse(v)) AS c FROM plans_vecs"
+    ).collect()
+    want = (
+        spark.table("plans_vecs")
+        .select(cosine_similarity(F.col("v"), F.reverse(F.col("v"))).alias("c"))
+        .collect()
+    )
+    assert [r["c"] for r in got] == [r["c"] for r in want]
