@@ -133,7 +133,27 @@ class Connector:
 
         register_sql_functions(self.spark)
         for name in self.tables:
-            self.catalog.table(name).scan().createOrReplaceTempView(name)
+            t = self.catalog.table(name)
+            t.scan().createOrReplaceTempView(name)
+            # Iceberg-style metadata tables on the SQL surface
+            # (SELECT * FROM <t>.files → <t>__files here: temp-view
+            # names can't carry dots). Built ONLY when the statement
+            # references them — materializing files_df costs a footer
+            # walk, and most queries never ask for it.
+            for suffix, df_of in (
+                ("files", t.files_df),
+                ("partitions", t.partitions_df),
+                ("snapshots", t.snapshots_df),
+                ("refs", t.refs_df),
+                ("history", t.history_df),
+            ):
+                view = f"{name}__{suffix}"
+                if view not in sql_command:
+                    continue
+                try:
+                    df_of().createOrReplaceTempView(view)
+                except Exception:
+                    pass  # a racing drop must not break unrelated SQL
         # catalog views resolve too (best-effort: a dangling view must
         # not break unrelated queries; referencing it still errors)
         for vname in self.catalog.list_views():

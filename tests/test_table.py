@@ -3023,3 +3023,31 @@ def test_metadata_count_all_null_and_empty_files(spark, warehouse):
     e.create(spark.createDataFrame([], "id long"))
     assert e.metadata_count() == 0
     assert e.metadata_min_max("id") is None
+
+
+def test_sql_metadata_table_views(spark, warehouse):
+    """Iceberg-parity metadata tables addressable from plain SQL
+    (Connector.sql): <t>__files / __partitions / __snapshots / __refs /
+    __history resolve only when referenced (a footer walk shouldn't tax
+    unrelated statements)."""
+    c = Connector(spark, warehouse)
+    c.create_table("mt", _batch([1, 2], ["a", "b"]))
+    c.insert("mt", _batch([3], ["c"]))
+    out = c.sql(
+        "SELECT COUNT(*) AS n_files, SUM(record_count) AS rows "
+        "FROM mt__files WHERE content = 'data'"
+    ).to_pydict()
+    assert out["rows"][0] == 3 and out["n_files"][0] >= 2
+    snaps = c.sql(
+        "SELECT operation FROM mt__snapshots ORDER BY sequence"
+    ).to_pydict()
+    assert snaps["operation"] == ["create", "append"]
+    hist = c.sql("SELECT COUNT(*) AS n FROM mt__history").to_pydict()
+    assert hist["n"][0] == 2
+    # joins between data and metadata views work in one statement
+    joined = c.sql(
+        "SELECT (SELECT COUNT(*) FROM mt) AS data_rows, "
+        "(SELECT SUM(record_count) FROM mt__files WHERE content='data') "
+        "AS meta_rows"
+    ).to_pydict()
+    assert joined["data_rows"][0] == joined["meta_rows"][0] == 3
