@@ -83,6 +83,11 @@ class Catalog:
         os.rename(src, dst)
         return True
 
+    def transaction(self) -> "CatalogTransaction":
+        """Multi-table write with all-or-nothing outcome (see
+        :class:`CatalogTransaction` for the exact contract)."""
+        return CatalogTransaction(self)
+
     # ---------- versioned views (Iceberg view-spec parity) ---------- #
     #
     # The reference exposes tables to its SQL engine through re-created
@@ -199,3 +204,111 @@ class Catalog:
             except Exception:  # dangling/cyclic sibling: target may not need it
                 pass
         return self.spark.sql(sql)
+
+
+class TransactionBroken(Exception):
+    """A failed multi-table transaction could not be fully compensated:
+    some table advanced past the transaction's own commit before the
+    rollback ran. Carries ``(table, reason)`` pairs; the listed tables
+    RETAIN the transaction's changes and need manual resolution."""
+
+    def __init__(self, problems: list[tuple[str, str]]):
+        self.problems = problems
+        super().__init__(f"transaction compensation incomplete: {problems}")
+
+
+class CatalogTransaction:
+    """Multi-table write with all-or-nothing OUTCOME (not isolation):
+    appends stage their data files up front (the slow, restartable part
+    — abandoned stages are invisible orphans, like any Iceberg staged
+    write), then every operation publishes in order; if one fails, each
+    already-published table is compensated with ``rollback_to`` its
+    pre-transaction snapshot — guarded so compensation never clobbers a
+    COMMIT THAT ISN'T OURS (a concurrent writer landing after our
+    publish turns the failure into :class:`TransactionBroken` for that
+    table instead of silently erasing the bystander's commit).
+
+    What this is NOT: snapshot isolation across tables. Readers can
+    observe table A's new snapshot before table B publishes, and the
+    compensating rollback is itself a new commit (history stays
+    append-only; incremental CDC treats it like an overwrite). True
+    multi-table atomicity needs a catalog-level commit pointer — the
+    Iceberg REST-catalog transaction API; this is the strongest contract
+    a filesystem catalog offers, stated honestly.
+    """
+
+    def __init__(self, catalog: "Catalog"):
+        self.catalog = catalog
+        self._ops: list[tuple[str, object]] = []  # (table, staged|callable)
+
+    def append(self, name: str, df) -> None:
+        """Queue an append; files are written at commit() start, before
+        any table publishes."""
+        self._ops.append((name, ("append", df)))
+
+    def apply(self, name: str, fn) -> None:
+        """Queue an arbitrary single-commit operation: ``fn(table)``
+        runs at publish time and must leave exactly the commits it wants
+        on the table (delete_rows / merge / update_where / ...)."""
+        self._ops.append((name, ("apply", fn)))
+
+    def commit(self) -> dict[str, object]:
+        """Run the transaction. Returns {table: final Snapshot | None}.
+        On failure: compensates published tables, then re-raises the
+        original error (or :class:`TransactionBroken` when compensation
+        was unsafe for some table)."""
+        # phase 0: write every append's data files (no visibility yet)
+        staged: list[tuple[str, object]] = []
+        for name, (kind, payload) in self._ops:
+            if kind == "append":
+                files = self.catalog.table(name).stage_append(payload)
+                staged.append((name, ("publish", files)))
+            else:
+                staged.append((name, ("apply", payload)))
+        # phase 1: pre-states for compensation
+        pre: dict[str, int | None] = {}
+        for name, _ in staged:
+            if name not in pre:
+                snap = self.catalog.table(name).current_snapshot()
+                pre[name] = snap.snapshot_id if snap else None
+        # phase 2: publish in order
+        done: dict[str, object] = {}
+        published: list[str] = []  # order of first publish per table
+        try:
+            for name, (kind, payload) in staged:
+                t = self.catalog.table(name)
+                if kind == "publish":
+                    out = t.publish_append(payload)
+                else:
+                    out = payload(t)
+                done[name] = out
+                if name not in published:
+                    published.append(name)
+            return done
+        except BaseException as err:
+            problems: list[tuple[str, str]] = []
+            for name in reversed(published):
+                t = self.catalog.table(name)
+                cur = t.current_snapshot()
+                ours = done.get(name)
+                ours_id = getattr(ours, "snapshot_id", None)
+                if cur is None or pre[name] is None:
+                    problems.append((name, "pre-transaction state unrecoverable"))
+                    continue
+                if ours_id is not None and cur.snapshot_id != ours_id:
+                    problems.append(
+                        (name, "table advanced past the transaction's commit")
+                    )
+                    continue
+                t.rollback_to(pre[name])
+            if problems:
+                raise TransactionBroken(problems) from err
+            raise
+
+    def __enter__(self) -> "CatalogTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None:
+            self.commit()
+        return False

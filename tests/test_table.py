@@ -3051,3 +3051,76 @@ def test_sql_metadata_table_views(spark, warehouse):
         "AS meta_rows"
     ).to_pydict()
     assert joined["data_rows"][0] == joined["meta_rows"][0] == 3
+
+
+def test_catalog_transaction_commits_all_tables(spark, warehouse):
+    """Happy path: staged appends + an arbitrary op publish together."""
+    from icerunner_spark.catalog import Catalog
+
+    cat = Catalog(spark, warehouse)
+    a = cat.table("txa")
+    b = cat.table("txb")
+    a.create(spark.createDataFrame([(1,)], "id long"))
+    b.create(spark.createDataFrame([(10,)], "id long"))
+    with cat.transaction() as tx:
+        tx.append("txa", spark.createDataFrame([(2,), (3,)], "id long"))
+        tx.append("txb", spark.createDataFrame([(20,)], "id long"))
+        tx.apply("txb", lambda t: t.delete_where("id = 10"))
+    assert {r["id"] for r in a.scan().collect()} == {1, 2, 3}
+    assert {r["id"] for r in b.scan().collect()} == {20}
+
+
+def test_catalog_transaction_rolls_back_on_failure(spark, warehouse):
+    """A failing op compensates every already-published table back to
+    its pre-transaction state."""
+    import pytest as _pytest
+
+    from icerunner_spark.catalog import Catalog
+
+    cat = Catalog(spark, warehouse)
+    a = cat.table("txa")
+    b = cat.table("txb")
+    a.create(spark.createDataFrame([(1,)], "id long"))
+    b.create(spark.createDataFrame([(10,)], "id long"))
+
+    def boom(_t):
+        raise RuntimeError("op failed")
+
+    tx = cat.transaction()
+    tx.append("txa", spark.createDataFrame([(2,)], "id long"))
+    tx.apply("txb", boom)
+    with _pytest.raises(RuntimeError, match="op failed"):
+        tx.commit()
+    assert {r["id"] for r in a.scan().collect()} == {1}  # compensated
+    assert {r["id"] for r in b.scan().collect()} == {10}  # untouched
+    # compensation is a new commit, history stays append-only
+    assert [s.operation for s in a.snapshots()][-1] == "rollback"
+
+
+def test_catalog_transaction_refuses_to_clobber_bystander(spark, warehouse):
+    """If a concurrent writer lands AFTER the transaction's own publish,
+    compensation must not erase that commit: TransactionBroken names the
+    table and both commits survive."""
+    import pytest as _pytest
+
+    from icerunner_spark.catalog import Catalog, TransactionBroken
+
+    cat = Catalog(spark, warehouse)
+    a = cat.table("txa")
+    b = cat.table("txb")
+    a.create(spark.createDataFrame([(1,)], "id long"))
+    b.create(spark.createDataFrame([(10,)], "id long"))
+
+    def race_then_fail(_t):
+        # bystander commit on the already-published table, then failure
+        a.append(spark.createDataFrame([(99,)], "id long"))
+        raise RuntimeError("late failure")
+
+    tx = cat.transaction()
+    tx.append("txa", spark.createDataFrame([(2,)], "id long"))
+    tx.apply("txb", race_then_fail)
+    with _pytest.raises(TransactionBroken) as exc:
+        tx.commit()
+    assert exc.value.problems[0][0] == "txa"
+    # both the transaction's row and the bystander's survive
+    assert {r["id"] for r in a.scan().collect()} == {1, 2, 99}
