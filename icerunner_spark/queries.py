@@ -6661,6 +6661,103 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_logprob_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uni),
+    pairs AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    pd AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS k FROM pairs GROUP BY doc_id, w1, w2
+    ),
+    bf AS (SELECT w1, w2, SUM(k) AS c12 FROM pd GROUP BY w1, w2),
+    scored AS (
+      SELECT pd.doc_id, pd.k,
+             ln(0.8 * (bf.c12 / u1.c) + 0.2 * (u2.c / tot.t)) AS lp
+      FROM pd
+      JOIN bf USING (w1, w2)
+      JOIN uni u1 ON u1.w = pd.w1
+      JOIN uni u2 ON u2.w = pd.w2, tot
+    )
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(k * lp) / SUM(k), 6) AS mean_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated BIGRAM language-model quality score — the step up
+    from unigram_logprob_quality that actually penalizes scrambled or
+    template-stitched text (right words, wrong order): each doc's mean
+    bigram log-probability under P(w2|w1) = 0.8·c(w1,w2)/c(w1) +
+    0.2·c(w2)/T, trained on the corpus itself.
+
+    Scale shape mirrors the unigram query one level up: adjacent pairs
+    come from a shifted-array zip (no self-join), collapse to
+    (doc, w1, w2, k) FIRST so repeated bigrams combine map-side, the
+    bigram table is vocab²-bounded but Heaps-sublinear in practice, and
+    the three count joins carry no broadcast hints — AQE broadcasts
+    while they fit. Docs with <2 tokens have no bigrams and drop from
+    the output (both engines). Rounding to 6dp absorbs sub-ulp libm
+    differences; counts and divisions are exact."""
+    from icerunner_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    n = F.greatest(F.size("t") - 1, F.lit(0))
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, n),
+                F.slice("t", 2, n),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    pd_ = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    bf = pd_.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("t"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        pd_.join(bf, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "k",
+            F.log(
+                0.8 * (F.col("c12") / F.col("c1"))
+                + 0.2 * (F.col("c2") / F.col("t"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").alias("n_bigrams"),
+        F.round(F.sum(F.col("k") * F.col("lp")) / F.sum("k"), 6).alias(
+            "mean_logprob"
+        ),
+    )
+
+
+@register(
     "token_budget_mixture",
     oracle=f"""
     SELECT lang, doc_id, n_tok, cum_tokens FROM (
