@@ -82,27 +82,29 @@ _DRIVER_WINDOW = [
     "flight_federated_join",
     "flight_sql_passthrough",
     "hybrid_retrieval_rerank",
+    # --- r5b first-time names (built mid-round, all emulation-green;
+    # displaced keepers' families remain represented below) ---
+    "metadata_agg_pushdown",  # displaces cdc_changes_since_snapshot (CDC: cdc_changelog_diff stays)
+    "kmeans_cluster_profile",  # displaces dedup_minhash_lsh (dedup: 3 reps stay)
+    "decontam_semantic_overlap",  # displaces incremental_dedup_cdc (incremental: ann/bm25/mv stay)
+    "incremental_bm25_index",  # displaces flight_roundtrip_nation (flight: 3 reps stay)
+    "sql_udf_surface",  # displaces stream_join_view_purchases (streaming: exactly-once stays)
+    "bigram_logprob_quality",  # displaces unigram_logprob_quality (same family, strictly newer)
     # --- proven keepers, one per operator family ---
-    "cdc_changes_since_snapshot",
     "bloom_pruned_scan",
-    "flight_roundtrip_nation",
     "catalog_view_query",  # r5 new: versioned views (MOR delete family: update/eq-delete stay)
     "row_lineage_scan",  # r5 new: v3 row lineage (identity prune rep: transform_partition_prune stays)
     "incremental_ann_maintenance",
-    "dedup_minhash_lsh",
     "recursive_cte_hierarchy",  # r5 new: WITH RECURSIVE (dedup family keeps 4 reps)
     "incremental_mv_refresh",
-    "incremental_dedup_cdc",
     "corpus_clean_pipeline",
     "stream_exactly_once_ingest",  # r5 new: exactly-once streaming sink
     "table_ndv_stats",
     "partition_spec_evolution",
     "flight_pushdown_scan",
     "multimodal_byte_features",
-    "unigram_logprob_quality",
     "dynamic_file_prune_join",  # r5 new: dim-driven fact-file skipping
     "clustered_compact_scan",
-    "stream_join_view_purchases",
     "wap_branch_publish",
     "type_widening_roundtrip",
     "snapshot_update_roundtrip",
