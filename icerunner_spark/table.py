@@ -4671,6 +4671,7 @@ class IceTable:
     def scan_changelog(
         self, start_snapshot_id: int | None, end_snapshot_id: int | None = None,
         *, with_ordinal: bool = False, with_lineage: bool = False,
+        where=None,
     ) -> DataFrame:
         """Row-level changelog over ``(start, end]`` — every row change
         as a row, with a ``_change_type`` column ('insert' | 'delete'):
@@ -4709,7 +4710,15 @@ class IceTable:
         (e.g. inserted then deleted vs deleted then re-inserted) take
         the row with the highest ordinal, inserts outranking deletes at
         equal ordinal (a merge emits its delete+insert pair at one
-        sequence and the insert is the survivor)."""
+        sequence and the insert is the survivor).
+
+        ``where=`` (the scan() predicate vocabulary) restricts the
+        changelog to matching rows — and PRUNES the insert side's file
+        list at planning through the same manifest tiers as scan(), so a
+        CDC consumer following one partition of a 100 TB table reads
+        O(that partition's delta), not O(the table's delta). A residual
+        Catalyst filter keeps the result exact (delete rows filter by
+        their VALUES, delta-sized reads either way)."""
         snaps = self.snapshots()
         ids = [s.snapshot_id for s in snaps]
         if start_snapshot_id is not None and start_snapshot_id not in ids:
@@ -4777,6 +4786,19 @@ class IceTable:
             prev = snap
         ctx = ctx or self.current_snapshot()
         schema = StructType.fromJson(json.loads(ctx.schema_json))
+        preds = _normalize_predicates(where)
+        if preds:
+            # insert-side manifest pruning: stats for files later
+            # compacted away may be gone from ctx — those files simply
+            # never skip (conservative); partition-path tiers still
+            # apply from the paths themselves
+            kept = set(self._prune_files(ctx, insert_files, preds))
+            insert_files = [f for f in insert_files if f in kept]
+            insert_parts = [
+                (seq, [f for f in files if f in kept])
+                for seq, files in insert_parts
+            ]
+            insert_parts = [(s, fs) for s, fs in insert_parts if fs]
 
         def _insert_df(files):
             df = self._read_files(
@@ -4870,6 +4892,8 @@ class IceTable:
                         "_change_ordinal", F.lit(snap.sequence)
                     )
                 out = out.unionByName(part)
+        if preds:
+            out = out.where(_predicates_to_column(preds))
         return out
 
     def delete_rows_exact(self, rows: DataFrame) -> Snapshot | None:

@@ -3124,3 +3124,57 @@ def test_catalog_transaction_refuses_to_clobber_bystander(spark, warehouse):
     assert exc.value.problems[0][0] == "txa"
     # both the transaction's row and the bystander's survive
     assert {r["id"] for r in a.scan().collect()} == {1, 2, 99}
+
+
+def test_changelog_predicate_pushdown(spark, warehouse):
+    """scan_changelog(where=) returns exactly the matching delta AND
+    prunes non-matching insert files at planning — proven by making a
+    pruned partition's data file unreadable: the filtered changelog
+    still collects (the file never enters the plan) while the unfiltered
+    one fails."""
+    import os as _os
+
+    from icerunner_spark.catalog import Catalog
+
+    cat = Catalog(spark, warehouse)
+    t = cat.table("clpush")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", i * 10) for i in range(20)],
+        "id long, part string, v long",
+    )
+    t.create(df.filter("id < 10"), partition_by=["part"])
+    s0 = t.current_snapshot().snapshot_id
+    t.append(df.filter("id >= 10"))
+    t.delete_where("id IN (4, 5)", mode="merge-on-read")
+
+    got = t.scan_changelog(s0, where=[("part", "=", "a")])
+    rows = {(r["id"], r["_change_type"]) for r in got.collect()}
+    want = {(i, "insert") for i in range(10, 20) if i % 2 == 0} | {(4, "delete")}
+    assert rows == want
+
+    # zero-IO proof: corrupt partition b's appended file; the filtered
+    # changelog never plans it
+    snap = t.current_snapshot()
+    b_files = [
+        f for f in snap.manifest
+        if "part=b" in f and f not in t.snapshot_by_id(s0).manifest
+    ]
+    assert b_files
+    full = _os.path.join(t.path, b_files[0])
+    _os.rename(full, full + ".hidden")
+    try:
+        assert t.scan_changelog(s0, where=[("part", "=", "a")]).count() == 6
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            t.scan_changelog(s0).count()
+    finally:
+        _os.rename(full + ".hidden", full)
+
+    # ordinal + pushdown compose
+    got = t.scan_changelog(
+        s0, with_ordinal=True, where=[("part", "=", "a"), ("id", ">=", 10)]
+    )
+    assert {(r["id"], r["_change_ordinal"]) for r in got.collect()} == {
+        (i, 1) for i in range(10, 20) if i % 2 == 0
+    }
