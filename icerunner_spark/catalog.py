@@ -254,9 +254,23 @@ class CatalogTransaction:
 
     def commit(self) -> dict[str, object]:
         """Run the transaction. Returns {table: final Snapshot | None}.
-        On failure: compensates published tables, then re-raises the
-        original error (or :class:`TransactionBroken` when compensation
-        was unsafe for some table)."""
+        On failure: compensates published tables — INCLUDING partial
+        commits left by the operation that raised (an ``apply`` fn that
+        commits a snapshot and then fails rolls back too; a bystander
+        commit landing *during* that failing operation is
+        indistinguishable from its partial work and rolls back with it —
+        the one attribution gap a filesystem catalog can't close) — then
+        re-raises the original error (or :class:`TransactionBroken` when
+        compensation was unsafe for some table). The transaction is
+        one-shot: a commit (success or failure) drains the queued ops,
+        so an explicit ``commit()`` inside a ``with`` block doesn't
+        re-publish at exit."""
+        try:
+            return self._commit_once()
+        finally:
+            self._ops = []
+
+    def _commit_once(self) -> dict[str, object]:
         # phase 0: write every append's data files (no visibility yet)
         staged: list[tuple[str, object]] = []
         for name, (kind, payload) in self._ops:
@@ -271,31 +285,57 @@ class CatalogTransaction:
             if name not in pre:
                 snap = self.catalog.table(name).current_snapshot()
                 pre[name] = snap.snapshot_id if snap else None
-        # phase 2: publish in order
+        # phase 2: publish in order; track the snapshot observed after
+        # each of OUR ops so compensation can tell a bystander's commit
+        # (lands after our last known snapshot) from our own work
         done: dict[str, object] = {}
         published: list[str] = []  # order of first publish per table
+        last_known: dict[str, int | None] = {}
+        failing: tuple[str, int | None] | None = None
         try:
             for name, (kind, payload) in staged:
                 t = self.catalog.table(name)
-                if kind == "publish":
-                    out = t.publish_append(payload)
-                else:
-                    out = payload(t)
+                before = t.current_snapshot()
+                before_id = before.snapshot_id if before else None
+                try:
+                    if kind == "publish":
+                        out = t.publish_append(payload)
+                    else:
+                        out = payload(t)
+                except BaseException:
+                    failing = (name, before_id)
+                    raise
                 done[name] = out
+                after = t.current_snapshot()
+                last_known[name] = after.snapshot_id if after else None
                 if name not in published:
                     published.append(name)
             return done
         except BaseException as err:
+            to_comp = list(reversed(published))
+            if failing is not None:
+                fname, fbefore = failing
+                fcur = self.catalog.table(fname).current_snapshot()
+                fcur_id = fcur.snapshot_id if fcur else None
+                if fcur_id != fbefore:
+                    # the failing op left partial commits: adopt them as
+                    # ours so the bystander guard below lets the rollback
+                    # proceed (attribution caveat documented above)
+                    last_known[fname] = fcur_id
+                    if fname not in to_comp:
+                        to_comp.insert(0, fname)
             problems: list[tuple[str, str]] = []
-            for name in reversed(published):
+            for name in to_comp:
                 t = self.catalog.table(name)
                 cur = t.current_snapshot()
-                ours = done.get(name)
-                ours_id = getattr(ours, "snapshot_id", None)
-                if cur is None or pre[name] is None:
+                cur_id = cur.snapshot_id if cur else None
+                if cur_id is None or pre[name] is None:
                     problems.append((name, "pre-transaction state unrecoverable"))
                     continue
-                if ours_id is not None and cur.snapshot_id != ours_id:
+                if cur_id == pre[name]:
+                    continue  # nothing of ours landed; nothing to undo
+                expected = last_known.get(name)
+                if expected is not None and cur_id != expected:
                     problems.append(
                         (name, "table advanced past the transaction's commit")
                     )
@@ -309,6 +349,6 @@ class CatalogTransaction:
         return self
 
     def __exit__(self, exc_type, exc, tb) -> bool:
-        if exc_type is None:
+        if exc_type is None and self._ops:
             self.commit()
         return False

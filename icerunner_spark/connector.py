@@ -132,14 +132,39 @@ class Connector:
         from icerunner_spark.functions.sql_udfs import register_sql_functions
 
         register_sql_functions(self.spark)
+        # Register ONLY what the statement (transitively, through any
+        # referenced catalog views) mentions: per-statement cost is
+        # O(referenced names), not O(catalog). Matching is a lowercase
+        # substring test — Spark SQL identifiers are case-insensitive,
+        # and over-matching (a table name inside a string literal) only
+        # costs a spare registration, never a miss.
+        texts = [sql_command.lower()]
+        view_sqls: dict[str, str] = {}
+        for vname in self.catalog.list_views():
+            try:
+                view_sqls[vname] = self.catalog.view_sql(vname)
+            except Exception:
+                view_sqls[vname] = ""  # dangling: referencing it errors
+        referenced_views: list[str] = []
+        changed = True
+        while changed:
+            changed = False
+            for vname, vsql in view_sqls.items():
+                if vname in referenced_views:
+                    continue
+                if any(vname.lower() in t for t in texts):
+                    referenced_views.append(vname)
+                    texts.append(vsql.lower())
+                    changed = True
         for name in self.tables:
+            if not any(name.lower() in t for t in texts):
+                continue
             t = self.catalog.table(name)
             t.scan().createOrReplaceTempView(name)
             # Iceberg-style metadata tables on the SQL surface
             # (SELECT * FROM <t>.files → <t>__files here: temp-view
-            # names can't carry dots). Built ONLY when the statement
-            # references them — materializing files_df costs a footer
-            # walk, and most queries never ask for it.
+            # names can't carry dots). Built ONLY when referenced —
+            # materializing files_df costs a footer walk.
             for suffix, df_of in (
                 ("files", t.files_df),
                 ("partitions", t.partitions_df),
@@ -148,21 +173,28 @@ class Connector:
                 ("history", t.history_df),
             ):
                 view = f"{name}__{suffix}"
-                if view not in sql_command:
+                if not any(view.lower() in t_ for t_ in texts):
                     continue
                 try:
                     df_of().createOrReplaceTempView(view)
                 except Exception:
                     pass  # a racing drop must not break unrelated SQL
-        # catalog views resolve too (best-effort: a dangling view must
-        # not break unrelated queries; referencing it still errors)
-        for vname in self.catalog.list_views():
-            try:
-                self.spark.sql(
-                    self.catalog.view_sql(vname)
-                ).createOrReplaceTempView(vname)
-            except Exception:
-                pass
+        # referenced catalog views register until fixpoint so a view on
+        # a view resolves regardless of listing order (analysis of the
+        # outer one fails harmlessly until the inner one exists)
+        pending = list(referenced_views)
+        for _ in range(len(pending)):
+            still: list[str] = []
+            for vname in pending:
+                try:
+                    self.spark.sql(
+                        view_sqls[vname]
+                    ).createOrReplaceTempView(vname)
+                except Exception:
+                    still.append(vname)
+            if not still:
+                break
+            pending = still
         return self.spark.sql(sql_command)
 
     # -- snapshots / CDC --------------------------------------------- #

@@ -149,8 +149,13 @@ class IncrementalBm25Index:
                 self.postings.delete_rows(changed, ["doc_id"], mode="equality")
                 self.doclens.delete_rows(changed, ["doc_id"], mode="equality")
             posts, lens = self._rows_of(arrivals)
+            # gate the two appends INDEPENDENTLY: a doc that tokenizes
+            # to zero tokens has no postings rows but still counts in
+            # doclens (dl=0) — build() includes it, so refresh must too
+            # or n_docs/avgdl diverge from a from-scratch rebuild
             if posts.limit(1).count():
                 self.postings.append(posts)
+            if lens.limit(1).count():
                 self.doclens.append(lens)
             # cursor LAST, metadata-only: a crash before this line
             # replays the whole delta idempotently

@@ -1931,12 +1931,19 @@ class IceTable:
 
     def _writer_high_water(self, writer_id: str) -> int:
         """Highest batch id ``append_once`` has committed for this
-        writer: the table property survives snapshot expiry; summary
-        stamps cover histories from before the property existed."""
+        writer. The table property is authoritative whenever present —
+        every append_once commit stamps it, so a long-running stream
+        answers from ONE metadata read per microbatch, O(1) in history
+        length. The O(history) summary walk runs only for histories from
+        before the property existed (a legacy table whose stamps live
+        solely in snapshot summaries)."""
         snap = self.current_snapshot()
-        last = int((snap.properties if snap else {}).get(
-            f"stream.{writer_id}.high-water", -1
-        ))
+        prop = (snap.properties if snap else {}).get(
+            f"stream.{writer_id}.high-water"
+        )
+        if prop is not None:
+            return int(prop)
+        last = -1
         for s in self.snapshots():
             if s.summary.get("stream_writer") == writer_id:
                 b = s.summary.get("stream_batch_id")
@@ -2356,7 +2363,16 @@ class IceTable:
         )
         tgt = self._scan_snapshot(snap, with_pos=True)
         j = tgt.alias("t").join(source.alias("s"), key_cond, "inner")
-        upd_take = _cond(update_condition) if update is not None else F.lit(False)
+        # ANSI MERGE: a clause condition evaluating NULL means the clause
+        # does not fire and the row falls through to the NEXT clause — so
+        # the update condition must coalesce to false before negation, or
+        # a NULL comparison would make ~NULL & del_cond NULL and block the
+        # DELETE clause for that row entirely.
+        upd_take = (
+            F.coalesce(_cond(update_condition), F.lit(False))
+            if update is not None
+            else F.lit(False)
+        )
         del_take = (
             (~upd_take) & _cond(delete_condition) if delete else F.lit(False)
         )
@@ -4857,16 +4873,16 @@ class IceTable:
                 files = None
                 krows = keys.limit(10_001).collect()
                 if len(krows) <= 10_000:
-                    preds = []
+                    eq_preds = []
                     for f in fids:
                         vals = [r[f"__eq_{int(f)}"] for r in krows]
                         if any(v is None for v in vals):
-                            preds = None
+                            eq_preds = None
                             break
-                        preds.append((inv[int(f)], "in", vals))
-                    if preds:
+                        eq_preds.append((inv[int(f)], "in", vals))
+                    if eq_preds:
                         files = self._prune_files(
-                            prevsnap, prevsnap.manifest, preds
+                            prevsnap, prevsnap.manifest, eq_preds
                         )
                 base = self._scan_snapshot(
                     prevsnap, files=files, with_pos=with_lineage

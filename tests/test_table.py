@@ -2586,6 +2586,35 @@ def test_merge_into_clause_semantics(spark, warehouse):
         assert len(t.snapshots()) == before
 
 
+def test_merge_into_null_update_condition_falls_through(spark, warehouse):
+    """ANSI MERGE: a clause condition evaluating NULL means the clause
+    does not fire and evaluation falls to the NEXT clause — a NULL
+    update condition (e.g. comparison against a NULL target value) must
+    not block a true delete condition on the same row."""
+    from icerunner_spark.catalog import Catalog
+
+    for mode in ("copy-on-write", "merge-on-read"):
+        t = Catalog(spark, warehouse).table(f"minull_{mode.replace('-', '')}")
+        t.create(spark.createDataFrame(
+            [(1, None), (2, 20.0)], "id long, v double",
+        ))
+        src = spark.createDataFrame(
+            [(1, 5.0, True), (2, 2.0, False)],
+            "id long, v double, retract boolean",
+        )
+        # id=1: update cond s.v > t.v is NULL (t.v IS NULL) -> falls
+        # through to DELETE whose condition is true -> row deleted.
+        # id=2: update cond false, delete cond false -> untouched.
+        snap = t.merge_into(
+            src, ["id"], update={"v": "s.v"},
+            update_condition="s.v > t.v",
+            delete=True, delete_condition="s.retract",
+            insert=False, mode=mode,
+        )
+        assert snap is not None
+        assert {(r["id"], r["v"]) for r in t.scan().collect()} == {(2, 20.0)}
+
+
 def test_merge_into_insert_only_stays_append(spark, warehouse):
     """An insert-only merge_into outcome publishes as 'append', so
     incremental CDC readers stay on the append-only fast path."""
@@ -3051,6 +3080,12 @@ def test_sql_metadata_table_views(spark, warehouse):
         "AS meta_rows"
     ).to_pydict()
     assert joined["data_rows"][0] == joined["meta_rows"][0] == 3
+    # Spark SQL identifiers are case-insensitive — the registration gate
+    # must be too (uppercase spelling used to TABLE_OR_VIEW_NOT_FOUND)
+    up = c.sql("SELECT COUNT(*) AS n FROM MT__HISTORY").to_pydict()
+    assert up["n"][0] == 2
+    up2 = c.sql("SELECT COUNT(*) AS n FROM MT").to_pydict()
+    assert up2["n"][0] == 3
 
 
 def test_catalog_transaction_commits_all_tables(spark, warehouse):
@@ -3126,6 +3161,53 @@ def test_catalog_transaction_refuses_to_clobber_bystander(spark, warehouse):
     assert {r["id"] for r in a.scan().collect()} == {1, 2, 99}
 
 
+def test_catalog_transaction_explicit_commit_is_one_shot(spark, warehouse):
+    """An explicit commit() inside the with block must not re-publish at
+    exit: commit drains the op queue, so the append lands exactly once."""
+    from icerunner_spark.catalog import Catalog
+
+    cat = Catalog(spark, warehouse)
+    a = cat.table("txa")
+    a.create(spark.createDataFrame([(1,)], "id long"))
+    with cat.transaction() as tx:
+        tx.append("txa", spark.createDataFrame([(2,)], "id long"))
+        tx.commit()
+    rows = sorted(r["id"] for r in a.scan().collect())
+    assert rows == [1, 2]  # not [1, 2, 2]
+
+
+def test_catalog_transaction_compensates_failing_ops_partial_commits(
+    spark, warehouse
+):
+    """An apply fn that commits a snapshot and THEN raises leaves
+    partial work on its own table — compensation must roll that table
+    back to its pre-transaction state too, not just fully-published
+    tables."""
+    import pytest as _pytest
+
+    from icerunner_spark.catalog import Catalog
+
+    cat = Catalog(spark, warehouse)
+    a = cat.table("txa")
+    b = cat.table("txb")
+    a.create(spark.createDataFrame([(1,)], "id long"))
+    b.create(spark.createDataFrame([(10,), (11,)], "id long"))
+
+    def half_done(t):
+        t.delete_where("id = 10")  # commits
+        raise RuntimeError("second step failed")
+
+    tx = cat.transaction()
+    tx.append("txa", spark.createDataFrame([(2,)], "id long"))
+    tx.apply("txb", half_done)
+    with _pytest.raises(RuntimeError, match="second step failed"):
+        tx.commit()
+    # BOTH tables back to pre-transaction state — including the failing
+    # op's own partial delete
+    assert {r["id"] for r in a.scan().collect()} == {1}
+    assert {r["id"] for r in b.scan().collect()} == {10, 11}
+
+
 def test_changelog_predicate_pushdown(spark, warehouse):
     """scan_changelog(where=) returns exactly the matching delta AND
     prunes non-matching insert files at planning — proven by making a
@@ -3178,3 +3260,36 @@ def test_changelog_predicate_pushdown(spark, warehouse):
     assert {(r["id"], r["_change_ordinal"]) for r in got.collect()} == {
         (i, 1) for i in range(10, 20) if i % 2 == 0
     }
+
+
+def test_changelog_equality_delete_does_not_clobber_where(spark, warehouse):
+    """Regression: the equality-delete branch's manifest-pruning scratch
+    predicates must not leak into the changelog's residual filter — an
+    eq delete in range used to (a) drop unrelated insert rows with no
+    where= and (b) replace the user's where= with the eq-key filter."""
+    from icerunner_spark.catalog import Catalog
+
+    cat = Catalog(spark, warehouse)
+    t = cat.table("cleqwhere")
+    t.create(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id long, v long"))
+    s0 = t.current_snapshot().snapshot_id
+    t.append(spark.createDataFrame([(4, 40)], "id long, v long"))
+    t.delete_rows(
+        spark.createDataFrame([(2,)], "id long"), ["id"], mode="equality"
+    )
+
+    # no where=: the full delta — the (4, insert) must survive
+    rows = {(r["id"], r["_change_type"]) for r in t.scan_changelog(s0).collect()}
+    assert rows == {(4, "insert"), (2, "delete")}
+
+    # where= on a column disjoint from the eq keys: the USER's filter
+    rows = {
+        (r["id"], r["_change_type"])
+        for r in t.scan_changelog(s0, where=[("v", ">=", 40)]).collect()
+    }
+    assert rows == {(4, "insert")}
+    rows = {
+        (r["id"], r["_change_type"])
+        for r in t.scan_changelog(s0, where=[("v", "<", 40)]).collect()
+    }
+    assert rows == {(2, "delete")}

@@ -46,6 +46,27 @@ def test_refreshed_index_equals_full_rebuild(spark, warehouse):
         assert ra == rb
 
 
+def test_refresh_zero_token_docs_still_count_in_doclens(spark, warehouse):
+    """An arrival batch whose docs all tokenize to zero tokens has no
+    postings rows but MUST still land in doclens (dl=0 affects
+    n_docs/avgdl) — the appends gate independently, preserving
+    rebuild-equality."""
+    t, _ = _base(spark, warehouse, "bm25_zero")
+    idx = IncrementalBm25Index(t, os.path.join(warehouse, "idx_zero"))
+    idx.build()
+    t.append(t.spark.createDataFrame(
+        [(900001, "   "), (900002, "")], "doc_id long, text string",
+    ))
+    idx.refresh()
+    rebuilt = IncrementalBm25Index(t, os.path.join(warehouse, "idx_zero2"))
+    rebuilt.build()
+    assert idx.doclens.scan().count() == rebuilt.doclens.scan().count()
+    assert (
+        idx.doclens.scan(where=[("doc_id", ">=", 900001)]).count() == 2
+    )
+    assert _result(idx.query(TERMS, k=20)) == _result(rebuilt.query(TERMS, k=20))
+
+
 def test_refresh_crash_replay_is_idempotent(spark, warehouse):
     """A crash between the delta application and the cursor commit
     replays the WHOLE delta; re-deleting the same keys and re-appending
