@@ -110,6 +110,91 @@ def analyze_documents(
     )
 
 
+# Gopher rule-pack required words (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", appendix
+# A1.1 — a public heuristic set). Part of the operator contract: the
+# DuckDB oracle uses the identical list.
+GOPHER_REQUIRED_WORDS: list[str] = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_quality_flags(
+    text_col: Column | str,
+    *,
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_required_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher-style quality rule pack as pure Catalyst expressions.
+
+    The five document-level repetition-free rules from the Gopher paper
+    (word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    fraction of words with an alphabetic character, presence of common
+    English function words), each as a boolean flag plus the conjunction
+    ``gopher_pass``. Words are whitespace runs (``\\S+``) — the paper's
+    notion, and reproducible verbatim in the DuckDB oracle.
+
+    Scale shape: one projection, zero shuffles, zero Python — the pack
+    runs at scan speed and composes with any downstream filter, so at
+    100 TB the rule evaluation is free relative to the read. Thresholds
+    are keyword-tunable; defaults follow the paper except ``min_words``
+    (50 → 30: the fixture's documents run 10-99 words, and the knob is
+    corpus-relative in practice).
+    """
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(F.split(text, r"\s+"), lambda w: F.length(w) > 0)
+    n_words = F.size(words)
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    # Gopher counts hash and ellipsis marks as "symbols".
+    n_symbols = F.regexp_count(text, F.lit("#")) + F.regexp_count(
+        text, F.lit(r"\.\.\.")
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    required_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+        )
+    )
+    pass_word_count = (n_words >= min_words) & (n_words <= max_words)
+    pass_mean_word_len = (mean_word_len >= min_mean_word_len) & (
+        mean_word_len <= max_mean_word_len
+    )
+    pass_symbol_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words <= max_symbol_word_ratio
+    ).otherwise(F.lit(False))
+    pass_alpha_words = F.when(
+        n_words > 0,
+        alpha_words.cast("double") / n_words >= min_alpha_word_ratio,
+    ).otherwise(F.lit(False))
+    pass_required_words = required_hits >= min_required_hits
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_word_len, 6),
+        "pass_word_count": pass_word_count,
+        "pass_mean_word_len": pass_mean_word_len,
+        "pass_symbol_ratio": pass_symbol_ratio,
+        "pass_alpha_words": pass_alpha_words,
+        "pass_required_words": pass_required_words,
+        "gopher_pass": (
+            pass_word_count
+            & pass_mean_word_len
+            & pass_symbol_ratio
+            & pass_alpha_words
+            & pass_required_words
+        ),
+    }
+
+
 def winnowing_fingerprint_table(
     df: DataFrame, id_col: str, text_col: str, *, k: int = 8, window: int = 4
 ) -> DataFrame:

@@ -1710,6 +1710,73 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gopher_quality_filter",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_extract_all(text, '\\S+'), x -> length(x) > 0) AS words,
+               len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols
+        FROM documents
+    ),
+    f AS (
+        SELECT lang,
+               len(words) AS n_words,
+               CASE WHEN len(words) > 0
+                    THEN list_sum(list_transform(words, x -> length(x))) * 1.0 / len(words)
+                    ELSE 0.0 END AS mwl,
+               len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+               len(list_intersect(list_distinct(list_transform(words, x -> lower(x))),
+                   ['the','be','to','of','and','that','have','with'])) AS req_hits,
+               n_symbols
+        FROM w
+    ),
+    flags AS (
+        SELECT lang,
+               (n_words >= 30 AND n_words <= 100000) AS p_wc,
+               (mwl >= 3.0 AND mwl <= 10.0) AS p_mwl,
+               (n_words > 0 AND n_symbols * 1.0 / n_words <= 0.1) AS p_sym,
+               (n_words > 0 AND alpha_words * 1.0 / n_words >= 0.8) AS p_alpha,
+               (req_hits >= 2) AS p_req
+        FROM f
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN p_wc THEN 1 ELSE 0 END) AS BIGINT) AS pass_word_count,
+           CAST(SUM(CASE WHEN p_mwl THEN 1 ELSE 0 END) AS BIGINT) AS pass_mean_word_len,
+           CAST(SUM(CASE WHEN p_sym THEN 1 ELSE 0 END) AS BIGINT) AS pass_symbol_ratio,
+           CAST(SUM(CASE WHEN p_alpha THEN 1 ELSE 0 END) AS BIGINT) AS pass_alpha_words,
+           CAST(SUM(CASE WHEN p_req THEN 1 ELSE 0 END) AS BIGINT) AS pass_required_words,
+           CAST(SUM(CASE WHEN p_wc AND p_mwl AND p_sym AND p_alpha AND p_req THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+    FROM flags
+    GROUP BY lang
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-pack quality filter (operators.text.gopher_quality_flags):
+    per-language pass counts for each of the five document-level rules plus
+    the conjunction. One projection + one hash agg — the rules evaluate at
+    scan speed, so at corpus scale this costs exactly one read."""
+    from icerunner_spark.operators.text import gopher_quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    fl = gopher_quality_flags("text")
+    flagged = d.select("lang", *[c.alias(n) for n, c in fl.items()])
+
+    def _n(col: str) -> F.Column:
+        return F.sum(F.col(col).cast("bigint")).alias(col)
+
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _n("pass_word_count"),
+        _n("pass_mean_word_len"),
+        _n("pass_symbol_ratio"),
+        _n("pass_alpha_words"),
+        _n("pass_required_words"),
+        F.sum(F.col("gopher_pass").cast("bigint")).alias("pass_all"),
+    )
+
+
+@register(
     "multimodal_asset_stats",
     oracle="""
     SELECT lang,

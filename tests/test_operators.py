@@ -986,3 +986,46 @@ def test_cluster_balanced_sample_caps_and_is_deterministic(spark):
     assert {r["vec_id"] for r in s1.collect()} == {
         r["vec_id"] for r in s2.collect()
     }
+
+
+def test_gopher_quality_flags_rule_semantics(spark):
+    """Each Gopher rule flips on exactly the crafted violation: too few
+    words, mean word length out of band, symbol spam, non-alpha words,
+    missing required function words."""
+    from icerunner_spark.operators.text import gopher_quality_flags
+
+    good = "the quick brown fox and the lazy dog have fun with all of " * 4
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "the and of that"),                      # too few words
+        (3, "the of " + "a b c d " * 20),            # mean word len < 3
+        (4, good + " ###" + " #" * 12),              # symbol ratio > 0.1
+        (5, "the of " + "12345 9876 " * 30),         # alpha ratio < 0.8
+        (6, "zzz qqq www rrr " * 20),                # no required words
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fl = gopher_quality_flags("text")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select("doc_id", *[c.alias(n) for n, c in fl.items()]).collect()
+    }
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["pass_word_count"] is False and out[2]["gopher_pass"] is False
+    assert out[3]["pass_mean_word_len"] is False
+    assert out[4]["pass_symbol_ratio"] is False
+    assert out[5]["pass_alpha_words"] is False
+    assert out[6]["pass_required_words"] is False
+    # every violation doc still passes the rules it was NOT crafted to break
+    assert out[2]["pass_required_words"] is True
+    assert out[4]["pass_word_count"] is True
+    assert out[5]["pass_word_count"] is True
+
+
+def test_gopher_quality_flags_empty_text(spark):
+    from icerunner_spark.operators.text import gopher_quality_flags
+
+    df = spark.createDataFrame([(1, ""), (2, "   ")], ["doc_id", "text"])
+    fl = gopher_quality_flags("text")
+    for r in df.select(*[c.alias(n) for n, c in fl.items()]).collect():
+        assert r["n_words"] == 0
+        assert r["gopher_pass"] is False
