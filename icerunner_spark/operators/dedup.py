@@ -502,3 +502,91 @@ def simhash_neardup_pairs(
         pairs.select("id1", "id2", hamming64(F.col("s1"), F.col("s2")).alias("distance"))
         .filter(F.col("distance") <= max_distance)
     )
+
+
+# --------------------------------------------------------------------------- #
+# Exact substring overlap: maximal shared token spans between doc pairs
+# --------------------------------------------------------------------------- #
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    max_df: int = 16,
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """Maximal exact shared token spans between document pairs — the
+    deduplicate-text-datasets semantics (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better") at token granularity,
+    expressed as relational algebra instead of a suffix array.
+
+    Construction: posexplode word n-grams, hash each gram to 8 bytes,
+    self-join on the hash, then coalesce consecutive matches into maximal
+    spans with a gaps-and-islands pass over each pair's match diagonal
+    (``pos_a - pos_b``): a shared run of m tokens appears as m-n+1
+    lockstep gram matches on one diagonal, so ``pos_a - row_number()``
+    groups exactly the maximal runs. Returns one row per document pair:
+    (id_a, id_b, n_spans, longest_span_tokens, total_span_tokens).
+
+    Scale shape: the only corpus-sized shuffles carry (id, pos, hash) —
+    24 bytes per gram, never text. The document-frequency cap ``max_df``
+    drops non-discriminative grams before the self-join, bounding the
+    per-gram pair fanout at max_df^2 (the same skew valve the LSH bucket
+    join uses); island windows partition by (pair, diagonal) — thousands
+    of tiny groups, no skew. Gram identity is xxhash64 (collision odds
+    ~m^2/2^65 — negligible at any corpus size where pair output itself
+    is tractable); a belt-and-braces exact verify would re-slice the two
+    texts at the reported offsets.
+    """
+    from pyspark.sql import Window
+
+    from icerunner_spark.functions.text import word_ngrams
+
+    if min_span_tokens is None:
+        min_span_tokens = n
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        df.repartition(spread, id_col)
+        # short documents have no full-length n-gram: word_ngrams pads to
+        # one short gram, which would fabricate sub-n "spans"
+        .filter(F.size(tokens(text_col)) >= n)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(word_ngrams(text_col, n)).alias("pos", "gram"),
+        )
+        .select("id", "pos", F.xxhash64("gram").alias("h"))
+    )
+    rare = grams.join(
+        grams.groupBy("h")
+        .agg(F.count_distinct("id").alias("df_"))
+        .filter(F.col("df_") <= max_df)
+        .select("h"),
+        "h",
+    )
+    m = (
+        rare.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
+        .join(
+            rare.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "h"),
+            "h",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    spans = (
+        m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg((F.max("pos_a") - F.min("pos_a") + n).cast("bigint").alias("span_tokens"))
+    )
+    return (
+        spans.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max("span_tokens").alias("longest_span_tokens"),
+            F.sum("span_tokens").alias("total_span_tokens"),
+        )
+        .filter(F.col("longest_span_tokens") >= min_span_tokens)
+    )

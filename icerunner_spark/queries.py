@@ -1777,6 +1777,57 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_substring_spans",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS tk
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+        FROM toks WHERE len(tk) >= 8
+    ),
+    grams AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(list_slice(tk, i, i + 7), ' ') AS gram
+        FROM pos
+    ),
+    freq AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) <= 16),
+    rare AS (SELECT g.* FROM grams g JOIN freq USING (gram)),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, a.pos - b.pos AS diag
+        FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT id_a, id_b, diag, pos_a,
+               pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+        FROM m
+    ),
+    spans AS (
+        SELECT id_a, id_b, CAST(MAX(pos_a) - MIN(pos_a) + 8 AS BIGINT) AS span_tokens
+        FROM isl GROUP BY id_a, id_b, diag, grp
+    )
+    SELECT id_a, id_b,
+           COUNT(*) AS n_spans,
+           MAX(span_tokens) AS longest_span_tokens,
+           CAST(SUM(span_tokens) AS BIGINT) AS total_span_tokens
+    FROM spans GROUP BY id_a, id_b
+    """,
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exact shared token spans between document pairs
+    (operators.dedup.shared_span_pairs): the deduplicate-text-datasets
+    semantics as gram-hash self-join + gaps-and-islands span coalescing.
+    The oracle replays the identical construction on gram STRINGS (the
+    Spark side joins on xxhash64 — agreement also certifies the hash
+    join introduced no collision)."""
+    from icerunner_spark.operators.dedup import shared_span_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return shared_span_pairs(d, "doc_id", "text", n=8, max_df=16)
+
+
+@register(
     "multimodal_asset_stats",
     oracle="""
     SELECT lang,

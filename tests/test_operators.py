@@ -1029,3 +1029,63 @@ def test_gopher_quality_flags_empty_text(spark):
     for r in df.select(*[c.alias(n) for n, c in fl.items()]).collect():
         assert r["n_words"] == 0
         assert r["gopher_pass"] is False
+
+
+def test_shared_span_pairs_maximal_span_semantics(spark):
+    """A planted 20-token shared run reports exactly one 20-token span;
+    two disjoint planted runs report two spans; sub-n overlap reports
+    nothing."""
+    from icerunner_spark.operators.dedup import shared_span_pairs
+
+    # pure-alpha words: the token regex splits alphanumerics ("tok0" ->
+    # "tok","0"), which would silently double every planted run length
+    def wtoks(tag, k):
+        return " ".join(tag + chr(97 + i // 26) + chr(97 + i % 26) for i in range(k))
+
+    run_a = wtoks("t", 20)                                   # 20-token run
+    run_b = wtoks("l", 12)                                   # 12-token run
+    rows = [
+        (1, wtoks("x", 10) + " " + run_a + " " + wtoks("y", 10)),
+        (2, wtoks("z", 5) + " " + run_a + " " + wtoks("w", 15)),
+        (3, run_b + " " + wtoks("p", 30)),
+        (4, wtoks("q", 30) + " " + run_b),
+        (5, wtoks("r", 10) + " " + wtoks("t", 3) + " " + wtoks("s", 10)),  # 3 < n
+        (6, run_a + " " + wtoks("u", 8) + " " + run_b),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["id_a"], r["id_b"]): r.asDict()
+        for r in shared_span_pairs(df, "doc_id", "text", n=8).collect()
+    }
+    assert out[(1, 2)]["longest_span_tokens"] == 20
+    assert out[(1, 2)]["n_spans"] == 1
+    assert out[(3, 4)]["longest_span_tokens"] == 12
+    # doc 6 shares run_a with 1,2 and run_b with 3,4 — each as ONE span
+    assert out[(1, 6)]["longest_span_tokens"] == 20
+    assert out[(3, 6)]["longest_span_tokens"] == 12
+    # 6 vs 2: run_a only (run_b absent from 2)
+    assert out[(2, 6)]["n_spans"] == 1
+    # doc 5's 3-token overlap is below n: never paired
+    assert not any(5 in k for k in out)
+
+
+def test_shared_span_pairs_two_disjoint_runs_one_pair(spark):
+    from icerunner_spark.operators.dedup import shared_span_pairs
+
+    def wtoks(tag, k):
+        return " ".join(tag + chr(97 + i // 26) + chr(97 + i % 26) for i in range(k))
+
+    r1 = wtoks("a", 10)
+    r2 = wtoks("b", 9)
+    mid1 = wtoks("m", 12)
+    mid2 = wtoks("n", 12)
+    df = spark.createDataFrame(
+        [(1, r1 + " " + mid1 + " " + r2), (2, r1 + " " + mid2 + " " + r2)],
+        ["doc_id", "text"],
+    )
+    out = shared_span_pairs(df, "doc_id", "text", n=8).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["n_spans"] == 2
+    assert r["longest_span_tokens"] == 10
+    assert r["total_span_tokens"] == 19
