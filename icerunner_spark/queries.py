@@ -3327,12 +3327,18 @@ def decontam_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval vector, catching paraphrased leakage that shares no 8-gram.
     The eval side (every 29th vector — eval sets are MBs against a TB
     corpus) is BROADCAST; scoring is a codegen'd fold per (corpus, eval)
-    pair against only that small side, then one per-doc window picks the
-    strongest eval match (rounded-cosine tiebreak by eval_id keeps the
-    argmax engine-portable). At 100 TB the corpus never shuffles — each
-    partition scores locally against the broadcast eval block; with a
-    big eval set, the LSH/IVF candidate generators (operators.similarity)
-    swap in for the cross score. SURVEY §2.C decontamination."""
+    pair against only that small side. The per-document argmax is a
+    ``groupBy(vec_id, label) + max(struct(cos_sim, -eval_id, eval_id))``
+    — NOT a window over the pair frame — so partial aggregation
+    collapses the corpus×1000 pairs to ONE row per document map-side,
+    inside the task where the pairs are born, before any exchange. The
+    struct ordering preserves the engine-portable tiebreak: highest
+    rounded cosine, then lowest eval_id. At 100 TB only one row per
+    corpus document crosses the wire (pinned by
+    tests/test_plans.py::test_decontam_semantic_partial_agg_before_exchange);
+    with a big eval set, the LSH/IVF candidate generators
+    (operators.similarity) swap in for the cross score.
+    SURVEY §2.C decontamination."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -3353,14 +3359,28 @@ def decontam_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "eval_id",
         F.round(cosine_similarity("v", "ev"), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_sim"), F.asc("eval_id")
+    # map-side-combinable argmax: max over (cos_sim ASC, -eval_id ASC)
+    # == (cos_sim DESC, eval_id ASC) winner; the third struct field
+    # carries the winning eval_id out without a second join
+    best = (
+        pairs.groupBy("vec_id", "label")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_sim"),
+                    (-F.col("eval_id")).alias("neg_eval_id"),
+                    F.col("eval_id"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.col("b.eval_id").alias("eval_id"),
+            F.col("b.cos_sim").alias("cos_sim"),
+        )
     )
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where((F.col("rk") == 1) & (F.col("cos_sim") >= 0.30))
-        .drop("rk")
-    )
+    return best.where(F.col("cos_sim") >= 0.30)
 
 
 @register(

@@ -205,3 +205,23 @@ def test_sql_udfs_inline_and_match_column_builders(spark):
         .collect()
     )
     assert [r["c"] for r in got] == [r["c"] for r in want]
+
+
+def test_decontam_semantic_partial_agg_before_exchange(spark):
+    """decontam_semantic_overlap's per-document argmax must collapse the
+    corpus x eval-probe pair frame map-side: a partial max(struct(...))
+    aggregate BEFORE the hash exchange, so only one row per document
+    crosses the wire (r5 verdict: the window variant shuffled the full
+    1000x-inflated pair frame)."""
+    df = q.queries()["decontam_semantic_overlap"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # no window over the pair frame
+    assert "Window" not in plan, plan
+    # partial aggregation exists and sits below the exchange
+    i_partial = plan.find("partial_max(struct")
+    i_exchange = plan.find("Exchange hashpartitioning(vec_id")
+    assert i_partial != -1, plan
+    assert i_exchange != -1, plan
+    # plan text is printed root-first: the exchange (upstream consumer)
+    # appears before the partial aggregate that feeds it
+    assert i_exchange < i_partial, plan
