@@ -528,18 +528,30 @@ def shared_span_pairs(
     spans with a gaps-and-islands pass over each pair's match diagonal
     (``pos_a - pos_b``): a shared run of m tokens appears as m-n+1
     lockstep gram matches on one diagonal, so ``pos_a - row_number()``
-    groups exactly the maximal runs. Returns one row per document pair:
-    (id_a, id_b, n_spans, longest_span_tokens, total_span_tokens).
+    groups the maximal runs. When ``max_df`` drops a gram from the
+    MIDDLE of a long shared run, the run arrives as two islands whose
+    token extents ``[min, max+n)`` overlap on the same diagonal; a
+    second interval-merge pass coalesces those before aggregation, so a
+    popular mid-run gram can neither split a span nor double-count its
+    tokens. Spans shorter than ``min_span_tokens`` are filtered at SPAN
+    level before the pair rollup (the default ``= n`` is a no-op since
+    every island spans >= n tokens by construction). Returns one row per
+    document pair: (id_a, id_b, n_spans, longest_span_tokens,
+    total_span_tokens).
 
     Scale shape: the only corpus-sized shuffles carry (id, pos, hash) —
-    24 bytes per gram, never text. The document-frequency cap ``max_df``
-    drops non-discriminative grams before the self-join, bounding the
-    per-gram pair fanout at max_df^2 (the same skew valve the LSH bucket
-    join uses); island windows partition by (pair, diagonal) — thousands
-    of tiny groups, no skew. Gram identity is xxhash64 (collision odds
-    ~m^2/2^65 — negligible at any corpus size where pair output itself
-    is tractable); a belt-and-braces exact verify would re-slice the two
-    texts at the reported offsets.
+    24 bytes per gram, never text. The gram frame feeds four lineages
+    (the df-count aggregate, the rare join, both sides of the self-join)
+    so it is cached — one tokenize+explode pass, not four — and the
+    rare frame is cached across the two self-join sides. The
+    document-frequency cap ``max_df`` drops non-discriminative grams
+    before the self-join, bounding the per-gram pair fanout at max_df^2
+    (the same skew valve the LSH bucket join uses); island windows
+    partition by (pair, diagonal) — thousands of tiny groups, no skew.
+    Gram identity is xxhash64 (collision odds ~m^2/2^65 — negligible at
+    any corpus size where pair output itself is tractable); a
+    belt-and-braces exact verify would re-slice the two texts at the
+    reported offsets.
     """
     from pyspark.sql import Window
 
@@ -558,6 +570,7 @@ def shared_span_pairs(
             F.posexplode(word_ngrams(text_col, n)).alias("pos", "gram"),
         )
         .select("id", "pos", F.xxhash64("gram").alias("h"))
+        .cache()
     )
     rare = grams.join(
         grams.groupBy("h")
@@ -565,7 +578,7 @@ def shared_span_pairs(
         .filter(F.col("df_") <= max_df)
         .select("h"),
         "h",
-    )
+    ).cache()
     m = (
         rare.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
         .join(
@@ -576,17 +589,46 @@ def shared_span_pairs(
         .select("id_a", "id_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
     )
     w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
-    spans = (
+    islands = (
         m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
         .groupBy("id_a", "id_b", "diag", "grp")
-        .agg((F.max("pos_a") - F.min("pos_a") + n).cast("bigint").alias("span_tokens"))
+        .agg(
+            F.min("pos_a").alias("start_pos"),
+            (F.max("pos_a") + F.lit(n)).alias("end_pos"),
+        )
+    )
+    # interval-merge islands split by a max_df-dropped mid-run gram:
+    # extents [start, end) on the same diagonal that overlap are one run
+    wd = Window.partitionBy("id_a", "id_b", "diag").orderBy("start_pos")
+    prev_end = F.max("end_pos").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        islands.withColumn(
+            "new_run",
+            F.when(
+                prev_end.isNull() | (F.col("start_pos") >= prev_end), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("new_run").over(
+                wd.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("id_a", "id_b", "diag", "run_id")
+        .agg(
+            (F.max("end_pos") - F.min("start_pos"))
+            .cast("bigint")
+            .alias("span_tokens")
+        )
     )
     return (
-        spans.groupBy("id_a", "id_b")
+        merged.filter(F.col("span_tokens") >= min_span_tokens)
+        .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.max("span_tokens").alias("longest_span_tokens"),
             F.sum("span_tokens").alias("total_span_tokens"),
         )
-        .filter(F.col("longest_span_tokens") >= min_span_tokens)
     )

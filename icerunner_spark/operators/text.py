@@ -154,9 +154,11 @@ def gopher_quality_flags(
         F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)).cast("double")
         / n_words,
     ).otherwise(F.lit(0.0))
-    # Gopher counts hash and ellipsis marks as "symbols".
+    # Gopher counts hash and ellipsis marks as "symbols" — both the
+    # ASCII three-dot form and the Unicode ellipsis U+2026 common in
+    # web text (the paper's rule does not distinguish the encodings)
     n_symbols = F.regexp_count(text, F.lit("#")) + F.regexp_count(
-        text, F.lit(r"\.\.\.")
+        text, F.lit("\\.\\.\\.|…")
     )
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     required_hits = F.size(

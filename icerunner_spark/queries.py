@@ -1715,7 +1715,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
         SELECT doc_id, lang,
                list_filter(regexp_extract_all(text, '\\S+'), x -> length(x) > 0) AS words,
-               len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols
+               len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_symbols
         FROM documents
     ),
     f AS (
@@ -1803,9 +1803,26 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
         FROM m
     ),
-    spans AS (
-        SELECT id_a, id_b, CAST(MAX(pos_a) - MIN(pos_a) + 8 AS BIGINT) AS span_tokens
+    islands AS (
+        SELECT id_a, id_b, diag, grp,
+               MIN(pos_a) AS start_pos, MAX(pos_a) + 8 AS end_pos
         FROM isl GROUP BY id_a, id_b, diag, grp
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN start_pos >= COALESCE(MAX(end_pos) OVER (
+                          PARTITION BY id_a, id_b, diag ORDER BY start_pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                       THEN 1 ELSE 0 END AS new_run
+        FROM islands
+    ),
+    runs AS (
+        SELECT *, SUM(new_run) OVER (PARTITION BY id_a, id_b, diag ORDER BY start_pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        FROM flagged
+    ),
+    spans AS (
+        SELECT id_a, id_b, CAST(MAX(end_pos) - MIN(start_pos) AS BIGINT) AS span_tokens
+        FROM runs GROUP BY id_a, id_b, diag, run_id
     )
     SELECT id_a, id_b,
            COUNT(*) AS n_spans,

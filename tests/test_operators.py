@@ -1089,3 +1089,83 @@ def test_shared_span_pairs_two_disjoint_runs_one_pair(spark):
     assert r["n_spans"] == 2
     assert r["longest_span_tokens"] == 10
     assert r["total_span_tokens"] == 19
+
+
+def test_gopher_symbol_rule_counts_unicode_ellipsis(spark):
+    """The symbol rule counts both ASCII '...' and U+2026; a document
+    dense in either fails pass_symbol_ratio identically."""
+    from icerunner_spark.operators.text import gopher_quality_flags
+
+    base = "the and for that with this from they have word " * 3
+    rows = [
+        (1, base),                                   # clean
+        (2, base + " " + "... " * 10),               # ASCII ellipses
+        (3, base + " " + "… " * 10),            # Unicode ellipses
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fl = gopher_quality_flags("text")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select("doc_id", *[c.alias(n) for n, c in fl.items()]).collect()
+    }
+    assert out[1]["pass_symbol_ratio"] is True
+    assert out[2]["pass_symbol_ratio"] is False
+    assert out[3]["pass_symbol_ratio"] is False
+
+
+def test_shared_span_pairs_merges_islands_split_by_max_df(spark):
+    """A gram in the middle of a long shared run that exceeds max_df
+    splits the run into two overlapping islands; the interval-merge pass
+    must report ONE span with the full extent, not two overlapping spans
+    whose tokens double-count."""
+    from icerunner_spark.operators.dedup import shared_span_pairs
+
+    def wtoks(tag, k):
+        return " ".join(tag + chr(97 + i // 26) + chr(97 + i % 26) for i in range(k))
+
+    run = wtoks("t", 30)                     # 30-token shared run
+    # the 8-gram starting at run token 11 is planted into `extra_docs`
+    # standalone docs so its document frequency exceeds max_df
+    mid_gram = " ".join(run.split()[11:19])
+    rows = [
+        (1, wtoks("x", 5) + " " + run),
+        (2, wtoks("z", 5) + " " + run + " " + wtoks("w", 5)),
+    ]
+    rows += [(100 + i, mid_gram + " " + wtoks("f" + str(i), 8)) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["id_a"], r["id_b"]): r.asDict()
+        for r in shared_span_pairs(df, "doc_id", "text", n=8, max_df=4).collect()
+    }
+    r = out[(1, 2)]
+    assert r["n_spans"] == 1, r
+    assert r["longest_span_tokens"] == 30, r
+    assert r["total_span_tokens"] == 30, r
+
+
+def test_shared_span_pairs_min_span_filters_spans_not_pairs(spark):
+    """min_span_tokens gates individual spans before the pair rollup:
+    a pair with one long and one short span keeps only the long one in
+    n_spans/total when the threshold sits between them."""
+    from icerunner_spark.operators.dedup import shared_span_pairs
+
+    def wtoks(tag, k):
+        return " ".join(tag + chr(97 + i // 26) + chr(97 + i % 26) for i in range(k))
+
+    long_run = wtoks("a", 20)
+    short_run = wtoks("b", 9)
+    df = spark.createDataFrame(
+        [
+            (1, long_run + " " + wtoks("m", 12) + " " + short_run),
+            (2, long_run + " " + wtoks("n", 12) + " " + short_run),
+        ],
+        ["doc_id", "text"],
+    )
+    out = shared_span_pairs(
+        df, "doc_id", "text", n=8, min_span_tokens=15
+    ).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["n_spans"] == 1
+    assert r["longest_span_tokens"] == 20
+    assert r["total_span_tokens"] == 20
