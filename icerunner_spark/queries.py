@@ -49,67 +49,68 @@ def register(name: str, oracle: str | None = None):
 
 # The driver's correctness harness checks the FIRST 50 registry entries
 # (insertion order). Rotated per round so every query eventually earns a
-# driver-green row (VERDICT r4 item 3: 50 of 126 had never been checked
-# r1-r4): this round leads with 25 first-time names — the TPC-H tail, the
-# new manifest-stats / changelog-CDC / maintenance roundtrips, federated
-# Flight, retrieval and dedup-resolution — plus 25 proven keepers covering
-# every operator family. Queries not listed keep registration order after
-# the window.
+# driver-green row. Round 6 closes the ledger (VERDICT r5 item 1): the
+# final 33 names that have never been driver-checked across r1-r5 lead
+# the window (22 oracle-paired, 11 rows-only pinned approximates),
+# followed by 17 proven keepers spanning every operator family —
+# including decontam_semantic_overlap, whose argmax was restructured
+# this round and must re-earn its row. Queries not listed keep
+# registration order after the window.
 _DRIVER_WINDOW = [
-    # --- first-time names (never driver-checked r1-r4) ---
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_priority_lateness",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_excess_share_suppliers",
-    "q22_idle_customers",
-    "stats_pruned_scan",
-    "cdc_changelog_diff",
-    "dedup_maintenance_roundtrip",
-    "snapshot_compaction_roundtrip",
-    "snapshot_merge_upsert",
-    "dedup_cluster_resolution",
-    "decontam_ngram_overlap",
-    "semantic_dedup_resolution",
-    "flight_federated_join",
-    "flight_sql_passthrough",
-    "hybrid_retrieval_rerank",
-    # --- r5b first-time names (built mid-round, all emulation-green;
-    # displaced keepers' families remain represented below) ---
-    "metadata_agg_pushdown",  # displaces cdc_changes_since_snapshot (CDC: cdc_changelog_diff stays)
-    "kmeans_cluster_profile",  # displaces dedup_minhash_lsh (dedup: 3 reps stay)
-    "decontam_semantic_overlap",  # displaces incremental_dedup_cdc (incremental: ann/bm25/mv stay)
-    "incremental_bm25_index",  # displaces flight_roundtrip_nation (flight: 3 reps stay)
-    "sql_udf_surface",  # displaces stream_join_view_purchases (streaming: exactly-once stays)
-    "bigram_logprob_quality",  # displaces unigram_logprob_quality (same family, strictly newer)
-    # --- proven keepers, one per operator family ---
-    "bloom_pruned_scan",
-    "catalog_view_query",  # r5 new: versioned views (MOR delete family: update/eq-delete stay)
-    "row_lineage_scan",  # r5 new: v3 row lineage (identity prune rep: transform_partition_prune stays)
-    "incremental_ann_maintenance",
-    "recursive_cte_hierarchy",  # r5 new: WITH RECURSIVE (dedup family keeps 4 reps)
-    "incremental_mv_refresh",
-    "corpus_clean_pipeline",
-    "stream_exactly_once_ingest",  # r5 new: exactly-once streaming sink
-    "table_ndv_stats",
-    "partition_spec_evolution",
-    "flight_pushdown_scan",
-    "multimodal_byte_features",
-    "dynamic_file_prune_join",  # r5 new: dim-driven fact-file skipping
-    "clustered_compact_scan",
-    "wap_branch_publish",
-    "type_widening_roundtrip",
-    "snapshot_update_roundtrip",
-    "snapshot_eq_delete_roundtrip",
-    "transform_partition_prune",
+    # --- the final 33 never-driver-checked names (r1-r5 union) ---
+    # oracle-paired (22)
+    "merge_into_clauses",
+    "variant_events_extract",
+    "gopher_quality_filter",
+    "exact_substring_spans",
+    "snapshot_rollback_roundtrip",
+    "add_files_import",
+    "ranking_family_orders",
+    "high_water_marks_users",
+    "stratified_sample_documents",
+    "importance_sample_documents",
+    "per_source_caps",
+    "shard_assignment_stats",
+    "training_order_shuffle",
+    "vocab_top_tokens",
+    "chunk_documents_windows",
+    "segment_dedup_reassemble",
+    "repetition_quality_documents",
+    "bpe_pair_frequencies",
+    "stream_corpus_clean",
+    "null_semantics_orders",
+    "pagination_orders",
+    "try_arithmetic_orders",
+    # rows-only pinned approximates (11)
+    "similarity_ann_ivf",
+    "similarity_knn_join",
+    "similarity_pq_topk",
+    "similarity_quantized_topk",
+    "approx_distinct_parts",
+    "approx_quantiles_totalprice",
+    "hll_sketch_union_parts",
+    "bpe_train_merges",
+    "bpe_encode_documents",
+    "incremental_neardup_cdc",
+    "sequence_packing_stats",
+    # --- 17 keepers, one per operator family ---
+    "q1_pricing_summary",  # TPC-H aggregation
+    "window_topk_orders_per_customer",  # window functions
+    "cdc_changelog_diff",  # row-level changelog CDC
+    "snapshot_merge_upsert",  # MERGE / merge-on-read
+    "snapshot_compaction_roundtrip",  # compaction maintenance
+    "wap_branch_publish",  # branches / write-audit-publish
+    "type_widening_roundtrip",  # schema evolution
+    "flight_pushdown_scan",  # Flight federation
+    "stream_exactly_once_ingest",  # streaming sink
+    "dedup_minhash_lsh",  # near-dup dedup
+    "similarity_bruteforce_topk",  # similarity baseline
+    "lang_id_documents",  # text analysis
+    "corpus_clean_pipeline",  # corpus ops
+    "incremental_ann_maintenance",  # incremental index
+    "multimodal_byte_features",  # multimodal
+    "catalog_view_query",  # catalog views
+    "decontam_semantic_overlap",  # r6 restructured argmax — re-verify
 ]
 
 
