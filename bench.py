@@ -3,12 +3,31 @@
 
 Prints exactly one JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
+   "recall": {"similarity_ann_ivf": r@10, ...},
+   "noise": {...}}
+
+Measurement protocol (fixed, round-over-round comparable):
+- one warm-up query amortizes JVM/codegen/parquet-footer startup;
+- EVERY headline entry runs exactly 3 trials and reports the MEDIAN
+  (r5 postmortem: min-of-2-or-3 mixed statistics made ±0.3 s
+  environment drift indistinguishable from real regressions);
+- the cache is cleared between trials so each re-executes the full
+  pipeline and storage pressure from query k never bills query k+1;
+- per-query relative spread ((max-min)/median) is summarized in
+  "noise" {median_spread, p90_spread, max_spread} — a round-over-round
+  delta smaller than the printed spread is drift, not regression;
+- maintenance ops mutate table state so they run ONCE (timing a second
+  trial would time a different operation) and are excluded from the
+  noise summary;
+- approximate-ANN entries also report recall@10 against the
+  brute-force baseline on the same probe ("recall" key, floors pinned
+  in tests/test_operators.py) so a speedup that silently costs
+  accuracy is visible in the same artifact. "queries" stays
+  name->seconds because the driver parses that shape.
 
 Each query is executed to completion (results drained to the driver, like
-the reference's serve path materializes results, icerunner.py:278-279) and
-timed individually after one warm-up run of a trivial query to amortize
-session startup out of the numbers.
+the reference's serve path materializes results, icerunner.py:278-279).
 """
 
 from __future__ import annotations
@@ -207,6 +226,56 @@ def _maintenance_ops(spark, sf_dir: str) -> dict[str, float]:
     return ops
 
 
+def _ann_recall(spark, sf_dir: str, registry) -> dict[str, float]:
+    """recall@10 of each approximate-ANN headline entry against the exact
+    brute-force ranking on the same probe vector. incremental_ann_maintenance
+    deletes a key slice before its probe, so its truth set is brute force
+    over that final state (probe runs at full n_probe => expected 1.0)."""
+    from pyspark.sql import functions as F
+
+    from icerunner_spark.functions.vector import cosine_similarity
+    from icerunner_spark.sources.testdata import load_table
+
+    exact = {
+        r["vec_id"]
+        for r in registry["similarity_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    rec: dict[str, float] = {}
+    for name in ("similarity_ann_ivf", "similarity_pq_topk"):
+        got = {r["vec_id"] for r in registry[name](spark, sf_dir).collect()}
+        rec[name] = round(len(got & exact) / max(len(exact), 1), 4)
+
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    qvec = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    # the probe vector itself stays in the index (only vec_id > 0
+    # multiples of 7 are deleted), so the truth set keeps vec_id 0 too
+    final_state = e.filter(
+        ~((F.col("vec_id") % 7 == 0) & (F.col("vec_id") > 0))
+    )
+    truth = {
+        r["vec_id"]
+        for r in final_state.crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    }
+    got = {
+        r["vec_id"]
+        for r in registry["incremental_ann_maintenance"](spark, sf_dir).collect()
+    }
+    rec["incremental_ann_maintenance"] = round(
+        len(got & truth) / max(len(truth), 1), 4
+    )
+    return rec
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0)
@@ -217,29 +286,32 @@ def main() -> None:
     # warm-up: JVM/codegen/parquet-footer caches
     registry["q6_revenue_forecast"](spark, sf_dir).collect()
 
-    # Each query is timed standalone, min of two runs: this box shows
-    # stochastic 2-5x slowdowns (CPU-quota throttling) that hit whole
-    # queries at random — min-of-2 reports the machine's actual capability
-    # instead of scheduler luck. Cache is cleared between runs so the
-    # second run re-executes the full pipeline (no carried intermediates,
-    # e.g. minhash signatures), and storage-memory pressure from query k
-    # never bills a GC storm to query k+1.
+    # median-of-3 for every entry; per-query spread feeds the noise
+    # summary (protocol rationale in the module docstring)
     timings: dict[str, float] = {}
+    spreads: list[float] = []
     for name in HEADLINE:
-        best = float("inf")
-        for trial in range(3):
+        trials: list[float] = []
+        for _ in range(3):
             t0 = time.perf_counter()
             registry[name](spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+            trials.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
-            # heavy queries get a third trial: the throttling spikes
-            # this box shows scale with query length, so min-of-2 is
-            # noisier exactly where a regression signal matters most
-            if trial == 1 and best < 2.0:
-                break
-        timings[name] = round(best, 4)
+        trials.sort()
+        median = trials[1]
+        timings[name] = round(median, 4)
+        spreads.append((trials[-1] - trials[0]) / median if median > 0 else 0.0)
 
     timings.update(_maintenance_ops(spark, sf_dir))
+    recall = _ann_recall(spark, sf_dir, registry)
+
+    spreads.sort()
+    noise = {
+        "stat": "median_of_3",
+        "median_spread": round(spreads[len(spreads) // 2], 4),
+        "p90_spread": round(spreads[int(len(spreads) * 0.9)], 4),
+        "max_spread": round(spreads[-1], 4),
+    }
 
     total = round(sum(timings.values()), 4)
     print(
@@ -250,6 +322,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "recall": recall,
+                "noise": noise,
             }
         )
     )
