@@ -14,13 +14,15 @@ a driver-side collect. Partitioning is whatever the upstream scan gives;
 every operator here is a narrow map (zero shuffles), so asset pipelines
 chain at scan speed.
 
-Codec policy (this container has no PIL/ffmpeg): byte-level analytics
-(sizes, hashes, entropy, chunk/frame slicing) are REAL and tested; actual
-image/audio decode is STUBBED behind ``decode_image`` which raises
-``NotImplementedError`` unless a codec import succeeds, with
-``fake_decode`` as the deterministic test double. The Spark-side plumbing
-— schema, batch shape, UDF signatures — is the part that must be right at
-scale, and it is exercised for real.
+Codec policy: byte-level analytics (sizes, hashes, entropy, chunk/frame
+slicing) are REAL and tested. Image decode resolves per blob: PIL when
+installed (all formats), else the dependency-free numpy codecs in
+``operators.codecs`` for uncompressed formats (24-bit BMP, binary
+PPM/PGM) — a REAL pixel decode with header parsing, bottom-up row
+order, scanline padding, and BT.601 luma, pinned against seeded
+gradient fixtures in tests/test_multimodal.py. Only compressed formats
+(JPEG/PNG) without PIL keep the honest ``NotImplementedError`` gate;
+``fake_decode`` remains the deterministic double for plumbing tests.
 """
 
 from __future__ import annotations
@@ -264,19 +266,21 @@ def fake_decode_dims(blob: bytes) -> tuple[int, int]:
 def decode_images(assets: DataFrame, *, use_fake: bool = False) -> DataFrame:
     """Decode image blobs to (width, height, mean_luma).
 
-    STUB: this container has no image codec (no PIL/libjpeg). With
-    ``use_fake=True`` a deterministic fake decoder exercises the full
-    Spark plumbing (Arrow batches, schema, partition parallelism);
-    without it, raises ``NotImplementedError`` unless PIL is importable.
-    """
-    if not use_fake and not _HAS_PIL:
-        raise NotImplementedError(
-            "image decode requires an image codec (PIL); this environment "
-            "has none — pass use_fake=True for the deterministic stub"
-        )
+    Codec resolution per blob: PIL when installed (all formats), else
+    the dependency-free numpy codecs for uncompressed formats (24-bit
+    BMP, binary PPM/PGM — operators.codecs), else the honest
+    ``NotImplementedError`` (compressed formats genuinely need a codec
+    library). ``use_fake=True`` keeps the deterministic stub for
+    plumbing tests. One Arrow-batched ``mapInPandas`` stage, narrow map,
+    zero shuffles."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
+
+        from icerunner_spark.operators.codecs import (
+            decode_image_bytes,
+            sniff_format,
+        )
 
         for pdf in it:
             rows = []
@@ -286,12 +290,20 @@ def decode_images(assets: DataFrame, *, use_fake: bool = False) -> DataFrame:
                     w, h = fake_decode_dims(b)
                     arr = np.frombuffer(b, dtype=np.uint8)
                     luma = float(arr.mean()) if len(arr) else 0.0
-                else:  # pragma: no cover - no codec in this container
+                elif _HAS_PIL:  # pragma: no cover - no PIL in this container
                     import io
 
                     img = _PIL_Image.open(io.BytesIO(b)).convert("L")
                     w, h = img.size
                     luma = float(np.asarray(img).mean())
+                elif sniff_format(b) is not None:
+                    w, h, larr = decode_image_bytes(b)
+                    luma = float(larr.mean()) if larr.size else 0.0
+                else:
+                    raise NotImplementedError(
+                        "decoding this blob needs a codec library (PIL): "
+                        "only uncompressed BMP/PPM/PGM decode without one"
+                    )
                 rows.append((int(aid), w, h, luma))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _DECODE_SCHEMA.fields]
@@ -303,15 +315,14 @@ def decode_images(assets: DataFrame, *, use_fake: bool = False) -> DataFrame:
 def resize_images(
     assets: DataFrame, *, width: int, height: int, use_fake: bool = False
 ) -> DataFrame:
-    """Resize image blobs. STUB like :func:`decode_images`: the fake path
-    emits a deterministic ``width*height``-byte buffer (tiled source
-    bytes) so downstream stages see realistic shapes; real path needs a
-    codec."""
-    if not use_fake and not _HAS_PIL:
-        raise NotImplementedError(
-            "image resize requires an image codec (PIL); this environment "
-            "has none — pass use_fake=True for the deterministic stub"
-        )
+    """Resize image blobs to (width, height) grayscale BMP.
+
+    Real path (no PIL needed for uncompressed inputs): decode luma with
+    the pure codecs, nearest-neighbor resample with numpy index maps,
+    re-encode as 24-bit gray BMP — so the output blob round-trips
+    through :func:`decode_images`. The fake path emits a deterministic
+    ``width*height``-byte tiled buffer for plumbing tests. Compressed
+    inputs without PIL raise per blob (honest gate)."""
     out_schema = StructType(
         [
             StructField("asset_id", LongType()),
@@ -323,6 +334,14 @@ def resize_images(
     target = width * height
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from icerunner_spark.operators.codecs import (
+            decode_image_bytes,
+            encode_gray_bmp,
+            sniff_format,
+        )
+
         for pdf in it:
             rows = []
             for aid, blob in zip(pdf["asset_id"], pdf["content"]):
@@ -330,8 +349,25 @@ def resize_images(
                 if use_fake:
                     reps = math.ceil(target / max(len(b), 1))
                     rows.append((int(aid), (b * reps)[:target], width, height))
-                else:  # pragma: no cover - no codec in this container
-                    raise NotImplementedError
+                    continue
+                if _HAS_PIL:  # pragma: no cover - no PIL in this container
+                    import io
+
+                    img = _PIL_Image.open(io.BytesIO(b)).convert("L")
+                    img = img.resize((width, height), _PIL_Image.NEAREST)
+                    luma = np.asarray(img, dtype=np.uint8)
+                elif sniff_format(b) is not None:
+                    w0, h0, larr = decode_image_bytes(b)
+                    # nearest-neighbor index maps (the PIL NEAREST grid)
+                    ys = (np.arange(height) * h0) // height
+                    xs = (np.arange(width) * w0) // width
+                    luma = larr[ys][:, xs]
+                else:
+                    raise NotImplementedError(
+                        "resizing this blob needs a codec library (PIL): "
+                        "only uncompressed BMP/PPM/PGM decode without one"
+                    )
+                rows.append((int(aid), encode_gray_bmp(luma), width, height))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_schema.fields]
             )
