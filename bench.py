@@ -1,11 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints exactly one JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
-   "recall": {"similarity_ann_ivf": r@10, ...},
-   "noise": {...}}
+Prints the full JSON artifact line first ({"metric", "value", "unit",
+"queries": {name: sec, ...}, "sf", "recall", "noise"}), then a compact
+summary line LAST (same keys minus the per-query map) that always fits
+the driver's 2000-char tail capture — r6's artifact was unparseable
+because the grown one-line JSON outran the tail window. The full
+artifact is also written to bench_full.json next to this file.
 
 Measurement protocol (fixed, round-over-round comparable):
 - one warm-up query amortizes JVM/codegen/parquet-footer startup;
@@ -228,22 +229,55 @@ def _maintenance_ops(spark, sf_dir: str) -> dict[str, float]:
 
 def _ann_recall(spark, sf_dir: str, registry) -> dict[str, float]:
     """recall@10 of each approximate-ANN headline entry against the exact
-    brute-force ranking on the same probe vector. incremental_ann_maintenance
-    deletes a key slice before its probe, so its truth set is brute force
-    over that final state (probe runs at full n_probe => expected 1.0)."""
+    brute-force ranking, as the MEAN OVER 5 PROBE VECTORS with the
+    registry parameters (n_probe=8, rerank=96) — the same methodology as
+    the pytest pins (tests/test_operators.py: 5 probes, mean >= 0.6), so
+    bench recall and pin are comparable (r6 verdict: a single-probe bench
+    recall was not). The 0.6 floor is asserted HERE too, so a recall
+    regression fails the bench loudly instead of shipping a fast-but-wrong
+    number. incremental_ann_maintenance deletes a key slice before its
+    probe, so its truth set is brute force over that final state (probe
+    runs at full n_probe => expected 1.0)."""
     from pyspark.sql import functions as F
 
     from icerunner_spark.functions.vector import cosine_similarity
+    from icerunner_spark.operators.similarity import cosine_topk, ivf_topk, pq_topk
+    from icerunner_spark.queries import _ivf_index, _pq_index
     from icerunner_spark.sources.testdata import load_table
 
-    exact = {
-        r["vec_id"]
-        for r in registry["similarity_bruteforce_topk"](spark, sf_dir).collect()
+    e_full = load_table(spark, "embeddings", sf_dir)
+    ivf_recalls: list[float] = []
+    pq_recalls: list[float] = []
+    for qid in range(5):
+        row = e_full.filter(F.col("vec_id") == qid).select("embedding").first()
+        qv = [float(x) for x in row["embedding"]]
+        cand = e_full.filter(F.col("vec_id") != qid)
+        exact = {r["vec_id"] for r in cosine_topk(cand, qv, k=10).collect()}
+        ivf = {
+            r["vec_id"]
+            for r in ivf_topk(
+                cand, qv, k=10, n_centroids=16, n_probe=8,
+                centroids=_ivf_index(spark, sf_dir),
+            ).collect()
+        }
+        pq = {
+            r["vec_id"]
+            for r in pq_topk(
+                cand, qv, k=10, rerank=96, codebooks=_pq_index(spark, sf_dir)
+            ).collect()
+        }
+        denom = max(len(exact), 1)
+        ivf_recalls.append(len(ivf & exact) / denom)
+        pq_recalls.append(len(pq & exact) / denom)
+    rec: dict[str, float] = {
+        "similarity_ann_ivf": round(sum(ivf_recalls) / 5, 4),
+        "similarity_pq_topk": round(sum(pq_recalls) / 5, 4),
     }
-    rec: dict[str, float] = {}
     for name in ("similarity_ann_ivf", "similarity_pq_topk"):
-        got = {r["vec_id"] for r in registry[name](spark, sf_dir).collect()}
-        rec[name] = round(len(got & exact) / max(len(exact), 1), 4)
+        assert rec[name] >= 0.6, (
+            f"{name} mean recall@10 {rec[name]} fell below the 0.6 floor "
+            f"(pinned in tests/test_operators.py) — fix before shipping"
+        )
 
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id",
@@ -314,19 +348,40 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "recall": recall,
-                "noise": noise,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "recall": recall,
+        "noise": noise,
+    }
+    # Tail-safe output protocol (r6 postmortem: the one-line JSON outgrew
+    # the driver's 2000-char tail capture, truncating the FRONT of the
+    # line — BENCH_r06 recorded "parsed": null). The full artifact is
+    # written to bench_full.json and printed first (greppable, may be
+    # front-truncated in the tail); the LAST line is a compact summary
+    # guaranteed to fit the tail window, so the driver always gets a
+    # parseable headline + recall + noise.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_full.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout lines below still carry everything
+    print(json.dumps(full, separators=(",", ":")))
+    compact = {
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "recall": recall,
+        "noise": noise,
+        "queries_detail": "bench_full.json + previous stdout line",
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -623,7 +623,7 @@ def shared_span_pairs(
             .alias("span_tokens")
         )
     )
-    return (
+    pairs = (
         merged.filter(F.col("span_tokens") >= min_span_tokens)
         .groupBy("id_a", "id_b")
         .agg(
@@ -632,3 +632,13 @@ def shared_span_pairs(
             F.sum("span_tokens").alias("total_span_tokens"),
         )
     )
+    # Scope the caches to this call (r6 verdict item 7): materialize the
+    # bounded pair aggregate eagerly (localCheckpoint truncates lineage,
+    # so the result no longer references the cached frames), then release
+    # them — repeated calls in one session must not accumulate executor
+    # storage. Output is one row per overlapping pair — far smaller than
+    # the gram frame it summarizes.
+    pairs = pairs.localCheckpoint(eager=True)
+    grams.unpersist()
+    rare.unpersist()
+    return pairs

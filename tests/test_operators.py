@@ -1169,3 +1169,30 @@ def test_shared_span_pairs_min_span_filters_spans_not_pairs(spark):
     assert r["n_spans"] == 1
     assert r["longest_span_tokens"] == 20
     assert r["total_span_tokens"] == 20
+
+
+def test_shared_span_pairs_releases_caches(spark):
+    """The gram and rare frames are cached for the four lineages inside
+    ONE call but must not outlive it (r6 verdict item 7: repeated calls
+    leaked executor storage). The result arrives pre-materialized via
+    localCheckpoint, so at most that one bounded RDD per call remains
+    registered — never the corpus-sized gram/rare caches (2 per call)."""
+    from icerunner_spark.operators.dedup import shared_span_pairs
+
+    def persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    df = spark.createDataFrame(
+        [(i, "tok" + " tok".join(str(j) for j in range(i, i + 12)))
+         for i in range(6)],
+        ["doc_id", "text"],
+    )
+    base = persistent()
+    for call in range(1, 4):
+        shared_span_pairs(df, "doc_id", "text", n=8).collect()
+        # <= 1 new persistent RDD per call (the localCheckpoint of the
+        # bounded pair output); the 2 per-call gram/rare caches are gone
+        assert persistent() - base <= call, (
+            f"call {call}: {persistent() - base} persistent RDDs above "
+            f"baseline — gram/rare caches leaked"
+        )
