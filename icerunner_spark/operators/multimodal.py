@@ -17,11 +17,12 @@ chain at scan speed.
 Codec policy: byte-level analytics (sizes, hashes, entropy, chunk/frame
 slicing) are REAL and tested. Image decode resolves per blob: PIL when
 installed (all formats), else the dependency-free numpy codecs in
-``operators.codecs`` for uncompressed formats (24-bit BMP, binary
-PPM/PGM) — a REAL pixel decode with header parsing, bottom-up row
-order, scanline padding, and BT.601 luma, pinned against seeded
-gradient fixtures in tests/test_multimodal.py. Only compressed formats
-(JPEG/PNG) without PIL keep the honest ``NotImplementedError`` gate;
+``operators.codecs`` (24-bit BMP, binary PPM/PGM, and 8-bit PNG via
+stdlib zlib inflate + scanline unfiltering) — a REAL pixel decode with
+header parsing, bottom-up row order, scanline padding, and BT.601
+luma, pinned against seeded gradient fixtures in
+tests/test_multimodal.py. Only JPEG (and exotic PNG flavors: 16-bit,
+Adam7) without PIL keeps the honest ``NotImplementedError`` gate;
 ``fake_decode`` remains the deterministic double for plumbing tests.
 """
 
@@ -267,12 +268,11 @@ def decode_images(assets: DataFrame, *, use_fake: bool = False) -> DataFrame:
     """Decode image blobs to (width, height, mean_luma).
 
     Codec resolution per blob: PIL when installed (all formats), else
-    the dependency-free numpy codecs for uncompressed formats (24-bit
-    BMP, binary PPM/PGM — operators.codecs), else the honest
-    ``NotImplementedError`` (compressed formats genuinely need a codec
-    library). ``use_fake=True`` keeps the deterministic stub for
-    plumbing tests. One Arrow-batched ``mapInPandas`` stage, narrow map,
-    zero shuffles."""
+    the dependency-free numpy codecs (24-bit BMP, binary PPM/PGM, 8-bit
+    PNG — operators.codecs), else the honest ``NotImplementedError``
+    (JPEG genuinely needs a codec library). ``use_fake=True`` keeps the
+    deterministic stub for plumbing tests. One Arrow-batched
+    ``mapInPandas`` stage, narrow map, zero shuffles."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -302,7 +302,7 @@ def decode_images(assets: DataFrame, *, use_fake: bool = False) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         "decoding this blob needs a codec library (PIL): "
-                        "only uncompressed BMP/PPM/PGM decode without one"
+                        "only BMP/PPM/PGM/8-bit-PNG decode without one"
                     )
                 rows.append((int(aid), w, h, luma))
             yield pd.DataFrame(
@@ -317,12 +317,12 @@ def resize_images(
 ) -> DataFrame:
     """Resize image blobs to (width, height) grayscale BMP.
 
-    Real path (no PIL needed for uncompressed inputs): decode luma with
-    the pure codecs, nearest-neighbor resample with numpy index maps,
-    re-encode as 24-bit gray BMP — so the output blob round-trips
-    through :func:`decode_images`. The fake path emits a deterministic
-    ``width*height``-byte tiled buffer for plumbing tests. Compressed
-    inputs without PIL raise per blob (honest gate)."""
+    Real path (no PIL needed for BMP/PPM/PGM/8-bit-PNG inputs): decode
+    luma with the pure codecs, nearest-neighbor resample with numpy
+    index maps, re-encode as 24-bit gray BMP — so the output blob
+    round-trips through :func:`decode_images`. The fake path emits a
+    deterministic ``width*height``-byte tiled buffer for plumbing
+    tests. JPEG inputs without PIL raise per blob (honest gate)."""
     out_schema = StructType(
         [
             StructField("asset_id", LongType()),
@@ -365,7 +365,7 @@ def resize_images(
                 else:
                     raise NotImplementedError(
                         "resizing this blob needs a codec library (PIL): "
-                        "only uncompressed BMP/PPM/PGM decode without one"
+                        "only BMP/PPM/PGM/8-bit-PNG decode without one"
                     )
                 rows.append((int(aid), encode_gray_bmp(luma), width, height))
             yield pd.DataFrame(

@@ -84,11 +84,12 @@ def test_chunk_content_jvm_side(spark):
 
 
 def test_decode_gate_raises_on_compressed_without_codec(spark):
-    """Formats the pure codecs can't handle (here a PNG magic) still hit
-    the honest NotImplementedError — raised per blob in the executor,
-    so it surfaces at collect() wrapped in Spark's PythonException."""
-    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
-    assets = _asset_df(spark, {1: png_magic})
+    """Formats the pure codecs can't handle (JPEG, since r7 gave PNG a
+    real decoder) still hit the honest NotImplementedError — raised per
+    blob in the executor, so it surfaces at collect() wrapped in Spark's
+    PythonException."""
+    jpeg_magic = b"\xff\xd8\xff\xe0\x00\x10JFIF" + b"\x00" * 32
+    assets = _asset_df(spark, {1: jpeg_magic})
     with pytest.raises(Exception, match="codec"):
         decode_images(assets).collect()
     with pytest.raises(Exception, match="codec"):
@@ -241,3 +242,174 @@ def test_resize_images_real_nearest_neighbor(spark):
     ys = (np.arange(2) * 8) // 2
     xs = (np.arange(4) * 8) // 4
     assert np.array_equal(luma, g[ys][:, xs])
+
+
+# --------------------------------------------------------------------------- #
+# PNG codec (r7): stdlib-zlib inflate + scanline unfiltering, no PIL
+# --------------------------------------------------------------------------- #
+
+
+def test_codec_png_roundtrip_gray_and_rgb():
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import decode_png, encode_png
+
+    g = _gradient(6, 11, seed=4)
+    w, h, luma = decode_png(encode_png(g))
+    assert (w, h) == (11, 6)
+    assert np.array_equal(luma, g)
+    # RGB with distinct channels: BT.601 integer luma
+    rgb = np.stack([g, (g.astype(np.int64) + 30) % 256,
+                    (g.astype(np.int64) + 60) % 256], axis=2).astype(np.uint8)
+    w, h, luma = decode_png(encode_png(rgb))
+    r32 = rgb.astype(np.uint32)
+    want = (299 * r32[:, :, 0] + 587 * r32[:, :, 1] + 114 * r32[:, :, 2]) // 1000
+    assert np.array_equal(luma, want.astype(np.uint8))
+
+
+def test_codec_png_all_filter_types():
+    """Decode must reverse every spec filter (0 none, 1 sub, 2 up,
+    3 average, 4 paeth): hand-build a raster with one row per filter
+    from a known image and compare against the plain encode."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import decode_png
+
+    g = _gradient(5, 8, seed=7)  # 5 rows -> filters 0..4
+    ch, stride = 1, 8
+
+    def filt(y, row, prev):
+        r = row.astype(np.int32)
+        p = prev.astype(np.int32)
+        if y == 0:
+            return 0, row
+        if y == 1:  # sub
+            out = r.copy()
+            out[ch:] = (r[ch:] - r[:-ch]) % 256
+            return 1, out.astype(np.uint8)
+        if y == 2:  # up
+            return 2, ((r - p) % 256).astype(np.uint8)
+        if y == 3:  # average
+            out = np.zeros(stride, np.int32)
+            for i in range(stride):
+                left = int(row[i - ch]) if i >= ch else 0
+                out[i] = (r[i] - ((left + p[i]) >> 1)) % 256
+            return 3, out.astype(np.uint8)
+        # paeth
+        def paeth(a, b, c):
+            q = a + b - c
+            pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        out = np.zeros(stride, np.int32)
+        for i in range(stride):
+            left = int(row[i - ch]) if i >= ch else 0
+            ul = int(prev[i - ch]) if i >= ch else 0
+            out[i] = (r[i] - paeth(left, int(p[i]), ul)) % 256
+        return 4, out.astype(np.uint8)
+
+    raster = bytearray()
+    for y in range(5):
+        ft, data = filt(y, g[y], g[y - 1] if y > 0 else np.zeros(stride, np.uint8))
+        raster.append(ft)
+        raster.extend(data.tobytes())
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(kind, data):
+        return (struct.pack(">I", len(data)) + kind + data
+                + struct.pack(">I", zlib.crc32(kind + data) & 0xFFFFFFFF))
+
+    blob = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 5, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raster)))
+            + chunk(b"IEND", b""))
+    w, h, luma = decode_png(blob)
+    assert (w, h) == (8, 5)
+    assert np.array_equal(luma, g)
+
+
+def test_codec_png_palette_and_rgba():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import decode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(kind, data):
+        return (struct.pack(">I", len(data)) + kind + data
+                + struct.pack(">I", zlib.crc32(kind + data) & 0xFFFFFFFF))
+
+    # palette: 4 entries, 2x2 image of indices [[0,1],[2,3]]
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 100, 100, 100])
+    raster = bytes([0, 0, 1, 0, 2, 3])  # filter 0 rows
+    blob = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b""))
+    w, h, luma = decode_png(blob)
+    want = np.array([[299 * 255 // 1000, 587 * 255 // 1000],
+                     [114 * 255 // 1000, 100]], dtype=np.uint8)
+    assert (w, h) == (2, 2)
+    assert np.array_equal(luma, want)
+
+    # RGBA: alpha ignored, luma from RGB
+    raster = bytes([0, 10, 20, 30, 128, 40, 50, 60, 0])  # 2x1 RGBA
+    blob = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b""))
+    w, h, luma = decode_png(blob)
+    assert (w, h) == (2, 1)
+    assert luma[0, 0] == (299 * 10 + 587 * 20 + 114 * 30) // 1000
+    assert luma[0, 1] == (299 * 40 + 587 * 50 + 114 * 60) // 1000
+
+
+def test_codec_png_rejects_unsupported_flavors():
+    import struct
+    import zlib
+
+    from icerunner_spark.operators.codecs import decode_png, encode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(kind, data):
+        return (struct.pack(">I", len(data)) + kind + data
+                + struct.pack(">I", zlib.crc32(kind + data) & 0xFFFFFFFF))
+
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)  # no IHDR/IDAT
+    # 16-bit depth: honest refusal (falls through to the PIL gate)
+    blob = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(3))) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="16"):
+        decode_png(blob)
+    # Adam7 interlace: refused
+    blob = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(bytes(2))) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(blob)
+    with pytest.raises(ValueError):
+        encode_png(_gradient(2, 2)[:, :, None].repeat(4, axis=2))  # RGBA encode
+
+
+def test_decode_images_real_png_in_spark(spark):
+    """decode_images resolves PNG blobs through the real zlib codec in
+    the executor: width/height/mean_luma pinned against the gradient."""
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import encode_png
+
+    g = _gradient(7, 5, seed=13)
+    rgb = np.stack([g, g, g], axis=2)
+    out = {
+        r["asset_id"]: r
+        for r in decode_images(
+            _asset_df(spark, {1: encode_png(g), 2: encode_png(rgb)})
+        ).collect()
+    }
+    for aid in (1, 2):
+        assert (out[aid]["width"], out[aid]["height"]) == (5, 7)
+        assert out[aid]["mean_luma"] == pytest.approx(float(g.mean()))

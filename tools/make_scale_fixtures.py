@@ -1,0 +1,146 @@
+"""Generate sf1 scale-probe fixtures from the driver's sf0.1 testdata.
+
+The container's /root/testdata is read-only and capped at sf0.1; every
+100-TB scaling claim in SCALE.md was extrapolated from sf0.1 until the
+r6 verdict demanded a measured probe (item 1, carried from r5). This
+script materializes a 10x corpus at .scale/sf1/ (gitignored, ~170 MB)
+as TEN KEY-SHIFTED COPIES of sf0.1 with structure-preserving per-copy
+transforms, so every workload's *scaling shape* is exactly linear by
+construction and a measured exponent > 1 indicts the PLAN, not the data:
+
+- region/nation: fixed-size dims, copied once (TPC-H semantics).
+- customer/supplier/part/orders/lineitem: copy c shifts every key by
+  c * (domain size): o_orderkey/l_orderkey by 150k, c_custkey/o_custkey
+  by 15k, p_partkey/l_partkey by 20k, s_suppkey/l_suppkey by 1k.
+  Referential integrity holds within each copy; value columns
+  (prices, dates, flags) are untouched so per-key distributions match.
+- events: event_id by 100k, user_id by 1.5k; timestamps untouched (same
+  time window, 10x density — how a busier stream actually looks).
+- documents: doc_id by 5k; copy c > 0 remaps each word through a
+  rotation of the corpus vocabulary (word[i] -> word[(i + 131*c) % V]).
+  The remap is a bijection per copy: WITHIN-copy duplicate/near-dup/
+  shared-span structure is preserved exactly, while CROSS-copy n-gram
+  identity is destroyed — so dedup pair counts scale exactly 10x and
+  never quadratically in the copy count. n_chars is recomputed (remap
+  changes word lengths); lang/source are untouched.
+- embeddings: vec_id by 2k; copy c > 0 multiplies the vector by a
+  c-seeded deterministic sign pattern (a reflection: norms and
+  within-copy geometry exact, cross-copy cosine scrambled), so no
+  vector has 9 exact clones and ANN/kNN workloads scale honestly.
+
+Deterministic (no RNG beyond seeded numpy), idempotent, pure
+pyarrow/numpy — no Spark session needed.
+
+Usage: python tools/make_scale_fixtures.py [--copies 10] [--out .scale/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+# table -> {column: key-domain size} (shift = copy * size)
+KEY_SHIFTS = {
+    "customer": {"c_custkey": 15_000},
+    "supplier": {"s_suppkey": 1_000},
+    "part": {"p_partkey": 20_000},
+    "orders": {"o_orderkey": 150_000, "o_custkey": 15_000},
+    "lineitem": {
+        "l_orderkey": 150_000,
+        "l_partkey": 20_000,
+        "l_suppkey": 1_000,
+    },
+    "events": {"event_id": 100_000, "user_id": 1_500},
+    "documents": {"doc_id": 5_000},
+    "embeddings": {"vec_id": 2_000},
+}
+FIXED = ["region", "nation"]
+
+
+def _shift_keys(t: pa.Table, shifts: dict[str, int], copy: int) -> pa.Table:
+    for col, size in shifts.items():
+        idx = t.schema.get_field_index(col)
+        shifted = pc.add(t.column(col), pa.scalar(copy * size, t.schema.field(col).type))
+        t = t.set_column(idx, t.schema.field(col), shifted)
+    return t
+
+
+def _remap_documents(t: pa.Table, copy: int) -> pa.Table:
+    if copy == 0:
+        return t
+    texts = t.column("text").to_pylist()
+    vocab = sorted({w for s in texts for w in s.split(" ")})
+    pos = {w: i for i, w in enumerate(vocab)}
+    v = len(vocab)
+    rot = 131 * copy  # coprime-ish stride; bijection for any v
+    new_texts = [
+        " ".join(vocab[(pos[w] + rot) % v] for w in s.split(" ")) for s in texts
+    ]
+    t = t.set_column(
+        t.schema.get_field_index("text"), t.schema.field("text"),
+        pa.array(new_texts, pa.string()),
+    )
+    n_chars = pa.array([len(s) for s in new_texts], pa.int64())
+    return t.set_column(
+        t.schema.get_field_index("n_chars"), t.schema.field("n_chars"), n_chars
+    )
+
+
+def _flip_embeddings(t: pa.Table, copy: int) -> pa.Table:
+    if copy == 0:
+        return t
+    col = t.column("embedding").combine_chunks()
+    dim = len(col[0])
+    signs = np.where(
+        np.random.RandomState(1000 + copy).rand(dim) < 0.5, -1.0, 1.0
+    ).astype(np.float32)
+    flat = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim) * signs
+    arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(flat.ravel(), pa.float32()), dim
+    ).cast(t.schema.field("embedding").type)
+    return t.set_column(
+        t.schema.get_field_index("embedding"), t.schema.field("embedding"), arr
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--out", default=".scale/sf1")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    for name in FIXED:
+        pq.write_table(
+            pq.read_table(f"{SRC}/{name}.parquet"), f"{args.out}/{name}.parquet"
+        )
+        print(f"{name}: copied")
+
+    for name, shifts in KEY_SHIFTS.items():
+        base = pq.read_table(f"{SRC}/{name}.parquet")
+        parts = []
+        for c in range(args.copies):
+            t = _shift_keys(base, shifts, c)
+            if name == "documents":
+                t = _remap_documents(t, c)
+            elif name == "embeddings":
+                t = _flip_embeddings(t, c)
+            parts.append(t)
+        out = pa.concat_tables(parts)
+        # row-group size ~512k rows keeps multiple splittable groups per
+        # file at sf1 so local[32] actually parallelizes the scan
+        pq.write_table(
+            out, f"{args.out}/{name}.parquet", row_group_size=524_288
+        )
+        print(f"{name}: {out.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
