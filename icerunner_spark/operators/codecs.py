@@ -1,4 +1,4 @@
-"""Dependency-free image codecs for uncompressed formats (BMP, PPM, PGM).
+"""Dependency-free image codecs (BMP, PPM/PGM, PNG, baseline JPEG).
 
 The multimodal operators (operators.multimodal) treat blobs as opaque
 binary and run all byte work in Arrow-batched ``mapInPandas`` stages.
@@ -35,9 +35,11 @@ import numpy as np
 __all__ = [
     "decode_bmp",
     "decode_image_bytes",
+    "decode_jpeg",
     "decode_png",
     "decode_pnm",
     "encode_gray_bmp",
+    "encode_gray_jpeg",
     "encode_pgm",
     "encode_png",
     "encode_ppm",
@@ -58,6 +60,8 @@ def sniff_format(b: bytes) -> str | None:
         return "pgm"
     if len(b) >= 8 and b[:8] == _PNG_SIG:
         return "png"
+    if len(b) >= 3 and b[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -315,6 +319,390 @@ def decode_png(b: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, luma.astype(np.uint8)
 
 
+# --------------------------------------------------------------------------- #
+# JPEG (ITU-T T.81 baseline): marker parse, canonical Huffman, dequant,
+# 8x8 IDCT via an orthonormal DCT matrix. Supported: baseline and
+# extended-sequential Huffman (SOF0/SOF1), grayscale or YCbCr with any
+# common sampling (4:4:4 / 4:2:2 / 4:2:0), restart markers. Progressive
+# (SOF2) and arithmetic coding raise ValueError (PIL gate). Luma comes
+# straight from the Y plane — JPEG's Y IS the BT.601 luma, so no chroma
+# IDCT is needed (chroma coefficients are still entropy-consumed to keep
+# the bitstream aligned).
+# --------------------------------------------------------------------------- #
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    m = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2 / 8)
+    m[0] /= np.sqrt(2)
+    return m  # forward DCT: M @ block @ M.T ; inverse: M.T @ coef @ M
+
+
+_DCT_M = _dct_matrix()
+
+# ITU-T T.81 Annex K reference tables: K.1 luminance quantization,
+# K.3.1/K.3.2 luminance DC/AC Huffman (counts per bit length, symbols)
+_K1_QUANT = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_DC_LUM_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_SYMBOLS = list(range(12))
+_AC_LUM_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_SYMBOLS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _canonical_codes(counts, symbols):
+    """(bit_length, code) -> symbol map per T.81 Annex C."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """Entropy-coded segment reader: FF00 unstuffing, stops at markers."""
+
+    def __init__(self, b: bytes, pos: int):
+        self.b, self.pos, self.acc, self.nbits = b, pos, 0, 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.b):
+                self.acc = (self.acc << 8) | 0xFF  # pad past end
+                self.nbits += 8
+                continue
+            byte = self.b[self.pos]
+            if byte == 0xFF:
+                nxt = self.b[self.pos + 1] if self.pos + 1 < len(self.b) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    break  # restart marker: consumed by reset()
+                else:
+                    break  # real marker (EOI/next segment)
+                self.acc = (self.acc << 8) | byte
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                raise ValueError("JPEG entropy stream exhausted")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, table) -> int:
+        ln, code = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def reset(self) -> None:
+        """Consume a restart marker and realign to a byte boundary."""
+        self.acc, self.nbits = 0, 0
+        while self.pos + 1 < len(self.b):
+            if self.b[self.pos] == 0xFF and 0xD0 <= self.b[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected JPEG restart marker")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline JPEG to (width, height, luma uint8 (h, w)).
+    Luma is the decoded Y plane (JPEG Y is BT.601 luma by definition);
+    chroma blocks are entropy-consumed but not reconstructed."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG blob")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack_from(">H", b, pos + 2)[0]
+        data = b[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0xF
+                n = 64 * (2 if pq else 1)
+                raw = data[i + 1 : i + 1 + n]
+                vals = (
+                    np.frombuffer(raw, ">u2").astype(np.int64)
+                    if pq
+                    else np.frombuffer(raw, np.uint8).astype(np.int64)
+                )
+                quant[tq] = vals
+                i += 1 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential Huffman
+            prec, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = data[6 + 3 * c], data[7 + 3 * c], data[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            sof = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG flavor (progressive/arithmetic); "
+                "only baseline Huffman decodes without PIL"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0xF
+                counts = list(data[i + 1 : i + 17])
+                n = sum(counts)
+                syms = list(data[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _canonical_codes(counts, syms)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack_from(">H", data, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = data[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = data[1 + 2 * c], data[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 0xF))
+            return _jpeg_scan(
+                b, pos + 2 + seglen, sof, scan, quant, huff, restart
+            )
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOS scan")
+
+
+def _jpeg_scan(b, pos, sof, scan, quant, huff, restart):
+    w, h, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    # Y is the first SOF component; its plane covers full resolution
+    y_id, y_h, y_v, y_tq = comps[0]
+    yplane = np.zeros((mcuy * 8 * y_v, mcux * 8 * y_h), dtype=np.float64)
+    reader = _BitReader(b, pos)
+    pred = {c[0]: 0 for c in comps}
+    order = []
+    for cs, td, ta in scan:
+        cid, ch, cv, tq = by_id[cs]
+        order.append((cid, ch, cv, tq, td, ta))
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                reader.reset()
+                pred = {c[0]: 0 for c in comps}
+            for cid, ch, cv, tq, td, ta in order:
+                for by in range(cv):
+                    for bx in range(ch):
+                        coef = _decode_block(
+                            reader, huff.get((0, td)), huff.get((1, ta)), pred, cid
+                        )
+                        if cid != y_id:
+                            continue  # chroma consumed, not reconstructed
+                        blk = np.zeros(64, np.float64)
+                        blk[_ZIGZAG] = coef * quant[tq]
+                        px = _DCT_M.T @ blk.reshape(8, 8) @ _DCT_M
+                        yy, xx = (my * cv + by) * 8, (mx * ch + bx) * 8
+                        yplane[yy : yy + 8, xx : xx + 8] = px
+            mcu_count += 1
+    luma = np.clip(np.round(yplane + 128), 0, 255).astype(np.uint8)
+    return w, h, luma[:h, :w]
+
+
+def _decode_block(reader, dc_table, ac_table, pred, cid):
+    if dc_table is None or ac_table is None:
+        raise ValueError("JPEG scan references an undefined Huffman table")
+    coef = np.zeros(64, np.int64)
+    t = reader.decode(dc_table)
+    diff = _extend(reader.bits(t), t) if t else 0
+    pred[cid] += diff
+    coef[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = reader.decode(ac_table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run overflows block")
+        coef[k] = _extend(reader.bits(s), s)
+        k += 1
+    return coef
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.nbits = 0, 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def encode_gray_jpeg(
+    gray: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """Encode a (h, w) uint8 grayscale array as a baseline JPEG (one Y
+    component, Annex K luminance tables scaled by the libjpeg quality
+    curve; optional restart markers every ``restart_interval`` MCUs).
+    Lossy by nature — tests pin tolerances, not exact bytes."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.clip((_K1_QUANT * scale + 50) // 100, 1, 255)
+    dc = _canonical_codes(_DC_LUM_COUNTS, _DC_LUM_SYMBOLS)
+    ac = _canonical_codes(_AC_LUM_COUNTS, _AC_LUM_SYMBOLS)
+    enc_dc = {sym: (code, ln) for (ln, code), sym in dc.items()}
+    enc_ac = {sym: (code, ln) for (ln, code), sym in ac.items()}
+
+    def cat(v: int) -> int:
+        return int(v != 0 and np.floor(np.log2(abs(v))) + 1)
+
+    bw = _BitWriter()
+    pred = 0
+    hb, wb = -(-h // 8), -(-w // 8)
+    padded = np.pad(gray, ((0, hb * 8 - h), (0, wb * 8 - w)), mode="edge")
+    mcu_n = 0
+    for by in range(hb):
+        for bx in range(wb):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (mcu_n // restart_interval - 1) % 8])
+                pred = 0
+            mcu_n += 1
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
+            coef = _DCT_M @ (blk - 128) @ _DCT_M.T
+            zz = np.round(coef.reshape(-1)[_ZIGZAG] / q).astype(np.int64)
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            t = cat(diff)
+            code, ln = enc_dc[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = enc_ac[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = cat(v)
+                code, ln = enc_ac[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                code, ln = enc_ac[0x00]  # EOB
+                bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_LUM_COUNTS) + bytes(_DC_LUM_SYMBOLS)
+        + bytes([0x10]) + bytes(_AC_LUM_COUNTS) + bytes(_AC_LUM_SYMBOLS),
+    )
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bw.out) + b"\xff\xd9"
+    )
+
+
 def decode_image_bytes(b: bytes) -> tuple[int, int, np.ndarray]:
     """Dispatch on magic bytes: (width, height, luma uint8 (h, w)) for
     any format these codecs handle; ValueError otherwise."""
@@ -325,4 +713,6 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, np.ndarray]:
         return decode_pnm(b)
     if fmt == "png":
         return decode_png(b)
+    if fmt == "jpeg":
+        return decode_jpeg(b)
     raise ValueError("no pure-python codec for this blob (need PIL)")

@@ -413,3 +413,175 @@ def test_decode_images_real_png_in_spark(spark):
     for aid in (1, 2):
         assert (out[aid]["width"], out[aid]["height"]) == (5, 7)
         assert out[aid]["mean_luma"] == pytest.approx(float(g.mean()))
+
+
+# --------------------------------------------------------------------------- #
+# JPEG codec (r7): baseline Huffman decode, stdlib+numpy only
+# --------------------------------------------------------------------------- #
+
+
+def _jpeg_color_blob(g, sampling, quant_scale=20):
+    """Hand-build an interleaved COLOR JPEG (Y from ``g``, zero chroma =
+    achromatic gray) so the decoder's multi-component path is pinned
+    without any image library. ``sampling``: (h, v) for Y; chroma is
+    1x1, so (1, 1) = 4:4:4 and (2, 2) = 4:2:0."""
+    import struct
+
+    import numpy as np
+
+    from icerunner_spark.operators import codecs as C
+
+    ch, cv = sampling
+    hh, ww = g.shape
+    assert hh % (8 * cv) == 0 and ww % (8 * ch) == 0
+    dc = C._canonical_codes(C._DC_LUM_COUNTS, C._DC_LUM_SYMBOLS)
+    ac = C._canonical_codes(C._AC_LUM_COUNTS, C._AC_LUM_SYMBOLS)
+    enc_dc = {s: (c, l) for (l, c), s in dc.items()}
+    enc_ac = {s: (c, l) for (l, c), s in ac.items()}
+    q = np.clip((C._K1_QUANT * quant_scale + 50) // 100, 1, 255)
+
+    def cat(v):
+        return int(v != 0 and np.floor(np.log2(abs(v))) + 1)
+
+    bw = C._BitWriter()
+    pred = 0
+
+    def emit_block(blk):
+        nonlocal pred
+        coef = C._DCT_M @ (blk.astype(float) - 128) @ C._DCT_M.T
+        zz = np.round(coef.reshape(-1)[C._ZIGZAG] / q).astype(np.int64)
+        d = int(zz[0]) - pred
+        pred = int(zz[0])
+        t = cat(d)
+        c, l = enc_dc[t]
+        bw.write(c, l)
+        if t:
+            bw.write(d if d > 0 else d + (1 << t) - 1, t)
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        run = 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, l = enc_ac[0xF0]
+                bw.write(c, l)
+                run -= 16
+            s = cat(v)
+            c, l = enc_ac[(run << 4) | s]
+            bw.write(c, l)
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            c, l = enc_ac[0x00]
+            bw.write(c, l)
+
+    for my in range(hh // (8 * cv)):
+        for mx in range(ww // (8 * ch)):
+            for by in range(cv):
+                for bx in range(ch):
+                    yy, xx = (my * cv + by) * 8, (mx * ch + bx) * 8
+                    emit_block(g[yy : yy + 8, xx : xx + 8])
+            for _ in range(2):  # Cb, Cr: zero DC diff + EOB (NB: shared
+                # DC predictor is fine here because every chroma DC is 0
+                # only when Y's predictor is untouched — so emit raw)
+                c, l = enc_dc[0]
+                bw.write(c, l)
+                c, l = enc_ac[0x00]
+                bw.write(c, l)
+    bw.flush()
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + struct.pack(">H", len(p) + 2) + p
+
+    samp = (ch << 4) | cv
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes(int(v) for v in q))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", hh, ww)
+              + bytes([3, 1, samp, 0, 2, 0x11, 0, 3, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(C._DC_LUM_COUNTS)
+              + bytes(C._DC_LUM_SYMBOLS) + bytes([0x10])
+              + bytes(C._AC_LUM_COUNTS) + bytes(C._AC_LUM_SYMBOLS))
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+
+
+def test_codec_jpeg_gray_roundtrip_tolerance():
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import decode_jpeg, encode_gray_jpeg
+
+    y, x = np.mgrid[0:24, 0:33]  # non-multiple-of-8 width: edge padding
+    g = np.clip(y * 4 + x * 2, 0, 255).astype(np.uint8)
+    w, h, luma = decode_jpeg(encode_gray_jpeg(g, quality=90))
+    assert (w, h) == (33, 24)
+    err = np.abs(luma.astype(int) - g.astype(int))
+    assert err.max() <= 2, err.max()  # smooth field at q90: near-exact
+    # flat blocks are DC-only: bit-exact through quantization
+    flat = np.full((16, 16), 77, np.uint8)
+    _, _, l2 = decode_jpeg(encode_gray_jpeg(flat))
+    assert np.array_equal(l2, flat)
+
+
+def test_codec_jpeg_restart_markers():
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import decode_jpeg, encode_gray_jpeg
+
+    y, x = np.mgrid[0:40, 0:56]
+    g = np.clip(y * 3 + x * 2, 0, 255).astype(np.uint8)
+    w, h, luma = decode_jpeg(encode_gray_jpeg(g, quality=90, restart_interval=3))
+    assert (w, h) == (56, 40)
+    assert np.abs(luma.astype(int) - g.astype(int)).max() <= 2
+
+
+def test_codec_jpeg_color_444_and_420():
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import decode_jpeg
+
+    y, x = np.mgrid[0:16, 0:16]
+    g = ((y * 5 + x * 3) % 200).astype(np.uint8)
+    for sampling in ((1, 1), (2, 2)):  # 4:4:4 and 4:2:0
+        w, h, luma = decode_jpeg(_jpeg_color_blob(g, sampling))
+        assert (w, h) == (16, 16)
+        err = np.abs(luma.astype(int) - g.astype(int))
+        assert err.max() <= 3, (sampling, err.max())
+
+
+def test_codec_jpeg_rejects_progressive():
+    import struct
+
+    from icerunner_spark.operators.codecs import decode_jpeg
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + struct.pack(">H", len(p) + 2) + p
+
+    blob = b"\xff\xd8" + seg(
+        0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    )
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(blob)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+
+
+def test_decode_images_real_jpeg_in_spark(spark):
+    """decode_images resolves JPEG blobs through the real baseline
+    decoder in the executor; mean luma within quantization tolerance."""
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import encode_gray_jpeg
+
+    y, x = np.mgrid[0:32, 0:24]
+    g = np.clip(y * 2 + x * 4, 0, 255).astype(np.uint8)
+    out = decode_images(
+        _asset_df(spark, {1: encode_gray_jpeg(g, quality=90)})
+    ).collect()[0]
+    assert (out["width"], out["height"]) == (24, 32)
+    assert out["mean_luma"] == pytest.approx(float(g.mean()), abs=1.0)
