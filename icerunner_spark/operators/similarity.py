@@ -677,3 +677,83 @@ def pq_topk(
         .limit(k)
         .select(id_col, "cos_sim")
     )
+
+
+def semantic_best_match(
+    df,
+    eval_rows: list[tuple[int, list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    payload_cols: tuple = ("label",),
+    round_digits: int = 6,
+):
+    """Per-document argmax-cosine against a bounded eval-probe set — the
+    scoring core of semantic test-set decontamination.
+
+    eval_rows is the COLLECTED eval set (bounded by definition — an eval
+    probe set is MBs against a TB corpus; callers cap it with a LIMIT
+    before collecting). The scoring stage is ONE Arrow-batched
+    ``mapInPandas``: each corpus batch is an (n, d) float64 matrix
+    multiplied against the normalized (m, d) eval matrix (BLAS), and the
+    per-document argmax happens INSIDE the batch, so exactly one row per
+    corpus document leaves the stage. No pair frame ever exists — not in
+    a shuffle, not even materialized in memory beyond one (batch x m)
+    sims block.
+
+    Numeric contract (oracle-portable): the winner per document is
+    argmax over cosine ROUNDED to ``round_digits``, ties broken by
+    LOWEST eval id (eval matrix is sorted ascending, np.argmax takes the
+    first maximum). The emitted cos_sim is the RAW double of the winning
+    pair, so callers apply their engine's own ROUND for display parity.
+
+    Replaces the r5/r6 broadcast-cross-join + map-side max(struct(...))
+    formulation: that plan was shuffle-optimal (one row per doc crossed
+    the wire) but paid ~3 interpreted expression folds per (doc, eval)
+    pair; the r7 sf1 scale probe measured it at ~26 us/pair = 362 s for
+    a 19k x 690 corpus. The matmul scores the same pairs in vectorized
+    C at ~1000x the throughput, with the same one-row-per-doc output
+    cardinality. Rows with NULL or wrong-dimension vectors are dropped
+    (same observable result as the fold version, whose NULL cosine
+    never survived the threshold filter)."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    ev = sorted(eval_rows, key=lambda r: r[0])
+    eval_ids = np.array([r[0] for r in ev], dtype=np.int64)
+    emat = np.array([r[1] for r in ev], dtype=np.float64)
+    emat = emat / np.linalg.norm(emat, axis=1, keepdims=True)
+    dim = emat.shape[1]
+
+    src = df.select(id_col, *payload_cols, vec_col)
+    out_schema = StructType(
+        [f for f in src.schema.fields if f.name != vec_col]
+        + [
+            StructField("eval_id", src.schema[id_col].dataType),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            vecs = pdf[vec_col]
+            ok = vecs.map(lambda x: x is not None and len(x) == dim)
+            pdf = pdf[ok]
+            if not len(pdf):
+                yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (v / norms) @ emat.T  # (batch, m) — the only pair block
+            rounded = np.round(sims, round_digits)
+            idx = np.argmax(rounded, axis=1)  # first max = lowest eval_id
+            rows = np.arange(len(pdf))
+            res = pdf.drop(columns=[vec_col]).copy()
+            res["eval_id"] = eval_ids[idx]
+            res["cos_sim"] = sims[rows, idx]
+            yield res
+
+    return src.mapInPandas(batches, schema=out_schema)

@@ -3423,62 +3423,46 @@ def decontam_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement of decontam_ngram_overlap: a corpus document is flagged
     when its embedding is too close (cosine >= 0.30) to any held-out
     eval vector, catching paraphrased leakage that shares no 8-gram.
-    The eval side (every 29th vector — eval sets are MBs against a TB
-    corpus) is BROADCAST; scoring is a codegen'd fold per (corpus, eval)
-    pair against only that small side. The per-document argmax is a
-    ``groupBy(vec_id, label) + max(struct(cos_sim, -eval_id, eval_id))``
-    — NOT a window over the pair frame — so partial aggregation
-    collapses the corpus×1000 pairs to ONE row per document map-side,
-    inside the task where the pairs are born, before any exchange. The
-    struct ordering preserves the engine-portable tiebreak: highest
-    rounded cosine, then lowest eval_id. At 100 TB only one row per
-    corpus document crosses the wire (pinned by
-    tests/test_plans.py::test_decontam_semantic_partial_agg_before_exchange);
-    with a big eval set, the LSH/IVF candidate generators
-    (operators.similarity) swap in for the cross score.
+    The eval side (every 29th vector, hard-capped at 1000 — eval sets
+    are MBs against a TB corpus) is COLLECTED to the driver and shipped
+    as a 1000x64 float64 closure matrix; scoring + per-document argmax
+    run inside ONE Arrow-batched ``mapInPandas`` stage
+    (operators.similarity.semantic_best_match): each corpus batch is a
+    BLAS matmul against the normalized eval matrix and exactly one row
+    per document leaves the stage — no pair frame exists anywhere, no
+    Window, no exchange at pair cardinality (pinned by
+    tests/test_plans.py::test_decontam_semantic_no_pair_frame). History:
+    r5 shipped a Window over the broadcast-cross-join pair frame (full
+    pair shuffle); r6 collapsed it map-side with max(struct(...)) —
+    shuffle-optimal but ~26 us/pair of interpreted expression folds,
+    which the r7 sf1 probe measured at 362 s for 19k docs x 690 evals;
+    the matmul scores the same pairs at vectorized-C speed (sf1: ~1 s).
+    The tiebreak is oracle-portable: argmax on cosine ROUNDED to 6
+    digits, lowest eval_id first. With an eval set too big to collect,
+    the LSH/IVF candidate generators (operators.similarity) swap in.
     SURVEY §2.C decontamination."""
+    from icerunner_spark.operators.similarity import semantic_best_match
+
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     # an eval probe set is bounded BY DEFINITION — the deterministic
-    # LIMIT makes that boundedness part of the plan (and is what lets
-    # the broadcast pass the global no-SF-proportional-broadcast
-    # invariant: Limit between exchange and scan = bounded subtree)
-    ev = (
-        e.where(F.col("vec_id") % 29 == 0)
+    # LIMIT makes that boundedness part of the collect (the one
+    # driver-side materialization in this query: <= 1000 x 64 doubles)
+    eval_rows = [
+        (r["vec_id"], list(r["v"]))
+        for r in e.where(F.col("vec_id") % 29 == 0)
         .orderBy("vec_id")
         .limit(1000)
-        .select(F.col("vec_id").alias("eval_id"), F.col("v").alias("ev"))
-    )
+        .collect()
+    ]
     co = e.where(F.col("vec_id") % 29 != 0)
-    pairs = co.crossJoin(F.broadcast(ev)).select(
-        "vec_id",
-        "label",
-        "eval_id",
-        F.round(cosine_similarity("v", "ev"), 6).alias("cos_sim"),
+    best = semantic_best_match(
+        co, eval_rows, id_col="vec_id", vec_col="v", payload_cols=("label",)
     )
-    # map-side-combinable argmax: max over (cos_sim ASC, -eval_id ASC)
-    # == (cos_sim DESC, eval_id ASC) winner; the third struct field
-    # carries the winning eval_id out without a second join
-    best = (
-        pairs.groupBy("vec_id", "label")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("cos_sim"),
-                    (-F.col("eval_id")).alias("neg_eval_id"),
-                    F.col("eval_id"),
-                )
-            ).alias("b")
-        )
-        .select(
-            "vec_id",
-            "label",
-            F.col("b.eval_id").alias("eval_id"),
-            F.col("b.cos_sim").alias("cos_sim"),
-        )
-    )
-    return best.where(F.col("cos_sim") >= 0.30)
+    return best.select(
+        "vec_id", "label", "eval_id", F.round("cos_sim", 6).alias("cos_sim")
+    ).where(F.col("cos_sim") >= 0.30)
 
 
 @register(
