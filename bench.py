@@ -92,6 +92,8 @@ HEADLINE = [
     "kmeans_cluster_profile",
     "decontam_semantic_overlap",
     "incremental_bm25_index",
+    # r7 addition: real image decode through the pure-numpy codecs
+    "multimodal_decode_stats",
 ]
 
 

@@ -1196,3 +1196,74 @@ def test_shared_span_pairs_releases_caches(spark):
             f"call {call}: {persistent() - base} persistent RDDs above "
             f"baseline — gram/rare caches leaked"
         )
+
+
+# --------------------------------------------------------------------------- #
+# semantic_best_match (operators/similarity.py, r7): the decontam scorer
+# --------------------------------------------------------------------------- #
+
+
+def test_semantic_best_match_argmax_and_tiebreak(spark):
+    """Argmax runs on cosine ROUNDED to 6 digits with lowest-eval-id
+    tiebreak — the oracle-portable contract. Eval vectors here are
+    copies of corpus vectors, so the rounded winners tie exactly and
+    the lower eval id must win."""
+    from icerunner_spark.operators.similarity import semantic_best_match
+
+    v1, v2 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(10, 0, v1), (11, 1, v2)], "vec_id long, label int, v array<double>"
+    )
+    # eval 5 and 7 are both exactly v1; eval 6 is v2
+    out = {
+        r["vec_id"]: r
+        for r in semantic_best_match(
+            df, [(7, v1), (5, v1), (6, v2)], payload_cols=("label",)
+        ).collect()
+    }
+    assert out[10]["eval_id"] == 5  # tie on cos=1.0 -> lowest eval id
+    assert out[10]["cos_sim"] == pytest.approx(1.0)
+    assert out[11]["eval_id"] == 6
+    assert out[10]["label"] == 0 and out[11]["label"] == 1
+
+
+def test_semantic_best_match_drops_null_and_ragged(spark):
+    from icerunner_spark.operators.similarity import semantic_best_match
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0, 0.0]),
+            (2, 1, None),
+            (3, 2, [1.0, 0.0]),  # wrong dimension
+        ],
+        "vec_id long, label int, v array<double>",
+    )
+    out = semantic_best_match(df, [(0, [1.0, 0.0, 0.0])]).collect()
+    assert [r["vec_id"] for r in out] == [1]
+
+
+def test_semantic_best_match_one_row_per_doc(spark):
+    """Output cardinality is exactly the (valid) corpus cardinality —
+    the no-pair-frame guarantee, and the reason this formulation scales:
+    nothing proportional to corpus x eval ever exists."""
+    import numpy as np
+
+    from icerunner_spark.operators.similarity import semantic_best_match
+
+    rng = np.random.RandomState(7)
+    rows = [(i, int(i % 3), rng.randn(8).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, v array<double>")
+    evals = [(j, rng.randn(8).tolist()) for j in range(17)]
+    out = semantic_best_match(df, evals).collect()
+    assert len(out) == 200
+    assert len({r["vec_id"] for r in out}) == 200
+    # cross-check a sample against plain numpy
+    emat = np.array([e[1] for e in evals])
+    emat = emat / np.linalg.norm(emat, axis=1, keepdims=True)
+    by_id = {r["vec_id"]: r for r in out}
+    for i in (0, 57, 199):
+        v = np.array(rows[i][2])
+        sims = (v / np.linalg.norm(v)) @ emat.T
+        k = int(np.argmax(np.round(sims, 6)))
+        assert by_id[i]["eval_id"] == k
+        assert by_id[i]["cos_sim"] == pytest.approx(float(sims[k]), abs=1e-12)
