@@ -181,9 +181,8 @@ def decode_pnm(b: bytes) -> tuple[int, int, np.ndarray]:
 
 # --------------------------------------------------------------------------- #
 # PNG (RFC 2083 / W3C spec): stdlib zlib inflate + numpy unfiltering.
-# Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
-# 4 (gray+alpha), 6 (RGBA), interlace 0. Adam7 / 16-bit / sub-byte depths
-# raise ValueError and fall through to the PIL gate.
+# Supported: bit depths 1/2/4/8/16, color types 0 (gray), 2 (RGB),
+# 3 (palette), 4 (gray+alpha), 6 (RGBA), interlace none and Adam7.
 # --------------------------------------------------------------------------- #
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -229,11 +228,12 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _png_unfilter(raw: np.ndarray, h: int, stride: int, ch: int) -> np.ndarray:
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse the per-scanline filters. Rows of ``raw`` are (filter_byte,
-    stride data bytes). none/up/sub vectorize (sub is a per-channel
-    cumulative sum); average/paeth carry a same-row byte dependency and
-    walk the row."""
+    stride data bytes); ``bpp`` is the filter byte offset — bytes per
+    complete pixel, rounded up to one (T.81 spec terms). none/up/sub
+    vectorize (sub is a per-pixel-column cumulative sum); average/paeth
+    carry a same-row byte dependency and walk the row."""
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ftype = int(raw[y, 0])
@@ -241,22 +241,22 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, ch: int) -> np.ndarray:
         prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
         if ftype == 0:
             rec = line
-        elif ftype == 1:  # sub: recon[i] = raw[i] + recon[i-ch]
-            cols = line.reshape(-1, ch)
+        elif ftype == 1:  # sub: recon[i] = raw[i] + recon[i-bpp]
+            cols = line.reshape(-1, bpp)
             rec = np.cumsum(cols, axis=0, dtype=np.int64).reshape(-1)
         elif ftype == 2:  # up
             rec = line + prev
         elif ftype == 3:  # average
             rec = np.zeros(stride, np.int32)
             for i in range(stride):
-                left = rec[i - ch] if i >= ch else 0
+                left = rec[i - bpp] if i >= bpp else 0
                 rec[i] = line[i] + ((left + prev[i]) >> 1)
                 rec[i] &= 0xFF
         elif ftype == 4:  # paeth
             rec = np.zeros(stride, np.int32)
             for i in range(stride):
-                left = rec[i - ch] if i >= ch else 0
-                ul = prev[i - ch] if i >= ch else 0
+                left = rec[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
                 rec[i] = line[i] + _paeth(int(left), int(prev[i]), int(ul))
                 rec[i] &= 0xFF
         else:
@@ -265,11 +265,44 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, ch: int) -> np.ndarray:
     return out
 
 
+def _png_subimage(
+    raw: np.ndarray, w: int, h: int, depth: int, ch: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub)image's scanlines from ``raw``: returns
+    ((h, w, ch) uint16 sample array, bytes consumed). Handles sub-byte
+    depths (1/2/4: bit unpacking, row-padded), 8, and 16 (big-endian)."""
+    stride = (w * ch * depth + 7) // 8
+    bpp = max(1, (depth * ch) // 8)
+    need = h * (stride + 1)
+    if raw.size < need:
+        raise ValueError(f"PNG raster: {raw.size} bytes, need {need}")
+    rows = _png_unfilter(raw[:need].reshape(h, stride + 1), h, stride, bpp)
+    if depth == 8:
+        px = rows.reshape(h, w * ch)[:, : w * ch].astype(np.uint16)
+    elif depth == 16:
+        px = rows.reshape(h, stride).view(">u2").astype(np.uint16)[:, : w * ch]
+    else:  # 1 / 2 / 4: unpack bits per row, regroup into depth-bit samples
+        bits = np.unpackbits(rows, axis=1)[:, : w * ch * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        px = (bits.reshape(h, w * ch, depth) * weights).sum(axis=2).astype(np.uint16)
+    return px.reshape(h, w, ch), need
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per spec
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def decode_png(b: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a PNG to (width, height, luma uint8 (h, w)). Gray returns
-    the gray channel; palette resolves through PLTE then BT.601; RGB(A)
-    converts via the BT.601 integer formula (alpha ignored, matching
-    PIL ``convert("L")`` on the RGB values)."""
+    """Decode a PNG to (width, height, luma uint8 (h, w)). Supports bit
+    depths 1/2/4/8/16, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), and both interlace methods (none, Adam7).
+    Gray returns the gray channel scaled to 8 bits (16-bit takes the
+    high byte, PIL-style); palette resolves through PLTE then BT.601;
+    RGB(A) converts via the BT.601 integer formula (alpha ignored,
+    matching PIL ``convert("L")`` on the RGB values)."""
     if len(b) < 8 or b[:8] != _PNG_SIG:
         raise ValueError("not a PNG blob")
     pos, ihdr, plte, idat = 8, None, None, []
@@ -290,31 +323,42 @@ def decode_png(b: bytes) -> tuple[int, int, np.ndarray]:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG flavor (depth={depth}, interlace={interlace}); "
-            "only 8-bit non-interlaced decodes without PIL"
-        )
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError(f"unsupported PNG flavor (interlace={interlace})")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG color type {color_type}")
+    if depth not in (1, 2, 4, 8, 16) or (depth < 8 and color_type not in (0, 3)):
+        raise ValueError(f"unsupported PNG depth {depth} for color type {color_type}")
     ch = _PNG_CHANNELS[color_type]
-    stride = w * ch
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    if raw.size != h * (stride + 1):
-        raise ValueError(
-            f"PNG raster size {raw.size}, expected {h * (stride + 1)}"
-        )
-    px = _png_unfilter(raw.reshape(h, stride + 1), h, stride, ch).reshape(h, w, ch)
-    if color_type == 0:
-        return w, h, px[:, :, 0].copy()
-    if color_type == 4:
-        return w, h, px[:, :, 0].copy()  # gray channel; alpha ignored
+    if interlace == 0:
+        px, _ = _png_subimage(raw, w, h, depth, ch)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        px = np.zeros((h, w, ch), dtype=np.uint16)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub, used = _png_subimage(raw[off:], wp, hp, depth, ch)
+            off += used
+            px[y0::dy, x0::dx] = sub
+    # samples -> 8-bit values (palette indices stay raw)
+    if color_type == 3:
+        v8 = px.astype(np.int64)
+    elif depth == 16:
+        v8 = (px >> 8).astype(np.int64)
+    else:
+        v8 = (px.astype(np.int64) * 255) // ((1 << depth) - 1) if depth < 8 else px.astype(np.int64)
+    if color_type in (0, 4):
+        return w, h, v8[:, :, 0].astype(np.uint8)  # alpha ignored for 4
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        rgb = plte[px[:, :, 0]].astype(np.uint32)
+        rgb = plte[v8[:, :, 0]].astype(np.uint32)
     else:  # 2 (RGB) or 6 (RGBA): first three channels
-        rgb = px[:, :, :3].astype(np.uint32)
+        rgb = v8[:, :, :3].astype(np.uint32)
     luma = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
     return w, h, luma.astype(np.uint8)
 

@@ -17,13 +17,13 @@ chain at scan speed.
 Codec policy: byte-level analytics (sizes, hashes, entropy, chunk/frame
 slicing) are REAL and tested. Image decode resolves per blob: PIL when
 installed (all formats), else the dependency-free numpy codecs in
-``operators.codecs`` (24-bit BMP, binary PPM/PGM, and 8-bit PNG via
-stdlib zlib inflate + scanline unfiltering) — a REAL pixel decode with
-header parsing, bottom-up row order, scanline padding, and BT.601
-luma, pinned against seeded gradient fixtures in
-tests/test_multimodal.py. Only JPEG (and exotic PNG flavors: 16-bit,
-Adam7) without PIL keeps the honest ``NotImplementedError`` gate;
-``fake_decode`` remains the deterministic double for plumbing tests.
+``operators.codecs`` (24-bit BMP; binary PPM/PGM; PNG at every legal
+depth/color-type/interlace combination via stdlib zlib inflate +
+scanline unfiltering; baseline JPEG via canonical Huffman + IDCT) — a
+REAL pixel decode pinned against seeded gradient fixtures in
+tests/test_multimodal.py. Only progressive/arithmetic JPEG without PIL
+keeps the honest ``NotImplementedError`` gate; ``fake_decode`` remains
+the deterministic double for plumbing tests.
 """
 
 from __future__ import annotations

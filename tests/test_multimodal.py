@@ -367,29 +367,101 @@ def test_codec_png_palette_and_rgba():
     assert luma[0, 1] == (299 * 40 + 587 * 50 + 114 * 60) // 1000
 
 
+def _png_chunk_t(kind, data):
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + kind + data
+            + struct.pack(">I", zlib.crc32(kind + data) & 0xFFFFFFFF))
+
+
+def test_codec_png_16bit_and_subbyte_depths():
+    """16-bit samples take the high byte (PIL-style); 1/2/4-bit gray
+    scales to 8 bits (x255/(2^d-1)); scanlines are bit-packed with row
+    padding — all hand-built rasters against known arrays."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import _PNG_SIG, decode_png
+
+    g16 = (np.arange(12, dtype=np.uint16).reshape(3, 4) * 4096 + 123)
+    raster = b"".join(b"\x00" + g16[y].astype(">u2").tobytes() for y in range(3))
+    blob = (_PNG_SIG + _png_chunk_t(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 16, 0, 0, 0, 0))
+            + _png_chunk_t(b"IDAT", zlib.compress(raster)) + _png_chunk_t(b"IEND", b""))
+    w, h, luma = decode_png(blob)
+    assert (w, h) == (4, 3)
+    assert np.array_equal(luma, (g16 >> 8).astype(np.uint8))
+
+    vals = np.array([[0, 3, 7, 12, 15], [1, 2, 4, 8, 10]], dtype=np.uint8)
+    packed = []
+    for y in range(2):
+        row = bytearray()
+        for i in range(0, 5, 2):
+            hi = vals[y][i] << 4
+            lo = vals[y][i + 1] if i + 1 < 5 else 0
+            row.append(hi | lo)
+        packed.append(b"\x00" + bytes(row))
+    blob = (_PNG_SIG + _png_chunk_t(b"IHDR", struct.pack(">IIBBBBB", 5, 2, 4, 0, 0, 0, 0))
+            + _png_chunk_t(b"IDAT", zlib.compress(b"".join(packed)))
+            + _png_chunk_t(b"IEND", b""))
+    w, h, luma = decode_png(blob)
+    assert np.array_equal(luma, vals * 17)
+
+    bits = np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1, 1],
+                     [0, 1, 0, 0, 1, 1, 0, 1, 0, 0]], dtype=np.uint8)
+    raster = b"".join(b"\x00" + np.packbits(bits[y]).tobytes() for y in range(2))
+    blob = (_PNG_SIG + _png_chunk_t(b"IHDR", struct.pack(">IIBBBBB", 10, 2, 1, 0, 0, 0, 0))
+            + _png_chunk_t(b"IDAT", zlib.compress(raster)) + _png_chunk_t(b"IEND", b""))
+    w, h, luma = decode_png(blob)
+    assert np.array_equal(luma, bits * 255)
+
+
+def test_codec_png_adam7_interlace():
+    """Adam7: seven independently-filtered sub-images scatter back into
+    the full raster — built by slicing a reference image with the spec's
+    pass grid and compared pixel-exact after decode."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import _ADAM7, _PNG_SIG, decode_png
+
+    ref = (np.arange(9 * 11).reshape(9, 11) * 5 % 256).astype(np.uint8)
+    raster = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = ref[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raster += b"\x00" + row.tobytes()
+    blob = (_PNG_SIG + _png_chunk_t(b"IHDR", struct.pack(">IIBBBBB", 11, 9, 8, 0, 0, 0, 1))
+            + _png_chunk_t(b"IDAT", zlib.compress(bytes(raster)))
+            + _png_chunk_t(b"IEND", b""))
+    w, h, luma = decode_png(blob)
+    assert (w, h) == (11, 9)
+    assert np.array_equal(luma, ref)
+
+
 def test_codec_png_rejects_unsupported_flavors():
     import struct
     import zlib
 
-    from icerunner_spark.operators.codecs import decode_png, encode_png
-
-    sig = b"\x89PNG\r\n\x1a\n"
-
-    def chunk(kind, data):
-        return (struct.pack(">I", len(data)) + kind + data
-                + struct.pack(">I", zlib.crc32(kind + data) & 0xFFFFFFFF))
+    from icerunner_spark.operators.codecs import _PNG_SIG, decode_png, encode_png
 
     with pytest.raises(ValueError):
         decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)  # no IHDR/IDAT
-    # 16-bit depth: honest refusal (falls through to the PIL gate)
-    blob = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
-            + chunk(b"IDAT", zlib.compress(bytes(3))) + chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="16"):
-        decode_png(blob)
-    # Adam7 interlace: refused
-    blob = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
-            + chunk(b"IDAT", zlib.compress(bytes(2))) + chunk(b"IEND", b""))
+    # invalid interlace method
+    blob = (_PNG_SIG + _png_chunk_t(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2))
+            + _png_chunk_t(b"IDAT", zlib.compress(bytes(2))) + _png_chunk_t(b"IEND", b""))
     with pytest.raises(ValueError, match="interlace"):
+        decode_png(blob)
+    # sub-byte depth is only legal for gray/palette
+    blob = (_PNG_SIG + _png_chunk_t(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0))
+            + _png_chunk_t(b"IDAT", zlib.compress(bytes(3))) + _png_chunk_t(b"IEND", b""))
+    with pytest.raises(ValueError, match="depth"):
         decode_png(blob)
     with pytest.raises(ValueError):
         encode_png(_gradient(2, 2)[:, :, None].repeat(4, axis=2))  # RGBA encode
