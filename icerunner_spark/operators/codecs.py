@@ -40,6 +40,7 @@ __all__ = [
     "decode_pnm",
     "encode_gray_bmp",
     "encode_gray_jpeg",
+    "encode_gray_jpeg_progressive",
     "encode_pgm",
     "encode_png",
     "encode_ppm",
@@ -508,9 +509,13 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(b: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a baseline JPEG to (width, height, luma uint8 (h, w)).
-    Luma is the decoded Y plane (JPEG Y is BT.601 luma by definition);
-    chroma blocks are entropy-consumed but not reconstructed."""
+    """Decode a JPEG to (width, height, luma uint8 (h, w)): baseline /
+    extended-sequential (SOF0/SOF1) in one pass, progressive (SOF2) via
+    the multi-scan coefficient accumulator (spectral selection AND
+    successive approximation — the T.81 G.2 / libjpeg jdphuff
+    algorithms). Luma is the decoded Y plane (JPEG Y is BT.601 luma by
+    definition); chroma blocks are entropy-consumed (baseline) or
+    coefficient-accumulated (progressive) but never reconstructed."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG blob")
     pos = 2
@@ -518,6 +523,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, np.ndarray]:
     huff: dict[tuple[int, int], dict] = {}
     sof = None
     restart = 0
+    progressive = False
+    prog = None  # lazy _ProgressiveState
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
@@ -539,7 +546,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, np.ndarray]:
                 )
                 quant[tq] = vals
                 i += 1 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential Huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             prec, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -548,10 +555,11 @@ def decode_jpeg(b: bytes) -> tuple[int, int, np.ndarray]:
                 cid, hv, tq = data[6 + 3 * c], data[7 + 3 * c], data[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             sof = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "unsupported JPEG flavor (progressive/arithmetic); "
-                "only baseline Huffman decodes without PIL"
+                "unsupported JPEG flavor (lossless/arithmetic/hierarchical); "
+                "only Huffman sequential + progressive decode without PIL"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -572,10 +580,29 @@ def decode_jpeg(b: bytes) -> tuple[int, int, np.ndarray]:
             for c in range(ns):
                 cs, tt = data[1 + 2 * c], data[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0xF))
-            return _jpeg_scan(
-                b, pos + 2 + seglen, sof, scan, quant, huff, restart
+            if not progressive:
+                return _jpeg_scan(
+                    b, pos + 2 + seglen, sof, scan, quant, huff, restart
+                )
+            ss, se, ahl = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
+            if prog is None:
+                prog = _ProgressiveState(sof)
+            end = prog.decode_scan(
+                b, pos + 2 + seglen, scan, huff, restart,
+                ss, se, ahl >> 4, ahl & 0xF,
             )
+            # realign to the next marker (skip pad bits / stuffing tail)
+            pos = end
+            while pos + 1 < len(b) and not (
+                b[pos] == 0xFF
+                and b[pos + 1] != 0x00
+                and not (0xD0 <= b[pos + 1] <= 0xD7)
+            ):
+                pos += 1
+            continue
         pos += 2 + seglen
+    if progressive and prog is not None:
+        return prog.reconstruct(quant)
     raise ValueError("JPEG missing SOS scan")
 
 
@@ -642,6 +669,181 @@ def _decode_block(reader, dc_table, ac_table, pred, cid):
         coef[k] = _extend(reader.bits(s), s)
         k += 1
     return coef
+
+
+class _ProgressiveState:
+    """Coefficient accumulator for progressive JPEG (SOF2): each SOS
+    scan deposits its spectral band / approximation bits into per-
+    component (block_rows, block_cols, 64) arrays; ``reconstruct``
+    dequantizes + IDCTs the Y component once all scans have landed.
+    Algorithms follow T.81 G.2 (the libjpeg jdphuff control flow): DC
+    first/refine, AC first with EOB runs, AC refine with correction
+    bits interleaved into zero runs."""
+
+    def __init__(self, sof):
+        self.w, self.h, self.comps = sof
+        self.hmax = max(c[1] for c in self.comps)
+        self.vmax = max(c[2] for c in self.comps)
+        self.mcux = -(-self.w // (8 * self.hmax))
+        self.mcuy = -(-self.h // (8 * self.vmax))
+        self.by_id = {c[0]: c for c in self.comps}
+        # MCU-padded coefficient store per component; non-interleaved
+        # scans only touch the unpadded block grid inside it
+        self.coef = {
+            cid: np.zeros((self.mcuy * v, self.mcux * hs, 64), np.int64)
+            for cid, hs, v, _ in self.comps
+        }
+
+    def _grid(self, cid):
+        """Non-interleaved (single-component) block grid: ceil over the
+        component's scaled dimensions, NO MCU padding (T.81 A.2.2)."""
+        _, hs, v, _ = self.by_id[cid]
+        cw = -(-self.w * hs // self.hmax)
+        chh = -(-self.h * v // self.vmax)
+        return -(-cw // 8), -(-chh // 8)  # (wb, hb)
+
+    def decode_scan(self, b, pos, scan, huff, restart, ss, se, ah, al):
+        reader = _BitReader(b, pos)
+        state = {"eobrun": 0, "pred": {c[0]: 0 for c in self.comps}}
+
+        def maybe_restart(n_done):
+            if restart and n_done and n_done % restart == 0:
+                reader.reset()
+                state["eobrun"] = 0
+                state["pred"] = {c[0]: 0 for c in self.comps}
+
+        if ss == 0:  # DC scan (interleaved when ns > 1)
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            tables = {cs: huff.get((0, td)) for cs, td, _ in scan}
+            if ah == 0 and any(t is None for t in tables.values()):
+                raise ValueError("DC scan references an undefined Huffman table")
+            if len(scan) > 1:
+                n = 0
+                for my in range(self.mcuy):
+                    for mx in range(self.mcux):
+                        maybe_restart(n)
+                        for cs, td, _ in scan:
+                            _, hs, v, _ = self.by_id[cs]
+                            for by in range(v):
+                                for bx in range(hs):
+                                    blk = self.coef[cs][my * v + by, mx * hs + bx]
+                                    self._dc(reader, tables[cs], state, cs, blk, ah, al)
+                        n += 1
+            else:
+                cs = scan[0][0]
+                wb, hb = self._grid(cs)
+                for i in range(wb * hb):
+                    maybe_restart(i)
+                    blk = self.coef[cs][i // wb, i % wb]
+                    self._dc(reader, tables[cs], state, cs, blk, ah, al)
+        else:  # AC scan: always single-component
+            if len(scan) != 1:
+                raise ValueError("progressive AC scan must be non-interleaved")
+            cs, _, ta = scan[0]
+            table = huff.get((1, ta))
+            if table is None:
+                raise ValueError("AC scan references an undefined Huffman table")
+            wb, hb = self._grid(cs)
+            fn = self._ac_first if ah == 0 else self._ac_refine
+            for i in range(wb * hb):
+                maybe_restart(i)
+                blk = self.coef[cs][i // wb, i % wb]
+                fn(reader, table, state, blk, ss, se, al)
+        return reader.pos
+
+    @staticmethod
+    def _dc(reader, table, state, cs, blk, ah, al):
+        if ah == 0:  # first scan: full diff, shifted up by Al
+            t = reader.decode(table)
+            diff = _extend(reader.bits(t), t) if t else 0
+            state["pred"][cs] += diff
+            blk[0] = state["pred"][cs] << al
+        else:  # refinement: one correction bit
+            if reader.bit():
+                blk[0] |= 1 << al
+
+    @staticmethod
+    def _ac_first(reader, table, state, blk, ss, se, al):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode(table)
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC run overflows band")
+                blk[k] = _extend(reader.bits(s), s) << al
+                k += 1
+            else:
+                if r != 15:
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.bits(r)
+                    break
+                k += 16  # ZRL
+
+    @staticmethod
+    def _ac_refine(reader, table, state, blk, ss, se, al):
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.decode(table)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        # EOBr: the run INCLUDES this block — corrections
+                        # for its remaining coefs run below, then the
+                        # decrement consumes it (libjpeg convention)
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += reader.bits(r)
+                        break
+                    # r == 15: run of 16 zero-history coefficients
+                else:  # s == 1: a coefficient becomes nonzero at this bit
+                    newval = p1 if reader.bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    blk[k] = newval
+                k += 1
+        # EOB region: correction bits for this block's remaining
+        # nonzero-history coefs, then the run consumes this block
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0 and reader.bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    def reconstruct(self, quant):
+        y_id, y_h, y_v, y_tq = self.comps[0]
+        if y_tq not in quant:
+            raise ValueError("JPEG missing quantization table for Y")
+        q = quant[y_tq]
+        wb, hb = self._grid(y_id)
+        yplane = np.zeros((hb * 8, wb * 8), np.float64)
+        for br in range(hb):
+            for bc in range(wb):
+                blk = np.zeros(64, np.float64)
+                blk[_ZIGZAG] = self.coef[y_id][br, bc] * q
+                yplane[br * 8 : br * 8 + 8, bc * 8 : bc * 8 + 8] = (
+                    _DCT_M.T @ blk.reshape(8, 8) @ _DCT_M
+                )
+        luma = np.clip(np.round(yplane + 128), 0, 255).astype(np.uint8)
+        return self.w, self.h, luma[: self.h, : self.w]
 
 
 class _BitWriter:
@@ -745,6 +947,162 @@ def encode_gray_jpeg(
     return (
         b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bw.out) + b"\xff\xd9"
     )
+
+
+def encode_gray_jpeg_progressive(gray: np.ndarray, quality: int = 85) -> bytes:
+    """Encode a (h, w) uint8 grayscale array as a PROGRESSIVE JPEG
+    (SOF2) with a six-scan script exercising both progressive modes:
+    spectral selection (DC / AC 1-5 / AC 6-63) and successive
+    approximation (each band lands at Al=1 first, then a refinement
+    scan delivers the low bit). The scan emitters mirror the decoder's
+    T.81 G.2 control flow symbol-for-symbol."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.clip((_K1_QUANT * scale + 50) // 100, 1, 255)
+    dc = _canonical_codes(_DC_LUM_COUNTS, _DC_LUM_SYMBOLS)
+    ac = _canonical_codes(_AC_LUM_COUNTS, _AC_LUM_SYMBOLS)
+    enc_dc = {sym: (code, ln) for (ln, code), sym in dc.items()}
+    enc_ac = {sym: (code, ln) for (ln, code), sym in ac.items()}
+
+    def cat(v: int) -> int:
+        return int(v != 0 and np.floor(np.log2(abs(v))) + 1)
+
+    hb, wb = -(-h // 8), -(-w // 8)
+    padded = np.pad(gray, ((0, hb * 8 - h), (0, wb * 8 - w)), mode="edge")
+    blocks = []
+    for by in range(hb):
+        for bx in range(wb):
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
+            coef = _DCT_M @ (blk - 128) @ _DCT_M.T
+            blocks.append(np.round(coef.reshape(-1)[_ZIGZAG] / q).astype(np.int64))
+
+    def scan_dc_first(bw, al):
+        pred = 0
+        for zz in blocks:
+            v = int(zz[0]) >> al  # arithmetic shift: refine ORs the low bit back
+            diff = v - pred
+            pred = v
+            t = cat(diff)
+            code, ln = enc_dc[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+    def scan_dc_refine(bw, al):
+        for zz in blocks:
+            bw.write((int(zz[0]) >> al) & 1, 1)
+
+    def scan_ac_first(bw, ss, se, al):
+        for zz in blocks:
+            va = [
+                (abs(int(zz[k])) >> al) * (1 if zz[k] > 0 else -1)
+                for k in range(ss, se + 1)
+            ]
+            nz = [i for i, v in enumerate(va) if v]
+            run = 0
+            last = nz[-1] if nz else -1
+            i = 0
+            while i <= last:
+                v = va[i]
+                if v == 0:
+                    run += 1
+                    i += 1
+                    continue
+                while run > 15:
+                    code, ln = enc_ac[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = cat(v)
+                code, ln = enc_ac[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+                i += 1
+            if last < len(va) - 1:
+                code, ln = enc_ac[0x00]  # EOB (run of exactly 1 block)
+                bw.write(code, ln)
+
+    def scan_ac_refine(bw, ss, se, al):
+        # mirrors _ProgressiveState._ac_refine: symbols first, then the
+        # interleaved correction bits the decoder will consume
+        for zz in blocks:
+            absv = [abs(int(zz[k])) for k in range(ss, se + 1)]
+            sign = [1 if zz[k] > 0 else -1 for k in range(ss, se + 1)]
+            hist = [a >> (al + 1) != 0 for a in absv]
+            newly = [a >> al == 1 and not hh for a, hh in zip(absv, hist)]
+            n = len(absv)
+            k = 0
+            while k <= n - 1:
+                j, r, target = k, 0, None
+                while j < n:
+                    if not hist[j]:
+                        if newly[j]:
+                            target = j
+                            break
+                        r += 1
+                    j += 1
+                if target is None:
+                    code, ln = enc_ac[0x00]  # EOB
+                    bw.write(code, ln)
+                    for j2 in range(k, n):
+                        if hist[j2]:
+                            bw.write((absv[j2] >> al) & 1, 1)
+                    k = n
+                    break
+                while r > 15:
+                    code, ln = enc_ac[0xF0]  # ZRL: 16 zero-history coefs
+                    bw.write(code, ln)
+                    zeros = 0
+                    while k < n:
+                        if hist[k]:
+                            bw.write((absv[k] >> al) & 1, 1)
+                        else:
+                            zeros += 1
+                            if zeros == 16:
+                                k += 1
+                                break
+                        k += 1
+                    r -= 16
+                code, ln = enc_ac[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if sign[target] > 0 else 0, 1)
+                while k < target:
+                    if hist[k]:
+                        bw.write((absv[k] >> al) & 1, 1)
+                    k += 1
+                k = target + 1
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_LUM_COUNTS) + bytes(_DC_LUM_SYMBOLS)
+        + bytes([0x10]) + bytes(_AC_LUM_COUNTS) + bytes(_AC_LUM_SYMBOLS),
+    )
+    script = [
+        (scan_dc_first, 0, 0, 0, 1),
+        (scan_ac_first, 1, 5, 0, 1),
+        (scan_ac_first, 6, 63, 0, 1),
+        (scan_dc_refine, 0, 0, 1, 0),
+        (scan_ac_refine, 1, 5, 1, 0),
+        (scan_ac_refine, 6, 63, 1, 0),
+    ]
+    for fn, ss, se, ah, al in script:
+        bw = _BitWriter()
+        if fn in (scan_dc_first, scan_dc_refine):
+            fn(bw, al)
+        else:
+            fn(bw, ss, se, al)
+        bw.flush()
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += bytes(bw.out)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def decode_image_bytes(b: bytes) -> tuple[int, int, np.ndarray]:

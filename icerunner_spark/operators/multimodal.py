@@ -21,7 +21,7 @@ installed (all formats), else the dependency-free numpy codecs in
 depth/color-type/interlace combination via stdlib zlib inflate +
 scanline unfiltering; baseline JPEG via canonical Huffman + IDCT) — a
 REAL pixel decode pinned against seeded gradient fixtures in
-tests/test_multimodal.py. Only progressive/arithmetic JPEG without PIL
+tests/test_multimodal.py. Only arithmetic-coded / lossless / hierarchical JPEG without PIL
 keeps the honest ``NotImplementedError`` gate; ``fake_decode`` remains
 the deterministic double for plumbing tests.
 """
@@ -270,7 +270,7 @@ def decode_images(assets: DataFrame, *, use_fake: bool = False) -> DataFrame:
     Codec resolution per blob: PIL when installed (all formats), else
     the dependency-free numpy codecs (24-bit BMP, binary PPM/PGM, 8-bit
     PNG — operators.codecs), else the honest ``NotImplementedError``
-    (JPEG genuinely needs a codec library). ``use_fake=True`` keeps the
+    (arithmetic/lossless JPEG genuinely needs a codec library). ``use_fake=True`` keeps the
     deterministic stub for plumbing tests. One Arrow-batched
     ``mapInPandas`` stage, narrow map, zero shuffles."""
 
@@ -302,7 +302,7 @@ def decode_images(assets: DataFrame, *, use_fake: bool = False) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         "decoding this blob needs a codec library (PIL): "
-                        "only BMP/PPM/PGM/8-bit-PNG decode without one"
+                        "only BMP/PPM/PGM/PNG/Huffman-JPEG decode without one"
                     )
                 rows.append((int(aid), w, h, luma))
             yield pd.DataFrame(
@@ -365,7 +365,7 @@ def resize_images(
                 else:
                     raise NotImplementedError(
                         "resizing this blob needs a codec library (PIL): "
-                        "only BMP/PPM/PGM/8-bit-PNG decode without one"
+                        "only BMP/PPM/PGM/PNG/Huffman-JPEG decode without one"
                     )
                 rows.append((int(aid), encode_gray_bmp(luma), width, height))
             yield pd.DataFrame(

@@ -626,19 +626,9 @@ def test_codec_jpeg_color_444_and_420():
         assert err.max() <= 3, (sampling, err.max())
 
 
-def test_codec_jpeg_rejects_progressive():
-    import struct
-
+def test_codec_jpeg_rejects_non_jpeg():
     from icerunner_spark.operators.codecs import decode_jpeg
 
-    def seg(m, p):
-        return bytes([0xFF, m]) + struct.pack(">H", len(p) + 2) + p
-
-    blob = b"\xff\xd8" + seg(
-        0xC2, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
-    )
-    with pytest.raises(ValueError, match="progressive"):
-        decode_jpeg(blob)
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG not a jpeg")
 
@@ -657,3 +647,48 @@ def test_decode_images_real_jpeg_in_spark(spark):
     ).collect()[0]
     assert (out["width"], out["height"]) == (24, 32)
     assert out["mean_luma"] == pytest.approx(float(g.mean()), abs=1.0)
+
+
+def test_codec_jpeg_progressive_matches_baseline_decode():
+    """Progressive (SOF2) decode must reconstruct EXACTLY the same
+    pixels as the baseline decode of the same quantized coefficients —
+    the six-scan script covers spectral selection (DC / AC 1-5 /
+    AC 6-63) AND successive approximation (Al=1 first pass + Al=0
+    refinement for every band), exercising DC refine bits, AC EOB runs,
+    ZRL-in-refine, and the correction-bit interleave."""
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import (
+        decode_jpeg,
+        encode_gray_jpeg,
+        encode_gray_jpeg_progressive,
+    )
+
+    y, x = np.mgrid[0:24, 0:33]
+    smooth = np.clip(y * 4 + x * 2, 0, 255).astype(np.uint8)
+    noise = np.random.RandomState(3).randint(0, 256, (40, 56)).astype(np.uint8)
+    flat = np.full((8, 8), 128, np.uint8)
+    diag = (np.eye(32) * 255).astype(np.uint8)
+    for img, q in ((smooth, 90), (noise, 40), (flat, 75), (diag, 75)):
+        _, _, prog = decode_jpeg(encode_gray_jpeg_progressive(img, quality=q))
+        _, _, base = decode_jpeg(encode_gray_jpeg(img, quality=q))
+        assert np.array_equal(prog, base), (img.shape, q)
+    # and the smooth gradient stays near-exact end to end
+    _, _, luma = decode_jpeg(encode_gray_jpeg_progressive(smooth, quality=90))
+    assert np.abs(luma.astype(int) - smooth.astype(int)).max() <= 2
+
+
+def test_codec_jpeg_rejects_arithmetic_and_lossless():
+    import struct
+
+    from icerunner_spark.operators.codecs import decode_jpeg
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + struct.pack(">H", len(p) + 2) + p
+
+    for sof in (0xC3, 0xC9, 0xCA):  # lossless, arith sequential, arith progressive
+        blob = b"\xff\xd8" + seg(
+            sof, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+        )
+        with pytest.raises(ValueError, match="unsupported JPEG flavor"):
+            decode_jpeg(blob)
