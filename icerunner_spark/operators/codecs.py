@@ -38,12 +38,14 @@ __all__ = [
     "decode_jpeg",
     "decode_png",
     "decode_pnm",
+    "decode_wav",
     "encode_gray_bmp",
     "encode_gray_jpeg",
     "encode_gray_jpeg_progressive",
     "encode_pgm",
     "encode_png",
     "encode_ppm",
+    "encode_wav",
     "sniff_format",
 ]
 
@@ -63,6 +65,8 @@ def sniff_format(b: bytes) -> str | None:
         return "png"
     if len(b) >= 3 and b[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
     return None
 
 
@@ -1105,6 +1109,72 @@ def encode_gray_jpeg_progressive(gray: np.ndarray, quality: int = 85) -> bytes:
     return bytes(out)
 
 
+# --------------------------------------------------------------------------- #
+# WAV (RIFF PCM): the uncompressed audio baseline. 8/16/32-bit integer
+# and 32-bit float PCM; chunk walk tolerates extension chunks (LIST,
+# fact, ...). Compressed codecs (MP3/AAC/...) have no pure-python path.
+# --------------------------------------------------------------------------- #
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an (n_frames,) or (n_frames, n_channels) int16 array as a
+    RIFF/WAVE PCM blob."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n_frames, n_ch = s.shape
+    data = s.tobytes()
+    block = n_ch * 2
+    fmt = struct.pack("<HHIIHH", 1, n_ch, sample_rate, sample_rate * block, block, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a RIFF/WAVE PCM blob to (sample_rate, n_channels,
+    n_frames, float64 samples (n_frames, n_channels) scaled to [-1, 1]).
+    Integer PCM divides by 2^(bits-1) (8-bit is unsigned, offset 128);
+    float32 PCM passes through. Raises ValueError on compressed
+    formats."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        chunk = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_ch, rate, _, _, bits = fmt
+    if audio_format == 0xFFFE and len(b) >= 2:  # WAVE_FORMAT_EXTENSIBLE
+        raise ValueError("unsupported WAV flavor (extensible)")
+    if audio_format == 1:  # integer PCM
+        if bits == 8:
+            arr = np.frombuffer(data, np.uint8).astype(np.float64)
+            arr = (arr - 128.0) / 128.0
+        elif bits == 16:
+            arr = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+        elif bits == 32:
+            arr = np.frombuffer(data, "<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_format == 3 and bits == 32:  # IEEE float
+        arr = np.frombuffer(data, "<f4").astype(np.float64)
+    else:
+        raise ValueError(
+            f"unsupported WAV audio format {audio_format} (compressed "
+            "audio needs a codec library)"
+        )
+    n_frames = len(arr) // n_ch
+    return rate, n_ch, n_frames, arr[: n_frames * n_ch].reshape(n_frames, n_ch)
+
+
 def decode_image_bytes(b: bytes) -> tuple[int, int, np.ndarray]:
     """Dispatch on magic bytes: (width, height, luma uint8 (h, w)) for
     any format these codecs handle; ValueError otherwise."""
@@ -1117,4 +1187,6 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, np.ndarray]:
         return decode_png(b)
     if fmt == "jpeg":
         return decode_jpeg(b)
+    if fmt == "wav":
+        raise ValueError("RIFF/WAVE is audio — decode with decode_wav")
     raise ValueError("no pure-python codec for this blob (need PIL)")

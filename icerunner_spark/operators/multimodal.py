@@ -21,9 +21,11 @@ installed (all formats), else the dependency-free numpy codecs in
 depth/color-type/interlace combination via stdlib zlib inflate +
 scanline unfiltering; baseline JPEG via canonical Huffman + IDCT) — a
 REAL pixel decode pinned against seeded gradient fixtures in
-tests/test_multimodal.py. Only arithmetic-coded / lossless / hierarchical JPEG without PIL
-keeps the honest ``NotImplementedError`` gate; ``fake_decode`` remains
-the deterministic double for plumbing tests.
+tests/test_multimodal.py. Audio decodes for real too (RIFF/WAVE PCM via
+``codecs.decode_wav``). Only arithmetic-coded / lossless / hierarchical
+JPEG and compressed audio (MP3/AAC/...) keep the honest
+``NotImplementedError`` gate; ``fake_decode`` remains the deterministic
+double for plumbing tests.
 """
 
 from __future__ import annotations
@@ -373,3 +375,58 @@ def resize_images(
             )
 
     return assets.mapInPandas(batches, schema=out_schema)
+
+
+# --------------------------------------------------------------------------- #
+# audio decode (REAL for RIFF/WAVE PCM — operators.codecs.decode_wav)
+# --------------------------------------------------------------------------- #
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+    ]
+)
+
+
+def decode_audio(assets: DataFrame) -> DataFrame:
+    """Decode audio blobs to (sample_rate, n_channels, n_frames,
+    duration_s, rms, peak). RIFF/WAVE PCM (8/16/32-bit int, 32-bit
+    float) decodes for real via the dependency-free codec; compressed
+    audio (MP3/AAC/...) raises the honest ``NotImplementedError`` per
+    blob — same policy as image decode. One Arrow-batched
+    ``mapInPandas`` stage, narrow map, zero shuffles; rms/peak are
+    numpy reductions over the sample matrix, computed on [-1, 1]
+    normalized amplitudes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from icerunner_spark.operators.codecs import decode_wav, sniff_format
+
+        for pdf in it:
+            rows = []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(blob) if blob is not None else b""
+                if sniff_format(b) != "wav":
+                    raise NotImplementedError(
+                        "decoding this audio blob needs a codec library: "
+                        "only RIFF/WAVE PCM decodes without one"
+                    )
+                rate, n_ch, n_frames, samples = decode_wav(b)
+                rms = float(np.sqrt((samples**2).mean())) if samples.size else 0.0
+                peak = float(np.abs(samples).max()) if samples.size else 0.0
+                rows.append(
+                    (
+                        int(aid), rate, n_ch, n_frames,
+                        n_frames / rate if rate else 0.0, rms, peak,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _AUDIO_SCHEMA.fields])
+
+    return assets.mapInPandas(batches, schema=_AUDIO_SCHEMA)

@@ -57,11 +57,13 @@ def register(name: str, oracle: str | None = None):
 # unrotated query cannot hide indefinitely. Recompute the stalest list
 # each round from CORRECTNESS_r*.json:
 #   latest[name] = max round containing name; sort by (latest, name).
-# Round 7: 1 never-checked (multimodal_decode_stats, new this round) +
-# the 11 r2-latest + 14 r3-latest + 7 oldest r4-latest names.
+# Round 7: 2 never-checked (multimodal_decode_stats and
+# multimodal_audio_stats, both new this round) + the 11 r2-latest +
+# 14 r3-latest + 6 oldest r4-latest names.
 _DRIVER_WINDOW = [
     # --- 33 stalest (latest driver row in parens) ---
-    "multimodal_decode_stats",  # never — new in r7, real codec decode
+    "multimodal_decode_stats",  # never — new in r7, real image decode
+    "multimodal_audio_stats",  # never — new in r7, real WAV decode
     "anti_join_customers_without_orders",  # r2
     "cube_lineitem_flags",  # r2
     "date_parts_orders",  # r2
@@ -93,7 +95,6 @@ _DRIVER_WINDOW = [
     "cdc_changes_since_snapshot",  # r4
     "dedup_exact_documents",  # r4
     "distinct_agg_lineitem",  # r4
-    "embedding_cosine_neardup",  # r4
     # --- 17 keepers, one per operator family ---
     "q1_pricing_summary",  # TPC-H aggregation
     "window_topk_orders_per_customer",  # window functions
@@ -1994,6 +1995,65 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(assets).select(
         "asset_id", "width", "height",
         F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+@register(
+    "multimodal_audio_stats",
+    # Seeded integer waveforms ENCODED as RIFF/WAVE PCM in-query and
+    # decoded by the real dependency-free codec (operators.codecs
+    # .decode_wav): sample k of doc d is ((d*13 + k*7) % 2001) - 1000
+    # over 400 frames at 8 kHz, so rate/channels/frames/duration/rms/
+    # peak are all DuckDB-computable from the generator arithmetic.
+    oracle="""
+    WITH s AS (
+        SELECT d.doc_id,
+               (((d.doc_id * 13 + k.k * 7) % 2001) - 1000) / 32768.0 AS v
+        FROM documents d, range(0, 400) AS k(k)
+        WHERE d.doc_id < 30
+    )
+    SELECT doc_id AS asset_id,
+           8000 AS sample_rate,
+           1 AS n_channels,
+           CAST(400 AS BIGINT) AS n_frames,
+           CAST(0.05 AS DOUBLE) AS duration_s,
+           ROUND(SQRT(AVG(v * v)), 6) AS rms,
+           ROUND(MAX(ABS(v)), 6) AS peak
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode end-to-end (operators.multimodal.decode_audio):
+    30 seeded int16 PCM waveforms encoded as RIFF/WAVE blobs inside an
+    Arrow-batched stage, then decoded — header chunk walk, amplitude
+    normalization to [-1, 1], rms/peak reductions — by the pure-numpy
+    WAV codec (no audio library in this container; compressed formats
+    keep the honest per-blob gate). Narrow map end-to-end: blobs never
+    shuffle."""
+    from icerunner_spark.operators.multimodal import as_assets, decode_audio
+
+    def encode_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from icerunner_spark.operators.codecs import encode_wav
+
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k = np.arange(400, dtype=np.int64)
+                samples = (((d * 13 + k * 7) % 2001) - 1000).astype(np.int16)
+                blobs.append(encode_wav(samples, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 30)
+    blobs = d.mapInPandas(encode_batches, schema="doc_id long, blob binary")
+    assets = as_assets(blobs, "doc_id", "blob", kind="audio",
+                       content_type="audio/x-wav")
+    return decode_audio(assets).select(
+        "asset_id", "sample_rate", "n_channels", "n_frames", "duration_s",
+        F.round("rms", 6).alias("rms"), F.round("peak", 6).alias("peak"),
     )
 
 

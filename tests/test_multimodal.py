@@ -1,5 +1,6 @@
-"""Multimodal binary-column operators: real byte analytics, stubbed codecs
-(operators/multimodal.py; SURVEY.md §2.C)."""
+"""Multimodal binary-column operators: real byte analytics and real
+pure-numpy codecs — BMP/PPM/PGM/PNG/JPEG image decode, RIFF/WAVE audio
+decode (operators/multimodal.py, operators/codecs.py; SURVEY.md §2.C)."""
 
 from __future__ import annotations
 
@@ -12,6 +13,7 @@ from pyspark.sql import functions as F
 from icerunner_spark.operators.multimodal import (
     as_assets,
     chunk_content,
+    decode_audio,
     decode_images,
     documents_as_assets,
     extract_features,
@@ -692,3 +694,58 @@ def test_codec_jpeg_rejects_arithmetic_and_lossless():
         )
         with pytest.raises(ValueError, match="unsupported JPEG flavor"):
             decode_jpeg(blob)
+
+
+# --------------------------------------------------------------------------- #
+# WAV codec + decode_audio (r7)
+# --------------------------------------------------------------------------- #
+
+
+def test_codec_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import decode_wav, encode_wav
+
+    s = (np.sin(np.arange(800) / 10) * 20000).astype(np.int16)
+    rate, ch, nf, arr = decode_wav(encode_wav(s, 16000))
+    assert (rate, ch, nf) == (16000, 1, 800)
+    assert np.allclose(arr[:, 0], s / 32768.0)
+    stereo = np.stack([s, -s], axis=1)
+    rate, ch, nf, arr = decode_wav(encode_wav(stereo, 8000))
+    assert (rate, ch, nf) == (8000, 2, 800)
+    assert np.allclose(arr[:, 1], -s / 32768.0)
+
+
+def test_codec_wav_rejects_compressed():
+    import struct
+
+    from icerunner_spark.operators.codecs import decode_wav
+
+    # format tag 85 = MP3-in-WAV: honest refusal
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)
+    blob = (b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="codec library"):
+        decode_wav(blob)
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS not a wav")
+
+
+def test_decode_audio_real_wav_in_spark(spark):
+    """decode_audio resolves WAV blobs through the real codec in the
+    executor: rate/channels/frames/duration/rms pinned against numpy."""
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import encode_wav
+
+    s = (np.sin(np.arange(400) / 5) * 16000).astype(np.int16)
+    out = decode_audio(_asset_df(spark, {1: encode_wav(s, 8000)})).collect()[0]
+    assert (out["sample_rate"], out["n_channels"], out["n_frames"]) == (8000, 1, 400)
+    assert out["duration_s"] == pytest.approx(0.05)
+    v = s / 32768.0
+    assert out["rms"] == pytest.approx(float(np.sqrt((v**2).mean())), abs=1e-9)
+    assert out["peak"] == pytest.approx(float(np.abs(v).max()), abs=1e-9)
+    # compressed audio hits the honest gate
+    with pytest.raises(Exception, match="codec"):
+        decode_audio(_asset_df(spark, {2: b"\xff\xfb\x90Dmp3frame"})).collect()
