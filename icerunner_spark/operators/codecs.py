@@ -67,6 +67,8 @@ def sniff_format(b: bytes) -> str | None:
         return "jpeg"
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -1173,6 +1175,87 @@ def decode_wav(b: bytes) -> tuple[int, int, int, np.ndarray]:
         )
     n_frames = len(arr) // n_ch
     return rate, n_ch, n_frames, arr[: n_frames * n_ch].reshape(n_frames, n_ch)
+
+
+# --------------------------------------------------------------------------- #
+# AVI (RIFF) with MJPEG frames: the one video codec a dependency-free
+# decoder can honestly support — the container is a chunk walk and
+# every frame is a baseline JPEG (decode_jpeg above). Inter-frame
+# codecs (H.264/VP9/...) have no pure-python path and keep the gate.
+# --------------------------------------------------------------------------- #
+
+
+def encode_mjpeg_avi(frames: list, fps: int = 10, quality: int = 90) -> bytes:
+    """Encode a list of (h, w) uint8 grayscale arrays as an MJPEG AVI
+    (one 'vids'/'MJPG' stream, one '00dc' chunk per frame)."""
+    if not frames:
+        raise ValueError("encode_mjpeg_avi: no frames")
+    h, w = np.asarray(frames[0]).shape
+    jpegs = [encode_gray_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                                  len(frames), 0, 10_000, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(b: bytes) -> tuple[int, int, float, list]:
+    """Decode an MJPEG AVI to (width, height, fps, [luma arrays]) —
+    RIFF chunk walk for the header + 'movi' stream, then each '00dc'/
+    '00db' frame through :func:`decode_jpeg`. Raises ValueError for
+    non-MJPEG streams (inter-frame codecs genuinely need a library)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI blob")
+    w = h = None
+    fps = 0.0
+    frames: list = []
+
+    def walk(data: bytes) -> None:
+        nonlocal w, h, fps
+        pos = 0
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            size = struct.unpack_from("<I", data, pos + 4)[0]
+            payload = data[pos + 8 : pos + 8 + size]
+            if cid == b"LIST":
+                walk(payload[4:])
+            elif cid == b"avih":
+                us = struct.unpack_from("<I", payload, 0)[0]
+                fps = 1_000_000 / us if us else 0.0
+                w, h = struct.unpack_from("<II", payload, 32)
+            elif cid == b"strh" and payload[:4] == b"vids":
+                if payload[4:8] not in (b"MJPG", b"mjpg"):
+                    raise ValueError(
+                        f"unsupported AVI video codec {payload[4:8]!r}: "
+                        "only MJPEG decodes without a video library"
+                    )
+            elif cid[2:] in (b"dc", b"db") and payload[:2] == b"\xff\xd8":
+                frames.append(decode_jpeg(payload)[2])
+            pos += 8 + size + (size & 1)
+
+    walk(b[12:])
+    if w is None:
+        raise ValueError("AVI missing avih header")
+    return int(w), int(h), fps, frames
 
 
 def decode_image_bytes(b: bytes) -> tuple[int, int, np.ndarray]:

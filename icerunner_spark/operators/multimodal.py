@@ -430,3 +430,52 @@ def decode_audio(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in _AUDIO_SCHEMA.fields])
 
     return assets.mapInPandas(batches, schema=_AUDIO_SCHEMA)
+
+
+# --------------------------------------------------------------------------- #
+# video decode (REAL for MJPEG-in-AVI — operators.codecs.decode_avi)
+# --------------------------------------------------------------------------- #
+
+_VIDEO_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fps", DoubleType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def decode_video(assets: DataFrame) -> DataFrame:
+    """Decode video blobs to (width, height, n_frames, fps, mean_luma
+    over every decoded frame). MJPEG-in-AVI decodes for real — RIFF
+    chunk walk for the container, the pure-python baseline-JPEG decoder
+    per frame; inter-frame codecs (H.264/VP9/...) raise the honest
+    ``NotImplementedError`` per blob. One Arrow-batched ``mapInPandas``
+    stage, narrow map, zero shuffles. n_frames counts frames actually
+    DECODED (not the header claim), so the row proves pixels flowed."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from icerunner_spark.operators.codecs import decode_avi, sniff_format
+
+        for pdf in it:
+            rows = []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(blob) if blob is not None else b""
+                if sniff_format(b) != "avi":
+                    raise NotImplementedError(
+                        "decoding this video blob needs a codec library: "
+                        "only MJPEG-in-AVI decodes without one"
+                    )
+                w, h, fps, frames = decode_avi(b)
+                mean = (
+                    float(np.mean([f.mean() for f in frames])) if frames else 0.0
+                )
+                rows.append((int(aid), w, h, len(frames), fps, mean))
+            yield pd.DataFrame(rows, columns=[f.name for f in _VIDEO_SCHEMA.fields])
+
+    return assets.mapInPandas(batches, schema=_VIDEO_SCHEMA)

@@ -57,13 +57,14 @@ def register(name: str, oracle: str | None = None):
 # unrotated query cannot hide indefinitely. Recompute the stalest list
 # each round from CORRECTNESS_r*.json:
 #   latest[name] = max round containing name; sort by (latest, name).
-# Round 7: 2 never-checked (multimodal_decode_stats and
-# multimodal_audio_stats, both new this round) + the 11 r2-latest +
-# 14 r3-latest + 6 oldest r4-latest names.
+# Round 7: 3 never-checked (multimodal_decode_stats / audio / video,
+# all new this round) + the 11 r2-latest + 14 r3-latest + 5 oldest
+# r4-latest names.
 _DRIVER_WINDOW = [
     # --- 33 stalest (latest driver row in parens) ---
     "multimodal_decode_stats",  # never — new in r7, real image decode
     "multimodal_audio_stats",  # never — new in r7, real WAV decode
+    "multimodal_video_stats",  # never — new in r7, real MJPEG-AVI decode
     "anti_join_customers_without_orders",  # r2
     "cube_lineitem_flags",  # r2
     "date_parts_orders",  # r2
@@ -94,7 +95,6 @@ _DRIVER_WINDOW = [
     "bm25_retrieval",  # r4
     "cdc_changes_since_snapshot",  # r4
     "dedup_exact_documents",  # r4
-    "distinct_agg_lineitem",  # r4
     # --- 17 keepers, one per operator family ---
     "q1_pricing_summary",  # TPC-H aggregation
     "window_topk_orders_per_customer",  # window functions
@@ -2054,6 +2054,58 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(assets).select(
         "asset_id", "sample_rate", "n_channels", "n_frames", "duration_s",
         F.round("rms", 6).alias("rms"), F.round("peak", 6).alias("peak"),
+    )
+
+
+@register(
+    "multimodal_video_stats",
+    # Seeded MJPEG-in-AVI clips ENCODED in-query (RIFF container + the
+    # pure-python baseline-JPEG encoder per frame) and decoded by the
+    # real codec chain. JPEG is lossy, so pixel stats aren't
+    # oracle-computable — the oracle checks the DECODE-DERIVED facts
+    # that are exact: container dims, fps, and n_frames counted from
+    # frames actually decoded (not the header claim). Per-frame luma
+    # accuracy is pinned in tests/test_multimodal.py.
+    oracle="""
+    SELECT doc_id AS asset_id,
+           24 AS width, 16 AS height, 3 AS n_frames,
+           CAST(10.0 AS DOUBLE) AS fps
+    FROM documents WHERE doc_id < 12
+    """,
+)
+def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video decode end-to-end (operators.multimodal.decode_video):
+    12 seeded three-frame MJPEG AVI clips built inside an Arrow-batched
+    stage, then decoded — RIFF chunk walk, per-frame baseline-JPEG
+    Huffman decode + IDCT — by the dependency-free codecs (no video
+    library in this container; inter-frame codecs keep the honest
+    per-blob gate). Narrow map end-to-end: blobs never shuffle."""
+    from icerunner_spark.operators.multimodal import as_assets, decode_video
+
+    def encode_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from icerunner_spark.operators.codecs import encode_mjpeg_avi
+
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                y, x = np.mgrid[0:16, 0:24]
+                frames = [
+                    np.clip(d * 5 + f * 20 + y * 3 + x * 2, 0, 255).astype(np.uint8)
+                    for f in range(3)
+                ]
+                blobs.append(encode_mjpeg_avi(frames, fps=10))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 12)
+    blobs = d.mapInPandas(encode_batches, schema="doc_id long, blob binary")
+    assets = as_assets(blobs, "doc_id", "blob", kind="video",
+                       content_type="video/x-msvideo")
+    return decode_video(assets).select(
+        "asset_id", "width", "height", "n_frames", "fps"
     )
 
 

@@ -15,6 +15,7 @@ from icerunner_spark.operators.multimodal import (
     chunk_content,
     decode_audio,
     decode_images,
+    decode_video,
     documents_as_assets,
     extract_features,
     fake_decode_dims,
@@ -749,3 +750,64 @@ def test_decode_audio_real_wav_in_spark(spark):
     # compressed audio hits the honest gate
     with pytest.raises(Exception, match="codec"):
         decode_audio(_asset_df(spark, {2: b"\xff\xfb\x90Dmp3frame"})).collect()
+
+
+# --------------------------------------------------------------------------- #
+# MJPEG-AVI codec + decode_video (r7)
+# --------------------------------------------------------------------------- #
+
+
+def test_codec_avi_mjpeg_roundtrip():
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import decode_avi, encode_mjpeg_avi
+
+    y, x = np.mgrid[0:16, 0:24]
+    frames = [
+        np.clip(f * 20 + y * 3 + x * 2, 0, 255).astype(np.uint8) for f in range(4)
+    ]
+    w, h, fps, dec = decode_avi(encode_mjpeg_avi(frames, fps=10, quality=90))
+    assert (w, h, fps, len(dec)) == (24, 16, 10.0, 4)
+    for d, f in zip(dec, frames):
+        assert d.shape == f.shape
+        # smooth frames at q90: every pixel within JPEG quantization slack
+        assert np.abs(d.astype(int) - f.astype(int)).max() <= 3
+
+
+def test_codec_avi_rejects_other_video_codecs():
+    import struct
+
+    from icerunner_spark.operators.codecs import decode_avi, encode_mjpeg_avi
+    import numpy as np
+
+    blob = bytearray(encode_mjpeg_avi([np.zeros((8, 8), np.uint8)]))
+    i = blob.find(b"vidsMJPG")
+    blob[i + 4 : i + 8] = b"H264"
+    with pytest.raises(ValueError, match="only MJPEG"):
+        decode_avi(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")  # audio, not AVI
+
+
+def test_decode_video_real_avi_in_spark(spark):
+    """decode_video resolves AVI blobs through the real RIFF + JPEG
+    codec chain in the executor; n_frames counts decoded frames and the
+    mean luma lands within JPEG tolerance of the source frames."""
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import encode_mjpeg_avi
+
+    y, x = np.mgrid[0:16, 0:24]
+    frames = [
+        np.clip(f * 15 + y * 4 + x, 0, 255).astype(np.uint8) for f in range(3)
+    ]
+    out = decode_video(
+        _asset_df(spark, {1: encode_mjpeg_avi(frames, fps=10)})
+    ).collect()[0]
+    assert (out["width"], out["height"], out["n_frames"]) == (24, 16, 3)
+    assert out["fps"] == pytest.approx(10.0)
+    want = float(np.mean([f.mean() for f in frames]))
+    assert out["mean_luma"] == pytest.approx(want, abs=1.0)
+    # non-AVI blob hits the honest gate
+    with pytest.raises(Exception, match="codec"):
+        decode_video(_asset_df(spark, {2: b"\x00\x00\x00\x20ftypisom"})).collect()

@@ -3542,3 +3542,65 @@ def test_conflict_stress_matrix(spark, warehouse):
     # coverage gate there, keep the replay invariants)
     if rounds >= 50:
         assert covered >= set(ROW_OPS + META_OPS + SCHEMA_OPS + ["rollback"]), covered
+
+
+def test_cross_process_commit_race(spark, warehouse):
+    """Commit atomicity holds ACROSS PROCESSES, not just threads: every
+    snapshot publish is an open(..., 'x') CAS on a sequence-numbered
+    file, which POSIX guarantees exactly-once on a local filesystem —
+    the property that lets independent Spark drivers (ingest jobs,
+    maintenance crons) share one table without a coordinator, like the
+    reference's multi-client Flight deployment. Two subprocess drivers
+    race 6 appends each into the same table; every commit must land
+    exactly once — 12 new snapshots, one linear lineage, all 12 disjoint
+    row batches present — with losers retrying against the winner."""
+    import os
+    import subprocess
+    import sys
+
+    path = os.path.join(warehouse, "xproc")
+    t = IceTable(spark, path)
+    t.create(spark.createDataFrame([(0,)], "id long"))
+
+    script = (
+        "import sys\n"
+        "from pyspark.sql import SparkSession\n"
+        "from icerunner_spark.table import IceTable\n"
+        "base, path = int(sys.argv[1]), sys.argv[2]\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .appName('xproc%d' % base)\n"
+        "         .config('spark.ui.enabled', 'false')\n"
+        "         .config('spark.sql.shuffle.partitions', '2')\n"
+        "         .getOrCreate())\n"
+        "t = IceTable(spark, path)\n"
+        "for j in range(6):\n"
+        "    t.append(spark.createDataFrame([(base * 1000 + j,)], 'id long'))\n"
+        "print('XPROC_DONE', base)\n"
+    )
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(b), path],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for b in (1, 2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, err[-2000:]
+        assert "XPROC_DONE" in out
+
+    rows = sorted(r.id for r in t.scan().collect())
+    want = sorted([0] + [b * 1000 + j for b in (1, 2) for j in range(6)])
+    assert rows == want
+    snaps = t.snapshots()
+    assert len(snaps) == 13  # create + 12 appends, none lost or doubled
+    # one linear lineage: every snapshot's parent is the previous sequence
+    by_id = {s.snapshot_id: s for s in snaps}
+    cur, hops = t.current_snapshot(), 0
+    while cur.parent_id is not None:
+        cur = by_id[cur.parent_id]
+        hops += 1
+    assert hops == 12
