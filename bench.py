@@ -92,8 +92,11 @@ HEADLINE = [
     "kmeans_cluster_profile",
     "decontam_semantic_overlap",
     "incremental_bm25_index",
-    # r7 addition: real image decode through the pure-numpy codecs
+    # r7 additions: real image/audio/video decode through the
+    # pure-numpy codecs
     "multimodal_decode_stats",
+    "multimodal_audio_stats",
+    "multimodal_video_stats",
 ]
 
 

@@ -54,6 +54,9 @@ PROBE = [
     "asof_join_events_to_orders",
     "window_running_revenue",
     "exact_substring_spans",
+    # r7 addition: the exact all-pairs cosine (block matmul — the probe
+    # caught its fold-per-pair predecessor at ~128 s on sf1)
+    "embedding_cosine_neardup",
 ]
 
 
