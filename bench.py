@@ -278,11 +278,6 @@ def _ann_recall(spark, sf_dir: str, registry) -> dict[str, float]:
         "similarity_ann_ivf": round(sum(ivf_recalls) / 5, 4),
         "similarity_pq_topk": round(sum(pq_recalls) / 5, 4),
     }
-    for name in ("similarity_ann_ivf", "similarity_pq_topk"):
-        assert rec[name] >= 0.6, (
-            f"{name} mean recall@10 {rec[name]} fell below the 0.6 floor "
-            f"(pinned in tests/test_operators.py) — fix before shipping"
-        )
 
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id",
@@ -352,6 +347,16 @@ def main() -> None:
         "max_spread": round(spreads[-1], 4),
     }
 
+    # recall floor (r6 verdict item 2): a regression must fail LOUDLY
+    # but still emit the parseable artifact — a dead bench is a round
+    # with no perf record (the r6 postmortem), so the violation rides
+    # the JSON and the exit code, not an exception before the print.
+    violations = {
+        n: r
+        for n, r in recall.items()
+        if n in ("similarity_ann_ivf", "similarity_pq_topk") and r < 0.6
+    }
+
     total = round(sum(timings.values()), 4)
     full = {
         "metric": "headline_query_total",
@@ -362,6 +367,8 @@ def main() -> None:
         "recall": recall,
         "noise": noise,
     }
+    if violations:
+        full["recall_violation"] = violations
     # Tail-safe output protocol (r6 postmortem: the one-line JSON outgrew
     # the driver's 2000-char tail capture, truncating the FRONT of the
     # line — BENCH_r06 recorded "parsed": null). The full artifact is
@@ -386,7 +393,14 @@ def main() -> None:
         "noise": noise,
         "queries_detail": "bench_full.json + previous stdout line",
     }
+    if violations:
+        compact["recall_violation"] = violations
     print(json.dumps(compact, separators=(",", ":")))
+    if violations:
+        sys.exit(
+            f"ANN recall below the 0.6 floor (pins in "
+            f"tests/test_operators.py): {violations}"
+        )
 
 
 if __name__ == "__main__":
