@@ -34,12 +34,14 @@ import numpy as np
 
 __all__ = [
     "decode_bmp",
+    "decode_gif",
     "decode_image_bytes",
     "decode_jpeg",
     "decode_png",
     "decode_pnm",
     "decode_wav",
     "encode_gray_bmp",
+    "encode_gray_gif",
     "encode_gray_jpeg",
     "encode_gray_jpeg_progressive",
     "encode_pgm",
@@ -69,6 +71,8 @@ def sniff_format(b: bytes) -> str | None:
         return "wav"
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
         return "avi"
+    if len(b) >= 6 and b[:4] == b"GIF8":
+        return "gif"
     return None
 
 
@@ -1112,6 +1116,208 @@ def encode_gray_jpeg_progressive(gray: np.ndarray, quality: int = 85) -> bytes:
 
 
 # --------------------------------------------------------------------------- #
+# GIF (87a/89a): LZW-compressed palette images. Full variable-width LZW
+# with clear/EOI codes and the 12-bit dictionary cap, global AND local
+# color tables, the 4-pass interlace, and multi-frame files (the FIRST
+# frame decodes to pixels — animation compositing needs disposal
+# semantics no analytics pipeline wants — while n_frames counts all).
+# --------------------------------------------------------------------------- #
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = np.zeros(n_pixels, np.uint8)
+    n_out = 0
+    # bit reader: GIF packs codes LSB-first
+    acc = nbits = pos = 0
+
+    def read(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return eoi
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code + 1
+        prev = None
+
+    width, prev = min_code + 1, None
+    reset()
+    while n_out < n_pixels:
+        code = read(width)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], np.uint8)
+        n_out += take
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def encode_gray_gif(gray: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode a (h, w) uint8 array as a GIF89a with a 256-entry gray
+    palette (index == luma), optionally interlaced."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    rows = gray
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = gray[order]
+    pixels = rows.reshape(-1)
+
+    # LZW encode (min code size 8 for a 256-color palette)
+    min_code = 8
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    codes: list[tuple[int, int]] = []
+    width = min_code + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    codes.append((clear, width))
+    s = b""
+    for px in pixels.tobytes():
+        s2 = s + bytes([px])
+        if s2 in table:
+            s = s2
+            continue
+        codes.append((table[s], width))
+        if next_code < 4096:
+            table[s2] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            codes.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        s = bytes([px])
+    if s:
+        codes.append((table[s], width))
+    codes.append((eoi, width))
+    acc = nbits = 0
+    body = bytearray()
+    for code, cw in codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        body.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT present, 256 entries
+    out += gct
+    flags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, flags)
+    out.append(min_code)
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(b: bytes) -> tuple[int, int, np.ndarray, int]:
+    """Decode a GIF to (width, height, first-frame luma uint8 (h, w),
+    n_frames). Palette RGB resolves through BT.601; interlaced frames
+    de-interlace; later frames are LZW-consumed and counted."""
+    if len(b) < 13 or b[:4] != b"GIF8":
+        raise ValueError("not a GIF blob")
+    w, h, flags, _, _ = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(b, np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    first = None
+    n_frames = 0
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        fx, fy, fw, fh, iflags = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        lct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            lct = np.frombuffer(b, np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
+            pos += 3 * n
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos]:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        n_frames += 1
+        if first is None:
+            if lct is None:
+                raise ValueError("GIF frame has no color table")
+            idx = _gif_lzw_decode(bytes(data), min_code, fw * fh).reshape(fh, fw)
+            if iflags & 0x40:  # de-interlace: invert the 4-pass order
+                order = (
+                    list(range(0, fh, 8)) + list(range(4, fh, 8))
+                    + list(range(2, fh, 4)) + list(range(1, fh, 2))
+                )
+                de = np.zeros_like(idx)
+                de[order] = idx
+                idx = de
+            rgb = lct[np.minimum(idx, len(lct) - 1)].astype(np.uint32)
+            luma = (
+                299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
+            ) // 1000
+            first = (fw, fh, luma.astype(np.uint8))
+    if first is None:
+        raise ValueError("GIF contains no image frame")
+    return first[0], first[1], first[2], n_frames
+
+
+# --------------------------------------------------------------------------- #
 # WAV (RIFF PCM): the uncompressed audio baseline. 8/16/32-bit integer
 # and 32-bit float PCM; chunk walk tolerates extension chunks (LIST,
 # fact, ...). Compressed codecs (MP3/AAC/...) have no pure-python path.
@@ -1270,6 +1476,9 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, np.ndarray]:
         return decode_png(b)
     if fmt == "jpeg":
         return decode_jpeg(b)
+    if fmt == "gif":
+        w, h, luma, _ = decode_gif(b)
+        return w, h, luma
     if fmt == "wav":
         raise ValueError("RIFF/WAVE is audio — decode with decode_wav")
     raise ValueError("no pure-python codec for this blob (need PIL)")

@@ -19,7 +19,8 @@ slicing) are REAL and tested. Image decode resolves per blob: PIL when
 installed (all formats), else the dependency-free numpy codecs in
 ``operators.codecs`` (24-bit BMP; binary PPM/PGM; PNG at every legal
 depth/color-type/interlace combination via stdlib zlib inflate +
-scanline unfiltering; baseline JPEG via canonical Huffman + IDCT) — a
+scanline unfiltering; GIF via variable-width LZW; JPEG sequential and
+progressive via canonical Huffman + IDCT) — a
 REAL pixel decode pinned against seeded gradient fixtures in
 tests/test_multimodal.py. Audio decodes for real too (RIFF/WAVE PCM via
 ``codecs.decode_wav``). Only arithmetic-coded / lossless / hierarchical

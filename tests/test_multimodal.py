@@ -811,3 +811,53 @@ def test_decode_video_real_avi_in_spark(spark):
     # non-AVI blob hits the honest gate
     with pytest.raises(Exception, match="codec"):
         decode_video(_asset_df(spark, {2: b"\x00\x00\x00\x20ftypisom"})).collect()
+
+
+# --------------------------------------------------------------------------- #
+# GIF codec (r7): variable-width LZW, interlace, multi-frame
+# --------------------------------------------------------------------------- #
+
+
+def test_codec_gif_roundtrip_plain_noise_interlaced():
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import decode_gif, encode_gray_gif
+
+    g = ((np.mgrid[0:20, 0:33][0] * 6 + np.mgrid[0:20, 0:33][1] * 3) % 256).astype(
+        np.uint8
+    )
+    w, h, luma, n = decode_gif(encode_gray_gif(g))
+    assert (w, h, n) == (33, 20, 1)
+    assert np.array_equal(luma, g)  # gray palette: LZW is lossless
+    # noise crosses 9->10->11-bit LZW widths and the 4096-entry reset
+    noise = np.random.RandomState(5).randint(0, 256, (64, 64)).astype(np.uint8)
+    _, _, luma, _ = decode_gif(encode_gray_gif(noise))
+    assert np.array_equal(luma, noise)
+    # interlaced: the 4-pass row order must invert exactly
+    _, _, luma, _ = decode_gif(encode_gray_gif(g, interlace=True))
+    assert np.array_equal(luma, g)
+
+
+def test_codec_gif_multiframe_and_dispatch():
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import (
+        decode_gif,
+        decode_image_bytes,
+        encode_gray_gif,
+    )
+
+    g1 = ((np.mgrid[0:10, 0:12][0] * 9) % 256).astype(np.uint8)
+    g2 = ((np.mgrid[0:10, 0:12][1] * 7) % 256).astype(np.uint8)
+    b1 = encode_gray_gif(g1)
+    b2 = encode_gray_gif(g2)
+    img2 = b2[b2.index(b"\x2c", 13):]  # second file's image block + trailer
+    multi = b1[:-1] + img2[:-1] + b"\x3b"
+    w, h, luma, n = decode_gif(multi)
+    assert (w, h, n) == (12, 10, 2)
+    assert np.array_equal(luma, g1)  # first frame decodes; later counted
+    # image dispatch resolves GIF too
+    w, h, luma = decode_image_bytes(b1)
+    assert np.array_equal(luma, g1)
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF8 but truncated")
