@@ -39,9 +39,11 @@ __all__ = [
     "decode_jpeg",
     "decode_png",
     "decode_pnm",
+    "decode_tiff",
     "decode_wav",
     "encode_gray_bmp",
     "encode_gray_gif",
+    "encode_gray_tiff",
     "encode_gray_jpeg",
     "encode_gray_jpeg_progressive",
     "encode_pgm",
@@ -73,6 +75,8 @@ def sniff_format(b: bytes) -> str | None:
         return "avi"
     if len(b) >= 6 and b[:4] == b"GIF8":
         return "gif"
+    if len(b) >= 4 and b[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return "tiff"
     return None
 
 
@@ -1318,6 +1322,150 @@ def decode_gif(b: bytes) -> tuple[int, int, np.ndarray, int]:
 
 
 # --------------------------------------------------------------------------- #
+# TIFF (baseline 6.0): uncompressed and PackBits strips, both byte
+# orders, photometric 0/1 (gray, either polarity), 2 (RGB), 3 (palette
+# with 16-bit ColorMap entries). LZW/JPEG-in-TIFF raise ValueError.
+# --------------------------------------------------------------------------- #
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:  # n+1 literal bytes
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def encode_gray_tiff(
+    gray: np.ndarray, packbits: bool = False, big_endian: bool = False
+) -> bytes:
+    """Encode a (h, w) uint8 array as a single-strip baseline TIFF."""
+    gray = np.asarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    bo = ">" if big_endian else "<"
+    raw = gray.tobytes()
+    if packbits:
+        out = bytearray()
+        for y in range(h):  # PackBits runs never cross rows (spec)
+            row = gray[y].tobytes()
+            i = 0
+            while i < len(row):
+                run = 1
+                while i + run < len(row) and run < 128 and row[i + run] == row[i]:
+                    run += 1
+                if run >= 2:
+                    out += bytes([257 - run, row[i]])
+                    i += run
+                else:
+                    j = i + 1
+                    while (
+                        j < len(row) and j - i < 128
+                        and not (j + 1 < len(row) and row[j] == row[j + 1])
+                    ):
+                        j += 1
+                    out += bytes([j - i - 1]) + row[i:j]
+                    i = j
+        raw = bytes(out)
+    strip_off = 8 + 2 + 9 * 12 + 4  # header + IFD (9 entries) + next ptr
+    ent = []
+
+    def entry(tag, typ, count, val):
+        ent.append(struct.pack(bo + "HHI", tag, typ, count) + val)
+
+    def short_val(v):
+        return (
+            struct.pack(bo + "HH", v, 0)
+            if not big_endian
+            else struct.pack(bo + "HH", v, 0)
+        )
+
+    entry(256, 3, 1, short_val(w))
+    entry(257, 3, 1, short_val(h))
+    entry(258, 3, 1, short_val(8))
+    entry(259, 3, 1, short_val(32773 if packbits else 1))
+    entry(262, 3, 1, short_val(1))  # black is zero
+    entry(273, 4, 1, struct.pack(bo + "I", strip_off))
+    entry(277, 3, 1, short_val(1))
+    entry(278, 3, 1, short_val(h))
+    entry(279, 4, 1, struct.pack(bo + "I", len(raw)))
+    hdr = (b"MM" if big_endian else b"II") + struct.pack(bo + "HI", 42, 8)
+    ifd = struct.pack(bo + "H", len(ent)) + b"".join(ent) + struct.pack(bo + "I", 0)
+    return hdr + ifd + raw
+
+
+def decode_tiff(b: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline TIFF to (width, height, luma uint8 (h, w))."""
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF blob")
+    bo = "<" if b[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(bo + "HI", b, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF blob (bad magic)")
+    n = struct.unpack_from(bo + "H", b, ifd_off)[0]
+    tags: dict[int, list[int]] = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(bo + "HHI", b, off)
+        if typ not in type_size:
+            continue
+        size = type_size[typ] * count
+        voff = off + 8 if size <= 4 else struct.unpack_from(bo + "I", b, off + 8)[0]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack_from(bo + str(count) + fmt, b, voff))
+    try:
+        w, h = tags[256][0], tags[257][0]
+        offsets, counts = tags[273], tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}")
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])[0]
+    if bits != 8:
+        raise ValueError(f"unsupported TIFF bit depth {bits}")
+    if comp not in (1, 32773):
+        raise ValueError(
+            f"unsupported TIFF compression {comp}: only uncompressed and "
+            "PackBits decode without a codec library"
+        )
+    rows_per_strip = tags.get(278, [h])[0]
+    data = bytearray()
+    for k, (o, c) in enumerate(zip(offsets, counts)):
+        strip = b[o : o + c]
+        if comp == 32773:
+            rows = min(rows_per_strip, h - k * rows_per_strip)
+            strip = _packbits_decode(strip, rows * w * spp)
+        data += strip
+    px = np.frombuffer(bytes(data), np.uint8, count=h * w * spp).reshape(h, w, spp)
+    if photo == 2 and spp >= 3:  # RGB
+        rgb = px[:, :, :3].astype(np.uint32)
+        luma = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
+        return w, h, luma.astype(np.uint8)
+    if photo == 3:  # palette: 16-bit ColorMap, R then G then B planes
+        cmap = tags.get(320)
+        if not cmap:
+            raise ValueError("palette TIFF missing ColorMap")
+        m = len(cmap) // 3
+        cm = (np.array(cmap, np.uint32).reshape(3, m).T >> 8).astype(np.uint32)
+        rgb = cm[px[:, :, 0]]
+        luma = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
+        return w, h, luma.astype(np.uint8)
+    gray = px[:, :, 0]
+    if photo == 0:  # white is zero
+        gray = 255 - gray
+    return w, h, gray.astype(np.uint8).copy()
+
+
+# --------------------------------------------------------------------------- #
 # WAV (RIFF PCM): the uncompressed audio baseline. 8/16/32-bit integer
 # and 32-bit float PCM; chunk walk tolerates extension chunks (LIST,
 # fact, ...). Compressed codecs (MP3/AAC/...) have no pure-python path.
@@ -1479,6 +1627,8 @@ def decode_image_bytes(b: bytes) -> tuple[int, int, np.ndarray]:
     if fmt == "gif":
         w, h, luma, _ = decode_gif(b)
         return w, h, luma
+    if fmt == "tiff":
+        return decode_tiff(b)
     if fmt == "wav":
         raise ValueError("RIFF/WAVE is audio — decode with decode_wav")
     raise ValueError("no pure-python codec for this blob (need PIL)")

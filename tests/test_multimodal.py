@@ -861,3 +861,105 @@ def test_codec_gif_multiframe_and_dispatch():
     assert np.array_equal(luma, g1)
     with pytest.raises(ValueError):
         decode_gif(b"GIF8 but truncated")
+
+
+# --------------------------------------------------------------------------- #
+# TIFF codec (r7): baseline strips, PackBits, both byte orders
+# --------------------------------------------------------------------------- #
+
+
+def _tiff_blob(px, photo, spp, extra_tags=()):
+    """Hand-build a single-strip little-endian TIFF around raw pixels."""
+    import struct
+
+    h, w = px.shape[0], px.shape[1]
+    raw = px.tobytes()
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, photo), (277, 3, 1, spp), (278, 3, 1, h),
+        (279, 4, 1, len(raw)),
+    ] + list(extra_tags)
+    n = len(tags) + 1  # + StripOffsets
+    strip_off = 8 + 2 + 12 * n + 4
+    ext = b""
+    ents = []
+    for tag, typ, count, val in tags:
+        if isinstance(val, (list, tuple)):  # out-of-line SHORT array
+            ents.append(struct.pack("<HHII", tag, typ, count,
+                                    strip_off + len(raw) + len(ext)))
+            ext += struct.pack(f"<{count}H", *val)
+        elif typ == 3:
+            ents.append(struct.pack("<HHIHH", tag, typ, count, val, 0))
+        else:
+            ents.append(struct.pack("<HHII", tag, typ, count, val))
+    ents.append(struct.pack("<HHII", 273, 4, 1, strip_off))
+    ents.sort()  # IFD entries must be tag-ordered
+    return (b"II\x2a\x00" + struct.pack("<I", 8) + struct.pack("<H", n)
+            + b"".join(ents) + struct.pack("<I", 0) + raw + ext)
+
+
+def test_codec_tiff_gray_roundtrips_all_variants():
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import decode_tiff, encode_gray_tiff
+
+    g = ((np.mgrid[0:17, 0:29][0] * 6 + np.mgrid[0:17, 0:29][1] * 3) % 256).astype(
+        np.uint8
+    )
+    for packbits in (False, True):
+        for big_endian in (False, True):
+            w, h, luma = decode_tiff(
+                encode_gray_tiff(g, packbits=packbits, big_endian=big_endian)
+            )
+            assert (w, h) == (29, 17)
+            assert np.array_equal(luma, g), (packbits, big_endian)
+    # long runs exercise PackBits repeat packets
+    flat = np.repeat(np.arange(16, dtype=np.uint8) * 16, 40).reshape(16, 40)
+    _, _, luma = decode_tiff(encode_gray_tiff(flat, packbits=True))
+    assert np.array_equal(luma, flat)
+
+
+def test_codec_tiff_rgb_palette_whitezero():
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import decode_tiff
+
+    g = ((np.mgrid[0:6, 0:9][0] * 20 + np.mgrid[0:6, 0:9][1] * 7) % 256).astype(
+        np.uint8
+    )
+    # RGB with distinct channels: BT.601 integer luma
+    rgb = np.stack([g, (g.astype(np.int64) + 30) % 256,
+                    (g.astype(np.int64) + 60) % 256], axis=2).astype(np.uint8)
+    w, h, luma = decode_tiff(_tiff_blob(rgb, photo=2, spp=3))
+    r32 = rgb.astype(np.uint32)
+    want = (299 * r32[:, :, 0] + 587 * r32[:, :, 1] + 114 * r32[:, :, 2]) // 1000
+    assert np.array_equal(luma, want.astype(np.uint8))
+    # white-is-zero gray inverts
+    w, h, luma = decode_tiff(_tiff_blob(g[:, :, None], photo=0, spp=1))
+    assert np.array_equal(luma, 255 - g)
+    # palette: 4-entry ColorMap (16-bit per channel, planar R,G,B)
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)[:, :, None]
+    cmap = [255 << 8, 0, 0, 100 << 8] + [0, 255 << 8, 0, 100 << 8] + \
+           [0, 0, 255 << 8, 100 << 8]
+    w, h, luma = decode_tiff(
+        _tiff_blob(idx, photo=3, spp=1, extra_tags=[(320, 3, 12, cmap)])
+    )
+    want = np.array([[299 * 255 // 1000, 587 * 255 // 1000],
+                     [114 * 255 // 1000, 100]], dtype=np.uint8)
+    assert np.array_equal(luma, want)
+
+
+def test_codec_tiff_rejects_unsupported():
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import decode_tiff
+
+    g = np.zeros((4, 4, 1), np.uint8)
+    blob = bytearray(_tiff_blob(g, photo=1, spp=1))
+    # patch compression (tag 259) to 5 = LZW
+    i = blob.index(bytes.fromhex("0301") + b"\x03\x00\x01\x00\x00\x00\x01\x00")
+    blob[i + 8] = 5
+    with pytest.raises(ValueError, match="compression"):
+        decode_tiff(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_tiff(b"II\x2b\x00 not classic tiff")
