@@ -1328,6 +1328,64 @@ def decode_gif(b: bytes) -> tuple[int, int, np.ndarray, int]:
 # --------------------------------------------------------------------------- #
 
 
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first code packing, Clear=256
+    / EOI=257, and the spec's EARLY code-width change (width bumps when
+    the next free slot reaches 2^width - 1, one code earlier than GIF)."""
+    out = bytearray()
+    acc = nbits = pos = 0
+
+    def read(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return 257
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        v = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        return v
+
+    table: list[bytes] = []
+    width, prev = 9, None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width, prev = 9, None
+
+    reset()
+    while len(out) < expect:
+        code = read(width)
+        if code == 256:
+            reset()
+            continue
+        if code == 257:
+            break
+        if code < len(table):
+            entry = table[code]
+            if prev is not None and len(table) < 4094:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+            if len(table) < 4094:
+                table.append(entry)
+        else:
+            raise ValueError(f"corrupt TIFF LZW stream (code {code})")
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by exactly one entry (the encoder adds its entry at
+        # emit time; the decoder reconstructs it one code later), so it
+        # widens one entry BEFORE the encoder's 2^width - 1 threshold —
+        # the same compensation libtiff's LZWDecode applies
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out[:expect])
+
+
 def _packbits_decode(data: bytes, expect: int) -> bytes:
     out = bytearray()
     i = 0
@@ -1344,15 +1402,68 @@ def _packbits_decode(data: bytes, expect: int) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_encode(raw: bytes) -> bytes:
+    """TIFF-flavor LZW encode (MSB-first, early width change) — the
+    inverse of _tiff_lzw_decode, for fixtures."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)
+    s = b""
+    for byte in raw:
+        s2 = s + bytes([byte])
+        if s2 in table:
+            s = s2
+            continue
+        emit(table[s], width)
+        table[s2] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        s = bytes([byte])
+    if s:
+        emit(table[s], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def encode_gray_tiff(
-    gray: np.ndarray, packbits: bool = False, big_endian: bool = False
+    gray: np.ndarray,
+    packbits: bool = False,
+    big_endian: bool = False,
+    compression: str | None = None,
 ) -> bytes:
-    """Encode a (h, w) uint8 array as a single-strip baseline TIFF."""
+    """Encode a (h, w) uint8 array as a single-strip baseline TIFF.
+    ``compression``: none | packbits | lzw | deflate (the ``packbits``
+    flag is the legacy spelling of compression="packbits")."""
     gray = np.asarray(gray, dtype=np.uint8)
     h, w = gray.shape
     bo = ">" if big_endian else "<"
     raw = gray.tobytes()
-    if packbits:
+    compression = compression or ("packbits" if packbits else "none")
+    comp_tag = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
+    if compression == "lzw":
+        raw = _tiff_lzw_encode(raw)
+    elif compression == "deflate":
+        raw = zlib.compress(raw, 6)
+    if compression == "packbits":
         out = bytearray()
         for y in range(h):  # PackBits runs never cross rows (spec)
             row = gray[y].tobytes()
@@ -1390,7 +1501,7 @@ def encode_gray_tiff(
     entry(256, 3, 1, short_val(w))
     entry(257, 3, 1, short_val(h))
     entry(258, 3, 1, short_val(8))
-    entry(259, 3, 1, short_val(32773 if packbits else 1))
+    entry(259, 3, 1, short_val(comp_tag))
     entry(262, 3, 1, short_val(1))  # black is zero
     entry(273, 4, 1, struct.pack(bo + "I", strip_off))
     entry(277, 3, 1, short_val(1))
@@ -1432,18 +1543,24 @@ def decode_tiff(b: bytes) -> tuple[int, int, np.ndarray]:
     bits = tags.get(258, [8])[0]
     if bits != 8:
         raise ValueError(f"unsupported TIFF bit depth {bits}")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(
-            f"unsupported TIFF compression {comp}: only uncompressed and "
-            "PackBits decode without a codec library"
+            f"unsupported TIFF compression {comp}: only uncompressed, LZW, "
+            "Deflate, and PackBits decode without a codec library"
         )
+    if tags.get(317, [1])[0] != 1:
+        raise ValueError("unsupported TIFF predictor (horizontal differencing)")
     rows_per_strip = tags.get(278, [h])[0]
     data = bytearray()
     for k, (o, c) in enumerate(zip(offsets, counts)):
         strip = b[o : o + c]
+        rows = min(rows_per_strip, h - k * rows_per_strip)
         if comp == 32773:
-            rows = min(rows_per_strip, h - k * rows_per_strip)
             strip = _packbits_decode(strip, rows * w * spp)
+        elif comp == 5:
+            strip = _tiff_lzw_decode(strip, rows * w * spp)
+        elif comp in (8, 32946):
+            strip = zlib.decompress(strip)
         data += strip
     px = np.frombuffer(bytes(data), np.uint8, count=h * w * spp).reshape(h, w, spp)
     if photo == 2 and spp >= 3:  # RGB

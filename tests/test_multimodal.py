@@ -963,3 +963,25 @@ def test_codec_tiff_rejects_unsupported():
         decode_tiff(bytes(blob))
     with pytest.raises(ValueError):
         decode_tiff(b"II\x2b\x00 not classic tiff")
+
+
+def test_codec_tiff_lzw_and_deflate():
+    """TIFF-flavor LZW (MSB-first packing, spec early width change,
+    dictionary reset at 4094) and zlib Deflate strips roundtrip exactly,
+    in both byte orders, on gradient / noise / reset-stress images."""
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import decode_tiff, encode_gray_tiff
+
+    g = ((np.mgrid[0:23, 0:31][0] * 6 + np.mgrid[0:23, 0:31][1] * 3) % 256).astype(
+        np.uint8
+    )
+    noise = np.random.RandomState(9).randint(0, 256, (48, 48)).astype(np.uint8)
+    huge = np.random.RandomState(11).randint(0, 256, (128, 128)).astype(np.uint8)
+    for comp in ("lzw", "deflate"):
+        for img in (g, noise, huge):
+            for be in (False, True):
+                _, _, luma = decode_tiff(
+                    encode_gray_tiff(img, big_endian=be, compression=comp)
+                )
+                assert np.array_equal(luma, img), (comp, be, img.shape)
