@@ -956,11 +956,15 @@ def test_codec_tiff_rejects_unsupported():
 
     g = np.zeros((4, 4, 1), np.uint8)
     blob = bytearray(_tiff_blob(g, photo=1, spp=1))
-    # patch compression (tag 259) to 5 = LZW
+    # patch compression (tag 259) to 7 = JPEG-in-TIFF (genuinely gated)
     i = blob.index(bytes.fromhex("0301") + b"\x03\x00\x01\x00\x00\x00\x01\x00")
-    blob[i + 8] = 5
+    blob[i + 8] = 7
     with pytest.raises(ValueError, match="compression"):
         decode_tiff(bytes(blob))
+    # horizontal-differencing predictor: refused honestly
+    blob2 = _tiff_blob(g, photo=1, spp=1, extra_tags=[(317, 3, 1, 2)])
+    with pytest.raises(ValueError, match="predictor"):
+        decode_tiff(blob2)
     with pytest.raises(ValueError):
         decode_tiff(b"II\x2b\x00 not classic tiff")
 
