@@ -1548,8 +1548,9 @@ def decode_tiff(b: bytes) -> tuple[int, int, np.ndarray]:
             f"unsupported TIFF compression {comp}: only uncompressed, LZW, "
             "Deflate, and PackBits decode without a codec library"
         )
-    if tags.get(317, [1])[0] != 1:
-        raise ValueError("unsupported TIFF predictor (horizontal differencing)")
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     rows_per_strip = tags.get(278, [h])[0]
     data = bytearray()
     for k, (o, c) in enumerate(zip(offsets, counts)):
@@ -1563,6 +1564,8 @@ def decode_tiff(b: bytes) -> tuple[int, int, np.ndarray]:
             strip = zlib.decompress(strip)
         data += strip
     px = np.frombuffer(bytes(data), np.uint8, count=h * w * spp).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: undo with a row cumsum
+        px = (np.cumsum(px.astype(np.int64), axis=1) & 0xFF).astype(np.uint8)
     if photo == 2 and spp >= 3:  # RGB
         rgb = px[:, :, :3].astype(np.uint32)
         luma = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000

@@ -961,12 +961,32 @@ def test_codec_tiff_rejects_unsupported():
     blob[i + 8] = 7
     with pytest.raises(ValueError, match="compression"):
         decode_tiff(bytes(blob))
-    # horizontal-differencing predictor: refused honestly
-    blob2 = _tiff_blob(g, photo=1, spp=1, extra_tags=[(317, 3, 1, 2)])
+    # floating-point predictor (3): refused honestly
+    blob2 = _tiff_blob(g, photo=1, spp=1, extra_tags=[(317, 3, 1, 3)])
     with pytest.raises(ValueError, match="predictor"):
         decode_tiff(blob2)
     with pytest.raises(ValueError):
         decode_tiff(b"II\x2b\x00 not classic tiff")
+
+
+def test_codec_tiff_horizontal_predictor():
+    """Predictor 2 (horizontal differencing, the usual companion of LZW
+    TIFFs): per-row difference coding undone by a row cumsum."""
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import decode_tiff
+
+    g = ((np.mgrid[0:5, 0:8][0] * 30 + np.mgrid[0:5, 0:8][1] * 11) % 256).astype(
+        np.uint8
+    )
+    diffed = g.astype(np.int64).copy()
+    diffed[:, 1:] = (g[:, 1:].astype(np.int64) - g[:, :-1].astype(np.int64)) % 256
+    blob = _tiff_blob(
+        diffed.astype(np.uint8)[:, :, None], photo=1, spp=1,
+        extra_tags=[(317, 3, 1, 2)],
+    )
+    w, h, luma = decode_tiff(blob)
+    assert np.array_equal(luma, g)
 
 
 def test_codec_tiff_lzw_and_deflate():
