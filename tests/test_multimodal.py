@@ -1009,3 +1009,104 @@ def test_codec_tiff_lzw_and_deflate():
                     encode_gray_tiff(img, big_endian=be, compression=comp)
                 )
                 assert np.array_equal(luma, img), (comp, be, img.shape)
+
+
+def test_codec_jpeg_progressive_color_interleaved_dc():
+    """Color progressive (SOF2, 3 components): the DC scan is MCU-
+    INTERLEAVED (the one progressive scan type that may carry multiple
+    components) followed by per-component AC scans — hand-built with Y
+    from a known image and zero chroma, pinned within baseline
+    quantization tolerance."""
+    import struct
+
+    import numpy as np
+
+    from icerunner_spark.operators import codecs as C
+    from icerunner_spark.operators.codecs import decode_jpeg
+
+    g = ((np.mgrid[0:16, 0:16][0] * 5 + np.mgrid[0:16, 0:16][1] * 3) % 200).astype(
+        np.uint8
+    )
+    q = np.clip((C._K1_QUANT * 20 + 50) // 100, 1, 255)
+    dc = C._canonical_codes(C._DC_LUM_COUNTS, C._DC_LUM_SYMBOLS)
+    ac = C._canonical_codes(C._AC_LUM_COUNTS, C._AC_LUM_SYMBOLS)
+    enc_dc = {s: (c, l) for (l, c), s in dc.items()}
+    enc_ac = {s: (c, l) for (l, c), s in ac.items()}
+
+    def cat(v):
+        return int(v != 0 and np.floor(np.log2(abs(v))) + 1)
+
+    blocks = []
+    for by in range(2):
+        for bx in range(2):
+            blk = g[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float)
+            coef = C._DCT_M @ (blk - 128) @ C._DCT_M.T
+            blocks.append(np.round(coef.reshape(-1)[C._ZIGZAG] / q).astype(np.int64))
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + struct.pack(">H", len(p) + 2) + p
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(int(v) for v in q))
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", 16, 16)
+               + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(C._DC_LUM_COUNTS)
+               + bytes(C._DC_LUM_SYMBOLS) + bytes([0x10])
+               + bytes(C._AC_LUM_COUNTS) + bytes(C._AC_LUM_SYMBOLS))
+    # interleaved DC-first scan: per MCU, Y DC diff + two zero chroma DCs
+    bw = C._BitWriter()
+    pred = 0
+    for zz in blocks:
+        v = int(zz[0])
+        d = v - pred
+        pred = v
+        t = cat(d)
+        c, l = enc_dc[t]
+        bw.write(c, l)
+        if t:
+            bw.write(d if d > 0 else d + (1 << t) - 1, t)
+        for _ in range(2):
+            c, l = enc_dc[0]
+            bw.write(c, l)
+    bw.flush()
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0])) + bytes(bw.out)
+    # Y AC 1..63 first scan
+    bw = C._BitWriter()
+    for zz in blocks:
+        va = [int(zz[k]) for k in range(1, 64)]
+        nz = [i for i, v in enumerate(va) if v]
+        last = nz[-1] if nz else -1
+        run, i = 0, 0
+        while i <= last:
+            v = va[i]
+            if v == 0:
+                run += 1
+                i += 1
+                continue
+            while run > 15:
+                c, l = enc_ac[0xF0]
+                bw.write(c, l)
+                run -= 16
+            s = cat(v)
+            c, l = enc_ac[(run << 4) | s]
+            bw.write(c, l)
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+            run, i = 0, i + 1
+        if last < 62:
+            c, l = enc_ac[0x00]
+            bw.write(c, l)
+    bw.flush()
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0])) + bytes(bw.out)
+    # chroma AC scans: all-zero bands, one EOB per block
+    for comp in (2, 3):
+        bw = C._BitWriter()
+        for _ in blocks:
+            c, l = enc_ac[0x00]
+            bw.write(c, l)
+        bw.flush()
+        out += seg(0xDA, bytes([1, comp, 0x00, 1, 63, 0])) + bytes(bw.out)
+    out += b"\xff\xd9"
+
+    w, h, luma = decode_jpeg(bytes(out))
+    assert (w, h) == (16, 16)
+    assert np.abs(luma.astype(int) - g.astype(int)).max() <= 3
