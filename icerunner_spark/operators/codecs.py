@@ -1,4 +1,5 @@
-"""Dependency-free image codecs (BMP, PPM/PGM, PNG, baseline JPEG).
+"""Dependency-free codecs: images (BMP, PPM/PGM, PNG, GIF, TIFF,
+JPEG sequential + progressive), audio (WAV PCM), video (MJPEG-AVI).
 
 The multimodal operators (operators.multimodal) treat blobs as opaque
 binary and run all byte work in Arrow-batched ``mapInPandas`` stages.

@@ -17,7 +17,8 @@ chain at scan speed.
 Codec policy: byte-level analytics (sizes, hashes, entropy, chunk/frame
 slicing) are REAL and tested. Image decode resolves per blob: PIL when
 installed (all formats), else the dependency-free numpy codecs in
-``operators.codecs`` (24-bit BMP; binary PPM/PGM; PNG at every legal
+``operators.codecs`` (24-bit BMP; binary PPM/PGM; GIF; baseline
+TIFF incl. LZW/Deflate/PackBits; PNG at every legal
 depth/color-type/interlace combination via stdlib zlib inflate +
 scanline unfiltering; GIF via variable-width LZW; JPEG sequential and
 progressive via canonical Huffman + IDCT) — a
@@ -305,7 +306,7 @@ def decode_images(assets: DataFrame, *, use_fake: bool = False) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         "decoding this blob needs a codec library (PIL): "
-                        "only BMP/PPM/PGM/PNG/Huffman-JPEG decode without one"
+                        "only BMP/PPM/PGM/PNG/GIF/TIFF/Huffman-JPEG decode without one"
                     )
                 rows.append((int(aid), w, h, luma))
             yield pd.DataFrame(
@@ -368,7 +369,7 @@ def resize_images(
                 else:
                     raise NotImplementedError(
                         "resizing this blob needs a codec library (PIL): "
-                        "only BMP/PPM/PGM/PNG/Huffman-JPEG decode without one"
+                        "only BMP/PPM/PGM/PNG/GIF/TIFF/Huffman-JPEG decode without one"
                     )
                 rows.append((int(aid), encode_gray_bmp(luma), width, height))
             yield pd.DataFrame(
