@@ -57,12 +57,13 @@ def register(name: str, oracle: str | None = None):
 # unrotated query cannot hide indefinitely. Recompute the stalest list
 # each round from CORRECTNESS_r*.json:
 #   latest[name] = max round containing name; sort by (latest, name).
-# Round 7: 3 never-checked (multimodal_decode_stats / audio / video,
-# all new this round) + the 11 r2-latest + 14 r3-latest + 5 oldest
+# Round 7: 4 never-checked (multimodal decode/resize/audio/video, all
+# new this round) + the 11 r2-latest + 14 r3-latest + 4 oldest
 # r4-latest names.
 _DRIVER_WINDOW = [
     # --- 33 stalest (latest driver row in parens) ---
     "multimodal_decode_stats",  # never — new in r7, real image decode
+    "multimodal_resize_stats",  # never — new in r7, real resize path
     "multimodal_audio_stats",  # never — new in r7, real WAV decode
     "multimodal_video_stats",  # never — new in r7, real MJPEG-AVI decode
     "anti_join_customers_without_orders",  # r2
@@ -94,7 +95,6 @@ _DRIVER_WINDOW = [
     "asof_join_events_to_orders",  # r4
     "bm25_retrieval",  # r4
     "cdc_changes_since_snapshot",  # r4
-    "dedup_exact_documents",  # r4
     # --- 17 keepers, one per operator family ---
     "q1_pricing_summary",  # TPC-H aggregation
     "window_topk_orders_per_customer",  # window functions
@@ -1993,6 +1993,73 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = as_assets(blobs, "doc_id", "blob", kind="image",
                        content_type="image/x-seeded")
     return decode_images(assets).select(
+        "asset_id", "width", "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+@register(
+    "multimodal_resize_stats",
+    # Exercises the REAL resize path end-to-end: seeded gray BMP
+    # gradients (pixel v = (doc_id*7+3y+x) % 256, 25x16) resize to
+    # 10x8 via the nearest-neighbor index maps ys=(y*16)//8, xs=
+    # (x*25)//10, re-encode as gray BMP, and DECODE AGAIN — so the
+    # checked mean_luma proves decode -> resample -> encode -> decode
+    # all ran. Gray-BMP luma is the identity, so the oracle replays the
+    # index-map arithmetic directly.
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id,
+               ((d.doc_id * 7 + 3 * ((y.y * 16) // 8)
+                 + ((x.x * 25) // 10)) % 256) AS v
+        FROM documents d, range(0, 8) AS y(y), range(0, 10) AS x(x)
+        WHERE d.doc_id < 24
+    )
+    SELECT doc_id AS asset_id, 10 AS width, 8 AS height,
+           ROUND(AVG(v * 1.0), 6) AS mean_luma
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image resize end-to-end (operators.multimodal.resize_images):
+    24 seeded gradients encoded as gray BMP, nearest-neighbor resampled
+    25x16 -> 10x8 with the numpy index maps, re-encoded, then decoded
+    once more — two full codec round-trips plus the resample, all in
+    Arrow-batched narrow maps (blobs never shuffle)."""
+    from icerunner_spark.operators.multimodal import (
+        as_assets,
+        decode_images,
+        resize_images,
+    )
+
+    def encode_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from icerunner_spark.operators.codecs import encode_gray_bmp
+
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                y, x = np.mgrid[0:16, 0:25]
+                blobs.append(
+                    encode_gray_bmp(((d * 7 + 3 * y + x) % 256).astype(np.uint8))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 24)
+    blobs = d.mapInPandas(encode_batches, schema="doc_id long, blob binary")
+    assets = as_assets(blobs, "doc_id", "blob", kind="image",
+                       content_type="image/bmp")
+    resized = resize_images(assets, width=10, height=8)
+    return decode_images(
+        resized.select("asset_id", "content",
+                       F.lit(None).cast(
+                           "struct<kind:string,content_type:string,"
+                           "n_bytes:bigint,width:int,height:int,"
+                           "n_frames:int,sample_rate:int>").alias("meta"))
+    ).select(
         "asset_id", "width", "height",
         F.round("mean_luma", 6).alias("mean_luma"),
     )
