@@ -95,6 +95,7 @@ HEADLINE = [
     # r7 additions: real image/audio/video decode through the
     # pure-numpy codecs
     "multimodal_decode_stats",
+    "multimodal_resize_stats",
     "multimodal_audio_stats",
     "multimodal_video_stats",
 ]
