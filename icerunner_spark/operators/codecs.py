@@ -3,12 +3,14 @@ JPEG sequential + progressive), audio (WAV PCM), video (MJPEG-AVI).
 
 The multimodal operators (operators.multimodal) treat blobs as opaque
 binary and run all byte work in Arrow-batched ``mapInPandas`` stages.
-Decode was previously gated entirely on PIL (absent in this container);
-these pure numpy codecs de-gate it for the uncompressed formats, so
-``decode_images`` / ``resize_images`` perform a REAL pixel decode
-in-container — header parsing, bottom-up row order, scanline padding,
-channel-to-luma conversion — while compressed formats (JPEG/PNG) still
-require PIL and keep the honest NotImplementedError gate.
+These pure numpy/stdlib codecs make ``decode_images`` /
+``resize_images`` / ``decode_audio`` / ``sample_frames`` perform a REAL
+pixel/sample decode in-container with zero third-party dependencies.
+Only genuinely exotic variants keep the honest per-blob
+NotImplementedError gate: arithmetic/lossless/hierarchical JPEG,
+JPEG-compressed TIFF strips, compressed audio (MP3/AAC), and
+inter-frame video codecs — PIL/ffmpeg resolve those when installed
+(the multimodal operators prefer PIL per blob when present).
 
 Formats:
 - BMP: 24-bit BI_RGB with BITMAPINFOHEADER, the uncompressed baseline
@@ -17,6 +19,13 @@ Formats:
   are stored BGR.
 - PPM (P6) / PGM (P5): binary netpbm with maxval 255 — whitespace-and-
   comment header, then raw samples row-major top-down.
+- PNG: every legal bit depth (1/2/4/8/16), all five color types,
+  palette + tRNS, all filter types, Adam7 interlace.
+- JPEG: baseline sequential AND progressive JFIF (Huffman only).
+- GIF: 87a/89a, LZW, interlace, local/global palettes (first frame).
+- TIFF 6.0: none/PackBits/LZW/Deflate compressions, strips and tiles.
+- WAV: RIFF PCM (8/16/24/32-bit int, float32/64).
+- AVI: MJPEG streams (frame index walk + per-frame JPEG decode).
 
 Luma uses the ITU-R BT.601 integer formula PIL's ``convert("L")``
 applies — (299 R + 587 G + 114 B) // 1000 — so a PIL-equipped

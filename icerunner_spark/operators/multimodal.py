@@ -272,9 +272,10 @@ def decode_images(assets: DataFrame, *, use_fake: bool = False) -> DataFrame:
     """Decode image blobs to (width, height, mean_luma).
 
     Codec resolution per blob: PIL when installed (all formats), else
-    the dependency-free numpy codecs (24-bit BMP, binary PPM/PGM, 8-bit
-    PNG — operators.codecs), else the honest ``NotImplementedError``
-    (arithmetic/lossless JPEG genuinely needs a codec library). ``use_fake=True`` keeps the
+    the dependency-free numpy codecs (BMP, PPM/PGM, full PNG, GIF,
+    TIFF, sequential+progressive Huffman JPEG — operators.codecs), else
+    the honest ``NotImplementedError`` (arithmetic/lossless/hierarchical
+    JPEG genuinely needs a codec library). ``use_fake=True`` keeps the
     deterministic stub for plumbing tests. One Arrow-batched
     ``mapInPandas`` stage, narrow map, zero shuffles."""
 
