@@ -57,62 +57,67 @@ def register(name: str, oracle: str | None = None):
 # unrotated query cannot hide indefinitely. Recompute the stalest list
 # each round from CORRECTNESS_r*.json:
 #   latest[name] = max round containing name; sort by (latest, name).
-# Round 7: 4 never-checked (multimodal decode/resize/audio/video, all
-# new this round) + the 11 r2-latest + 14 r3-latest + 4 oldest
-# r4-latest names.
+# Round 7: 4 never-checked (multimodal decode/resize/audio/video) +
+# the 11 r2-latest + 14 r3-latest + 4 oldest r4-latest names.
+# Round 8 (r7 verdict item 1): the remaining r4 cohort is exactly 40
+# names — the window takes ALL of them (never-checked first: the new
+# iceberg_export_roundtrip), so post-r8 no name's newest driver row is
+# older than r5. Keepers shrink to 9 this round to fit the cohort; the
+# r4 list itself covers text / corpus / incremental / multimodal /
+# table-format families, so family coverage holds.
 _DRIVER_WINDOW = [
-    # --- 33 stalest (latest driver row in parens) ---
-    "multimodal_decode_stats",  # never — new in r7, real image decode
-    "multimodal_resize_stats",  # never — new in r7, real resize path
-    "multimodal_audio_stats",  # never — new in r7, real WAV decode
-    "multimodal_video_stats",  # never — new in r7, real MJPEG-AVI decode
-    "anti_join_customers_without_orders",  # r2
-    "cube_lineitem_flags",  # r2
-    "date_parts_orders",  # r2
-    "dedup_exact_fingerprint",  # r2
-    "dedup_simhash",  # r2
-    "doc_winnowing_fingerprints",  # r2
-    "lead_lag_order_gaps",  # r2
-    "multimodal_frame_sample",  # r2
-    "quality_score_documents",  # r2
-    "similarity_ann_lsh",  # r2
-    "string_agg_nations",  # r2
-    "array_embedding_norms",  # r3
-    "correlated_scalar_subquery_orders",  # r3
-    "full_outer_monthly_volumes",  # r3
-    "multimodal_asset_stats",  # r3
-    "q10_returned_items",  # r3
-    "q3_shipping_priority",  # r3
-    "q5_region_revenue",  # r3
-    "range_frame_rolling_value",  # r3
-    "rollup_order_status",  # r3
-    "semi_join_customers_with_open_orders",  # r3
-    "setops_customer_order_status",  # r3
-    "topk_expensive_orders",  # r3
-    "unpivot_revenue_matrix",  # r3
-    "window_tumbling_events",  # r3
-    "argmax_user_events",  # r4
-    "asof_join_events_to_orders",  # r4
-    "bm25_retrieval",  # r4
-    "cdc_changes_since_snapshot",  # r4
-    # --- 17 keepers, one per operator family ---
+    # --- 41 stalest (latest driver row in parens) ---
+    "iceberg_export_roundtrip",  # never — new in r8, Iceberg v2 export/import
+    "dedup_exact_documents",  # r4
+    "distinct_agg_lineitem",  # r4
+    "embedding_cosine_neardup",  # r4 — r7 block-matmul rewrite re-earns here
+    "exists_subquery_large_orders",  # r4
+    "filtered_aggregates_orders",  # r4
+    "flight_roundtrip_nation",  # r4
+    "funnel_steps_users",  # r4
+    "gap_fill_interpolate",  # r4
+    "gaps_islands_streaks",  # r4
+    "grouped_user_trends",  # r4
+    "grouping_sets_orders",  # r4
+    "higher_order_array_ops",  # r4
+    "incremental_dedup_cdc",  # r4
+    "json_events_extract",  # r4
+    "lateral_topk_per_nation",  # r4
+    "map_functions_events",  # r4
+    "neardup_ngram_jaccard",  # r4
+    "partitioned_table_prune",  # r4
+    "percentiles_lineitem",  # r4
+    "pii_redact_documents",  # r4
+    "pivot_revenue_by_status",  # r4
+    "q17_small_quantity_revenue",  # r4
+    "q21_last_shipper",  # r4
+    "q6_revenue_forecast",  # r4
+    "q7_nation_volume",  # r4
+    "range_join_event_bands",  # r4
+    "sampled_systematic_agg",  # r4
+    "scalar_string_math_part",  # r4
+    "session_window_events",  # r4
+    "setops_multiset_quantities",  # r4
+    "snapshot_history_metadata",  # r4
+    "snapshot_mor_delete_roundtrip",  # r4
+    "stream_join_view_purchases",  # r4
+    "text_token_stats",  # r4
+    "theta_join_acctbal_dominance",  # r4
+    "time_travel_snapshot_scan",  # r4
+    "token_budget_mixture",  # r4
+    "udtf_token_explode",  # r4
+    "unigram_logprob_quality",  # r4
+    "window_running_revenue",  # r4
+    # --- 9 keepers, one per operator family ---
     "q1_pricing_summary",  # TPC-H aggregation
     "window_topk_orders_per_customer",  # window functions
     "cdc_changelog_diff",  # row-level changelog CDC
     "snapshot_merge_upsert",  # MERGE / merge-on-read
-    "snapshot_compaction_roundtrip",  # compaction maintenance
     "wap_branch_publish",  # branches / write-audit-publish
-    "type_widening_roundtrip",  # schema evolution
     "flight_pushdown_scan",  # Flight federation
     "stream_exactly_once_ingest",  # streaming sink
     "dedup_minhash_lsh",  # near-dup dedup
     "similarity_bruteforce_topk",  # similarity baseline
-    "lang_id_documents",  # text analysis
-    "corpus_clean_pipeline",  # corpus ops
-    "incremental_ann_maintenance",  # incremental index
-    "multimodal_byte_features",  # multimodal
-    "catalog_view_query",  # catalog views
-    "decontam_semantic_overlap",  # r6 restructured argmax — re-verify
 ]
 
 
@@ -3255,6 +3260,51 @@ def snapshot_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     t.compact()
     assert len(t.current_snapshot().manifest) <= files_before
     return t.scan()
+
+
+@register(
+    "iceberg_export_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS price, o_orderdate
+    FROM orders
+    WHERE o_orderkey < 400 AND o_orderkey % 7 <> 0
+    """,
+)
+def iceberg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Iceberg v2 interop (iceberg_export.export_iceberg /
+    read_iceberg — the cross-engine direction the reference gets from
+    PyIceberg, icerunner.py:60-103): build a snapshot table with hidden
+    month-partitioning, a merge-on-read positional delete, and a rename,
+    export it as a spec-conformant Iceberg metadata tree (pure-Python
+    Avro manifests, hard-linked data files, name-mapping for the
+    rename), then read the EXPORTED tree back and return its rows — the
+    oracle recomputes the surviving set straight from the source table,
+    so any infidelity in manifests, partition values, delete rewrite, or
+    name-mapping shows up as a value mismatch. Scale: export is
+    O(files + commits) driver-side metadata work (manifests are reused
+    across snapshots, Iceberg's own indirection); the import is ordinary
+    grouped parquet scans with broadcast position-delete anti-joins —
+    data never moves through Python."""
+    from icerunner_spark.iceberg_export import export_iceberg, read_iceberg
+    from icerunner_spark.table import IceTable
+
+    wh = _demo_warehouse("icerunner_iceberg_demo", sf_dir)
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    ).filter(F.col("o_orderkey") < 400)
+    t = IceTable(spark, os.path.join(wh, "orders_ice"))
+    t.create(
+        src.filter(F.col("o_orderkey") < 200),
+        partition_by=["month(o_orderdate)"],
+    )
+    t.append(src.filter(F.col("o_orderkey") >= 200))
+    t.delete_where(F.col("o_orderkey") % 7 == 0, mode="merge-on-read")
+    t.rename_column("o_totalprice", "price")
+    dest = os.path.join(wh, "orders_iceberg")
+    export_iceberg(t, dest)
+    return read_iceberg(spark, dest).select(
+        "o_orderkey", "o_custkey", "price", "o_orderdate"
+    )
 
 
 # --------------------------------------------------------------------------- #

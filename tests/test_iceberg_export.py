@@ -1,0 +1,512 @@
+"""Iceberg v2 export/import conformance.
+
+Structural conformance is validated against the PUBLIC Apache Iceberg
+table-spec's required fields (metadata.json, manifest-list, manifest
+entries), and behavioral conformance by round-tripping
+export -> read_iceberg -> row equality against IceTable.scan(),
+including time travel, renames (name-mapping), hidden-partition
+transforms, merge-on-read positional deletes, and type widening.
+The reference relies on PyIceberg for all of this (icerunner.py:60-103);
+neither PyIceberg nor the DuckDB iceberg extension is installable in
+this container (SCALE.md §7 records the attempted load), so the gold
+cross-engine read is replaced by spec-field validation plus an
+independent Avro decode of every emitted file.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from icerunner_spark import iceavro
+from icerunner_spark.iceberg_export import (
+    _bound_bytes,
+    _partition_value,
+    export_iceberg,
+    read_iceberg,
+)
+from icerunner_spark.table import IceTable, _parse_spec
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# --------------------------------------------------------------------------- #
+# Avro codec
+# --------------------------------------------------------------------------- #
+
+
+class TestAvroCodec:
+    SCHEMA = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"], "default": None},
+            {"name": "c", "type": {"type": "array", "items": "int"}},
+            {"name": "d", "type": ["null", "bytes"], "default": None},
+            {"name": "e", "type": "boolean"},
+            {"name": "f", "type": "double"},
+        ],
+    }
+
+    def test_roundtrip(self, tmp_path):
+        recs = [
+            {"a": -(2**62), "b": None, "c": [1, -1, 0], "d": b"\x00\xff",
+             "e": True, "f": -2.5},
+            {"a": 2**62, "b": "héllo", "c": [], "d": None, "e": False,
+             "f": 0.0},
+        ]
+        p = str(tmp_path / "t.avro")
+        n = iceavro.write_ocf(p, self.SCHEMA, recs, metadata={"k": "v"})
+        assert n == os.path.getsize(p)
+        schema, meta, out = iceavro.read_ocf(p)
+        assert out == recs
+        assert meta["k"] == b"v"
+        assert schema == self.SCHEMA
+
+    def test_magic_and_sync(self, tmp_path):
+        p = str(tmp_path / "t.avro")
+        iceavro.write_ocf(p, self.SCHEMA, [])
+        with open(p, "rb") as f:
+            assert f.read(4) == b"Obj\x01"
+
+    def test_zigzag_longs(self, tmp_path):
+        sch = {"type": "record", "name": "z",
+               "fields": [{"name": "v", "type": "long"}]}
+        vals = [0, -1, 1, -2, 63, 64, -64, -65, 2**31, -(2**31), 2**63 - 1,
+                -(2**63)]
+        p = str(tmp_path / "z.avro")
+        iceavro.write_ocf(p, sch, [{"v": v} for v in vals])
+        _, _, out = iceavro.read_ocf(p)
+        assert [r["v"] for r in out] == vals
+
+
+# --------------------------------------------------------------------------- #
+# transform / bound unit conversions
+# --------------------------------------------------------------------------- #
+
+
+class TestConversions:
+    def test_temporal_partition_values(self):
+        from pyspark.sql.types import DateType, IntegerType, StringType
+
+        (yf,) = _parse_spec(["year(d)"])
+        (mf,) = _parse_spec(["month(d)"])
+        (df_,) = _parse_spec(["day(d)"])
+        (hf,) = _parse_spec(["hour(ts)"])
+        assert _partition_value(yf, "2024", DateType()) == 54
+        assert _partition_value(mf, "1970-01", DateType()) == 0
+        assert _partition_value(mf, "2024-03", DateType()) == 650
+        assert _partition_value(df_, "1970-01-02", DateType()) == 1
+        assert _partition_value(hf, "1970-01-02-03", DateType()) == 27
+        (idf,) = _parse_spec(["grp"])
+        assert _partition_value(idf, "7", IntegerType()) == 7
+        assert _partition_value(idf, None, StringType()) is None
+
+    def test_bucket_exports_void(self):
+        from icerunner_spark.iceberg_export import _transform_name
+
+        (bf,) = _parse_spec(["bucket(16, k)"])
+        assert _transform_name(bf) == "void"
+        (tf,) = _parse_spec(["truncate(10, k)"])
+        assert _transform_name(tf) == "truncate[10]"
+
+    def test_bound_bytes(self):
+        from pyspark.sql.types import (
+            DateType,
+            DecimalType,
+            DoubleType,
+            IntegerType,
+            LongType,
+            StringType,
+            TimestampNTZType,
+        )
+
+        assert _bound_bytes(IntegerType(), 1) == b"\x01\x00\x00\x00"
+        assert _bound_bytes(LongType(), -1) == b"\xff" * 8
+        assert _bound_bytes(StringType(), "ab") == b"ab"
+        assert _bound_bytes(DateType(), "1970-01-03") == b"\x02\x00\x00\x00"
+        assert (
+            _bound_bytes(TimestampNTZType(), "1970-01-01T00:00:01")
+            == (1_000_000).to_bytes(8, "little")
+        )
+        assert _bound_bytes(DecimalType(9, 2), "12.34") == (1234).to_bytes(
+            2, "big", signed=True
+        )
+        import struct
+
+        assert _bound_bytes(DoubleType(), 2.5) == struct.pack("<d", 2.5)
+        assert _bound_bytes(IntegerType(), None) is None
+
+
+# --------------------------------------------------------------------------- #
+# end-to-end export tree
+# --------------------------------------------------------------------------- #
+
+
+@pytest.fixture()
+def exported(spark, tmp_path):
+    """A table exercising the interesting surface: hidden partitioning
+    (identity + month transform), multi-commit history, rename,
+    merge-on-read positional deletes, a tag; exported once."""
+    t = IceTable(spark, str(tmp_path / "src"))
+    df = spark.range(0, 100).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") % 5).cast("int").alias("grp"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("id") % 40).cast("int")
+        ).alias("d"),
+    )
+    t.create(df.filter("k < 50"), partition_by=["grp", "month(d)"])
+    t.append(df.filter("k >= 50"))
+    t.delete_where(F.col("k") % 7 == 0, mode="merge-on-read")
+    t.rename_column("val", "value")
+    t.create_tag("prerelease")
+    dest = str(tmp_path / "exported")
+    meta_path = export_iceberg(t, dest)
+    return t, dest, meta_path
+
+
+# the Iceberg v2 spec's required table-metadata fields
+_REQUIRED_METADATA = [
+    "format-version",
+    "table-uuid",
+    "location",
+    "last-sequence-number",
+    "last-updated-ms",
+    "last-column-id",
+    "schemas",
+    "current-schema-id",
+    "partition-specs",
+    "default-spec-id",
+    "last-partition-id",
+    "sort-orders",
+    "default-sort-order-id",
+]
+
+_REQUIRED_MANIFEST_FILE = [
+    "manifest_path",
+    "manifest_length",
+    "partition_spec_id",
+    "content",
+    "sequence_number",
+    "min_sequence_number",
+    "added_snapshot_id",
+    "added_files_count",
+    "existing_files_count",
+    "deleted_files_count",
+    "added_rows_count",
+    "existing_rows_count",
+    "deleted_rows_count",
+]
+
+_REQUIRED_DATA_FILE = [
+    "content",
+    "file_path",
+    "file_format",
+    "partition",
+    "record_count",
+    "file_size_in_bytes",
+]
+
+
+class TestConformance:
+    def test_metadata_required_fields(self, exported):
+        _, _, meta_path = exported
+        meta = json.load(open(meta_path))
+        for key in _REQUIRED_METADATA:
+            assert key in meta, f"metadata.json missing required {key!r}"
+        assert meta["format-version"] == 2
+        # schema integrity: unique ids, current-schema-id resolves
+        sids = [s["schema-id"] for s in meta["schemas"]]
+        assert len(set(sids)) == len(sids)
+        assert meta["current-schema-id"] in sids
+        cur_schema = next(
+            s
+            for s in meta["schemas"]
+            if s["schema-id"] == meta["current-schema-id"]
+        )
+        ids = [f["id"] for f in cur_schema["fields"]]
+        assert len(set(ids)) == len(ids)
+        assert meta["last-column-id"] >= max(ids)
+        # partition-spec integrity: sources resolve, field-ids >= 1000
+        spec_ids = [sp["spec-id"] for sp in meta["partition-specs"]]
+        assert meta["default-spec-id"] in spec_ids
+        field_ids = {
+            f["id"] for s in meta["schemas"] for f in s["fields"]
+        }
+        for sp in meta["partition-specs"]:
+            for f in sp["fields"]:
+                assert f["field-id"] >= 1000
+                assert f["source-id"] in field_ids
+                assert f["transform"] != "bucket[" , "xxhash bucket must not export"
+        # snapshots: current resolves, parents chain, log matches
+        by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        assert meta["current-snapshot-id"] in by_id
+        for s in meta["snapshots"]:
+            if "parent-snapshot-id" in s:
+                assert s["parent-snapshot-id"] in by_id
+            assert s["summary"]["operation"] in (
+                "append",
+                "replace",
+                "overwrite",
+                "delete",
+            )
+        assert [e["snapshot-id"] for e in meta["snapshot-log"]] == [
+            s["snapshot-id"] for s in meta["snapshots"]
+        ]
+        # refs: main branch + exported tag
+        assert meta["refs"]["main"]["snapshot-id"] == meta[
+            "current-snapshot-id"
+        ]
+        assert meta["refs"]["prerelease"]["type"] == "tag"
+        # name-mapping carries BOTH physical names of the renamed column
+        mapping = json.loads(
+            meta["properties"]["schema.name-mapping.default"]
+        )
+        val_entry = next(
+            e for e in mapping if "value" in e["names"]
+        )
+        assert "val" in val_entry["names"]
+
+    def test_manifest_lists_decode(self, exported):
+        _, _, meta_path = exported
+        meta = json.load(open(meta_path))
+        for s in meta["snapshots"]:
+            path = s["manifest-list"]
+            assert path.startswith("file://")
+            schema, fmeta, entries = iceavro.read_ocf(path[len("file://"):])
+            assert fmeta["format-version"] == b"2"
+            assert int(fmeta["snapshot-id"]) == s["snapshot-id"]
+            # every avro field carries its spec field-id
+            for f in schema["fields"]:
+                assert "field-id" in f
+            for e in entries:
+                for key in _REQUIRED_MANIFEST_FILE:
+                    assert key in e, f"manifest_file missing {key!r}"
+                assert e["content"] in (0, 1)
+                assert e["manifest_length"] == os.path.getsize(
+                    e["manifest_path"][len("file://"):]
+                )
+                assert e["min_sequence_number"] <= e["sequence_number"]
+                assert e["sequence_number"] <= s["sequence-number"]
+
+    def test_manifest_entries_decode(self, exported):
+        t, _, meta_path = exported
+        meta = json.load(open(meta_path))
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, _, manifests = iceavro.read_ocf(
+            cur["manifest-list"][len("file://"):]
+        )
+        saw_data = saw_delete = 0
+        total_rows = 0
+        for m in manifests:
+            schema, fmeta, entries = iceavro.read_ocf(
+                m["manifest_path"][len("file://"):]
+            )
+            assert fmeta["format-version"] == b"2"
+            assert fmeta["content"] == (
+                b"data" if m["content"] == 0 else b"deletes"
+            )
+            json.loads(fmeta["schema"])  # embedded table schema parses
+            json.loads(fmeta["partition-spec"])
+            assert int(fmeta["partition-spec-id"]) == m["partition_spec_id"]
+            for e in entries:
+                assert e["status"] in (0, 1, 2)
+                df_rec = e["data_file"]
+                for key in _REQUIRED_DATA_FILE:
+                    assert key in df_rec
+                assert df_rec["file_format"] == "PARQUET"
+                path = df_rec["file_path"]
+                assert path.startswith("file://")
+                assert os.path.getsize(path[len("file://"):]) == df_rec[
+                    "file_size_in_bytes"
+                ]
+                assert e["sequence_number"] <= cur["sequence-number"]
+                if m["content"] == 0:
+                    saw_data += 1
+                    total_rows += df_rec["record_count"]
+                    # bounds decode: k is a long, lower <= upper
+                    lo = df_rec.get("lower_bounds")
+                    hi = df_rec.get("upper_bounds")
+                    if lo and hi:
+                        lo_k = {e2["key"]: e2["value"] for e2 in lo}.get(1)
+                        hi_k = {e2["key"]: e2["value"] for e2 in hi}.get(1)
+                        if lo_k is not None and hi_k is not None:
+                            assert int.from_bytes(
+                                lo_k, "little", signed=True
+                            ) <= int.from_bytes(hi_k, "little", signed=True)
+                else:
+                    saw_delete += 1
+        assert saw_data > 0 and saw_delete > 0
+        # data manifests of the CURRENT snapshot cover the full pre-delete
+        # row count (deletes subtract at read time)
+        assert total_rows == 100
+
+    def test_partition_values_typed(self, exported):
+        _, _, meta_path = exported
+        meta = json.load(open(meta_path))
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, _, manifests = iceavro.read_ocf(
+            cur["manifest-list"][len("file://"):]
+        )
+        months = set()
+        grps = set()
+        for m in manifests:
+            if m["content"] != 0:
+                continue
+            _, _, entries = iceavro.read_ocf(
+                m["manifest_path"][len("file://"):]
+            )
+            for e in entries:
+                p = e["data_file"]["partition"]
+                grps.add(p["grp"])
+                months.add(p["d_month"])
+        assert grps == {0, 1, 2, 3, 4}
+        # Jan/Feb 2024 = 648, 649 months since epoch
+        assert months == {648, 649}
+
+
+class TestRoundTrip:
+    def test_current_snapshot_equality(self, spark, exported):
+        t, dest, _ = exported
+        assert _rows(read_iceberg(spark, dest)) == _rows(t.scan())
+
+    def test_time_travel_equality(self, spark, exported):
+        t, dest, _ = exported
+        for s in t.snapshots():
+            got = read_iceberg(spark, dest, snapshot_id=s.snapshot_id)
+            assert _rows(got) == _rows(t.scan(snapshot_id=s.snapshot_id)), (
+                f"snapshot {s.snapshot_id} ({s.operation}) mismatch"
+            )
+
+    def test_identity_partition_column_restored(self, spark, exported):
+        # grp lives only in hive paths; the importer must rebuild it from
+        # manifest partition values (Iceberg identity-read-from-metadata)
+        t, dest, _ = exported
+        got = read_iceberg(spark, dest)
+        assert _rows(got.groupBy("grp").count()) == _rows(
+            t.scan().groupBy("grp").count()
+        )
+
+    def test_unpartitioned_and_widened(self, spark, tmp_path):
+        t = IceTable(spark, str(tmp_path / "w_src"))
+        df = spark.range(0, 20).select(
+            F.col("id").cast("int").alias("a"),
+            F.col("id").cast("double").alias("x"),
+        )
+        t.create(df)
+        t.widen_column("a", "bigint")
+        t.append(
+            spark.range(20, 30).select(
+                F.col("id").cast("long").alias("a"),
+                F.col("id").cast("double").alias("x"),
+            )
+        )
+        dest = str(tmp_path / "w_exp")
+        export_iceberg(t, dest)
+        got = read_iceberg(spark, dest)
+        assert got.schema["a"].dataType.typeName() == "long"
+        assert _rows(got) == _rows(t.scan())
+
+    def test_empty_after_full_delete(self, spark, tmp_path):
+        t = IceTable(spark, str(tmp_path / "e_src"))
+        t.create(spark.range(0, 5).select(F.col("id").alias("k")))
+        t.delete_where(F.lit(True), mode="merge-on-read")
+        dest = str(tmp_path / "e_exp")
+        export_iceberg(t, dest)
+        assert read_iceberg(spark, dest).count() == 0
+
+
+class TestRefusals:
+    def test_equality_deletes_refused(self, spark, tmp_path):
+        t = IceTable(spark, str(tmp_path / "eq_src"))
+        t.create(
+            spark.range(0, 10).select(
+                F.col("id").alias("k"), F.lit("x").alias("v")
+            )
+        )
+        keys = spark.createDataFrame([(3,), (4,)], "k long")
+        t.delete_rows(keys, ["k"], mode="equality")
+        with pytest.raises(ValueError, match="equality deletes"):
+            export_iceberg(t, str(tmp_path / "eq_exp"))
+        # compaction materializes them; export then succeeds
+        t.compact()
+        dest = str(tmp_path / "eq_exp2")
+        export_iceberg(t, dest)
+        assert _rows(read_iceberg(spark, dest)) == _rows(t.scan())
+
+    def test_field_defaults_refused(self, spark, tmp_path):
+        t = IceTable(spark, str(tmp_path / "fd_src"))
+        t.create(spark.range(0, 5).select(F.col("id").alias("k")))
+        t.add_column("tier", "string", default="bronze")
+        with pytest.raises(ValueError, match="initial-default"):
+            export_iceberg(t, str(tmp_path / "fd_exp"))
+
+    def test_ambiguous_physical_name_refused(self, spark, tmp_path):
+        # drop a column, re-add the same name, append: the physical name
+        # now belongs to two field ids -> a global name-mapping cannot
+        # express it
+        t = IceTable(spark, str(tmp_path / "amb_src"))
+        t.create(
+            spark.range(0, 5).select(
+                F.col("id").alias("k"), F.lit("a").alias("v")
+            )
+        )
+        t.drop_column("v")
+        t.add_column("v", "string")
+        t.append(
+            spark.range(5, 8).select(
+                F.col("id").alias("k"), F.lit("b").alias("v")
+            )
+        )
+        with pytest.raises(ValueError, match="name-mapping|two"):
+            export_iceberg(t, str(tmp_path / "amb_exp"))
+
+
+class TestDeleteRewrite:
+    def test_delete_files_point_at_exported_uris(self, exported):
+        import pyarrow.parquet as pq
+
+        t, dest, meta_path = exported
+        meta = json.load(open(meta_path))
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, _, manifests = iceavro.read_ocf(
+            cur["manifest-list"][len("file://"):]
+        )
+        checked = 0
+        for m in manifests:
+            if m["content"] != 1:
+                continue
+            _, _, entries = iceavro.read_ocf(
+                m["manifest_path"][len("file://"):]
+            )
+            for e in entries:
+                tbl = pq.read_table(e["data_file"]["file_path"][len("file://"):])
+                # reserved Iceberg field ids stamped in the parquet schema
+                fp_field = tbl.schema.field("file_path")
+                assert fp_field.metadata[b"PARQUET:field_id"] == b"2147483546"
+                for p in tbl.column("file_path").to_pylist():
+                    assert p.startswith("file://" + dest)
+                    assert os.path.exists(p[len("file://"):])
+                    checked += 1
+        assert checked > 0
