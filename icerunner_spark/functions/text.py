@@ -50,10 +50,22 @@ def char_ngrams(text: Column | str, n: int = 5, *, normalized: bool = False) -> 
     matters)."""
     text = F.col(text) if isinstance(text, str) else text
     norm = text if normalized else normalize_ws(text)
-    # sequence over character positions, sliced JVM-side: no UDF.
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(norm) - F.lit(n - 1))),
-        lambda i: norm.substr(i, F.lit(n)),
+    # sequence over character positions, sliced JVM-side: no UDF. The
+    # normalized text is let-bound through a single-element-array
+    # transform (same CSE-boundary fix as word_ngrams): otherwise an
+    # un-materialized normalize_ws re-runs its regex once per GRAM.
+    return F.element_at(
+        F.transform(
+            F.array(norm),
+            lambda t: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.lit(1), F.length(t) - F.lit(n - 1)),
+                ),
+                lambda i: t.substr(i, F.lit(n)),
+            ),
+        ),
+        1,
     )
 
 
@@ -96,12 +108,29 @@ def word_ngrams(text: Column | str, n: int) -> Column:
     ``token_count``. Documents shorter than n tokens yield one (short)
     gram — both engines of the oracle pair apply the same rule. Pure
     higher-order array expressions: narrow map, no UDF, no shuffle.
-    """
+
+    The token array is LET-BOUND through a single-element-array
+    ``transform`` before the per-gram lambda: expressions referenced
+    inside an array lambda re-evaluate per element (the CSE boundary
+    :func:`normalize_ws` documents), so the naive form re-ran the
+    tokenize regex once per GRAM — measured 10x on the whole gram stage
+    of ``shared_span_pairs`` at sf1 (27.7 s -> 2.7 s, tools/span_profile
+    .py). Binding ``tokens()`` to a lambda variable evaluates it once
+    per document; the inner lambda then references a variable, not an
+    expression tree. Result-identical, including NULL propagation."""
     toks = tokens(text)
-    n_grams = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    return F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(tk) - F.lit(n - 1), F.lit(1)),
+                ),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+            ),
+        ),
+        1,
     )
 
 

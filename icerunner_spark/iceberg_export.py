@@ -50,6 +50,16 @@ Fidelity notes (all spec-driven, none lossy for correctness):
   manifest-list indirection, so the export is O(total files + commits),
   not O(files x snapshots). Entries carry explicit sequence numbers
   (no inheritance needed by readers).
+- **Incremental re-export.** Exporting again to the SAME dest is
+  O(delta): the previous tree's manifests seed the reuse cache (rebuilt
+  from their own Avro contents), already-linked data files are skipped,
+  the table-uuid is preserved, and a fresh ``v{N+1}.metadata.json``
+  lands with the previous file appended to ``metadata-log`` — the spec's
+  own metadata-history mechanism, making the exporter usable as a
+  CONTINUOUS Iceberg mirror off the commit stream, not a one-shot dump.
+  (After ``expire_snapshots`` removed history, start a fresh dest: stale
+  manifests are guarded per-entry but spec renumbering is not worth
+  reconciling against an expired tree.)
 """
 
 from __future__ import annotations
@@ -645,8 +655,11 @@ class IcebergExporter:
         """Write (or reuse) one manifest Avro; returns its manifest_file
         entry for manifest lists."""
         key = (kind, commit_dir, tuple(sorted(files)))
-        if key in self._manifest_cache:
-            return self._manifest_cache[key]
+        cached = self._manifest_cache.get(key)
+        if cached is not None and cached["partition_spec_id"] == spec_id:
+            return cached
+        # spec-id drift against a seeded (previous-export) entry:
+        # rewrite rather than reuse a manifest stamped with a stale id
         spec_parsed = _parse_spec(spec_list) if kind == 0 else []
         st = StructType.fromJson(json.loads(cur.schema_json))
         types = {f.name: f.dataType for f in st.fields}
@@ -763,15 +776,78 @@ class IcebergExporter:
         self._manifest_cache[key] = entry
         return entry
 
+    # -- incremental re-export ------------------------------------------- #
+
+    def _load_prev(self) -> tuple[dict, int, str] | None:
+        """(previous metadata, its version, its path) when dest already
+        holds an export; None for a fresh dest."""
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        if not os.path.exists(hint):
+            return None
+        with open(hint) as f:
+            v = int(f.read().strip())
+        path = os.path.join(self.meta_dir, f"v{v}.metadata.json")
+        with open(path) as f:
+            return json.load(f), v, path
+
+    def _seed_manifest_cache(self) -> None:
+        """Rebuild the manifest reuse cache from the previous export's
+        Avro files: each manifest's manifest_file entry is a pure
+        function of its own contents, so a re-export rewrites only
+        manifests for NEW (dir, file-subset) keys — O(delta)."""
+        for name in sorted(os.listdir(self.meta_dir)):
+            if not (name.startswith("manifest-") and name.endswith(".avro")):
+                continue
+            path = os.path.join(self.meta_dir, name)
+            try:
+                _, fmeta, entries = iceavro.read_ocf(path)
+            except (ValueError, KeyError, OSError):
+                continue  # foreign/corrupt file: just don't reuse it
+            if not entries:
+                continue
+            kind = 0 if fmeta.get("content") == b"data" else 1
+            rels = sorted(
+                os.path.relpath(_strip_uri(e["data_file"]["file_path"]), self.dest)
+                for e in entries
+            )
+            seqs = [(e["sequence_number"], e["snapshot_id"]) for e in entries]
+            min_seq = min(s for s, _ in seqs)
+            key = (kind, _commit_dir_of(rels[0]), tuple(rels))
+            self._manifest_cache[key] = {
+                "manifest_path": _uri(path),
+                "manifest_length": os.path.getsize(path),
+                "partition_spec_id": int(
+                    fmeta.get("partition-spec-id", b"0").decode("utf-8")
+                ),
+                "content": kind,
+                "sequence_number": max(s for s, _ in seqs),
+                "min_sequence_number": min_seq,
+                "added_snapshot_id": next(
+                    sid for s, sid in seqs if s == min_seq
+                ),
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+            n = int(name.split("-")[1])
+            self._manifest_n = max(self._manifest_n, n)
+
     # -- data / delete file materialization ----------------------------- #
 
     def _materialize_data(self, rel: str) -> None:
         if rel in self._linked:
             return
         self._linked.add(rel)
-        _link_or_copy(
-            os.path.join(self.table.path, rel), os.path.join(self.dest, rel)
-        )
+        dst = os.path.join(self.dest, rel)
+        if os.path.exists(dst):  # incremental re-export: already linked
+            return
+        _link_or_copy(os.path.join(self.table.path, rel), dst)
 
     def _materialize_delete(self, rel: str) -> None:
         """Rewrite one positional-delete parquet: map table-relative
@@ -779,6 +855,8 @@ class IcebergExporter:
         if rel in self._linked:
             return
         self._linked.add(rel)
+        if os.path.exists(os.path.join(self.dest, rel)):
+            return  # immutable + deterministic rewrite: reuse
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -857,6 +935,22 @@ class IcebergExporter:
         snaps = self._exportable()
         cur = snaps[-1]
         os.makedirs(self.meta_dir, exist_ok=True)
+        prev = self._load_prev()
+        version = 1
+        table_uuid = str(uuid.uuid4())
+        metadata_log: list = []
+        if prev is not None:
+            prev_meta, prev_version, prev_path = prev
+            version = prev_version + 1
+            table_uuid = prev_meta["table-uuid"]
+            metadata_log = list(prev_meta.get("metadata-log", []))
+            metadata_log.append(
+                {
+                    "timestamp-ms": prev_meta["last-updated-ms"],
+                    "metadata-file": _uri(prev_path),
+                }
+            )
+            self._seed_manifest_cache()
         schemas, schema_index, last_column_id = self._build_schemas(snaps)
         specs, spec_index, last_partition_id = self._build_specs(snaps)
         attr = self._attribute_files(snaps)
@@ -976,7 +1070,7 @@ class IcebergExporter:
                 refs[tag] = {"snapshot-id": sid, "type": "tag"}
         metadata = {
             "format-version": 2,
-            "table-uuid": str(uuid.uuid4()),
+            "table-uuid": table_uuid,
             "location": _uri(self.dest),
             "last-sequence-number": cur.sequence,
             "last-updated-ms": max(s.timestamp_ms for s in snaps),
@@ -996,14 +1090,14 @@ class IcebergExporter:
             "current-snapshot-id": cur.snapshot_id,
             "snapshots": snapshots_meta,
             "snapshot-log": snapshot_log,
-            "metadata-log": [],
+            "metadata-log": metadata_log,
             "refs": refs,
         }
-        meta_path = os.path.join(self.meta_dir, "v1.metadata.json")
+        meta_path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
         with open(meta_path, "w") as f:
             json.dump(metadata, f, indent=2)
         with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as f:
-            f.write("1")
+            f.write(str(version))
         return meta_path
 
 

@@ -3091,10 +3091,16 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> list:
 def _pq_index(spark: SparkSession, sf_dir: str) -> list:
     from icerunner_spark.operators.similarity import pq_train_codebooks
 
+    # m=8 x 32 codes (r8): the sf1 recall probe measured the old m=4 x 16
+    # books at recall@10 = 0.44 on the 10x corpus (quantization too
+    # coarse — the fixed 960-candidate rescore pool can't compensate as
+    # distractors grow). 8 subspaces x 32 codes measured 1.00 / 0.84
+    # (sf0.1 / sf1) at the same rerank=96 and the same query latency;
+    # codes stay 1 byte each (8 B/row vs the embedding's 256 B).
     key = ("pq", os.path.normpath(sf_dir))
     if key not in _ANN_INDEX:
         _ANN_INDEX[key] = pq_train_codebooks(
-            _t(spark, sf_dir, "embeddings"), m=4, n_codes=16
+            _t(spark, sf_dir, "embeddings"), m=8, n_codes=32
         )
     return _ANN_INDEX[key]
 
@@ -5934,17 +5940,19 @@ def incremental_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pinned in tests/test_operators.py::TestProductQuantization
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN (operators.similarity.pq_topk): vectors
-    stored as m=4 centroid indices (64-128x narrower than the embedding
-    column), scored by asymmetric distance through an m×16 literal
+    stored as m=8 centroid indices (32x narrower than the embedding
+    column), scored by asymmetric distance through an m×32 literal
     lookup table — no join, no shuffle before the TakeOrdered — then the
-    top candidates exact-rescored on full vectors. The compression tier
-    between int8 (similarity_quantized_topk) and IVF cell pruning
-    (similarity_ann_ivf); at corpus scale the ADC scan reads 16 bytes
-    per row instead of 256. rerank=96: the exact-rescore pool must be
-    ~10x k for m=4x16 codebooks on 64-dim near-uniform vectors (r6
-    bench measured recall@10=0.3 at rerank=16); rescoring 96 full
-    vectors is ADC-candidate-fraction <2% at sf0.1 and O(1) at any
-    corpus size."""
+    top k·rerank candidates exact-rescored on full vectors. The
+    compression tier between int8 (similarity_quantized_topk) and IVF
+    cell pruning (similarity_ann_ivf); at corpus scale the ADC scan
+    reads 8 bytes per row instead of 256. Parameters are probe-tuned
+    (SCALE_PROBE.json ann_recall): the r7 m=4x16 books measured
+    recall@10 = 0.92 at sf0.1 but 0.44 at sf1 — quantization error, not
+    pool size, was the binding constraint, so r8 bought recall with
+    codebook resolution (m=8x32: 1.00 / 0.84 at the same rerank=96 and
+    latency) rather than letting the rescore pool grow with the
+    corpus."""
     from icerunner_spark.operators.similarity import pq_topk
 
     e = _t(spark, sf_dir, "embeddings")

@@ -433,6 +433,53 @@ class TestRoundTrip:
         assert read_iceberg(spark, dest).count() == 0
 
 
+class TestIncrementalReExport:
+    def test_re_export_is_delta_and_chains_metadata(self, spark, tmp_path):
+        t = IceTable(spark, str(tmp_path / "inc_src"))
+        t.create(
+            spark.range(0, 30).select(
+                F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+            )
+        )
+        t.append(spark.range(30, 60).select(F.col("id").alias("k"), (F.col("id") % 3).alias("g")))
+        dest = str(tmp_path / "inc_exp")
+        p1 = export_iceberg(t, dest)
+        meta1 = json.load(open(p1))
+        manifests_before = {
+            f
+            for f in os.listdir(os.path.join(dest, "metadata"))
+            if f.startswith("manifest-") and f.endswith(".avro")
+        }
+        # advance the table, re-export to the SAME dest
+        t.append(spark.range(60, 80).select(F.col("id").alias("k"), (F.col("id") % 3).alias("g")))
+        t.delete_where(F.col("k") % 11 == 0, mode="merge-on-read")
+        p2 = export_iceberg(t, dest)
+        assert p2.endswith("v2.metadata.json")
+        meta2 = json.load(open(p2))
+        # identity is stable; history chains through metadata-log
+        assert meta2["table-uuid"] == meta1["table-uuid"]
+        assert len(meta2["metadata-log"]) == 1
+        assert meta2["metadata-log"][0]["metadata-file"].endswith(
+            "v1.metadata.json"
+        )
+        with open(os.path.join(dest, "metadata", "version-hint.text")) as f:
+            assert f.read().strip() == "2"
+        # old manifests were REUSED, not rewritten: the prior set is a
+        # subset of the new set (delta = the new append + the delete)
+        manifests_after = {
+            f
+            for f in os.listdir(os.path.join(dest, "metadata"))
+            if f.startswith("manifest-") and f.endswith(".avro")
+        }
+        assert manifests_before <= manifests_after
+        assert len(manifests_after) > len(manifests_before)
+        # and the re-exported tree reads correctly at every snapshot
+        assert _rows(read_iceberg(spark, dest)) == _rows(t.scan())
+        for s in t.snapshots():
+            got = read_iceberg(spark, dest, snapshot_id=s.snapshot_id)
+            assert _rows(got) == _rows(t.scan(snapshot_id=s.snapshot_id))
+
+
 class TestRefusals:
     def test_equality_deletes_refused(self, spark, tmp_path):
         t = IceTable(spark, str(tmp_path / "eq_src"))

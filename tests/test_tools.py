@@ -1,0 +1,91 @@
+"""Tests for the repo-root measurement tooling (no Spark session).
+
+bench_compare's artifact loaders are trusted by the round-over-round
+perf review and (since r8, r7 verdict item 6) by the bench-vs-probe
+cross-artifact consistency check — a loader bug would silently compare
+the wrong numbers, so the three accepted artifact shapes are pinned
+here.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_module(relpath: str, name: str):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(_HERE, relpath)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestBenchCompareLoaders:
+    def test_bench_full_shape(self, tmp_path):
+        bc = _load_module("tools/bench_compare.py", "bench_compare")
+        p = tmp_path / "bench.json"
+        p.write_text(
+            json.dumps(
+                {
+                    "queries": {"q1": 1.5, "q2": 0.5},
+                    "noise": {"p90_spread": 0.4},
+                }
+            )
+        )
+        meds, spread, per = bc._load(str(p))
+        assert meds == {"q1": 1.5, "q2": 0.5}
+        assert spread == 0.4
+        assert per == {}
+
+    def test_bare_map_shape(self, tmp_path):
+        bc = _load_module("tools/bench_compare.py", "bench_compare")
+        p = tmp_path / "bare.json"
+        p.write_text(json.dumps({"q1": 2.0}))
+        meds, spread, per = bc._load(str(p))
+        assert meds == {"q1": 2.0}
+        assert spread == 0.5
+
+    def test_scale_probe_shape(self, tmp_path):
+        bc = _load_module("tools/bench_compare.py", "bench_compare")
+        p = tmp_path / "probe.json"
+        p.write_text(
+            json.dumps(
+                {
+                    "metric": "scale_probe_exponent",
+                    "queries": {
+                        "q1": {
+                            "sf0.1": 1.2,
+                            "sf0.1_spread": 0.3,
+                            "sf1": 4.0,
+                            "exponent": 0.5,
+                        },
+                        "incomplete": {"sf1": 9.9},
+                    },
+                }
+            )
+        )
+        meds, spread, per = bc._load(str(p))
+        # sf0.1 medians only; entries without one are skipped
+        assert meds == {"q1": 1.2}
+        assert per["q1"] == 0.3
+
+    def test_real_artifacts_cross_load(self):
+        """The committed r7/r8 artifacts must stay loadable — the
+        cross-artifact consistency check runs on exactly these files."""
+        bc = _load_module("tools/bench_compare.py", "bench_compare")
+        probe = os.path.join(_HERE, "SCALE_PROBE.json")
+        bench = os.path.join(_HERE, "bench_full.json")
+        if not (os.path.exists(probe) and os.path.exists(bench)):
+            import pytest
+
+            pytest.skip("artifacts not present")
+        probe_meds, _, probe_spreads = bc._load(probe)
+        bench_meds, bench_spread, _ = bc._load(bench)
+        shared = set(probe_meds) & set(bench_meds)
+        assert shared, "probe and bench share no queries"
+        assert all(v > 0 for v in probe_meds.values())

@@ -5,12 +5,22 @@ look.
 
 Usage: python tools/bench_compare.py <old.json> <new.json> [spread]
 
-Accepts either a bench_full.json artifact ({"queries": {...},
-"noise": {...}}) or a bare {name: seconds} map (e.g. medians recovered
-from a driver tail). Prints the shared-entry totals, the ratio, and
-every entry whose ratio falls outside 1 +/- max(spread, per-query
-floor) in both directions — regressions AND suspicious speedups (a
-10x speedup usually means the query stopped doing the work).
+Accepts any of (r7 verdict item 6 added the third):
+- a bench_full.json artifact ({"queries": {...}, "noise": {...}});
+- a bare {name: seconds} map (e.g. medians recovered from a driver tail);
+- a SCALE_PROBE.json artifact ({"metric": "scale_probe_exponent",
+  "queries": {name: {"sf0.1": s, "sf0.1_spread": x, ...}}}) — its sf0.1
+  medians are the same quantity the bench measures, so comparing the two
+  artifacts from ONE round is a methodology consistency check: both are
+  median-of-3 at sf0.1, and a delta beyond the union of their measured
+  spreads means one of the harnesses is mis-measuring (different session
+  state, missing cache clear, changed fixture), not that the query
+  changed speed.
+
+Prints the shared-entry totals, the ratio, and every entry whose ratio
+falls outside 1 +/- max(global spread, the entry's own measured spreads)
+in both directions — regressions AND suspicious speedups (a 10x speedup
+usually means the query stopped doing the work).
 """
 
 from __future__ import annotations
@@ -19,20 +29,32 @@ import json
 import sys
 
 
-def _load(path: str) -> tuple[dict[str, float], float]:
+def _load(path: str) -> tuple[dict[str, float], float, dict[str, float]]:
+    """-> (medians, global spread, per-query spreads where measured)."""
     with open(path) as fh:
         d = json.load(fh)
+    if d.get("metric") == "scale_probe_exponent":
+        meds = {
+            k: float(v["sf0.1"])
+            for k, v in d["queries"].items()
+            if "sf0.1" in v
+        }
+        per = {
+            k: float(v.get("sf0.1_spread", 0.0))
+            for k, v in d["queries"].items()
+        }
+        return meds, 0.5, per
     if "queries" in d:
         spread = float(d.get("noise", {}).get("p90_spread", 0.5))
-        return {k: float(v) for k, v in d["queries"].items()}, spread
-    return {k: float(v) for k, v in d.items()}, 0.5
+        return {k: float(v) for k, v in d["queries"].items()}, spread, {}
+    return {k: float(v) for k, v in d.items()}, 0.5, {}
 
 
 def main() -> None:
     if len(sys.argv) < 3:
         sys.exit(__doc__)
-    old, old_spread = _load(sys.argv[1])
-    new, new_spread = _load(sys.argv[2])
+    old, old_spread, old_per = _load(sys.argv[1])
+    new, new_spread, new_per = _load(sys.argv[2])
     spread = float(sys.argv[3]) if len(sys.argv) > 3 else max(old_spread, new_spread)
     shared = sorted(set(old) & set(new))
     t_old = sum(old[k] for k in shared)
@@ -40,22 +62,24 @@ def main() -> None:
     print(
         f"shared entries: {len(shared)}  old total: {t_old:.2f}s  "
         f"new total: {t_new:.2f}s  ratio: {t_new / t_old:.3f}  "
-        f"(spread threshold ±{spread:.2f})"
+        f"(spread threshold ±{spread:.2f}, widened per-entry by its "
+        f"own measured spread where available)"
     )
     flagged = []
     for k in shared:
         if old[k] <= 0:
             continue
         ratio = new[k] / old[k]
+        thr = max(spread, old_per.get(k, 0.0), new_per.get(k, 0.0))
         # sub-100ms entries live in scheduler noise; require an
         # absolute delta too
         if abs(new[k] - old[k]) > 0.25 and (
-            ratio > 1 + spread or ratio < 1 / (1 + spread)
+            ratio > 1 + thr or ratio < 1 / (1 + thr)
         ):
             flagged.append((ratio, k))
     for ratio, k in sorted(flagged, reverse=True):
-        tag = "REGRESSION?" if ratio > 1 else "speedup"
-        print(f"  {tag:12s} {k:36s} {old[k]:8.3f}s -> {new[k]:8.3f}s ({ratio:.2f}x)")
+        tag = "INCONSISTENT?" if ratio > 1 else "speedup"
+        print(f"  {tag:13s} {k:36s} {old[k]:8.3f}s -> {new[k]:8.3f}s ({ratio:.2f}x)")
     if not flagged:
         print("  all shared entries within the spread threshold")
     only_new = sorted(set(new) - set(old))
