@@ -98,6 +98,8 @@ HEADLINE = [
     "multimodal_resize_stats",
     "multimodal_audio_stats",
     "multimodal_video_stats",
+    # r8 addition: Iceberg v2 metadata export + import round trip
+    "iceberg_export_roundtrip",
 ]
 
 

@@ -89,15 +89,31 @@ def winnowing_fingerprints(
     basis for plagiarism/near-dup detection at corpus scale. Entirely
     higher-order array expressions over xxhash64: no UDF, no shuffle;
     downstream join/groupBy on exploded fingerprints is the only exchange.
-    """
+
+    The gram-hash array is let-bound before the sliding-window lambda
+    (same CSE-boundary fix as :func:`word_ngrams`): the naive form
+    re-derived the whole shingle+hash chain once per WINDOW position.
+    Pipelines that shape this as (id, fps) rows should still prefer
+    operators.text.winnowing_fingerprints, which materializes the
+    intermediate columns."""
     grams = char_ngrams(text, k)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
-    n_windows = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+    return F.element_at(
+        F.transform(
+            F.array(F.transform(grams, lambda g: F.xxhash64(g))),
+            lambda hs: F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(
+                            F.size(hs) - F.lit(window - 1), F.lit(1)
+                        ),
+                    ),
+                    lambda i: F.array_min(F.slice(hs, i, window)),
+                )
+            ),
+        ),
+        1,
     )
-    return F.array_distinct(mins)
 
 
 def word_ngrams(text: Column | str, n: int) -> Column:

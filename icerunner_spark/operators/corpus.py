@@ -306,9 +306,23 @@ def chunk_documents(
     if chunk_tokens <= overlap:
         raise ValueError("chunk_tokens must exceed overlap")
     step = chunk_tokens - overlap
-    toks = tokens(text_col)
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(step))
-    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+    # let-bind the token array before the per-chunk lambda (the CSE
+    # boundary functions.text.word_ngrams documents): the naive capture
+    # re-ran the tokenize regex once per CHUNK
+    chunks = F.element_at(
+        F.transform(
+            F.array(tokens(text_col)),
+            lambda tk: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(tk), F.lit(1)),
+                    F.lit(step),
+                ),
+                lambda s: F.slice(tk, s, chunk_tokens),
+            ),
+        ),
+        1,
+    )
     return df.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "__chunk"),
