@@ -1,6 +1,9 @@
 """CLI: serve / read / write / mirror (reference: icerunner.py:1158-1239)
-plus sql (remote SQL over the served sql ticket) and maintain
-(policy-driven table maintenance, table.py run_maintenance).
+plus sql (remote SQL over the served sql ticket), maintain
+(policy-driven table maintenance, table.py run_maintenance), and
+export-iceberg (cross-engine Iceberg v2 metadata export,
+iceberg_export.py — re-running against the same output dir is an
+O(delta) incremental mirror).
 
 Same verbs and flags; ``--batch-size`` counts ROWS (the reference documents
 rows but implements batches — bug at icerunner.py:1118)."""
@@ -61,6 +64,15 @@ def main(argv: list[str] | None = None) -> int:
         help="one table (default: every table in the warehouse)",
     )
 
+    ex = sub.add_parser(
+        "export-iceberg",
+        help="export a warehouse table as an Apache Iceberg v2 tree "
+        "(re-export to the same -o is an O(delta) incremental mirror)",
+    )
+    ex.add_argument("-w", "--warehouse", default="warehouse")
+    ex.add_argument("-n", "--table-name", required=True)
+    ex.add_argument("-o", "--output", required=True, help="Iceberg table dir")
+
     args = p.parse_args(argv)
 
     if args.mode == "serve":
@@ -104,6 +116,14 @@ def main(argv: list[str] | None = None) -> int:
         for name in names:
             report = c.table(name).run_maintenance()
             logging.info("%s: %s", name, report or "healthy, nothing to do")
+        return 0
+    if args.mode == "export-iceberg":
+        from icerunner_spark.connector import Connector
+        from icerunner_spark.session import get_spark
+
+        c = Connector(get_spark(app_name="icerunner_export"), args.warehouse)
+        meta_path = c.table(args.table_name).export_iceberg(args.output)
+        logging.info("exported %s -> %s", args.table_name, meta_path)
         return 0
     if args.mode == "mirror":
         from icerunner_spark.flight.mirror import run_mirror, run_mirror_streaming

@@ -1005,6 +1005,7 @@ class IceTable:
         properties_update: dict | None = None,
         fresh_segments: bool = False,
         defaults_evolve=None,
+        schema_evolve=None,
     ) -> Snapshot:
         """Optimistically commit a new snapshot referencing already-written
         data files. Pure metadata — safe to retry without rewriting data.
@@ -1013,6 +1014,20 @@ class IceTable:
         (field_ids, next_field_id)`` transform applied INSIDE the retry
         loop (so it always sees the winning parent's ids) — the hook
         add/drop/rename/overwrite use to change the id mapping.
+
+        ``schema_evolve`` is the SCHEMA-side twin: an optional
+        ``(parent_schema_json) -> new_schema_json`` transform, also
+        applied inside the retry loop, that add/drop/rename/widen use
+        instead of a pre-read ``df_schema_json``. Without it, an alter
+        losing the commit race republishes the schema it READ — silently
+        reverting a concurrent widen's type, or (worse) publishing a
+        schema whose column names no longer match the winning parent's
+        field_ids, which makes the mismatched column resolve to NO field
+        id and read as typed NULL (caught by the r8 conflict-stress run:
+        widen racing rename). The transform re-validates against the
+        winning parent and raises ValueError when the race made the
+        operation meaningless (column renamed away, already widened) —
+        the same surfaced-race contract rename/widen already document.
 
         Conflict validation (Iceberg parity — a retry must not silently
         undo a concurrent commit):
@@ -1078,6 +1093,8 @@ class IceTable:
                 manifest = parent.manifest + list(added_files)
             if inherit_schema and parent is not None:
                 df_schema_json = parent.schema_json
+            if schema_evolve is not None and parent is not None:
+                df_schema_json = schema_evolve(parent.schema_json)
             if parent is None:
                 names = _schema_names(df_schema_json)
                 field_ids = {n: i + 1 for i, n in enumerate(names)}
@@ -4294,8 +4311,9 @@ class IceTable:
         schema = self.schema()
         if name in {f.name for f in schema.fields}:
             raise ValueError(f"column already exists: {name}")
+        parsed_dt = _parse_datatype_string(dtype)
         new_schema = StructType(
-            schema.fields + [StructField(name, _parse_datatype_string(dtype), True)]
+            schema.fields + [StructField(name, parsed_dt, True)]
         )
         # added_files=[] + inherit manifest: an `alter` snapshot carries no
         # row delta, so incremental readers (scan_changes / Flight
@@ -4331,6 +4349,14 @@ class IceTable:
                     f"default {default!r} casts to NULL as {dtype}; "
                     "omit default= for a NULL-backfilled column"
                 )
+        def schema_evolve(parent_json: str) -> str:
+            st = StructType.fromJson(json.loads(parent_json))
+            if name in {f.name for f in st.fields}:
+                raise ValueError(f"column already exists: {name}")
+            return StructType(
+                st.fields + [StructField(name, parsed_dt, True)]
+            ).json()
+
         return self._publish(
             "alter", [], new_schema.json(),
             summary={"operation_detail": f"add_column {name} {dtype}"},
@@ -4340,6 +4366,7 @@ class IceTable:
                 if enc is None
                 else (lambda fids, dfl: {**dfl, str(fids[name]): enc})
             ),
+            schema_evolve=schema_evolve,
         )
 
     def _live_specs(self) -> list[list]:
@@ -4401,8 +4428,11 @@ class IceTable:
             raise ValueError(
                 f"derived partition column name collides with schema: {clash}"
             )
+        # inherit_schema: this commit changes only the SPEC — republishing
+        # the schema it read would silently revert a concurrent
+        # rename/widen (same class of race schema_evolve fixes)
         return self._publish(
-            "alter", [], schema.json(),
+            "alter", [], schema.json(), inherit_schema=True,
             summary={
                 "operation_detail": f"update_partition_spec {new_spec}"
             },
@@ -4462,6 +4492,37 @@ class IceTable:
                 for f in schema.fields
             ]
         )
+
+        def schema_evolve(parent_json: str) -> str:
+            # re-derived from the WINNING parent inside the retry loop;
+            # re-validates the promotion there (a concurrent widen that
+            # already promoted past new_dt makes this one a ValueError,
+            # the documented surfaced-race outcome)
+            st = StructType.fromJson(json.loads(parent_json))
+            cur = {f.name: f for f in st.fields}
+            if name not in cur:
+                raise ValueError(f"no such column: {name}")
+            cur_dt = cur[name].dataType
+            ok2 = (cur_dt.typeName(), new_dt.typeName()) in self._WIDEN_OK
+            if cur_dt.typeName() == "decimal" and new_dt.typeName() == "decimal":
+                ok2 = (
+                    new_dt.scale == cur_dt.scale
+                    and new_dt.precision >= cur_dt.precision
+                )
+            if not ok2:
+                raise ValueError(
+                    f"cannot widen {name}: {cur_dt.simpleString()} -> "
+                    f"{new_dt.simpleString()} is not a safe promotion"
+                )
+            return StructType(
+                [
+                    StructField(name, new_dt, f.nullable)
+                    if f.name == name
+                    else f
+                    for f in st.fields
+                ]
+            ).json()
+
         return self._publish(
             "alter", [], new_schema.json(),
             summary={
@@ -4470,6 +4531,7 @@ class IceTable:
                     f"{old_dt.simpleString()} -> {new_dt.simpleString()}"
                 )
             },
+            schema_evolve=schema_evolve,
         )
 
     def drop_column(self, name: str) -> Snapshot:
@@ -4491,12 +4553,22 @@ class IceTable:
                 "compact() to materialize before dropping"
             )
         new_schema = StructType([f for f in schema.fields if f.name != name])
+
+        def schema_evolve(parent_json: str) -> str:
+            st = StructType.fromJson(json.loads(parent_json))
+            if name not in {f.name for f in st.fields}:
+                raise ValueError(f"no such column: {name}")
+            if len(st.fields) == 1:
+                raise ValueError("cannot drop the only column")
+            return StructType([f for f in st.fields if f.name != name]).json()
+
         return self._publish(
             "alter", [], new_schema.json(),
             summary={"operation_detail": f"drop_column {name}"},
             evolve=lambda fids, nid: (
                 {k: v for k, v in fids.items() if k != name}, nid
             ),
+            schema_evolve=schema_evolve,
         )
 
     def rename_column(self, old: str, new: str) -> Snapshot:
@@ -4534,12 +4606,33 @@ class IceTable:
                 for f in schema.fields
             ]
         )
+
+        def schema_evolve(parent_json: str) -> str:
+            # recomputed against the WINNING parent inside the commit
+            # retry loop — a concurrent widen/rename must not be
+            # reverted by republishing the schema this thread read
+            st = StructType.fromJson(json.loads(parent_json))
+            pnames = {f.name for f in st.fields}
+            if old not in pnames:
+                raise ValueError(f"no such column: {old}")
+            if new in pnames:
+                raise ValueError(f"column already exists: {new}")
+            return StructType(
+                [
+                    StructField(new, f.dataType, f.nullable)
+                    if f.name == old
+                    else f
+                    for f in st.fields
+                ]
+            ).json()
+
         return self._publish(
             "alter", [], new_schema.json(),
             summary={"operation_detail": f"rename_column {old} -> {new}"},
             evolve=lambda fids, nid: (
                 {(new if k == old else k): v for k, v in fids.items()}, nid
             ),
+            schema_evolve=schema_evolve,
         )
 
     def scan_changes(

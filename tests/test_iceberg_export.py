@@ -526,6 +526,25 @@ class TestRefusals:
             export_iceberg(t, str(tmp_path / "amb_exp"))
 
 
+class TestCliVerb:
+    def test_export_iceberg_cli(self, spark, tmp_path):
+        from icerunner_spark.cli import main as cli_main
+        from icerunner_spark.connector import Connector
+
+        wh = str(tmp_path / "wh")
+        c = Connector(spark, wh)
+        c.table("cli_tbl").create(
+            spark.range(0, 12).select(F.col("id").alias("k"))
+        )
+        out = str(tmp_path / "cli_exp")
+        rc = cli_main(["export-iceberg", "-w", wh, "-n", "cli_tbl", "-o", out])
+        assert rc == 0
+        assert os.path.exists(
+            os.path.join(out, "metadata", "v1.metadata.json")
+        )
+        assert read_iceberg(spark, out).count() == 12
+
+
 class TestDeleteRewrite:
     def test_delete_files_point_at_exported_uris(self, exported):
         import pyarrow.parquet as pq

@@ -3604,3 +3604,73 @@ def test_cross_process_commit_race(spark, warehouse):
         cur = by_id[cur.parent_id]
         hops += 1
     assert hops == 12
+
+
+def test_alter_race_does_not_revert_or_null_columns(spark, warehouse):
+    """Regression for the r8 conflict-stress catch: an alter (widen /
+    rename / spec evolution) that read the schema BEFORE a concurrent
+    alter committed must re-derive its published schema from the winning
+    parent (_publish schema_evolve), not republish its stale read.
+    Pre-fix, widen-after-rename published a schema naming 's' against
+    field_ids naming 's2' -> the column resolved to no field id and read
+    as typed NULL; rename-after-widen silently reverted the widened type.
+    The race is forced deterministically by injecting the concurrent
+    commit between the op's schema read and its publish."""
+    import os
+
+    def make_table(name):
+        t = IceTable(spark, os.path.join(warehouse, name))
+        t.create(
+            spark.createDataFrame(
+                [(i, i * 10, f"g{i % 4}") for i in range(8)],
+                "id long, v int, s string",
+            )
+        )
+        return t
+
+    def inject_before_publish(t, concurrent):
+        """Patch t.schema so the first read triggers ``concurrent`` on a
+        SECOND handle after capturing the stale schema."""
+        orig = t.schema
+        state = {"fired": False}
+
+        def racy():
+            st = orig()
+            if not state["fired"]:
+                state["fired"] = True
+                concurrent(IceTable(spark, t.path))
+            return st
+
+        t.schema = racy
+        return t
+
+    # widen loses the race to a rename: s2 must keep its values
+    t1 = make_table("race_widen_vs_rename")
+    inject_before_publish(t1, lambda h: h.rename_column("s", "s2"))
+    t1.widen_column("v", "bigint")
+    rows = {(r["id"], int(r["v"]), r["s2"]) for r in t1.scan().collect()}
+    assert rows == {(i, i * 10, f"g{i % 4}") for i in range(8)}
+    assert t1.schema()["v"].dataType.typeName() == "long"
+
+    # rename loses the race to a widen: the widened type must survive
+    t2 = make_table("race_rename_vs_widen")
+    inject_before_publish(t2, lambda h: h.widen_column("v", "bigint"))
+    t2.rename_column("s", "s2")
+    assert t2.schema()["v"].dataType.typeName() == "long"
+    rows = {(r["id"], int(r["v"]), r["s2"]) for r in t2.scan().collect()}
+    assert rows == {(i, i * 10, f"g{i % 4}") for i in range(8)}
+
+    # spec evolution loses the race to a rename: schema must not revert
+    t3 = make_table("race_evolve_vs_rename")
+    inject_before_publish(t3, lambda h: h.rename_column("s", "s2"))
+    t3.update_partition_spec(["truncate(500, v)"])
+    assert "s2" in {f.name for f in t3.schema().fields}
+    rows = {(r["id"], int(r["v"]), r["s2"]) for r in t3.scan().collect()}
+    assert rows == {(i, i * 10, f"g{i % 4}") for i in range(8)}
+
+    # the surfaced-race contract: a widen whose promotion the winning
+    # parent already made raises ValueError instead of committing twice
+    t4 = make_table("race_double_widen")
+    inject_before_publish(t4, lambda h: h.widen_column("v", "bigint"))
+    with pytest.raises(ValueError, match="safe promotion"):
+        t4.widen_column("v", "bigint")
