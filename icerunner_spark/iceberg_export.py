@@ -1056,6 +1056,32 @@ class IcebergExporter:
             )
             prev_id = s.snapshot_id
 
+        # write.sort.columns -> a real Iceberg sort order (identity asc,
+        # nulls-first — Spark's sortWithinPartitions default), so foreign
+        # engines see the write clustering instead of just a property
+        sort_orders = [{"order-id": 0, "fields": []}]
+        default_sort_order_id = 0
+        sort_cols = [
+            c.strip()
+            for c in (cur.properties or {}).get("write.sort.columns", "").split(",")
+            if c.strip()
+        ]
+        if sort_cols and all(c in cur.field_ids for c in sort_cols):
+            sort_orders.append(
+                {
+                    "order-id": 1,
+                    "fields": [
+                        {
+                            "transform": "identity",
+                            "source-id": int(cur.field_ids[c]),
+                            "direction": "asc",
+                            "null-order": "nulls-first",
+                        }
+                        for c in sort_cols
+                    ],
+                }
+            )
+            default_sort_order_id = 1
         properties = {
             str(k): str(v) for k, v in (cur.properties or {}).items()
         }
@@ -1084,8 +1110,8 @@ class IcebergExporter:
             ],
             "partition-specs": specs,
             "last-partition-id": last_partition_id,
-            "default-sort-order-id": 0,
-            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": default_sort_order_id,
+            "sort-orders": sort_orders,
             "properties": properties,
             "current-snapshot-id": cur.snapshot_id,
             "snapshots": snapshots_meta,

@@ -3313,6 +3313,42 @@ def iceberg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "iceberg_incremental_mirror",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey < 600 AND o_orderkey % 5 <> 0
+    """,
+)
+def iceberg_incremental_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Iceberg re-export (iceberg_export: same-dest export is
+    O(delta)): export a table, advance it with an append and a
+    merge-on-read delete, re-export to the SAME destination — previous
+    manifests seed the reuse cache, the table-uuid is preserved, and
+    v2.metadata.json chains to v1 through metadata-log — then read the
+    re-exported tree. The continuous-mirror shape: at a 100 TB warehouse
+    the per-sync cost is the new commits' metadata + hard links, never a
+    re-walk of the table. Oracle recomputes the final surviving set from
+    the source."""
+    from icerunner_spark.iceberg_export import export_iceberg, read_iceberg
+    from icerunner_spark.table import IceTable
+
+    wh = _demo_warehouse("icerunner_iceberg_inc_demo", sf_dir)
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).filter(F.col("o_orderkey") < 600)
+    t = IceTable(spark, os.path.join(wh, "orders_ice"))
+    t.create(src.filter(F.col("o_orderkey") < 300))
+    dest = os.path.join(wh, "orders_iceberg")
+    export_iceberg(t, dest)
+    t.append(src.filter(F.col("o_orderkey") >= 300))
+    t.delete_where(F.col("o_orderkey") % 5 == 0, mode="merge-on-read")
+    meta_path = export_iceberg(t, dest)
+    assert meta_path.endswith("v2.metadata.json")
+    return read_iceberg(spark, dest)
+
+
 # --------------------------------------------------------------------------- #
 # Composed training-corpus cleaning pipeline — SURVEY §2.C flagship
 # --------------------------------------------------------------------------- #

@@ -433,6 +433,36 @@ class TestRoundTrip:
         assert read_iceberg(spark, dest).count() == 0
 
 
+class TestSortOrderExport:
+    def test_write_sort_columns_become_sort_order(self, spark, tmp_path):
+        t = IceTable(spark, str(tmp_path / "so_src"))
+        t.create(
+            spark.range(0, 10).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+            ),
+            properties={"write.sort.columns": "k"},
+        )
+        dest = str(tmp_path / "so_exp")
+        meta = json.load(open(export_iceberg(t, dest)))
+        assert meta["default-sort-order-id"] == 1
+        order = next(
+            o for o in meta["sort-orders"] if o["order-id"] == 1
+        )
+        [f] = order["fields"]
+        k_id = next(
+            x["id"]
+            for x in meta["schemas"][meta["current-schema-id"]]["fields"]
+            if x["name"] == "k"
+        )
+        assert f == {
+            "transform": "identity",
+            "source-id": k_id,
+            "direction": "asc",
+            "null-order": "nulls-first",
+        }
+        assert _rows(read_iceberg(spark, dest)) == _rows(t.scan())
+
+
 class TestIncrementalReExport:
     def test_re_export_is_delta_and_chains_metadata(self, spark, tmp_path):
         t = IceTable(spark, str(tmp_path / "inc_src"))
