@@ -273,6 +273,31 @@ def _partition_value(sf, raw: str | None, src_type):
 # --------------------------------------------------------------------------- #
 
 
+def _partition_bound_bytes(sf, src_type, v) -> bytes | None:
+    """Iceberg single-value bytes for one PARTITION value (already in
+    its Iceberg representation: epoch-based ints for temporal
+    transforms, typed scalars for identity/truncate)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return b"\x01" if v else b"\x00"
+    if isinstance(v, int):
+        # identity/truncate on a long source keeps 8 bytes; every other
+        # int-valued transform result is a 4-byte int per the spec
+        wide = sf.transform in ("identity", "truncate") and (
+            src_type.typeName() == "long"
+        )
+        return struct.pack("<q" if wide else "<i", v)
+    if isinstance(v, float):
+        narrow = sf.transform in ("identity", "truncate") and (
+            src_type.typeName() == "float"
+        )
+        return struct.pack("<f" if narrow else "<d", v)
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    return None
+
+
 def _bound_bytes(dtype, v) -> bytes | None:
     """JSON-native manifest bound -> Iceberg single-value binary."""
     if v is None:
@@ -681,6 +706,13 @@ class IcebergExporter:
         entries = []
         rows_total = 0
         seqs = []
+        # per-spec-field value summaries (manifest_file.partitions):
+        # contains_null + typed lower/upper bounds, so engines can skip
+        # whole MANIFESTS from the manifest list before opening them
+        summaries = [
+            {"contains_null": False, "lo": None, "hi": None}
+            for _ in spec_parsed
+        ]
         for rel in sorted(files):
             snap_id, seq = attr[rel]
             seqs.append((seq, snap_id))
@@ -695,10 +727,19 @@ class IcebergExporter:
             partition = {}
             if kind == 0:
                 hv = _hive_partition_values(rel)
-                for sf in spec_parsed:
-                    partition[sf.pname] = _partition_value(
+                for i, sf in enumerate(spec_parsed):
+                    val = _partition_value(
                         sf, hv.get(sf.pname), types[sf.source]
                     )
+                    partition[sf.pname] = val
+                    s = summaries[i]
+                    if val is None:
+                        s["contains_null"] = True
+                    else:
+                        if s["lo"] is None or val < s["lo"]:
+                            s["lo"] = val
+                        if s["hi"] is None or val > s["hi"]:
+                            s["hi"] = val
             lower, upper, nulls = [], [], []
             if kind == 0:
                 for fid_s, bounds in stats.items():
@@ -755,6 +796,21 @@ class IcebergExporter:
             },
         )
         min_seq = min(s for s, _ in seqs)
+        part_summaries = None
+        if kind == 0 and spec_parsed:
+            part_summaries = [
+                {
+                    "contains_null": s["contains_null"],
+                    "contains_nan": False,
+                    "lower_bound": _partition_bound_bytes(
+                        sf, types[sf.source], s["lo"]
+                    ),
+                    "upper_bound": _partition_bound_bytes(
+                        sf, types[sf.source], s["hi"]
+                    ),
+                }
+                for sf, s in zip(spec_parsed, summaries)
+            ]
         entry = {
             "manifest_path": _uri(path),
             "manifest_length": length,
@@ -771,7 +827,7 @@ class IcebergExporter:
             "added_rows_count": rows_total,
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
-            "partitions": None,
+            "partitions": part_summaries,
         }
         self._manifest_cache[key] = entry
         return entry

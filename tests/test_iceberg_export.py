@@ -354,6 +354,37 @@ class TestConformance:
         # row count (deletes subtract at read time)
         assert total_rows == 100
 
+    def test_manifest_list_partition_summaries(self, exported):
+        """Data manifests carry per-spec-field value summaries so foreign
+        engines can skip whole manifests from the list: grp (identity
+        int) bounds within [0, 4], d_month (month transform) bounds
+        within [648, 649] (Jan/Feb 2024), no nulls."""
+        import struct as _struct
+
+        _, _, meta_path = exported
+        meta = json.load(open(meta_path))
+        cur = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, _, manifests = iceavro.read_ocf(
+            cur["manifest-list"][len("file://"):]
+        )
+        checked = 0
+        for m in manifests:
+            if m["content"] != 0:
+                continue
+            ps = m["partitions"]
+            assert ps is not None and len(ps) == 2
+            for p, (lo_ok, hi_ok) in zip(ps, [(0, 4), (648, 649)]):
+                assert p["contains_null"] is False
+                lo = _struct.unpack("<i", p["lower_bound"])[0]
+                hi = _struct.unpack("<i", p["upper_bound"])[0]
+                assert lo_ok <= lo <= hi <= hi_ok
+                checked += 1
+        assert checked > 0
+
     def test_partition_values_typed(self, exported):
         _, _, meta_path = exported
         meta = json.load(open(meta_path))
