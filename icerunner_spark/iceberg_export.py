@@ -1227,20 +1227,33 @@ def _load_metadata(location: str) -> dict:
 
 
 def read_iceberg(
-    spark: SparkSession, location: str, *, snapshot_id: int | None = None
+    spark: SparkSession,
+    location: str,
+    *,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
-    """Read a static Iceberg v2 table (current snapshot, or time travel
-    by ``snapshot_id``): walks metadata.json -> manifest-list Avro ->
-    manifest Avro, reads the live data files grouped by physical parquet
-    schema (one Spark scan per distinct write-schema — renames resolve
-    through ``schema.name-mapping.default``), fills identity partition
-    columns from manifest partition values when absent from the files,
-    and applies positional deletes by the spec's sequence rule (a delete
-    at sequence D removes rows of data files with sequence <= D)."""
+    """Read a static Iceberg v2 table (current snapshot, time travel by
+    ``snapshot_id``, or a named ``ref`` — branch or tag from metadata
+    refs, `VERSION AS OF 'name'` semantics): walks metadata.json ->
+    manifest-list Avro -> manifest Avro, reads the live data files
+    grouped by physical parquet schema (one Spark scan per distinct
+    write-schema — renames resolve through
+    ``schema.name-mapping.default``), fills identity partition columns
+    from manifest partition values when absent from the files, and
+    applies positional deletes by the spec's sequence rule (a delete at
+    sequence D removes rows of data files with sequence <= D)."""
+    if snapshot_id is not None and ref is not None:
+        raise ValueError("pass at most one of snapshot_id, ref")
     meta = _load_metadata(location)
     if meta.get("format-version") not in (1, 2):
         raise ValueError("unsupported Iceberg format-version")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if ref is not None:
+        entry = meta.get("refs", {}).get(ref)
+        if entry is None:
+            raise ValueError(f"no such ref: {ref}")
+        snapshot_id = entry["snapshot-id"]
     sid = snapshot_id if snapshot_id is not None else meta.get(
         "current-snapshot-id"
     )

@@ -279,6 +279,74 @@ def stratified_sample(
     return df.where(bucket < threshold)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    *,
+    weights: dict[str, float] | None = None,
+    groups: DataFrame | None = None,
+    group_col: str = "cluster_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak duplicates across
+    splits: the md5 split bucket is computed from the document's
+    DUPLICATE-GROUP key, not its id, so every member of a group lands in
+    the same split (a near-dup of a training doc can never sit in the
+    eval set).
+
+    Group key, strongest available first: pass ``groups`` — an
+    (``id_col``, ``group_col``) frame such as
+    :func:`resolve_near_duplicates`'s cluster ids — for near-dup-safe
+    splits; without it the key is the exact-dup equivalence class
+    (``normalize_ws(text_col)``, the same normalization the fingerprint
+    dedup uses). ``weights`` is an ordered {split_name: fraction} map
+    summing to 1 (insertion order defines the threshold ladder).
+
+    Deterministic and engine-portable (md5 over the group key + salt —
+    the same contract as :func:`stratified_sample`): re-running, re-
+    partitioning, or recomputing on another engine assigns the SAME
+    splits, and expected split sizes follow the weights in GROUPS (so
+    heavily-duplicated corpora should prefer the ``groups`` form, where
+    a mega-cluster moves as one unit). Narrow projection (+ one
+    broadcast-shaped join when ``groups`` is given) — no shuffle of the
+    corpus. Returns ``df`` plus a ``split`` column."""
+    from icerunner_spark.functions.text import normalize_ws
+
+    weights = dict(weights or {"train": 0.9, "val": 0.05, "test": 0.05})
+    if not weights or abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1: {weights}")
+    if groups is None and text_col is None:
+        raise ValueError("pass text_col (exact-dup key) or groups")
+    if groups is not None:
+        g = groups.select(
+            F.col(id_col).alias("__sid"),
+            F.col(group_col).cast("string").alias("__gkey"),
+        )
+        df = df.join(g, df[id_col] == g["__sid"], "left").drop("__sid")
+        key = F.coalesce(F.col("__gkey"), F.col(id_col).cast("string"))
+    else:
+        key = normalize_ws(text_col)
+    bucket = md5_bucket(key, salt)
+    names = list(weights)
+    cum = 0.0
+    expr: Column | None = None
+    for name in names[:-1]:
+        cum += weights[name]
+        th = rate_to_hex_threshold(cum)
+        branch = F.when(bucket < F.lit(th), F.lit(name))
+        expr = branch if expr is None else expr.when(
+            bucket < F.lit(th), F.lit(name)
+        )
+    split = (
+        expr.otherwise(F.lit(names[-1]))
+        if expr is not None
+        else F.lit(names[-1])
+    )
+    out = df.withColumn("split", split)
+    return out.drop("__gkey") if groups is not None else out
+
+
 # --------------------------------------------------------------------------- #
 # Context-window chunking
 # --------------------------------------------------------------------------- #

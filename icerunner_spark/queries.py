@@ -3349,6 +3349,46 @@ def iceberg_incremental_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg(spark, dest)
 
 
+@register(
+    "leakage_safe_split_documents",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id,
+               substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))
+                          || '-split'), 1, 8) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN h < 'cccccccc' THEN 'train'
+                WHEN h < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM k
+    """,
+)
+def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment
+    (operators.corpus.leakage_safe_split): the md5 split bucket hashes
+    the document's DUPLICATE-GROUP key — here the exact-dup equivalence
+    class (normalized text), in production the near-dup cluster id from
+    resolve_near_duplicates — so no duplicate can straddle a split
+    boundary (the eval-contamination failure mode of id-hashed splits).
+    Deterministic and engine-portable like stratified_sample (md5, not
+    seed-dependent sampling); a pure narrow projection — assigning
+    splits to 100 TB is a scan. Oracle replays the md5 ladder exactly
+    (thresholds cccccccc/e6666666 = rate_to_hex_threshold(0.8/0.9));
+    the group-atomicity guarantee itself is pinned in
+    tests/test_corpus.py (all members of a duplicate group share one
+    split)."""
+    from icerunner_spark.operators.corpus import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = leakage_safe_split(
+        d, "doc_id", "text",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return out.select("doc_id", "split")
+
+
 # --------------------------------------------------------------------------- #
 # Composed training-corpus cleaning pipeline — SURVEY §2.C flagship
 # --------------------------------------------------------------------------- #

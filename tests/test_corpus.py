@@ -410,3 +410,65 @@ def test_dedup_maintenance_pass_in_place(spark, tmp_path):
     n, cursor = dedup_maintenance_pass(t, cursor)
     assert n == 1  # doc 8 duplicates kept doc 6
     assert sorted(r.doc_id for r in t.scan().collect()) == [1, 2, 4, 6, 7, 9]
+
+
+def test_leakage_safe_split_group_atomicity(spark):
+    """No duplicate group may straddle a split: exact dups (same
+    normalized text) share a split in the text-keyed form, and near-dup
+    cluster members share a split in the groups-keyed form. Weights are
+    respected in expectation (sanity: every split non-empty at n=600)."""
+    from icerunner_spark.operators.corpus import leakage_safe_split
+
+    rows = []
+    for i in range(600):
+        # 200 groups of 3 exact duplicates (whitespace/case variants)
+        # case + INTERNAL whitespace variants: normalize_ws lowers and
+        # collapses runs but does not trim, matching fingerprint64's
+        # exact-dup definition
+        base = f"document body number {i % 200} with shared content"
+        variant = [base, base.upper(), base.replace(" ", "  ")][i % 3]
+        rows.append((i, variant))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = leakage_safe_split(
+        df, "doc_id", "text", weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    got = {(r["doc_id"], r["split"]) for r in out.collect()}
+    splits = {}
+    for doc_id, split in got:
+        splits.setdefault(doc_id % 200, set()).add(split)
+    assert all(len(s) == 1 for s in splits.values()), "exact-dup group split"
+    names = {s for _d, s in got}
+    assert names == {"train", "val", "test"}
+
+    # groups form: near-dup clusters move as one unit
+    clusters = spark.createDataFrame(
+        [(i, i % 40) for i in range(600)], "doc_id long, cluster_id long"
+    )
+    out2 = leakage_safe_split(
+        df, "doc_id",
+        weights={"train": 0.5, "test": 0.5},
+        groups=clusters,
+    )
+    by_cluster = {}
+    for r in out2.collect():
+        by_cluster.setdefault(r["doc_id"] % 40, set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values()), "cluster split"
+
+    # determinism: re-running assigns identical splits
+    again = {
+        (r["doc_id"], r["split"])
+        for r in leakage_safe_split(
+            df, "doc_id", "text",
+            weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        ).collect()
+    }
+    assert again == got
+
+    # bad weights refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(df, "doc_id", "text", weights={"a": 0.5})
+    with _pytest.raises(ValueError, match="text_col"):
+        leakage_safe_split(df, "doc_id")

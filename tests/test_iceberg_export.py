@@ -426,6 +426,15 @@ class TestRoundTrip:
                 f"snapshot {s.snapshot_id} ({s.operation}) mismatch"
             )
 
+    def test_ref_read(self, spark, exported):
+        # VERSION AS OF 'tag' through the exported refs map
+        t, dest, _ = exported
+        tag_sid = t.tags()["prerelease"]
+        got = read_iceberg(spark, dest, ref="prerelease")
+        assert _rows(got) == _rows(t.scan(snapshot_id=tag_sid))
+        with pytest.raises(ValueError, match="no such ref"):
+            read_iceberg(spark, dest, ref="nope")
+
     def test_identity_partition_column_restored(self, spark, exported):
         # grp lives only in hive paths; the importer must rebuild it from
         # manifest partition values (Iceberg identity-read-from-metadata)

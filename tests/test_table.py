@@ -3674,3 +3674,51 @@ def test_alter_race_does_not_revert_or_null_columns(spark, warehouse):
     inject_before_publish(t4, lambda h: h.widen_column("v", "bigint"))
     with pytest.raises(ValueError, match="safe promotion"):
         t4.widen_column("v", "bigint")
+
+
+def test_alter_race_add_drop_columns(spark, warehouse):
+    """add_column / drop_column retrying past a concurrent rename/widen
+    must also re-derive their schema from the winning parent (same
+    schema_evolve contract as widen/rename)."""
+    import os
+
+    def make_table(name):
+        t = IceTable(spark, os.path.join(warehouse, name))
+        t.create(
+            spark.createDataFrame(
+                [(i, i * 10, f"g{i % 4}") for i in range(6)],
+                "id long, v int, s string",
+            )
+        )
+        return t
+
+    def inject(t, concurrent):
+        orig = t.schema
+        state = {"fired": False}
+
+        def racy():
+            st = orig()
+            if not state["fired"]:
+                state["fired"] = True
+                concurrent(IceTable(spark, t.path))
+            return st
+
+        t.schema = racy
+
+    # add_column loses to a rename: both the rename AND the new column
+    # must survive
+    t1 = make_table("race_add_vs_rename")
+    inject(t1, lambda h: h.rename_column("s", "s2"))
+    t1.add_column("tier", "string")
+    names = {f.name for f in t1.schema().fields}
+    assert names == {"id", "v", "s2", "tier"}
+    rows = {(r["id"], r["s2"], r["tier"]) for r in t1.scan().collect()}
+    assert rows == {(i, f"g{i % 4}", None) for i in range(6)}
+
+    # drop_column loses to a widen: the widened type must survive the drop
+    t2 = make_table("race_drop_vs_widen")
+    inject(t2, lambda h: h.widen_column("v", "bigint"))
+    t2.drop_column("s")
+    assert t2.schema()["v"].dataType.typeName() == "long"
+    rows = {(r["id"], int(r["v"])) for r in t2.scan().collect()}
+    assert rows == {(i, i * 10) for i in range(6)}
