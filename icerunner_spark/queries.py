@@ -3280,7 +3280,7 @@ def iceberg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apache Iceberg v2 interop (iceberg_export.export_iceberg /
     read_iceberg — the cross-engine direction the reference gets from
     PyIceberg, icerunner.py:60-103): build a snapshot table with hidden
-    month-partitioning, a merge-on-read positional delete, and a rename,
+    year-partitioning, a merge-on-read positional delete, and a rename,
     export it as a spec-conformant Iceberg metadata tree (pure-Python
     Avro manifests, hard-linked data files, name-mapping for the
     rename), then read the EXPORTED tree back and return its rows — the
@@ -3299,11 +3299,16 @@ def iceberg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     ).filter(F.col("o_orderkey") < 400)
     t = IceTable(spark, os.path.join(wh, "orders_ice"))
+    # 400 demo rows: single-task writes + year() granularity keep the
+    # file count to one per year partition (month() over the 7-year
+    # order-date domain fans 400 rows into ~160 tiny files, all of which
+    # the export links and manifests; the epoch-based transform
+    # conversion is exercised identically either way)
     t.create(
-        src.filter(F.col("o_orderkey") < 200),
-        partition_by=["month(o_orderdate)"],
+        src.filter(F.col("o_orderkey") < 200).coalesce(1),
+        partition_by=["year(o_orderdate)"],
     )
-    t.append(src.filter(F.col("o_orderkey") >= 200))
+    t.append(src.filter(F.col("o_orderkey") >= 200).coalesce(1))
     t.delete_where(F.col("o_orderkey") % 7 == 0, mode="merge-on-read")
     t.rename_column("o_totalprice", "price")
     dest = os.path.join(wh, "orders_iceberg")
@@ -3339,10 +3344,10 @@ def iceberg_incremental_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     ).filter(F.col("o_orderkey") < 600)
     t = IceTable(spark, os.path.join(wh, "orders_ice"))
-    t.create(src.filter(F.col("o_orderkey") < 300))
+    t.create(src.filter(F.col("o_orderkey") < 300).coalesce(1))
     dest = os.path.join(wh, "orders_iceberg")
     export_iceberg(t, dest)
-    t.append(src.filter(F.col("o_orderkey") >= 300))
+    t.append(src.filter(F.col("o_orderkey") >= 300).coalesce(1))
     t.delete_where(F.col("o_orderkey") % 5 == 0, mode="merge-on-read")
     meta_path = export_iceberg(t, dest)
     assert meta_path.endswith("v2.metadata.json")
