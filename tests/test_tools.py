@@ -74,6 +74,69 @@ class TestBenchCompareLoaders:
         assert meds == {"q1": 1.2}
         assert per["q1"] == 0.3
 
+    def test_driver_artifact_truncated_tail(self, tmp_path):
+        """BENCH_r{N}.json driver artifacts (r8 verdict item 2): the
+        2000-char tail capture front-truncates the per-query JSON line,
+        cutting the first name mid-word; the loader must drop that pair,
+        recover the rest, and take the spread from the parsed summary
+        line. These are the only per-round bench files that persist."""
+        bc = _load_module("tools/bench_compare.py", "bench_compare")
+        tail = (
+            'ive_orders":0.2196,"json_events_extract":0.7274,'
+            '"map_functions_events":0.6923},"sf":0.1,"recall":'
+            '{"similarity_ann_ivf":0.82},"noise":{"stat":"median_of_3",'
+            '"p90_spread":1.0289}}\n'
+            '{"metric":"headline_query_total","value":67.96,"unit":"sec",'
+            '"sf":0.1,"n_queries":61,'
+            '"noise":{"stat":"median_of_3","p90_spread":1.0289}}\n'
+        )
+        p = tmp_path / "BENCH_r08.json"
+        p.write_text(
+            json.dumps({"n": 9, "rc": 0, "cpus": 32, "sf": 0.1,
+                        "tail": tail, "parsed": {"value": 67.96}})
+        )
+        meds, spread, per = bc._load(str(p))
+        # the truncated leading pair is dropped, the clean pairs survive
+        assert meds == {
+            "json_events_extract": 0.7274,
+            "map_functions_events": 0.6923,
+        }
+        assert spread == 1.0289
+        assert per == {}
+
+    def test_driver_artifact_untruncated_tail(self, tmp_path):
+        """A short bench run whose whole stdout fits in the tail: the
+        per-query line json-parses and nothing is dropped."""
+        bc = _load_module("tools/bench_compare.py", "bench_compare")
+        tail = (
+            '{"metric":"per_query","queries":{"q1":1.5,"q2":0.5},'
+            '"sf":0.1,"noise":{"p90_spread":0.4}}\n'
+            '{"metric":"headline_query_total","value":2.0,'
+            '"noise":{"p90_spread":0.4}}\n'
+        )
+        p = tmp_path / "BENCH_small.json"
+        p.write_text(json.dumps({"rc": 0, "tail": tail, "parsed": {}}))
+        meds, spread, _ = bc._load(str(p))
+        assert meds == {"q1": 1.5, "q2": 0.5}
+        assert spread == 0.4
+
+    def test_real_driver_artifacts_load_and_compare(self):
+        """The natural round-over-round invocation — the committed
+        BENCH_r0N.json files — must load (this exact call crashed in r8)."""
+        bc = _load_module("tools/bench_compare.py", "bench_compare")
+        old = os.path.join(_HERE, "BENCH_r07.json")
+        new = os.path.join(_HERE, "BENCH_r08.json")
+        if not (os.path.exists(old) and os.path.exists(new)):
+            import pytest
+
+            pytest.skip("driver artifacts not present")
+        old_meds, old_spread, _ = bc._load(old)
+        new_meds, new_spread, _ = bc._load(new)
+        shared = set(old_meds) & set(new_meds)
+        assert len(shared) >= 40
+        assert all(v > 0 for v in new_meds.values())
+        assert new_spread > 0
+
     def test_real_artifacts_cross_load(self):
         """The committed r7/r8 artifacts must stay loadable — the
         cross-artifact consistency check runs on exactly these files."""

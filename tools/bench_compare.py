@@ -5,9 +5,13 @@ look.
 
 Usage: python tools/bench_compare.py <old.json> <new.json> [spread]
 
-Accepts any of (r7 verdict item 6 added the third):
+Accepts any of (r7 verdict item 6 added the third, r8 item 2 the fourth):
 - a bench_full.json artifact ({"queries": {...}, "noise": {...}});
 - a bare {name: seconds} map (e.g. medians recovered from a driver tail);
+- a BENCH_r{N}.json driver artifact ({"rc", "tail", "parsed"}) — the only
+  per-round files that persist; per-query medians are recovered from the
+  2000-char tail capture, whose per-query JSON line may be front-truncated
+  (the first name:seconds pair is then cut mid-name and dropped);
 - a SCALE_PROBE.json artifact ({"metric": "scale_probe_exponent",
   "queries": {name: {"sf0.1": s, "sf0.1_spread": x, ...}}}) — its sf0.1
   medians are the same quantity the bench measures, so comparing the two
@@ -26,13 +30,60 @@ usually means the query stopped doing the work).
 from __future__ import annotations
 
 import json
+import re
 import sys
+
+_TAIL_PAIR = re.compile(r'"([A-Za-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)')
+
+
+def _medians_from_tail(tail: str) -> tuple[dict[str, float], float | None]:
+    """Recover {query: median seconds} from a driver tail capture.
+
+    The driver keeps the LAST 2000 chars of bench.py stdout, so the
+    per-query JSON line ({"metric": "...", "queries": {...}, "sf": ...,
+    "noise": {...}}) is usually front-truncated and won't json-parse;
+    the final summary line always parses and carries the noise block.
+    """
+    meds: dict[str, float] = {}
+    spread: float | None = None
+    for line in tail.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            # Truncated per-query line: the medians live between the
+            # (possibly cut-off) start and the '},"sf":' that closes
+            # the queries map; everything after is recall/noise.
+            seg = line.split('},"sf":', 1)[0]
+            if '"queries":{' in seg:
+                seg = seg.split('"queries":{', 1)[1]
+            elif not line.startswith("{"):
+                # The first pair is cut at an arbitrary offset (mid-name,
+                # mid-number, or cleanly); discard up to the first comma
+                # so a deceptively-complete-looking fragment can't slip in.
+                seg = seg.split(",", 1)[1] if "," in seg else ""
+            meds.update(
+                {k: float(v) for k, v in _TAIL_PAIR.findall(seg)}
+            )
+            continue
+        if isinstance(obj.get("queries"), dict):
+            meds.update({k: float(v) for k, v in obj["queries"].items()})
+        if isinstance(obj.get("noise"), dict):
+            spread = float(obj["noise"].get("p90_spread", 0.5))
+    return meds, spread
 
 
 def _load(path: str) -> tuple[dict[str, float], float, dict[str, float]]:
     """-> (medians, global spread, per-query spreads where measured)."""
     with open(path) as fh:
         d = json.load(fh)
+    if isinstance(d.get("tail"), str):  # BENCH_r{N}.json driver artifact
+        meds, spread = _medians_from_tail(d["tail"])
+        if not meds:
+            sys.exit(f"{path}: driver artifact tail has no per-query medians")
+        return meds, spread if spread is not None else 0.5, {}
     if d.get("metric") == "scale_probe_exponent":
         meds = {
             k: float(v["sf0.1"])
