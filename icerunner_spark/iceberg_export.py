@@ -513,6 +513,37 @@ _MANIFEST_FILE_SCHEMA = {
 # --------------------------------------------------------------------------- #
 
 
+def _summary_to_json(s: dict) -> dict:
+    """manifest_file partition summary -> JSON-safe dict (bounds b64)."""
+    import base64
+
+    return {
+        "contains_null": s["contains_null"],
+        "contains_nan": s.get("contains_nan", False),
+        "lower_bound": base64.b64encode(s["lower_bound"]).decode("ascii")
+        if s.get("lower_bound") is not None
+        else None,
+        "upper_bound": base64.b64encode(s["upper_bound"]).decode("ascii")
+        if s.get("upper_bound") is not None
+        else None,
+    }
+
+
+def _summary_from_json(s: dict) -> dict:
+    import base64
+
+    return {
+        "contains_null": s["contains_null"],
+        "contains_nan": s.get("contains_nan", False),
+        "lower_bound": base64.b64decode(s["lower_bound"])
+        if s.get("lower_bound") is not None
+        else None,
+        "upper_bound": base64.b64decode(s["upper_bound"])
+        if s.get("upper_bound") is not None
+        else None,
+    }
+
+
 def _uri(path: str) -> str:
     return "file://" + os.path.abspath(path)
 
@@ -536,6 +567,10 @@ class IcebergExporter:
         self._manifest_cache: dict = {}
         self._manifest_n = 0
         self._linked: set = set()
+        # name -> dataType across ALL exported snapshots (newest wins):
+        # historical partition specs may reference columns since dropped
+        # or renamed out of the current schema
+        self._hist_types: dict = {}
         # file stats merged across exported snapshots (immutable per
         # file): bounds survive for files later removed from the table
         self._all_stats: dict = {}
@@ -601,17 +636,23 @@ class IcebergExporter:
     def _build_specs(self, snaps: list[Snapshot]) -> tuple[list, dict, int]:
         """Collect every distinct write-spec across history -> Iceberg
         partition-specs with ids; field-ids start at 1000 (the spec's
-        convention), one per distinct (source, transform)."""
-        raw: list = []
-        seen: set = set()
+        convention), one per distinct (source, transform).
+
+        Spec 0 is ALWAYS the unpartitioned spec (delete manifests ride
+        it); the rest take first-discovery order over the append-only
+        snapshot history, so spec-id assignment is stable across
+        incremental re-exports (the previous conditional insert
+        renumbered every id once a natural unpartitioned spec appeared,
+        leaving logged metadata pointing at manifests whose stamped
+        spec-ids no longer resolved)."""
+        raw: list = [[]]
+        seen: set = {json.dumps([])}
         for s in snaps:
             for spec in [s.partition_spec, *s.dir_specs.values()]:
                 key = json.dumps(list(spec or []))
                 if key not in seen:
                     seen.add(key)
                     raw.append(list(spec or []))
-        if not any(len(sp) == 0 for sp in raw):
-            raw.insert(0, [])  # delete manifests ride the unpartitioned spec
         cur = snaps[-1]
         cur_ids = cur.field_ids
         pfid: dict = {}
@@ -688,12 +729,25 @@ class IcebergExporter:
         spec_parsed = _parse_spec(spec_list) if kind == 0 else []
         st = StructType.fromJson(json.loads(cur.schema_json))
         types = {f.name: f.dataType for f in st.fields}
+        # a historical dir's spec may reference a column later dropped or
+        # renamed out of the CURRENT schema — resolve its write-time type
+        # from snapshot history (_hist_types, populated by run()); a
+        # source absent from history too is exported as an always-null
+        # void field (matching _build_specs' transform for src_id 0)
+        src_types = [
+            types.get(sf.source, self._hist_types.get(sf.source))
+            for sf in spec_parsed
+        ]
         pfields = []
-        for sf in spec_parsed:
+        for sf, src_t in zip(spec_parsed, src_types):
             pfields.append(
                 {
                     "name": sf.pname,
-                    "type": _opt(_partition_avro_type(sf, types[sf.source])),
+                    "type": _opt(
+                        _partition_avro_type(sf, src_t)
+                        if src_t is not None
+                        else "string"
+                    ),
                     "default": None,
                 }
             )
@@ -728,8 +782,12 @@ class IcebergExporter:
             if kind == 0:
                 hv = _hive_partition_values(rel)
                 for i, sf in enumerate(spec_parsed):
-                    val = _partition_value(
-                        sf, hv.get(sf.pname), types[sf.source]
+                    val = (
+                        _partition_value(
+                            sf, hv.get(sf.pname), src_types[i]
+                        )
+                        if src_types[i] is not None
+                        else None  # void: source gone from all history
                     )
                     partition[sf.pname] = val
                     s = summaries[i]
@@ -779,22 +837,6 @@ class IcebergExporter:
                     },
                 }
             )
-        self._manifest_n += 1
-        name = f"manifest-{self._manifest_n:05d}-{kind}.avro"
-        path = os.path.join(self.meta_dir, name)
-        length = iceavro.write_ocf(
-            path,
-            schema,
-            entries,
-            metadata={
-                "schema": schema_json_for_meta,
-                "schema-id": str(schema_id),
-                "partition-spec": spec_fields_json,
-                "partition-spec-id": str(spec_id),
-                "format-version": "2",
-                "content": "data" if kind == 0 else "deletes",
-            },
-        )
         min_seq = min(s for s, _ in seqs)
         part_summaries = None
         if kind == 0 and spec_parsed:
@@ -803,14 +845,39 @@ class IcebergExporter:
                     "contains_null": s["contains_null"],
                     "contains_nan": False,
                     "lower_bound": _partition_bound_bytes(
-                        sf, types[sf.source], s["lo"]
-                    ),
+                        sf, src_t, s["lo"]
+                    )
+                    if src_t is not None
+                    else None,
                     "upper_bound": _partition_bound_bytes(
-                        sf, types[sf.source], s["hi"]
-                    ),
+                        sf, src_t, s["hi"]
+                    )
+                    if src_t is not None
+                    else None,
                 }
-                for sf, s in zip(spec_parsed, summaries)
+                for sf, src_t, s in zip(spec_parsed, src_types, summaries)
             ]
+        self._manifest_n += 1
+        name = f"manifest-{self._manifest_n:05d}-{kind}.avro"
+        path = os.path.join(self.meta_dir, name)
+        fmeta = {
+            "schema": schema_json_for_meta,
+            "schema-id": str(schema_id),
+            "partition-spec": spec_fields_json,
+            "partition-spec-id": str(spec_id),
+            "format-version": "2",
+            "content": "data" if kind == 0 else "deletes",
+        }
+        if part_summaries is not None:
+            # stash the manifest_file partition summaries in the OCF
+            # header (extra avro metadata keys are spec-legal and ignored
+            # by foreign readers) so incremental re-exports can seed them
+            # back without re-reading every entry — they used to be
+            # silently dropped to null on reuse
+            fmeta["x-partition-summaries"] = json.dumps(
+                [_summary_to_json(s) for s in part_summaries]
+            )
+        length = iceavro.write_ocf(path, schema, entries, metadata=fmeta)
         entry = {
             "manifest_path": _uri(path),
             "manifest_length": length,
@@ -889,10 +956,70 @@ class IcebergExporter:
                 ),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
-                "partitions": None,
+                # per-field partition summaries ride the OCF header (see
+                # _write_manifest) so reuse keeps manifest-level pruning;
+                # manifests written before that key existed seed as null
+                "partitions": (
+                    [
+                        _summary_from_json(s)
+                        for s in json.loads(
+                            fmeta["x-partition-summaries"].decode("utf-8")
+                        )
+                    ]
+                    if "x-partition-summaries" in fmeta
+                    else None
+                ),
             }
             n = int(name.split("-")[1])
             self._manifest_n = max(self._manifest_n, n)
+
+    def _manifest_list_path(
+        self, s, manifests: list, prev_id, version: int
+    ) -> str:
+        """Resolve (reuse or write) the manifest-list file for snapshot
+        ``s``. Iceberg treats published metadata files as immutable, and
+        a re-export chains the previous vN.metadata.json into
+        metadata-log — so a manifest list that logged metadata points at
+        must NEVER be rewritten with different content (spec-id drift or
+        new manifests would leave time travel resolving manifests
+        against the wrong specs). Reuse an existing snap-<id> list when
+        its decoded content matches exactly; otherwise write a fresh
+        per-version file name."""
+        meta = {
+            "format-version": "2",
+            "snapshot-id": str(s.snapshot_id),
+            "parent-snapshot-id": (
+                "null" if prev_id is None else str(prev_id)
+            ),
+            "sequence-number": str(s.sequence),
+        }
+        prefix = f"snap-{s.snapshot_id}-"
+        for name in sorted(os.listdir(self.meta_dir)):
+            if not (
+                name.startswith(prefix)
+                and name.endswith("manifest-list.avro")
+            ):
+                continue
+            path = os.path.join(self.meta_dir, name)
+            try:
+                _, fmeta, entries = iceavro.read_ocf(path)
+            except (ValueError, KeyError, OSError):
+                continue
+            old_meta = {
+                k: v.decode("utf-8")
+                for k, v in fmeta.items()
+                if k in meta
+            }
+            if old_meta == meta and entries == manifests:
+                return path
+        suffix = "" if version == 1 else f"v{version}-"
+        path = os.path.join(
+            self.meta_dir, f"snap-{s.snapshot_id}-{suffix}manifest-list.avro"
+        )
+        iceavro.write_ocf(
+            path, _MANIFEST_FILE_SCHEMA, manifests, metadata=meta
+        )
+        return path
 
     # -- data / delete file materialization ----------------------------- #
 
@@ -1007,6 +1134,10 @@ class IcebergExporter:
                 }
             )
             self._seed_manifest_cache()
+        for s in snaps:
+            st = StructType.fromJson(json.loads(s.schema_json))
+            for f in st.fields:
+                self._hist_types[f.name] = f.dataType
         schemas, schema_index, last_column_id = self._build_schemas(snaps)
         specs, spec_index, last_partition_id = self._build_specs(snaps)
         attr = self._attribute_files(snaps)
@@ -1069,21 +1200,7 @@ class IcebergExporter:
                         json.dumps(specs[unpart_id]["fields"]),
                     )
                 )
-            ml_name = f"snap-{s.snapshot_id}-manifest-list.avro"
-            ml_path = os.path.join(self.meta_dir, ml_name)
-            iceavro.write_ocf(
-                ml_path,
-                _MANIFEST_FILE_SCHEMA,
-                manifests,
-                metadata={
-                    "format-version": "2",
-                    "snapshot-id": str(s.snapshot_id),
-                    "parent-snapshot-id": (
-                        "null" if prev_id is None else str(prev_id)
-                    ),
-                    "sequence-number": str(s.sequence),
-                },
-            )
+            ml_path = self._manifest_list_path(s, manifests, prev_id, version)
             op_map = {
                 "create": "append",
                 "append": "append",
@@ -1226,12 +1343,23 @@ def _load_metadata(location: str) -> dict:
         return json.load(f)
 
 
+
+# Positional-delete sets at or under this total parquet size broadcast
+# to every task (one hash probe, no shuffle of the data side); larger
+# sets — e.g. a long-lived imported table carrying GB-scale deletes —
+# fall back to a shuffled equi-join on (file, pos) with the sequence
+# rule as a residual, which scales with executors instead of OOMing
+# the broadcast. Both paths are pinned result-equal in tests.
+DELETE_BROADCAST_MAX_BYTES = 64 << 20
+
+
 def read_iceberg(
     spark: SparkSession,
     location: str,
     *,
     snapshot_id: int | None = None,
     ref: str | None = None,
+    delete_broadcast_max_bytes: int = DELETE_BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """Read a static Iceberg v2 table (current snapshot, time travel by
     ``snapshot_id``, or a named ``ref`` — branch or tag from metadata
@@ -1285,7 +1413,15 @@ def read_iceberg(
             df_rec = e["data_file"]
             rec = {
                 "path": _strip_uri(df_rec["file_path"]),
-                "seq": e.get("sequence_number") or m["sequence_number"],
+                # explicit None test: sequence 0 is a valid inherited
+                # number in v1-upgraded foreign tables and must not fall
+                # back to the manifest's (which would wrongly widen
+                # positional-delete applicability)
+                "seq": (
+                    e["sequence_number"]
+                    if e.get("sequence_number") is not None
+                    else m["sequence_number"]
+                ),
                 "partition": df_rec.get("partition") or {},
                 "spec_id": m["partition_spec_id"],
             }
@@ -1401,13 +1537,21 @@ def read_iceberg(
         all_dels = dels[0]
         for d in dels[1:]:
             all_dels = all_dels.unionByName(d)
+        del_bytes = sum(
+            os.path.getsize(r["path"]) for r in delete_files
+        )
+        if del_bytes <= delete_broadcast_max_bytes:
+            all_dels = F.broadcast(all_dels)
         out = out.join(
             F.broadcast(seq_df),
             out["__ice_file"] == seq_df["__ice_file_s"],
             "left",
         ).drop("__ice_file_s")
+        # small delete sets broadcast (hash probe per task); big ones
+        # shuffle on the (file, pos) equi keys with the sequence rule
+        # as a residual — Catalyst plans SMJ/SHJ from the equi pair
         out = out.join(
-            F.broadcast(all_dels),
+            all_dels,
             (out["__ice_file"] == all_dels["__del_file"])
             & (out["__ice_pos"] == all_dels["__del_pos"])
             & (out["__data_seq"] <= all_dels["__del_seq"]),

@@ -646,3 +646,545 @@ class TestDeleteRewrite:
                     assert os.path.exists(p[len("file://"):])
                     checked += 1
         assert checked > 0
+
+# --------------------------------------------------------------------------- #
+# r9 hardening: dropped partition sources, published-file immutability,
+# summary survival across re-export, foreign sequence-0 entries, and the
+# shuffled-hash delete path
+# --------------------------------------------------------------------------- #
+
+
+class TestR9Hardening:
+    def test_export_survives_dropped_partition_source(self, spark, tmp_path):
+        """A historical commit dir's spec may reference a column that
+        later left the schema (legal once the dir leaves the live set —
+        evolution only guards _live_specs). The exporter used to resolve
+        partition-source types against the CURRENT schema only and
+        KeyError'd; it must fall back to the write-time type from
+        snapshot history."""
+        t = IceTable(spark, str(tmp_path / "drop_src"))
+        df = spark.range(0, 40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("g"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        )
+        t.create(df.filter("k < 20"), partition_by=["g"])
+        t.append(df.filter("k >= 20"))
+        # full replace WITHOUT g: old partitioned dirs leave the live
+        # set and the column leaves the schema
+        t.overwrite(
+            spark.range(100, 120).select(
+                F.col("id").alias("k"),
+                F.concat(F.lit("w"), F.col("id")).alias("v"),
+            )
+        )
+        dest = str(tmp_path / "drop_exp")
+        meta_path = export_iceberg(t, dest)  # KeyError before the fix
+        meta = json.load(open(meta_path))
+        # the historical partitioned spec exports with a REAL transform
+        # (its retired source id resolves through history, not void)
+        part_specs = [
+            sp for sp in meta["partition-specs"] if sp["fields"]
+        ]
+        assert part_specs, "historical partitioned spec missing"
+        assert part_specs[0]["fields"][0]["transform"] == "identity"
+        # every snapshot still round-trips, including the partitioned era
+        for s in t.snapshots():
+            got = read_iceberg(spark, dest, snapshot_id=s.snapshot_id)
+            assert _rows(got) == _rows(t.scan(snapshot_id=s.snapshot_id))
+
+    def test_spec_zero_always_unpartitioned(self, spark, tmp_path):
+        """Spec 0 is reserved for the unpartitioned spec even when the
+        table was created partitioned — spec-id assignment must be
+        stable across incremental re-exports (the old conditional
+        insert renumbered ids once a natural unpartitioned spec
+        appeared, breaking manifests referenced by logged metadata)."""
+        t = IceTable(spark, str(tmp_path / "spec0_src"))
+        t.create(
+            spark.range(0, 20).select(
+                F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("g")
+            ),
+            partition_by=["g"],
+        )
+        dest = str(tmp_path / "spec0_exp")
+        p1 = export_iceberg(t, dest)
+        meta1 = json.load(open(p1))
+        by_id = {sp["spec-id"]: sp for sp in meta1["partition-specs"]}
+        assert by_id[0]["fields"] == []
+        assert meta1["default-spec-id"] != 0
+        # partition-spec evolution to unpartitioned + re-export: ids of
+        # pre-existing specs must not move
+        t.update_partition_spec([])
+        t.append(spark.range(20, 30).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("g")
+        ))
+        p2 = export_iceberg(t, dest)
+        meta2 = json.load(open(p2))
+        by_id2 = {sp["spec-id"]: sp for sp in meta2["partition-specs"]}
+        assert by_id2[0]["fields"] == []
+        for sid, sp in by_id.items():
+            assert by_id2[sid] == sp, "spec ids renumbered across exports"
+        assert meta2["default-spec-id"] == 0
+        assert _rows(read_iceberg(spark, dest)) == _rows(t.scan())
+
+    def test_reexport_never_mutates_published_manifest_lists(
+        self, spark, tmp_path
+    ):
+        """Iceberg metadata files are immutable once published: after a
+        re-export, every manifest-list the chained (metadata-log) v1
+        metadata points at must be byte-identical to what v1 was
+        written against."""
+        t = IceTable(spark, str(tmp_path / "imm_src"))
+        t.create(spark.range(0, 15).select(F.col("id").alias("k")))
+        dest = str(tmp_path / "imm_exp")
+        p1 = export_iceberg(t, dest)
+        meta1 = json.load(open(p1))
+        published = {}
+        for s in meta1["snapshots"]:
+            path = s["manifest-list"][len("file://"):]
+            published[path] = open(path, "rb").read()
+        t.append(spark.range(15, 25).select(F.col("id").alias("k")))
+        t.delete_where(F.col("k") % 5 == 0, mode="merge-on-read")
+        export_iceberg(t, dest)
+        for path, before in published.items():
+            assert os.path.exists(path), "published manifest list removed"
+            assert open(path, "rb").read() == before, (
+                "published manifest list rewritten in place"
+            )
+        # and the old metadata still reads as it did at publish time
+        snap1 = meta1["current-snapshot-id"]
+        got = read_iceberg(spark, dest, snapshot_id=snap1)
+        assert _rows(got) == _rows(t.scan(snapshot_id=snap1))
+
+    def test_incremental_reexport_keeps_partition_summaries(
+        self, spark, tmp_path
+    ):
+        """Reused (seeded) manifests must keep their manifest-list
+        per-field partition summaries — they used to silently reset to
+        null after any incremental re-export, degrading foreign engines'
+        manifest-level pruning."""
+        t = IceTable(spark, str(tmp_path / "sum_src"))
+        df = spark.range(0, 30).select(
+            F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("g")
+        )
+        t.create(df, partition_by=["g"])
+        dest = str(tmp_path / "sum_exp")
+        export_iceberg(t, dest)
+        t.append(
+            spark.range(30, 40).select(
+                F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("g")
+            )
+        )
+        p2 = export_iceberg(t, dest)
+        meta2 = json.load(open(p2))
+        cur = next(
+            s
+            for s in meta2["snapshots"]
+            if s["snapshot-id"] == meta2["current-snapshot-id"]
+        )
+        _, _, manifests = iceavro.read_ocf(
+            cur["manifest-list"][len("file://"):]
+        )
+        data_manifests = [m for m in manifests if m["content"] == 0]
+        assert len(data_manifests) >= 2  # the seeded one + the delta
+        for m in data_manifests:
+            assert m["partitions"], (
+                "partition summaries lost on incremental re-export"
+            )
+            s = m["partitions"][0]
+            assert s["contains_null"] is False
+            assert s["lower_bound"] is not None
+            assert s["upper_bound"] is not None
+
+    def test_foreign_sequence_zero_entry_not_widened(self, spark, tmp_path):
+        """A hand-built foreign table whose data-file manifest ENTRY
+        carries an explicit sequence_number of 0 (valid — v1-upgraded
+        history) inside a manifest stamped sequence 5: the reader must
+        use the entry's 0, so a positional delete at sequence 3 applies
+        (0 <= 3). The old `or`-fallback read the data file as sequence 5
+        and kept the deleted row."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from icerunner_spark.iceberg_export import (
+            _MANIFEST_FILE_SCHEMA,
+            _manifest_entry_schema,
+            _uri,
+        )
+
+        dest = tmp_path / "foreign"
+        (dest / "data").mkdir(parents=True)
+        (dest / "metadata").mkdir()
+        data_path = str(dest / "data" / "f1.parquet")
+        pq.write_table(pa.table({"k": pa.array([1, 2, 3], pa.int64())}), data_path)
+        del_path = str(dest / "data" / "d1.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array([_uri(data_path)], pa.string()),
+                    "pos": pa.array([0], pa.int64()),
+                }
+            ),
+            del_path,
+        )
+
+        def _entry(content, path, nrows, seq):
+            return {
+                "status": 1,
+                "snapshot_id": 99,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": content,
+                    "file_path": _uri(path),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": nrows,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "null_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": None,
+                    "sort_order_id": None,
+                },
+            }
+
+        schema = _manifest_entry_schema([])
+        m_data = str(dest / "metadata" / "m-data.avro")
+        iceavro.write_ocf(
+            m_data, schema, [_entry(0, data_path, 3, 0)],
+            metadata={"content": "data", "partition-spec-id": "0"},
+        )
+        m_del = str(dest / "metadata" / "m-del.avro")
+        iceavro.write_ocf(
+            m_del, schema, [_entry(1, del_path, 1, 3)],
+            metadata={"content": "deletes", "partition-spec-id": "0"},
+        )
+
+        def _mf(path, content, seq):
+            return {
+                "manifest_path": _uri(path),
+                "manifest_length": os.path.getsize(path),
+                "partition_spec_id": 0,
+                "content": content,
+                # the manifest-level sequence is 5 — the trap the old
+                # `or`-fallback fell into for the entry's explicit 0
+                "sequence_number": 5 if content == 0 else seq,
+                "min_sequence_number": 0,
+                "added_snapshot_id": 99,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 3,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+
+        ml_path = str(dest / "metadata" / "snap-99-manifest-list.avro")
+        iceavro.write_ocf(
+            ml_path,
+            _MANIFEST_FILE_SCHEMA,
+            [_mf(m_data, 0, 0), _mf(m_del, 1, 3)],
+            metadata={"format-version": "2", "snapshot-id": "99"},
+        )
+        meta = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-000000000099",
+            "location": _uri(str(dest)),
+            "last-sequence-number": 5,
+            "last-updated-ms": 0,
+            "last-column-id": 1,
+            "current-schema-id": 0,
+            "schemas": [
+                {
+                    "type": "struct",
+                    "schema-id": 0,
+                    "fields": [
+                        {"id": 1, "name": "k", "required": False, "type": "long"}
+                    ],
+                }
+            ],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {
+                "schema.name-mapping.default": json.dumps(
+                    [{"field-id": 1, "names": ["k"]}]
+                )
+            },
+            "current-snapshot-id": 99,
+            "snapshots": [
+                {
+                    "snapshot-id": 99,
+                    "sequence-number": 5,
+                    "timestamp-ms": 0,
+                    "manifest-list": _uri(ml_path),
+                    "summary": {"operation": "append"},
+                    "schema-id": 0,
+                }
+            ],
+            "snapshot-log": [],
+            "metadata-log": [],
+            "refs": {"main": {"snapshot-id": 99, "type": "branch"}},
+        }
+        with open(dest / "metadata" / "v1.metadata.json", "w") as f:
+            json.dump(meta, f)
+        with open(dest / "metadata" / "version-hint.text", "w") as f:
+            f.write("1")
+
+        got = read_iceberg(spark, str(dest))
+        # pos 0 (k=1) is deleted: data seq 0 <= delete seq 3
+        assert _rows(got) == {(2,), (3,)}
+
+    def test_large_delete_set_shuffled_path_equal(self, spark, exported):
+        """The broadcast-vs-shuffled delete application paths are
+        result-equal: threshold 0 forces the shuffled-hash variant the
+        100 TB path needs when an imported table carries GB-scale
+        positional deletes."""
+        t, dest, _ = exported
+        base = _rows(read_iceberg(spark, dest))
+        shuffled = _rows(
+            read_iceberg(spark, dest, delete_broadcast_max_bytes=0)
+        )
+        assert shuffled == base == _rows(t.scan())
+
+
+# --------------------------------------------------------------------------- #
+# golden-byte Avro conformance (r8 verdict item 3): reader and writer
+# live in one module, so round-trips can't catch a symmetric
+# spec-misreading. Everything below derives its bytes from the Avro 1.x
+# spec IN THE TEST (its own zigzag/varint/framing helpers), never from
+# iceavro — a hand-built manifest-list decodes through iceavro.read_ocf,
+# and an iceavro.write_ocf file parses with the test's own decoder.
+# --------------------------------------------------------------------------- #
+
+
+def _zz(n: int) -> bytes:
+    """Avro spec: long = zigzag (n<<1)^(n>>63), then base-128 varint,
+    little-endian groups, high bit = continuation."""
+    z = ((n << 1) ^ (n >> 63)) & ((1 << 64) - 1)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_str(s: str) -> bytes:
+    """Avro spec: string = long length prefix + utf-8 bytes."""
+    raw = s.encode("utf-8")
+    return _zz(len(raw)) + raw
+
+
+def _read_varlong(buf) -> int:
+    z = shift = 0
+    while True:
+        (b,) = buf.read(1)
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1)
+
+
+class TestAvroGoldenBytes:
+    # one full manifest_file record, hand-encoded field by field in the
+    # schema's declaration order per the spec (record = concatenation of
+    # field encodings; union = branch index long + value; array =
+    # count-prefixed blocks + 0 terminator)
+    RECORD = {
+        "manifest_path": "m.avro",
+        "manifest_length": 100,
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": 3,
+        "min_sequence_number": 1,
+        "added_snapshot_id": 99,
+        "added_files_count": 1,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": 10,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": [
+            {
+                "contains_null": False,
+                "contains_nan": False,
+                "lower_bound": b"\x05\x00\x00\x00",
+                "upper_bound": None,
+            }
+        ],
+    }
+    PAYLOAD = (
+        _avro_str("m.avro")  # manifest_path
+        + _zz(100)           # manifest_length
+        + _zz(0)             # partition_spec_id
+        + _zz(1)             # content
+        + _zz(3)             # sequence_number
+        + _zz(1)             # min_sequence_number
+        + _zz(99)            # added_snapshot_id
+        + _zz(1) + _zz(0) + _zz(0)   # added/existing/deleted files
+        + _zz(10) + _zz(0) + _zz(0)  # added/existing/deleted rows
+        + _zz(1)             # partitions: union branch 1 (non-null)
+        + _zz(1)             # array block: 1 item
+        + b"\x00"            # contains_null = false
+        + _zz(1) + b"\x00"   # contains_nan: branch 1, false
+        + _zz(1) + _zz(4) + b"\x05\x00\x00\x00"  # lower_bound: branch 1, 4 bytes
+        + _zz(0)             # upper_bound: branch 0 (null)
+        + _zz(0)             # array terminator
+    )
+
+    def test_spot_varints(self):
+        """Spec-derived literals for the varint helper itself (these
+        exact byte values appear in the Avro 1.11 spec's examples)."""
+        assert _zz(0) == b"\x00"
+        assert _zz(-1) == b"\x01"
+        assert _zz(1) == b"\x02"
+        assert _zz(-2) == b"\x03"
+        assert _zz(2) == b"\x04"
+        assert _zz(-64) == b"\x7f"
+        assert _zz(64) == b"\x80\x01"
+        assert _zz(2**31 - 1) == b"\xfe\xff\xff\xff\x0f"
+        assert _zz(-(2**31)) == b"\xff\xff\xff\xff\x0f"
+        assert _zz(2**63 - 1) == b"\xfe\xff\xff\xff\xff\xff\xff\xff\xff\x01"
+        assert _zz(-(2**63)) == b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x01"
+
+    def test_hand_built_manifest_list_decodes(self, tmp_path):
+        """An OCF whose every byte was laid down from the spec (magic,
+        metadata map, sync, count+size block framing) must decode through
+        iceavro.read_ocf into exactly the expected manifest_file record —
+        the reader has now decoded bytes it did not write."""
+        from icerunner_spark.iceberg_export import _MANIFEST_FILE_SCHEMA
+
+        schema_json = json.dumps(_MANIFEST_FILE_SCHEMA)
+        sync = b"0123456789ABCDEF"
+        ocf = (
+            b"Obj\x01"
+            + _zz(2)  # metadata map: one block of 2 entries
+            + _avro_str("avro.schema") + _avro_str(schema_json)
+            + _avro_str("avro.codec") + _avro_str("null")
+            + _zz(0)  # map terminator
+            + sync
+            + _zz(1)                  # block record count
+            + _zz(len(self.PAYLOAD))  # block byte size
+            + self.PAYLOAD
+            + sync
+        )
+        p = tmp_path / "hand.avro"
+        p.write_bytes(ocf)
+        schema, meta, records = iceavro.read_ocf(str(p))
+        assert schema == _MANIFEST_FILE_SCHEMA
+        assert records == [self.RECORD]
+
+    def test_written_file_parses_with_spec_decoder(self, tmp_path):
+        """The reverse direction: iceavro.write_ocf's bytes must parse
+        with the test's own spec-derived decoder, and the record body
+        must be byte-exact against the hand-derived literal."""
+        import io as _io
+
+        from icerunner_spark.iceberg_export import _MANIFEST_FILE_SCHEMA
+
+        p = str(tmp_path / "written.avro")
+        n = iceavro.write_ocf(
+            p, _MANIFEST_FILE_SCHEMA, [self.RECORD],
+            metadata={"format-version": "2"},
+        )
+        raw = open(p, "rb").read()
+        assert n == len(raw)
+        buf = _io.BytesIO(raw)
+        assert buf.read(4) == b"Obj\x01", "bad magic"
+        meta = {}
+        while True:
+            cnt = _read_varlong(buf)
+            if cnt == 0:
+                break
+            if cnt < 0:
+                _read_varlong(buf)
+                cnt = -cnt
+            for _ in range(cnt):
+                k = buf.read(_read_varlong(buf)).decode("utf-8")
+                meta[k] = buf.read(_read_varlong(buf))
+        assert json.loads(meta["avro.schema"]) == _MANIFEST_FILE_SCHEMA
+        assert meta["avro.codec"] == b"null"
+        assert meta["format-version"] == b"2"
+        sync = buf.read(16)
+        assert len(sync) == 16
+        assert _read_varlong(buf) == 1, "block record count"
+        size = _read_varlong(buf)
+        body = buf.read(size)
+        assert body == self.PAYLOAD, "record body deviates from the spec"
+        assert buf.read(16) == sync, "trailing sync differs"
+        assert buf.read() == b"", "bytes after final sync"
+
+    def test_negative_block_counts_read(self, tmp_path):
+        """Foreign writers may emit size-annotated array blocks
+        (negative count, then byte size — Avro spec §binary encoding);
+        the reader must accept them even though iceavro never writes
+        them."""
+        import io as _io
+
+        schema = {"type": "array", "items": "long"}
+        items = _zz(7) + _zz(-7)
+        blob = _zz(-2) + _zz(len(items)) + items + _zz(0)
+        assert iceavro.decode_value(_io.BytesIO(blob), schema) == [7, -7]
+
+
+class TestContinuousMirror:
+    def test_n_cycle_reexport_stays_odelta(self, spark, tmp_path):
+        """The continuous-mirror claim (r8 verdict item 6): N
+        append/delete cycles re-exporting to ONE dest must write O(delta)
+        manifest files per cycle (reuse everything untouched) and read
+        back equal at every step. 10 cycles; per-cycle new-manifest
+        counts are asserted bounded by the cycle's own commit count, not
+        the table's history size."""
+        t = IceTable(spark, str(tmp_path / "cm_src"))
+        t.create(
+            spark.range(0, 20).select(
+                F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+            )
+        )
+        dest = str(tmp_path / "cm_exp")
+        export_iceberg(t, dest)
+
+        def _manifest_files():
+            return {
+                f
+                for f in os.listdir(os.path.join(dest, "metadata"))
+                if f.startswith("manifest-") and f.endswith(".avro")
+            }
+
+        per_cycle_new = []
+        for cycle in range(10):
+            lo = 20 + cycle * 10
+            t.append(
+                spark.range(lo, lo + 10).select(
+                    F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+                )
+            )
+            if cycle % 3 == 1:
+                t.delete_where(F.col("k") == lo, mode="merge-on-read")
+            before = _manifest_files()
+            export_iceberg(t, dest)
+            after = _manifest_files()
+            assert before <= after, "published manifests removed"
+            new = len(after) - len(before)
+            per_cycle_new.append(new)
+            # O(delta): this cycle committed 1-2 snapshots; a history-
+            # proportional rewrite would add ~cycle manifests by now
+            assert 1 <= new <= 3, (
+                f"cycle {cycle}: {new} new manifests — not O(delta)"
+            )
+            assert _rows(read_iceberg(spark, dest)) == _rows(t.scan())
+        # time travel still resolves across the whole mirrored history
+        for s in t.snapshots()[:: max(1, len(t.snapshots()) // 4)]:
+            got = read_iceberg(spark, dest, snapshot_id=s.snapshot_id)
+            assert _rows(got) == _rows(t.scan(snapshot_id=s.snapshot_id))
+        # the per-cycle counts are the SCALE.md §7b evidence
+        assert max(per_cycle_new) <= 3
