@@ -319,14 +319,24 @@ def leakage_safe_split(
     if groups is None and text_col is None:
         raise ValueError("pass text_col (exact-dup key) or groups")
     if groups is not None:
+        # one row per id: a duplicate id in a user-supplied groups frame
+        # would otherwise fan out corpus rows through the left join
         g = groups.select(
             F.col(id_col).alias("__sid"),
             F.col(group_col).cast("string").alias("__gkey"),
-        )
+        ).dropDuplicates(["__sid"])
         df = df.join(g, df[id_col] == g["__sid"], "left").drop("__sid")
-        key = F.coalesce(F.col("__gkey"), F.col(id_col).cast("string"))
+        key = F.col("__gkey")
     else:
         key = normalize_ws(text_col)
+    # NULL-key guard: a null group key / null text would yield a null
+    # md5 bucket, every when() branch would evaluate null, and the row
+    # would silently fall through otherwise() into the LAST split —
+    # skewing it with exactly the undefined-key rows. Fall back to the
+    # id (ungrouped but deterministic); rows where the id is null too
+    # share the empty-string key and land together in one split, which
+    # is the documented behavior for undefined keys.
+    key = F.coalesce(key, F.col(id_col).cast("string"), F.lit(""))
     bucket = md5_bucket(key, salt)
     names = list(weights)
     cum = 0.0

@@ -59,56 +59,59 @@ def register(name: str, oracle: str | None = None):
 #   latest[name] = max round containing name; sort by (latest, name).
 # Round 7: 4 never-checked (multimodal decode/resize/audio/video) +
 # the 11 r2-latest + 14 r3-latest + 4 oldest r4-latest names.
-# Round 8 (r7 verdict item 1): the remaining r4 cohort is exactly 40
-# names — the window takes ALL of them (never-checked first: the new
-# iceberg_export_roundtrip), so post-r8 no name's newest driver row is
-# older than r5. Keepers shrink to 9 this round to fit the cohort; the
-# r4 list itself covers text / corpus / incremental / multimodal /
-# table-format families, so family coverage holds.
+# Round 8 (r7 verdict item 1): the remaining r4 cohort was exactly 40
+# names — the window took ALL of them, so post-r8 no name's newest
+# driver row was older than r5.
+# Round 9 (r8 verdict item 1): head = the 2 never-driver-checked names
+# added after the r8 window was fixed (iceberg_incremental_mirror,
+# leakage_safe_split_documents), then the full 38-name r5-stale cohort
+# (recomputed from CORRECTNESS_r01..r08: Counter{r8:50, r7:41, r6:33,
+# r5:38}); post-r9 no name's newest driver row is older than r6.
+# Keepers: 10, one per operator family.
 _DRIVER_WINDOW = [
-    # --- 41 stalest (latest driver row in parens) ---
-    "iceberg_export_roundtrip",  # never — new in r8, Iceberg v2 export/import
-    "dedup_exact_documents",  # r4
-    "distinct_agg_lineitem",  # r4
-    "embedding_cosine_neardup",  # r4 — r7 block-matmul rewrite re-earns here
-    "exists_subquery_large_orders",  # r4
-    "filtered_aggregates_orders",  # r4
-    "flight_roundtrip_nation",  # r4
-    "funnel_steps_users",  # r4
-    "gap_fill_interpolate",  # r4
-    "gaps_islands_streaks",  # r4
-    "grouped_user_trends",  # r4
-    "grouping_sets_orders",  # r4
-    "higher_order_array_ops",  # r4
-    "incremental_dedup_cdc",  # r4
-    "json_events_extract",  # r4
-    "lateral_topk_per_nation",  # r4
-    "map_functions_events",  # r4
-    "neardup_ngram_jaccard",  # r4
-    "partitioned_table_prune",  # r4
-    "percentiles_lineitem",  # r4
-    "pii_redact_documents",  # r4
-    "pivot_revenue_by_status",  # r4
-    "q17_small_quantity_revenue",  # r4
-    "q21_last_shipper",  # r4
-    "q6_revenue_forecast",  # r4
-    "q7_nation_volume",  # r4
-    "range_join_event_bands",  # r4
-    "sampled_systematic_agg",  # r4
-    "scalar_string_math_part",  # r4
-    "session_window_events",  # r4
-    "setops_multiset_quantities",  # r4
-    "snapshot_history_metadata",  # r4
-    "snapshot_mor_delete_roundtrip",  # r4
-    "stream_join_view_purchases",  # r4
-    "text_token_stats",  # r4
-    "theta_join_acctbal_dominance",  # r4
-    "time_travel_snapshot_scan",  # r4
-    "token_budget_mixture",  # r4
-    "udtf_token_explode",  # r4
-    "unigram_logprob_quality",  # r4
-    "window_running_revenue",  # r4
-    # --- 9 keepers, one per operator family ---
+    # --- 2 never driver-checked (added post-r8-window) ---
+    "iceberg_incremental_mirror",  # never — O(delta) Iceberg re-export
+    "leakage_safe_split_documents",  # never — dup-group-keyed split
+    # --- 38 stalest (latest driver row r5), alphabetical ---
+    "bigram_logprob_quality",  # r5
+    "bloom_pruned_scan",  # r5
+    "clustered_compact_scan",  # r5
+    "decontam_ngram_overlap",  # r5
+    "dedup_cluster_resolution",  # r5
+    "dedup_maintenance_roundtrip",  # r5
+    "dynamic_file_prune_join",  # r5
+    "flight_federated_join",  # r5
+    "flight_sql_passthrough",  # r5
+    "hybrid_retrieval_rerank",  # r5
+    "incremental_bm25_index",  # r5
+    "incremental_mv_refresh",  # r5
+    "kmeans_cluster_profile",  # r5
+    "metadata_agg_pushdown",  # r5
+    "partition_spec_evolution",  # r5
+    "q11_important_stock",  # r5
+    "q12_priority_lateness",  # r5
+    "q13_customer_distribution",  # r5
+    "q14_promo_revenue",  # r5
+    "q15_top_supplier",  # r5
+    "q16_supplier_part_counts",  # r5
+    "q18_large_volume_customers",  # r5
+    "q19_disjunctive_revenue",  # r5
+    "q20_excess_share_suppliers",  # r5
+    "q22_idle_customers",  # r5
+    "q2_min_cost_supplier",  # r5
+    "q4_order_priority",  # r5
+    "q8_market_share",  # r5
+    "q9_product_profit",  # r5
+    "recursive_cte_hierarchy",  # r5
+    "row_lineage_scan",  # r5
+    "semantic_dedup_resolution",  # r5
+    "snapshot_eq_delete_roundtrip",  # r5
+    "snapshot_update_roundtrip",  # r5
+    "sql_udf_surface",  # r5
+    "stats_pruned_scan",  # r5
+    "table_ndv_stats",  # r5
+    "transform_partition_prune",  # r5
+    # --- 10 keepers, one per operator family ---
     "q1_pricing_summary",  # TPC-H aggregation
     "window_topk_orders_per_customer",  # window functions
     "cdc_changelog_diff",  # row-level changelog CDC
@@ -118,6 +121,7 @@ _DRIVER_WINDOW = [
     "stream_exactly_once_ingest",  # streaming sink
     "dedup_minhash_lsh",  # near-dup dedup
     "similarity_bruteforce_topk",  # similarity baseline
+    "iceberg_export_roundtrip",  # Iceberg v2 interop (new family, r8)
 ]
 
 
@@ -3359,7 +3363,9 @@ def iceberg_incremental_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH k AS (
         SELECT doc_id,
-               substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))
+               substr(md5(coalesce(
+                              lower(regexp_replace(text, '\\s+', ' ', 'g')),
+                              CAST(doc_id AS VARCHAR), '')
                           || '-split'), 1, 8) AS h
         FROM documents
     )

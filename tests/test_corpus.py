@@ -472,3 +472,57 @@ def test_leakage_safe_split_group_atomicity(spark):
         leakage_safe_split(df, "doc_id", "text", weights={"a": 0.5})
     with _pytest.raises(ValueError, match="text_col"):
         leakage_safe_split(df, "doc_id")
+
+
+def test_leakage_safe_split_null_keys_and_dup_groups(spark):
+    """r9 hardening: a NULL group key (null text, or an id missing from
+    the groups frame with a null fallback) used to yield a null md5
+    bucket whose every when() branch evaluated null — so ALL null-key
+    rows silently piled into the LAST split. The key now falls back to
+    the id (deterministic, ungrouped); duplicate ids in a user-supplied
+    groups frame must not fan out corpus rows through the join."""
+    from icerunner_spark.operators.corpus import leakage_safe_split
+
+    rows = [(i, None if i < 40 else f"body {i}") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(
+        df, "doc_id", "text",
+        weights={"train": 0.5, "val": 0.25, "test": 0.25},
+    )
+    got = {(r["doc_id"], r["split"]) for r in out.collect()}
+    assert len(got) == 120  # no fan-out, no drop
+    null_splits = {s for d, s in got if d < 40}
+    # id-keyed fallback spreads null-text rows across splits instead of
+    # dumping all 40 into 'test'
+    assert len(null_splits) > 1, "null-text rows all in one split"
+    # determinism of the fallback
+    again = {
+        (r["doc_id"], r["split"])
+        for r in leakage_safe_split(
+            df, "doc_id", "text",
+            weights={"train": 0.5, "val": 0.25, "test": 0.25},
+        ).collect()
+    }
+    assert again == got
+
+    # duplicate ids in groups: each corpus row keeps exactly one split
+    groups = spark.createDataFrame(
+        [(i, i % 10) for i in range(120)] + [(0, 7), (1, 3)],
+        "doc_id long, cluster_id long",
+    )
+    out2 = leakage_safe_split(
+        df, "doc_id", weights={"train": 0.5, "test": 0.5}, groups=groups
+    )
+    assert out2.count() == 120, "dup group ids fanned out rows"
+    # ids absent from groups fall back to the id key, still one row each
+    sparse = spark.createDataFrame(
+        [(i, i % 5) for i in range(0, 60)], "doc_id long, cluster_id long"
+    )
+    out3 = leakage_safe_split(
+        df, "doc_id", weights={"train": 0.5, "test": 0.5}, groups=sparse
+    )
+    assert out3.count() == 120
+    by_cluster = {}
+    for r in out3.where("doc_id < 60").collect():
+        by_cluster.setdefault(r["doc_id"] % 5, set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
