@@ -100,6 +100,7 @@ HEADLINE = [
     "multimodal_video_stats",
     # r8 addition: Iceberg v2 metadata export + import round trip
     "iceberg_export_roundtrip",
+    "iceberg_eq_delete_import",
 ]
 
 

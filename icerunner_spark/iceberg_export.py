@@ -11,8 +11,11 @@ spec-conformant metadata tree — ``vN.metadata.json``, Avro
 manifest-list and manifest files (:mod:`icerunner_spark.iceavro`),
 hard-linked data files — and ``read_iceberg`` is the import direction:
 a generic Spark reader for static Iceberg tables (current snapshot or
-time travel), applying positional deletes by the spec's sequence-number
-rule. Neither direction needs PyIceberg, fastavro, or an
+time travel), applying positional AND equality deletes by the spec's
+sequence-number rules (<= for positional, strictly-less for equality —
+so foreign Flink-CDC-shaped tables read correctly even though our own
+exporter never emits equality deletes). Neither direction needs
+PyIceberg, fastavro, or an
 iceberg-spark-runtime jar (none are installable in this container —
 SCALE.md §7 records the attempted DuckDB ``iceberg`` extension load).
 
@@ -1369,8 +1372,11 @@ def read_iceberg(
     write-schema — renames resolve through
     ``schema.name-mapping.default``), fills identity partition columns
     from manifest partition values when absent from the files, and
-    applies positional deletes by the spec's sequence rule (a delete at
-    sequence D removes rows of data files with sequence <= D)."""
+    applies deletes by the spec's sequence rules: positional deletes at
+    sequence D remove (file, pos) rows of data files with sequence
+    <= D; equality deletes (content=2 — Flink CDC's native upsert form)
+    remove rows whose equality columns match, from data files with
+    sequence STRICTLY LESS than D, with null-safe key matching."""
     if snapshot_id is not None and ref is not None:
         raise ValueError("pass at most one of snapshot_id, ref")
     meta = _load_metadata(location)
@@ -1405,6 +1411,7 @@ def read_iceberg(
     )
     data_files: list[dict] = []
     delete_files: list[dict] = []
+    eq_delete_files: list[dict] = []
     for m in manifests:
         _, mmeta, entries = iceavro.read_ocf(_strip_uri(m["manifest_path"]))
         for e in entries:
@@ -1417,21 +1424,35 @@ def read_iceberg(
                 # number in v1-upgraded foreign tables and must not fall
                 # back to the manifest's (which would wrongly widen
                 # positional-delete applicability)
+                # v1 manifest lists carry no sequence numbers at all
+                # (everything is effectively sequence 0 — deletes are a
+                # v2 feature), hence the final 0 default
                 "seq": (
                     e["sequence_number"]
                     if e.get("sequence_number") is not None
-                    else m["sequence_number"]
+                    else m.get("sequence_number", 0)
                 ),
                 "partition": df_rec.get("partition") or {},
                 "spec_id": m["partition_spec_id"],
             }
-            if df_rec.get("content", 0) == 0 and m.get("content", 0) == 0:
+            content = df_rec.get("content", 0)
+            if content == 0 and m.get("content", 0) == 0:
                 data_files.append(rec)
-            elif df_rec.get("content") == 1 or m.get("content") == 1:
+            elif content == 1:
+                delete_files.append(rec)
+            elif content == 2:  # equality deletes (Flink CDC et al.)
+                rec["eq_ids"] = tuple(df_rec.get("equality_ids") or ())
+                if not rec["eq_ids"]:
+                    raise ValueError(
+                        "equality delete file without equality_ids: "
+                        + rec["path"]
+                    )
+                eq_delete_files.append(rec)
+            elif m.get("content") == 1:
                 delete_files.append(rec)
             else:
                 raise ValueError(
-                    "equality deletes are not supported by this reader"
+                    f"unsupported delete content {content} in {rec['path']}"
                 )
     if not data_files:
         ddl = ", ".join(
@@ -1517,13 +1538,22 @@ def read_iceberg(
     for p in parts[1:]:
         out = out.unionByName(p)
 
-    if delete_files:
-        # the spec's sequence rule: a positional delete at sequence D
-        # removes (file, pos) rows of data files with sequence <= D
+    if delete_files or eq_delete_files:
+        # both delete kinds need the data file's sequence number per row
+        # (a per-file map, broadcast — O(#files) rows)
         seq_rows = [(r["path"], int(r["seq"])) for r in data_files]
         seq_df = spark.createDataFrame(
             seq_rows, "__ice_file_s string, __data_seq long"
         )
+        out = out.join(
+            F.broadcast(seq_df),
+            out["__ice_file"] == seq_df["__ice_file_s"],
+            "left",
+        ).drop("__ice_file_s")
+
+    if delete_files:
+        # the spec's sequence rule: a positional delete at sequence D
+        # removes (file, pos) rows of data files with sequence <= D
         dels = []
         for r in delete_files:
             d = spark.read.parquet(r["path"]).select(
@@ -1542,11 +1572,6 @@ def read_iceberg(
         )
         if del_bytes <= delete_broadcast_max_bytes:
             all_dels = F.broadcast(all_dels)
-        out = out.join(
-            F.broadcast(seq_df),
-            out["__ice_file"] == seq_df["__ice_file_s"],
-            "left",
-        ).drop("__ice_file_s")
         # small delete sets broadcast (hash probe per task); big ones
         # shuffle on the (file, pos) equi keys with the sequence rule
         # as a residual — Catalyst plans SMJ/SHJ from the equi pair
@@ -1556,7 +1581,80 @@ def read_iceberg(
             & (out["__ice_pos"] == all_dels["__del_pos"])
             & (out["__data_seq"] <= all_dels["__del_seq"]),
             "left_anti",
-        ).drop("__data_seq")
+        )
+
+    if eq_delete_files:
+        # equality deletes (content=2 — what Flink CDC upserts write):
+        # a delete at sequence D removes rows whose equality columns
+        # match, from data files with sequence STRICTLY LESS than D
+        # (the spec's rule — an eq delete never applies to rows in its
+        # own commit). Deletes with the same equality_ids set union into
+        # one anti join; null-safe equality matches the spec (a null
+        # key value deletes rows whose value is null).
+        id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+        names_by_id: dict = {}
+        for ent in mapping:
+            names_by_id.setdefault(ent["field-id"], []).extend(
+                ent.get("names", [])
+            )
+        by_ids: dict = {}
+        for r in eq_delete_files:
+            by_ids.setdefault(r["eq_ids"], []).append(r)
+        for eq_ids, recs_d in by_ids.items():
+            key_names = []
+            for fid in eq_ids:
+                name = id_to_name.get(fid)
+                if name is None:
+                    raise ValueError(
+                        f"equality delete field id {fid} is not in the "
+                        "current schema"
+                    )
+                key_names.append(name)
+            dels = []
+            for r in recs_d:
+                raw_d = spark.read.parquet(r["path"])
+                sel = []
+                for fid, name in zip(eq_ids, key_names):
+                    src = name if name in raw_d.columns else next(
+                        (
+                            n
+                            for n in names_by_id.get(fid, [])
+                            if n in raw_d.columns
+                        ),
+                        None,
+                    )
+                    if src is None:
+                        raise ValueError(
+                            f"equality delete file {r['path']} lacks a "
+                            f"column for field id {fid} ({name})"
+                        )
+                    tgt = _spark_type(
+                        next(
+                            f["type"]
+                            for f in schema["fields"]
+                            if f["id"] == fid
+                        )
+                    )
+                    sel.append(
+                        F.col(src).cast(tgt).alias(f"__eq_{name}")
+                    )
+                sel.append(
+                    F.lit(int(r["seq"])).cast("long").alias("__del_seq")
+                )
+                dels.append(raw_d.select(*sel))
+            eq_dels = dels[0]
+            for d in dels[1:]:
+                eq_dels = eq_dels.unionByName(d)
+            eq_bytes = sum(os.path.getsize(r["path"]) for r in recs_d)
+            if eq_bytes <= delete_broadcast_max_bytes:
+                eq_dels = F.broadcast(eq_dels)
+            cond = out["__data_seq"] < eq_dels["__del_seq"]
+            for name in key_names:
+                cond = cond & out[name].eqNullSafe(eq_dels[f"__eq_{name}"])
+            out = out.join(eq_dels, cond, "left_anti")
+
+    if delete_files or eq_delete_files:
+        out = out.drop("__data_seq")
     return out.drop("__ice_file", "__ice_pos")
 
 

@@ -3359,6 +3359,187 @@ def iceberg_incremental_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_eq_delete_import",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM customer
+    WHERE c_custkey < 300
+      AND NOT (c_custkey % 6 = 0 AND c_custkey < 150)
+      AND c_custkey % 50 <> 0
+    """,
+)
+def iceberg_eq_delete_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-table import with EQUALITY deletes (read_iceberg,
+    content=2 — the delete form Flink CDC upserts write; the reference
+    reads such tables through PyIceberg, icerunner.py:60-103): build an
+    Iceberg v2 tree by hand the way a foreign engine would (two data
+    files at sequences 1 and 2, two equality-delete files keyed on
+    c_custkey at sequences 2 and 3 — the seq-2 delete applies only to
+    the seq-1 file, the spec's strict-less rule), then read it back.
+    The oracle recomputes the surviving set from the raw fixture, so a
+    sequencing or key-matching error is a value mismatch. Scale: eq
+    deletes group by equality_ids into ONE anti join each, null-safe
+    keys compile to hash-join keys (coalesce+isnull), and the delete
+    side only broadcasts under a size threshold — data files never
+    shuffle through Python."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from icerunner_spark import iceavro
+    from icerunner_spark.iceberg_export import (
+        _MANIFEST_FILE_SCHEMA,
+        _manifest_entry_schema,
+        _uri,
+        read_iceberg,
+    )
+
+    wh = _demo_warehouse("icerunner_iceberg_eq_demo", sf_dir)
+    dest = os.path.join(wh, "cdc_customer")
+    os.makedirs(os.path.join(dest, "data"))
+    os.makedirs(os.path.join(dest, "metadata"))
+    src = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+    src = src.filter(pc.less(src["c_custkey"], 300)).combine_chunks()
+    keys = src["c_custkey"]
+
+    def _data(name, tbl):
+        p = os.path.join(dest, "data", name)
+        pq.write_table(tbl, p)
+        return p
+
+    f1 = _data("f1.parquet", src.filter(pc.less(keys, 150)))
+    f2 = _data("f2.parquet", src.filter(pc.greater_equal(keys, 150)))
+    all_keys = keys.to_pylist()
+    d1 = _data(
+        "d1.parquet",
+        pa.table({"c_custkey": pa.array(
+            sorted({k for k in all_keys if k % 6 == 0}), pa.int64()
+        )}),
+    )
+    d2 = _data(
+        "d2.parquet",
+        pa.table({"c_custkey": pa.array(
+            sorted({k for k in all_keys if k % 50 == 0}), pa.int64()
+        )}),
+    )
+
+    def _entry(content, path, seq, eq_ids=None):
+        return {
+            "status": 1,
+            "snapshot_id": 11,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": _uri(path),
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": pq.read_metadata(path).num_rows,
+                "file_size_in_bytes": os.path.getsize(path),
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": eq_ids,
+                "sort_order_id": None,
+            },
+        }
+
+    entry_schema = _manifest_entry_schema([])
+    m_data = os.path.join(dest, "metadata", "m-data.avro")
+    iceavro.write_ocf(
+        m_data, entry_schema,
+        [_entry(0, f1, 1), _entry(0, f2, 2)],
+        metadata={"content": "data", "partition-spec-id": "0"},
+    )
+    m_del = os.path.join(dest, "metadata", "m-del.avro")
+    iceavro.write_ocf(
+        m_del, entry_schema,
+        [_entry(2, d1, 2, eq_ids=[1]), _entry(2, d2, 3, eq_ids=[1])],
+        metadata={"content": "deletes", "partition-spec-id": "0"},
+    )
+
+    def _mf(path, content, seq):
+        return {
+            "manifest_path": _uri(path),
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": 1,
+            "added_snapshot_id": 11,
+            "added_files_count": 2,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 1,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }
+
+    ml = os.path.join(dest, "metadata", "snap-11-manifest-list.avro")
+    iceavro.write_ocf(
+        ml, _MANIFEST_FILE_SCHEMA,
+        [_mf(m_data, 0, 2), _mf(m_del, 1, 3)],
+        metadata={"format-version": "2", "snapshot-id": "11"},
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000000b",
+        "location": _uri(dest),
+        "last-sequence-number": 3,
+        "last-updated-ms": 0,
+        "last-column-id": 3,
+        "current-schema-id": 0,
+        "schemas": [{
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "c_custkey", "required": False,
+                 "type": "long"},
+                {"id": 2, "name": "c_name", "required": False,
+                 "type": "string"},
+                {"id": 3, "name": "acctbal", "required": False,
+                 "type": "double"},
+            ],
+        }],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        # name-mapping resolves the renamed acctbal column (physical
+        # c_acctbal) — the same id-less-parquet mechanism the export uses
+        "properties": {"schema.name-mapping.default": json.dumps([
+            {"field-id": 1, "names": ["c_custkey"]},
+            {"field-id": 2, "names": ["c_name"]},
+            {"field-id": 3, "names": ["acctbal", "c_acctbal"]},
+        ])},
+        "current-snapshot-id": 11,
+        "snapshots": [{
+            "snapshot-id": 11,
+            "sequence-number": 3,
+            "timestamp-ms": 0,
+            "manifest-list": _uri(ml),
+            "summary": {"operation": "overwrite"},
+            "schema-id": 0,
+        }],
+        "snapshot-log": [],
+        "metadata-log": [],
+        "refs": {"main": {"snapshot-id": 11, "type": "branch"}},
+    }
+    with open(os.path.join(dest, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(dest, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    return read_iceberg(spark, dest)
+
+
+@register(
     "leakage_safe_split_documents",
     oracle="""
     WITH k AS (

@@ -1188,3 +1188,182 @@ class TestContinuousMirror:
             assert _rows(got) == _rows(t.scan(snapshot_id=s.snapshot_id))
         # the per-cycle counts are the SCALE.md §7b evidence
         assert max(per_cycle_new) <= 3
+
+
+class TestEqualityDeleteRead:
+    def test_foreign_equality_deletes_apply(self, spark, tmp_path):
+        """A hand-built foreign table in Flink-CDC shape: equality
+        delete files (data_file.content=2, equality_ids on k). Spec
+        rules exercised: an eq delete at sequence D applies only to data
+        files with sequence STRICTLY LESS than D (so the same key
+        re-inserted in the delete's own commit survives), and key
+        matching is null-safe (a null key value deletes null-key rows).
+        The reader used to reject content=2 outright."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from icerunner_spark.iceberg_export import (
+            _MANIFEST_FILE_SCHEMA,
+            _manifest_entry_schema,
+            _uri,
+        )
+
+        dest = tmp_path / "cdc"
+        (dest / "data").mkdir(parents=True)
+        (dest / "metadata").mkdir()
+
+        def _pq_write(name, cols):
+            p = str(dest / "data" / name)
+            pq.write_table(pa.table(cols), p)
+            return p
+
+        # data at seq 1: includes a null key (for the null-safe pin)
+        f1 = _pq_write(
+            "f1.parquet",
+            {
+                "k": pa.array([1, 2, 3, None], pa.int64()),
+                "v": pa.array(["a", "b", "c", "n"], pa.string()),
+            },
+        )
+        # data at seq 3: re-inserts k=2 in the SAME commit as the first
+        # eq delete — strict < means the re-insert survives
+        f2 = _pq_write(
+            "f2.parquet",
+            {
+                "k": pa.array([2, 4], pa.int64()),
+                "v": pa.array(["b2", "d"], pa.string()),
+            },
+        )
+        # eq delete at seq 3 on k: deletes k=2 and k=null from seq<3
+        d1 = _pq_write(
+            "d1.parquet", {"k": pa.array([2, None], pa.int64())}
+        )
+        # eq delete at seq 4 on k: deletes k=4 (applies to both files)
+        d2 = _pq_write("d2.parquet", {"k": pa.array([4], pa.int64())})
+
+        def _entry(content, path, nrows, seq, eq_ids=None):
+            return {
+                "status": 1,
+                "snapshot_id": 7,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": content,
+                    "file_path": _uri(path),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": nrows,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "null_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": eq_ids,
+                    "sort_order_id": None,
+                },
+            }
+
+        schema = _manifest_entry_schema([])
+        m_data = str(dest / "metadata" / "m-data.avro")
+        iceavro.write_ocf(
+            m_data,
+            schema,
+            [_entry(0, f1, 4, 1), _entry(0, f2, 2, 3)],
+            metadata={"content": "data", "partition-spec-id": "0"},
+        )
+        m_del = str(dest / "metadata" / "m-del.avro")
+        iceavro.write_ocf(
+            m_del,
+            schema,
+            [
+                _entry(2, d1, 2, 3, eq_ids=[1]),
+                _entry(2, d2, 1, 4, eq_ids=[1]),
+            ],
+            metadata={"content": "deletes", "partition-spec-id": "0"},
+        )
+
+        def _mf(path, content, seq, rows):
+            return {
+                "manifest_path": _uri(path),
+                "manifest_length": os.path.getsize(path),
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": seq,
+                "min_sequence_number": 1,
+                "added_snapshot_id": 7,
+                "added_files_count": 2,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            }
+
+        ml_path = str(dest / "metadata" / "snap-7-manifest-list.avro")
+        iceavro.write_ocf(
+            ml_path,
+            _MANIFEST_FILE_SCHEMA,
+            [_mf(m_data, 0, 3, 6), _mf(m_del, 1, 4, 3)],
+            metadata={"format-version": "2", "snapshot-id": "7"},
+        )
+        meta = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-000000000007",
+            "location": _uri(str(dest)),
+            "last-sequence-number": 4,
+            "last-updated-ms": 0,
+            "last-column-id": 2,
+            "current-schema-id": 0,
+            "schemas": [
+                {
+                    "type": "struct",
+                    "schema-id": 0,
+                    "fields": [
+                        {"id": 1, "name": "k", "required": False, "type": "long"},
+                        {"id": 2, "name": "v", "required": False, "type": "string"},
+                    ],
+                }
+            ],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {
+                "schema.name-mapping.default": json.dumps(
+                    [
+                        {"field-id": 1, "names": ["k"]},
+                        {"field-id": 2, "names": ["v"]},
+                    ]
+                )
+            },
+            "current-snapshot-id": 7,
+            "snapshots": [
+                {
+                    "snapshot-id": 7,
+                    "sequence-number": 4,
+                    "timestamp-ms": 0,
+                    "manifest-list": _uri(ml_path),
+                    "summary": {"operation": "overwrite"},
+                    "schema-id": 0,
+                }
+            ],
+            "snapshot-log": [],
+            "metadata-log": [],
+            "refs": {"main": {"snapshot-id": 7, "type": "branch"}},
+        }
+        with open(dest / "metadata" / "v1.metadata.json", "w") as f:
+            json.dump(meta, f)
+        with open(dest / "metadata" / "version-hint.text", "w") as f:
+            f.write("1")
+
+        got = _rows(read_iceberg(spark, str(dest)))
+        # f1 loses k=2 (eq delete), k=null (null-safe), k=4 absent;
+        # f2 keeps k=2 (strict <: same-sequence re-insert survives)
+        # but loses k=4 to the seq-4 delete
+        assert got == {(1, "a"), (3, "c"), (2, "b2")}
+        # the shuffled (non-broadcast) path agrees
+        got2 = _rows(
+            read_iceberg(spark, str(dest), delete_broadcast_max_bytes=0)
+        )
+        assert got2 == got
