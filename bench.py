@@ -101,6 +101,11 @@ HEADLINE = [
     # r8 addition: Iceberg v2 metadata export + import round trip
     "iceberg_export_roundtrip",
     "iceberg_eq_delete_import",
+    # r9 additions: TF-IDF keyword extraction, watermarked streaming
+    # dedup, one-pass closed-form ridge fit
+    "tfidf_top_terms",
+    "stream_dedup_watermark",
+    "ridge_quality_fit",
 ]
 
 

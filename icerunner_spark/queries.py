@@ -68,6 +68,10 @@ def register(name: str, oracle: str | None = None):
 # (recomputed from CORRECTNESS_r01..r08: Counter{r8:50, r7:41, r6:33,
 # r5:38}); post-r9 no name's newest driver row is older than r6.
 # Keepers: 10, one per operator family.
+# Round 10 window head (pinned now, per the same policy): the 3 names
+# added mid-r9 AFTER this window was fixed — tfidf_top_terms,
+# stream_dedup_watermark, ridge_quality_fit — are never-driver-checked
+# and must lead the r10 rotation, followed by the r6-stale cohort.
 _DRIVER_WINDOW = [
     # --- 2 never driver-checked (added post-r8-window) ---
     "iceberg_incremental_mirror",  # never — O(delta) Iceberg re-export
@@ -7555,6 +7559,252 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("bpe_tokens").alias("n_bpe_tokens"),
         F.md5(F.concat_ws("", "bpe_tokens")).alias("tokens_md5"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text),
+                          '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS term
+            FROM documents
+        ) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                   AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rk FROM (
+        SELECT doc_id, term, tfidf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS INT)
+                   AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (top-3 terms per doc with
+    smoothed idf = ln((N+1)/(df+1)) + 1) — the feature-extraction
+    primitive behind keyword tagging, topic routing, and sparse
+    retrieval, distinct from bm25_retrieval's query-time scoring. Shuffle
+    shape at 100 TB: tokens partial-aggregate map-side into (doc, term)
+    counts (one exchange keyed on the pair, never raw token rows), the
+    doc-frequency table is a SECOND aggregate of that result (vocab-sized
+    exchange, no re-scan of the corpus), and the corpus count joins in as
+    a broadcast single row. Ranking happens on the ROUNDED score with a
+    term tie-break, so the cross-engine ordering is stable."""
+    from icerunner_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under a watermark
+    (streaming.pipeline.dedup_stream — ``dropDuplicatesWithinWatermark``
+    on event_id, the only dedup whose state stays FINITE on an unbounded
+    stream: rows older than the watermark horizon are evicted from state
+    instead of accumulating forever). The fixture is deliberately doubled
+    (two hard links of events.parquet drained one file per micro-batch),
+    so the second copy arrives as a separate batch of exact replays; the
+    deduped aggregate must equal the single-copy oracle EXACTLY —
+    at-least-once passthrough would double every count. This is the
+    idempotent-ingest front door for CDC/event feeds at 100 TB scale:
+    state is keyed on event_id only (no payload held), sized by the
+    watermark window, not the stream length."""
+    from icerunner_spark.streaming.pipeline import (
+        dedup_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    wh = _demo_warehouse("icerunner_stream_dedup", sf_dir)
+    src = os.path.join(wh, "_src")
+    os.makedirs(src, exist_ok=True)
+    events_file = os.path.join(sf_dir, "events.parquet")
+    for copy in ("events-0.parquet", "events-1.parquet"):
+        dst = os.path.join(src, copy)
+        try:
+            os.link(events_file, dst)
+        except OSError:
+            shutil.copy(events_file, dst)
+    out_dir = os.path.join(wh, "deduped")
+    stream = dedup_stream(
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        # the replay copy carries identical (old) timestamps, so the
+        # horizon must span the fixture's full time range for the state
+        # lookup to see batch-1's ids when batch 2 drains
+        watermark="750 hours",
+    )
+    run_available_now(stream, out_dir, checkpoint_dir=os.path.join(wh, "_ckpt"))
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _money_sum(_dec("value")).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "ridge_quality_fit",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x1) AS DOUBLE) AS s1,
+               CAST(SUM(x2) AS DOUBLE) AS s2,
+               CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+               CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+               CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+               CAST(SUM(x2 * y) AS DOUBLE) AS s2y
+        FROM (
+            SELECT CAST(len(regexp_extract_all(lower(text),
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS x1,
+                   n_chars AS x2,
+                   CAST(lang = 'en' AS BIGINT) AS y
+            FROM documents
+        )
+    ),
+    m AS (
+        SELECT n, sy,
+               n + 1.0 AS a, s1 AS b, s2 AS c,
+               s11 + 1.0 AS e, s12 AS f, s22 + 1.0 AS i,
+               s1y, s2y
+        FROM s
+    ),
+    d AS (
+        SELECT n, sy, a, b, c, e, f, i, s1y, s2y,
+               a * (e * i - f * f) - b * (b * i - f * c)
+                   + c * (b * f - e * c) AS det
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           ROUND((sy * (e * i - f * f) - b * (s1y * i - f * s2y)
+                  + c * (s1y * f - e * s2y)) / det, 6) AS beta_intercept,
+           ROUND((a * (s1y * i - f * s2y) - sy * (b * i - f * c)
+                  + c * (b * s2y - s1y * c)) / det, 6) AS beta_tokens,
+           ROUND((a * (e * s2y - s1y * f) - b * (b * s2y - s1y * c)
+                  + sy * (b * f - e * c)) / det, 6) AS beta_chars
+    FROM d
+    """,
+)
+def ridge_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed closed-form ridge regression (a linear quality probe:
+    predict the is-English label from token count and char count,
+    lambda=1 on every diagonal entry including the intercept —
+    documented, symmetric with the oracle). The whole fit is ONE
+    map-side-combinable aggregate pass producing the 3x3 normal-equation
+    sums (k^2+k scalars — bytes on the wire regardless of corpus size),
+    then the solve is Cramer's rule expressed as column arithmetic over
+    that single row: no collect(), no driver-side linear algebra, no
+    iteration. Determinism: features and labels are exact integers, so
+    the sums are exact long totals in both engines; the double-precision
+    Cramer tree is written with the IDENTICAL association order in the
+    oracle, so results are bit-stable before the 6dp round. At 100 TB the
+    long sums would widen to decimal(38,0) — the plan shape (one partial
+    agg, one exchange of 9 scalars) is unchanged."""
+    from icerunner_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        token_count("text").cast("long").alias("x1"),
+        F.col("n_chars").alias("x2"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+    )
+    m = s.select(
+        "n",
+        "sy",
+        (F.col("n") + F.lit(1.0)).alias("a"),
+        F.col("s1").alias("b"),
+        F.col("s2").alias("c"),
+        (F.col("s11") + F.lit(1.0)).alias("e"),
+        F.col("s12").alias("f"),
+        (F.col("s22") + F.lit(1.0)).alias("i"),
+        "s1y",
+        "s2y",
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    e, f, i = F.col("e"), F.col("f"), F.col("i")
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    det = (a * (e * i - f * f) - b * (b * i - f * c) + c * (b * f - e * c))
+    return m.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(
+            (sy * (e * i - f * f) - b * (s1y * i - f * s2y)
+             + c * (s1y * f - e * s2y)) / det, 6
+        ).alias("beta_intercept"),
+        F.round(
+            (a * (s1y * i - f * s2y) - sy * (b * i - f * c)
+             + c * (b * s2y - s1y * c)) / det, 6
+        ).alias("beta_tokens"),
+        F.round(
+            (a * (e * s2y - s1y * f) - b * (b * s2y - s1y * c)
+             + sy * (b * f - e * c)) / det, 6
+        ).alias("beta_chars"),
     )
 
 
