@@ -102,10 +102,11 @@ HEADLINE = [
     "iceberg_export_roundtrip",
     "iceberg_eq_delete_import",
     # r9 additions: TF-IDF keyword extraction, watermarked streaming
-    # dedup, one-pass closed-form ridge fit
+    # dedup, one-pass closed-form ridge fit, fixed-point PageRank
     "tfidf_top_terms",
     "stream_dedup_watermark",
     "ridge_quality_fit",
+    "pagerank_order_graph",
 ]
 
 

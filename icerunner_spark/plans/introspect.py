@@ -129,11 +129,14 @@ def forced_broadcast_tables(df: DataFrame) -> set[str]:
     """Tables scanned under a *planned* BroadcastExchange with nothing
     bounding their cardinality on the way up.
 
-    Reads ``queryExecution().sparkPlan()`` — the static physical plan
-    BEFORE adaptive execution, so with
+    Reads ``queryExecution().executedPlan()`` BEFORE any job runs — the
+    static plan with exchanges inserted but AQE re-planning not yet
+    applied (``isFinalPlan=false``), so with
     ``spark.sql.autoBroadcastJoinThreshold=-1`` every BroadcastExchange
     in it can only come from an explicit ``F.broadcast()`` / SQL hint
-    (AQE runtime conversions never appear here). A broadcast subtree is
+    (AQE runtime conversions never appear here; ``sparkPlan()`` is too
+    early — EnsureRequirements hasn't inserted exchange nodes yet, so a
+    hinted broadcast is invisible in its text). A broadcast subtree is
     *bounded* — and therefore scale-safe regardless of what it scans —
     if an Aggregate or Limit sits between the exchange and the scan
     (scalar/constant-group aggregates, top-k seeds). Anything else that
@@ -141,15 +144,32 @@ def forced_broadcast_tables(df: DataFrame) -> set[str]:
     driver at the 100 TB design point; this returns those table names
     so tests can pin the set empty.
     """
-    text = df._jdf.queryExecution().sparkPlan().toString()
+    text = df._jdf.queryExecution().executedPlan().toString()
     lines = []
     for raw in text.splitlines():
         stripped = raw.lstrip(" :+-*(0123456789)")
         depth = len(raw) - len(stripped)
         lines.append((depth, stripped))
+    # Broadcasts FROZEN inside a cached plan are runtime decisions, not
+    # hints: `.persist()` snapshots whatever physical plan (including
+    # auto-broadcasts chosen under the session threshold at cache time)
+    # and re-prints it beneath the InMemoryRelation node on every later
+    # build — same legitimacy class as an AQE runtime conversion, so the
+    # "only a hint can put a BroadcastExchange here" premise doesn't
+    # apply below that boundary. (Caveat: a *hinted* broadcast inside an
+    # already-cached subtree is also skipped — the first, uncached build
+    # of the same query is where this check catches it.)
+    ancestors: list[tuple[int, str]] = []
     offenders: set[str] = set()
     for i, (depth, content) in enumerate(lines):
-        if not content.startswith("BroadcastExchange"):
+        while ancestors and ancestors[-1][0] >= depth:
+            ancestors.pop()
+        in_cached = any(
+            a_content.startswith("InMemoryRelation")
+            for _, a_content in ancestors
+        )
+        ancestors.append((depth, content))
+        if not content.startswith("BroadcastExchange") or in_cached:
             continue
         subtree = []
         for d2, c2 in lines[i + 1:]:

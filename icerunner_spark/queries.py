@@ -68,10 +68,11 @@ def register(name: str, oracle: str | None = None):
 # (recomputed from CORRECTNESS_r01..r08: Counter{r8:50, r7:41, r6:33,
 # r5:38}); post-r9 no name's newest driver row is older than r6.
 # Keepers: 10, one per operator family.
-# Round 10 window head (pinned now, per the same policy): the 3 names
-# added mid-r9 AFTER this window was fixed — tfidf_top_terms,
-# stream_dedup_watermark, ridge_quality_fit — are never-driver-checked
-# and must lead the r10 rotation, followed by the r6-stale cohort.
+# Round 10 window head (pinned now, per the same policy): the names
+# added mid-r9 AFTER this window was fixed — pagerank_order_graph,
+# tfidf_top_terms, stream_dedup_watermark, ridge_quality_fit — are
+# never-driver-checked and must lead the r10 rotation, followed by the
+# r6-stale cohort.
 _DRIVER_WINDOW = [
     # --- 2 never driver-checked (added post-r8-window) ---
     "iceberg_incremental_mirror",  # never — O(delta) Iceberg re-export
@@ -1319,7 +1320,11 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.similarity adds the LSH-bucketed variant."""
     e = _t(spark, sf_dir, "embeddings")
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    qvec = e.filter(F.col("vec_id") == 0).select(emb_d.alias("qe"))
+    # limit(1) bounds the broadcast STRUCTURALLY (vec_id is unique, so
+    # it is also a semantic no-op): the plan-invariant broadcast audit
+    # accepts only Aggregate/Limit as proof a hinted subtree can't scale
+    # with the table it scans
+    qvec = e.filter(F.col("vec_id") == 0).select(emb_d.alias("qe")).limit(1)
     cand = e.filter(F.col("vec_id") != 0).select("vec_id", "label", emb_d.alias("ce"))
     return (
         cand.crossJoin(F.broadcast(qvec))
@@ -6120,7 +6125,11 @@ def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    qvec = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
+    # limit(1): structural bound for the broadcast audit (semantic no-op
+    # on the unique vec_id — see similarity_bruteforce_topk)
+    qvec = (
+        e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv")).limit(1)
+    )
     return (
         cand.join(e, cand.doc_id == e.vec_id)
         .crossJoin(F.broadcast(qvec))
@@ -7560,6 +7569,102 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("bpe_tokens").alias("n_bpe_tokens"),
         F.md5(F.concat_ws("", "bpe_tokens")).alias("tokens_md5"),
     )
+
+
+@register(
+    "pagerank_order_graph",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS src,
+                        's:' || CAST(l.l_suppkey AS VARCHAR) AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    und AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM deg),
+    r1 AS (
+        SELECT e.dst AS node,
+               CAST(150000000000
+                    + (85 * SUM(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+        FROM und e JOIN r0 r ON e.src = r.node JOIN deg d ON d.node = r.node
+        GROUP BY e.dst
+    ),
+    r2 AS (
+        SELECT e.dst AS node,
+               CAST(150000000000
+                    + (85 * SUM(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+        FROM und e JOIN r1 r ON e.src = r.node JOIN deg d ON d.node = r.node
+        GROUP BY e.dst
+    ),
+    r3 AS (
+        SELECT e.dst AS node,
+               CAST(150000000000
+                    + (85 * SUM(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+        FROM und e JOIN r2 r ON e.src = r.node JOIN deg d ON d.node = r.node
+        GROUP BY e.dst
+    )
+    SELECT node, rank AS rank_e12 FROM r3
+    ORDER BY rank DESC, node LIMIT 20
+    """,
+)
+def pagerank_order_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (3 power iterations, damping 0.85) over the
+    undirected customer–supplier order graph — the iterative-graph
+    family next to kmeans_cluster_profile's iterative-clustering one,
+    and the shape of domain-authority / source-reputation scoring in a
+    training-data pipeline. Entirely collect-free: each iteration is ONE
+    shuffle keyed on the destination node (contribution = rank/degree
+    flows along cached edges, map-side combinable sum per dst), the rank
+    frame never exceeds |nodes| rows, and the driver only composes the
+    plan. Determinism across engines is total, not probabilistic: ranks
+    live in FIXED-POINT integer units of 1e-12 (init = 1e12; update =
+    0.15*1e12 + (85*sum(rank div deg)) div 100 — BIGINT div/mul/sum
+    only), so both engines compute bit-identical integers with no FP
+    association or rounding anywhere. At 100 TB: edges/deg are built
+    once and cached (at cluster scale: persisted + co-bucketed on src so
+    every iteration's join is shuffle-free), per-iteration lineage is
+    truncated by checkpointing every ~10 rounds, and the 1e-12 units
+    would widen to DECIMAL(38,0) once n_nodes*1e12 approaches 2^63
+    (~9e6 nodes)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    und = und.persist()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
+        "src", "node"
+    )
+    SCALE = 1_000_000_000_000
+    ranks = deg.select("node", F.lit(SCALE).cast("long").alias("rank"))
+    for _ in range(3):
+        contrib = (
+            und.join(ranks, und["src"] == ranks["node"])
+            .join(deg.withColumnRenamed("node", "__dn"), F.col("src") == F.col("__dn"))
+            .select(
+                "dst",
+                F.expr("rank div deg").alias("c"),
+            )
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (
+                F.lit(150_000_000_000).cast("long")
+                + F.expr("(85 * sum(c)) div 100")
+            ).alias("rank")
+        ).withColumnRenamed("dst", "node")
+    return ranks.select("node", F.col("rank").alias("rank_e12")).orderBy(
+        F.desc("rank_e12"), "node"
+    ).limit(20)
 
 
 @register(
