@@ -69,10 +69,13 @@ def register(name: str, oracle: str | None = None):
 # r5:38}); post-r9 no name's newest driver row is older than r6.
 # Keepers: 10, one per operator family.
 # Round 10 window head (pinned now, per the same policy): the names
-# added mid-r9 AFTER this window was fixed — pagerank_order_graph,
-# tfidf_top_terms, stream_dedup_watermark, ridge_quality_fit — are
-# never-driver-checked and must lead the r10 rotation, followed by the
-# r6-stale cohort.
+# added AFTER this window was fixed — iceberg_eq_delete_import (late
+# r9-prep), then mid-r9 pagerank_order_graph, ridge_quality_fit,
+# stream_dedup_watermark, tfidf_top_terms — are never-driver-checked
+# and must lead the r10 rotation, followed by the r6-stale cohort.
+# The policy is now EXECUTABLE: `python tools/window_policy.py` audits
+# this list against the CORRECTNESS artifacts (CI: tests/test_tools.py)
+# and `--propose` prints the next round's list to paste here.
 _DRIVER_WINDOW = [
     # --- 2 never driver-checked (added post-r8-window) ---
     "iceberg_incremental_mirror",  # never — O(delta) Iceberg re-export

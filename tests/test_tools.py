@@ -152,3 +152,56 @@ class TestBenchCompareLoaders:
         shared = set(probe_meds) & set(bench_meds)
         assert shared, "probe and bench share no queries"
         assert all(v > 0 for v in probe_meds.values())
+
+
+class TestWindowPolicy:
+    """tools/window_policy.py — the executable rotation policy. A window
+    that violates the pinned policy must fail CI the moment the
+    violating artifact/window combination is committed."""
+
+    def _mod(self):
+        return _load_module("tools/window_policy.py", "window_policy")
+
+    def test_committed_window_satisfies_policy(self):
+        wp = self._mod()
+        from icerunner_spark import queries as q
+
+        latest = wp.latest_rows()
+        problems = wp.audit(list(q._DRIVER_WINDOW), list(q._QUERIES), latest)
+        assert not problems, problems
+
+    def test_propose_is_policy_shaped(self):
+        """The proposal is always window-sized, keeper-complete, leads
+        with never-checked names, and is staleness-ordered."""
+        wp = self._mod()
+        from icerunner_spark import queries as q
+
+        latest = wp.latest_rows()
+        nxt = wp.propose(list(q._QUERIES), latest, assume_green=list(q._DRIVER_WINDOW))
+        assert len(nxt) == wp.WINDOW_SIZE
+        assert all(k in nxt for k in wp.KEEPERS)
+        # audit must accept its own proposal once those names have rows
+        head = [n for n in nxt if n not in wp.KEEPERS]
+        sim = dict(latest)
+        top = max(sim.values()) + 1
+        for n in q._DRIVER_WINDOW:
+            sim[n] = top
+        rounds = [sim.get(n, 0) for n in head]
+        assert rounds == sorted(rounds)
+
+    def test_audit_catches_violations(self):
+        wp = self._mod()
+        from icerunner_spark import queries as q
+
+        latest = wp.latest_rows()
+        registry = list(q._QUERIES)
+        good = list(q._DRIVER_WINDOW)
+        # keeper removed
+        assert wp.audit([n for n in good if n != "q1_pricing_summary"]
+                        + ["q3_shipping_priority"], registry, latest)
+        # never-checked name buried behind checked ones
+        buried = [n for n in good if n not in ("iceberg_incremental_mirror",)]
+        buried.insert(20, "iceberg_incremental_mirror")
+        assert wp.audit(buried, registry, latest)
+        # unknown name
+        assert wp.audit(good[:-1] + ["no_such_query"], registry, latest)

@@ -76,6 +76,11 @@ PROBE = [
     # r7 addition: the exact all-pairs cosine (block matmul — the probe
     # caught its fold-per-pair predecessor at ~128 s on sf1)
     "embedding_cosine_neardup",
+    # r9 additions: iterative graph scoring (per-iteration shuffle over
+    # an edge set that grows with SF) and TF-IDF (token explode + vocab
+    # exchange) — the two new entries with scale-sensitive exchanges
+    "pagerank_order_graph",
+    "tfidf_top_terms",
 ]
 
 
