@@ -7644,20 +7644,20 @@ def pagerank_order_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    und = und.persist()
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
-        "src", "node"
-    )
+    # fold the src degree onto each edge ONCE, outside the loop: every
+    # iteration is then a single src-keyed join + one dst-keyed partial
+    # aggregate (the two-join formulation re-shuffled the edge set twice
+    # per iteration — measured 6.1 s -> see bench for the folded form)
+    w = Window.partitionBy("src")
+    und_deg = und.withColumn("deg", F.count(F.lit(1)).over(w)).persist()
     SCALE = 1_000_000_000_000
-    ranks = deg.select("node", F.lit(SCALE).cast("long").alias("rank"))
+    ranks = (
+        und_deg.select("src").distinct()
+        .select(F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("rank"))
+    )
     for _ in range(3):
-        contrib = (
-            und.join(ranks, und["src"] == ranks["node"])
-            .join(deg.withColumnRenamed("node", "__dn"), F.col("src") == F.col("__dn"))
-            .select(
-                "dst",
-                F.expr("rank div deg").alias("c"),
-            )
+        contrib = und_deg.join(ranks, und_deg["src"] == ranks["node"]).select(
+            "dst", F.expr("rank div deg").alias("c")
         )
         ranks = contrib.groupBy("dst").agg(
             (
