@@ -147,9 +147,14 @@ def forced_broadcast_tables(df: DataFrame) -> set[str]:
     text = df._jdf.queryExecution().executedPlan().toString()
     lines = []
     for raw in text.splitlines():
-        stripped = raw.lstrip(" :+-*(0123456789)")
-        depth = len(raw) - len(stripped)
-        lines.append((depth, stripped))
+        # depth = tree-drawing prefix ONLY. A WholeStageCodegen
+        # annotation ('*(4) HashAggregate...') must be stripped from the
+        # CONTENT but not counted in the depth — lstrip'ing '*(4) ' as
+        # depth chars shifted annotated siblings deeper than an adjacent
+        # BroadcastExchange, swallowing them into its subtree and letting
+        # their Aggregate/Limit falsely mark the broadcast as bounded.
+        m = re.match(r"^([ :+\-]*)(?:\*\(\d+\)\s*)?(.*)$", raw)
+        lines.append((len(m.group(1)), m.group(2)))
     # Broadcasts FROZEN inside a cached plan are runtime decisions, not
     # hints: `.persist()` snapshots whatever physical plan (including
     # auto-broadcasts chosen under the session threshold at cache time)

@@ -7647,7 +7647,11 @@ def pagerank_order_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold the src degree onto each edge ONCE, outside the loop: every
     # iteration is then a single src-keyed join + one dst-keyed partial
     # aggregate (the two-join formulation re-shuffled the edge set twice
-    # per iteration — measured 6.1 s -> see bench for the folded form)
+    # per iteration — measured 6.1 s -> see bench for the folded form).
+    # The persist must outlive the returned lazy frame (the caller
+    # collects it), so it is released by the harnesses' clearCache
+    # between queries, not here — the cache entry is |edges| rows, once
+    # per invocation.
     w = Window.partitionBy("src")
     und_deg = und.withColumn("deg", F.count(F.lit(1)).over(w)).persist()
     SCALE = 1_000_000_000_000

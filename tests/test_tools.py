@@ -205,3 +205,24 @@ class TestWindowPolicy:
         assert wp.audit(buried, registry, latest)
         # unknown name
         assert wp.audit(good[:-1] + ["no_such_query"], registry, latest)
+
+    def test_audit_catches_fresh_rotation(self):
+        """A structurally-valid window whose checked names are NOT the
+        stalest cohort (fresh names rotated in while staler wait) must
+        fail — the core promise, not just shape checks."""
+        wp = self._mod()
+        from icerunner_spark import queries as q
+
+        latest = wp.latest_rows()
+        registry = list(q._QUERIES)
+        checked = sorted(
+            (n for n in registry if n not in wp.KEEPERS and latest.get(n, 0)),
+            key=lambda n: (latest[n], n),
+        )
+        freshest = checked[-(wp.WINDOW_SIZE - len(wp.KEEPERS)):]
+        # order the fresh picks by staleness so only the cohort check fires
+        fresh_window = sorted(
+            freshest, key=lambda n: (latest[n], n)
+        ) + wp.KEEPERS
+        problems = wp.audit(fresh_window, registry, latest)
+        assert any("stalest checked cohort" in p for p in problems), problems

@@ -133,6 +133,26 @@ def audit(window: list[str], registry: list[str], latest: dict[str, int]) -> lis
             "head is not ordered by staleness (newest-row round must be "
             f"non-decreasing): {list(zip(head, rounds))}"
         )
+    # the CHECKED names in the head must be exactly the stalest checked
+    # cohort — a window that rotates fresh names in while staler ones
+    # wait violates the policy even if it is internally well-ordered.
+    # (Never-checked names are exempt from the count: ones outside the
+    # window were legitimately added after it was fixed, and ones inside
+    # are the mandatory head.)
+    checked_in = [n for n in head if latest.get(n, 0) > 0]
+    checked_all = sorted(
+        (n for n in registry if n not in KEEPERS and latest.get(n, 0) > 0),
+        key=lambda n: (latest[n], n),
+    )
+    expected = checked_all[: len(checked_in)]
+    if sorted(checked_in) != sorted(expected):
+        rotated_early = sorted(set(checked_in) - set(expected))
+        skipped_stale = sorted(set(expected) - set(checked_in))
+        problems.append(
+            "checked head names are not the stalest checked cohort: "
+            f"in-window-but-fresh={rotated_early}, "
+            f"stalest-but-skipped={skipped_stale}"
+        )
     return problems
 
 
@@ -144,7 +164,7 @@ def main() -> int:
 
     from icerunner_spark import queries as q
 
-    registry = [n for n in q._QUERIES if n in q._ORACLES or True]
+    registry = list(q._QUERIES)
     window = list(q._DRIVER_WINDOW)
     latest = latest_rows(args.rounds)
 
