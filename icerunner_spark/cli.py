@@ -3,7 +3,9 @@ plus sql (remote SQL over the served sql ticket), maintain
 (policy-driven table maintenance, table.py run_maintenance), and
 export-iceberg (cross-engine Iceberg v2 metadata export,
 iceberg_export.py — re-running against the same output dir is an
-O(delta) incremental mirror).
+O(delta) incremental mirror) and validate-iceberg (spec-conformance
+audit of an exported tree, tools/iceberg_validate.py — no Spark
+session).
 
 Same verbs and flags; ``--batch-size`` counts ROWS (the reference documents
 rows but implements batches — bug at icerunner.py:1118)."""
@@ -73,6 +75,14 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("-n", "--table-name", required=True)
     ex.add_argument("-o", "--output", required=True, help="Iceberg table dir")
 
+    vi = sub.add_parser(
+        "validate-iceberg",
+        help="spec-conformance audit of an exported Iceberg tree "
+        "(metadata/manifest/file consistency; no Spark session needed)",
+    )
+    vi.add_argument("-p", "--path", required=True, help="Iceberg table dir")
+    vi.add_argument("--json", action="store_true", help="machine output")
+
     args = p.parse_args(argv)
 
     if args.mode == "serve":
@@ -125,6 +135,33 @@ def main(argv: list[str] | None = None) -> int:
         meta_path = c.table(args.table_name).export_iceberg(args.output)
         logging.info("exported %s -> %s", args.table_name, meta_path)
         return 0
+    if args.mode == "validate-iceberg":
+        import importlib.util as _ilu
+        import json as _json
+        import os as _os
+
+        tool = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "tools",
+            "iceberg_validate.py",
+        )
+        spec = _ilu.spec_from_file_location("iceberg_validate", tool)
+        mod = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        rep = mod.validate(args.path).as_dict()
+        if args.json:
+            print(_json.dumps(rep, indent=1))
+        else:
+            for e in rep["errors"]:
+                logging.error("%s", e)
+            for w in rep["warnings"]:
+                logging.warning("%s", w)
+            logging.info(
+                "%s — checked %s",
+                "OK" if rep["ok"] else "INVALID",
+                ", ".join(f"{v} {k}" for k, v in rep["checked"].items()),
+            )
+        return 0 if rep["ok"] else 1
     if args.mode == "mirror":
         from icerunner_spark.flight.mirror import run_mirror, run_mirror_streaming
 

