@@ -159,3 +159,29 @@ class TestCliVerb:
         )
         os.remove(victim)
         assert cli_main(["validate-iceberg", "-p", dest]) == 1
+
+
+class TestPartitionSummaryBounds:
+    def test_bound_violations_and_null_flags_caught(self):
+        v = _validator()
+        rep = v.Report()
+        ml = {"manifest_path": "m.avro", "partitions": [
+            {"contains_null": False, "lower_bound": b"F", "upper_bound": b"O"}]}
+        entries = [
+            {"status": 1, "data_file": {"partition": {"s": "P"}}},
+            {"status": 0, "data_file": {"partition": {"s": None}}},
+        ]
+        v._check_partition_summaries(ml, entries, {"fields": [{"name": "s"}]}, rep)
+        assert any("upper_bound" in e for e in rep.errors)
+        assert any("contains_null" in e for e in rep.errors)
+
+    def test_integer_bounds(self):
+        v = _validator()
+        rep = v.Report()
+        ml = {"manifest_path": "m.avro", "partitions": [
+            {"contains_null": False,
+             "lower_bound": (5).to_bytes(4, "little", signed=True),
+             "upper_bound": (9).to_bytes(4, "little", signed=True)}]}
+        entries = [{"status": 1, "data_file": {"partition": {"k": 3}}}]
+        v._check_partition_summaries(ml, entries, {"fields": [{"name": "k"}]}, rep)
+        assert any("lower_bound" in e for e in rep.errors)

@@ -247,14 +247,42 @@ def _check_partition_summaries(ml_entry: dict, entries: list, spec: dict, rep: R
         )
         return
     live = [e for e in entries if e.get("status") in (0, 1)]
+    name = os.path.basename(ml_entry["manifest_path"])
     for f, s in zip(fields, summaries):
         vals = [_entry_partition_values(e).get(f["name"]) for e in live]
         has_null = any(v is None for v in vals)
         if has_null and not s.get("contains_null", False):
             rep.error(
-                f"{os.path.basename(ml_entry['manifest_path'])}: summary for "
-                f"{f['name']!r} says contains_null=false but a live entry is null"
+                f"{name}: summary for {f['name']!r} says contains_null=false "
+                "but a live entry is null"
             )
+        # bounds are single-value serialized bytes (spec appendix D):
+        # verify they actually bound the live values for the types the
+        # export emits as identity partitions (strings and integers)
+        present = [v for v in vals if v is not None]
+        if not present:
+            continue
+        for bkey, cmp_bad in (("lower_bound", lambda b, v: v < b),
+                              ("upper_bound", lambda b, v: v > b)):
+            raw = s.get(bkey)
+            if raw is None:
+                continue
+            if isinstance(present[0], str):
+                bound = bytes(raw).decode("utf-8", "replace")
+            elif isinstance(present[0], int):
+                bound = int.from_bytes(bytes(raw), "little", signed=True)
+            else:
+                rep.warn(
+                    f"{name}: {f['name']!r} {bkey} unchecked for type "
+                    f"{type(present[0]).__name__}"
+                )
+                continue
+            violating = [v for v in present if cmp_bad(bound, v)]
+            if violating:
+                rep.error(
+                    f"{name}: {f['name']!r} {bkey} {bound!r} does not bound "
+                    f"live partition values {violating[:3]!r}"
+                )
 
 
 def _check_snapshot(meta: dict, snap: dict, location: str, rep: Report,
