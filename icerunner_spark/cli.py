@@ -74,6 +74,11 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("-w", "--warehouse", default="warehouse")
     ex.add_argument("-n", "--table-name", required=True)
     ex.add_argument("-o", "--output", required=True, help="Iceberg table dir")
+    ex.add_argument(
+        "--avro-codec", default="null", choices=["null", "deflate"],
+        help="Avro block codec for manifests (deflate = Java Iceberg's "
+        "default gzip wire form)",
+    )
 
     vi = sub.add_parser(
         "validate-iceberg",
@@ -132,7 +137,9 @@ def main(argv: list[str] | None = None) -> int:
         from icerunner_spark.session import get_spark
 
         c = Connector(get_spark(app_name="icerunner_export"), args.warehouse)
-        meta_path = c.table(args.table_name).export_iceberg(args.output)
+        meta_path = c.table(args.table_name).export_iceberg(
+            args.output, avro_codec=args.avro_codec
+        )
         logging.info("exported %s -> %s", args.table_name, meta_path)
         return 0
     if args.mode == "validate-iceberg":

@@ -28,8 +28,13 @@ Scope (everything Iceberg manifests need, nothing more):
 
 Writers emit a single data block (Iceberg manifests are metadata-sized:
 one block per file keeps this O(entries) with no framing overhead);
-the reader accepts any number of blocks. Codecs other than ``null``
-are out of scope and rejected on read.
+the reader accepts any number of blocks. Supported codecs are ``null``
+and ``deflate`` (raw RFC-1951 streams per the Avro spec — the wire form
+Java Iceberg writes by default, since its table property
+``write.avro.compression-codec`` defaults to gzip which Avro frames as
+the ``deflate`` codec). ``snappy``/``zstandard`` need non-stdlib
+libraries absent from this container and are rejected on read with a
+clear message.
 """
 
 from __future__ import annotations
@@ -38,6 +43,7 @@ import io
 import json
 import os
 import struct
+import zlib
 
 _MAGIC = b"Obj\x01"
 
@@ -230,14 +236,19 @@ def write_ocf(
     records: list[dict],
     *,
     metadata: dict | None = None,
+    codec: str = "null",
 ) -> int:
     """Write an Avro OCF of ``records`` under ``schema``; returns the
     file length in bytes (manifest lists need ``manifest_length``).
-    ``metadata`` adds extra file-metadata entries (str -> str/bytes)."""
+    ``metadata`` adds extra file-metadata entries (str -> str/bytes).
+    ``codec`` is ``null`` (default) or ``deflate`` (raw RFC-1951, the
+    Avro spec's framing for Java Iceberg's default gzip setting)."""
     import uuid
 
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported Avro codec: {codec}")
     sync = uuid.uuid4().bytes
-    meta = {"avro.schema": json.dumps(schema), "avro.codec": "null"}
+    meta = {"avro.schema": json.dumps(schema), "avro.codec": codec}
     for k, v in (metadata or {}).items():
         meta[k] = v
     buf = io.BytesIO()
@@ -252,6 +263,9 @@ def write_ocf(
     for rec in records:
         encode_value(block, schema, rec)
     payload = block.getvalue()
+    if codec == "deflate":
+        co = zlib.compressobj(zlib.Z_DEFAULT_COMPRESSION, zlib.DEFLATED, -15)
+        payload = co.compress(payload) + co.flush()
     _write_long(buf, len(records))
     _write_long(buf, len(payload))
     buf.write(payload)
@@ -284,16 +298,28 @@ def read_ocf(path: str) -> tuple[dict, dict, list]:
             v = _read_bytes(buf)
             meta[k] = v
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec != "null":
-        raise ValueError(f"unsupported Avro codec: {codec}")
+    if codec not in ("null", "deflate"):
+        raise ValueError(
+            f"unsupported Avro codec: {codec} (null and deflate are "
+            "implemented; snappy/zstandard need libraries this "
+            "container lacks)"
+        )
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     sync = buf.read(16)
     records: list = []
     while buf.tell() < len(raw):
         count = _read_long(buf)
-        _read_long(buf)  # block byte size (unused with null codec)
+        size = _read_long(buf)
+        payload = buf.read(size)
+        if len(payload) != size:
+            raise ValueError(f"truncated Avro data block in {path}")
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        block = io.BytesIO(payload)
         for _ in range(count):
-            records.append(decode_value(buf, schema))
+            records.append(decode_value(block, schema))
+        if block.read(1):
+            raise ValueError(f"trailing bytes in Avro data block of {path}")
         if buf.read(16) != sync:
             raise ValueError(f"sync marker mismatch in {path}")
     return schema, meta, records

@@ -563,9 +563,10 @@ class IcebergExporter:
     """One export run: builds the dest tree, reusing manifests across
     snapshots. Instantiate fresh per call (export_iceberg does)."""
 
-    def __init__(self, table: IceTable, dest: str):
+    def __init__(self, table: IceTable, dest: str, *, avro_codec: str = "null"):
         self.table = table
         self.dest = os.path.abspath(dest)
+        self.avro_codec = avro_codec
         self.meta_dir = os.path.join(self.dest, "metadata")
         self._manifest_cache: dict = {}
         self._manifest_n = 0
@@ -880,7 +881,9 @@ class IcebergExporter:
             fmeta["x-partition-summaries"] = json.dumps(
                 [_summary_to_json(s) for s in part_summaries]
             )
-        length = iceavro.write_ocf(path, schema, entries, metadata=fmeta)
+        length = iceavro.write_ocf(
+            path, schema, entries, metadata=fmeta, codec=self.avro_codec
+        )
         entry = {
             "manifest_path": _uri(path),
             "manifest_length": length,
@@ -1020,7 +1023,8 @@ class IcebergExporter:
             self.meta_dir, f"snap-{s.snapshot_id}-{suffix}manifest-list.avro"
         )
         iceavro.write_ocf(
-            path, _MANIFEST_FILE_SCHEMA, manifests, metadata=meta
+            path, _MANIFEST_FILE_SCHEMA, manifests, metadata=meta,
+            codec=self.avro_codec,
         )
         return path
 
@@ -1303,12 +1307,18 @@ class IcebergExporter:
         return meta_path
 
 
-def export_iceberg(table: IceTable, dest: str) -> str:
+def export_iceberg(
+    table: IceTable, dest: str, *, avro_codec: str = "null"
+) -> str:
     """Export ``table`` (main branch history) as an Apache Iceberg v2
     table tree at ``dest``; returns the metadata.json path. Data files
     hard-link (copy on cross-device); positional delete files rewrite
-    with exported URIs. See the module docstring for fidelity notes."""
-    return IcebergExporter(table, dest).run()
+    with exported URIs. ``avro_codec`` selects the Avro block codec for
+    manifests and manifest lists — ``null`` (default) or ``deflate``
+    (what Java Iceberg's default gzip setting frames on the wire;
+    manifest trees of 100k-file tables shrink several-fold). See the
+    module docstring for fidelity notes."""
+    return IcebergExporter(table, dest, avro_codec=avro_codec).run()
 
 
 # --------------------------------------------------------------------------- #
@@ -1326,6 +1336,21 @@ def _strip_uri(p: str) -> str:
     return p
 
 
+def _read_metadata_json(path: str) -> dict:
+    """Parse one metadata JSON file, transparently un-gzipping — Java
+    Iceberg writes ``vN.gz.metadata.json`` when the table property
+    ``write.metadata.compression-codec`` is gzip (its default on some
+    distros). Detection is by the gzip magic, not the filename, so
+    mis-named foreign files still read."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:2] == b"\x1f\x8b":
+        import gzip
+
+        raw = gzip.decompress(raw)
+    return json.loads(raw.decode("utf-8"))
+
+
 def _load_metadata(location: str) -> dict:
     meta_dir = os.path.join(location, "metadata")
     hint = os.path.join(meta_dir, "version-hint.text")
@@ -1333,17 +1358,29 @@ def _load_metadata(location: str) -> dict:
         with open(hint) as f:
             v = f.read().strip()
         path = os.path.join(meta_dir, f"v{v}.metadata.json")
+        if not os.path.exists(path):
+            gz = os.path.join(meta_dir, f"v{v}.gz.metadata.json")
+            if os.path.exists(gz):
+                path = gz
     else:
+        import re as _re
+
+        vre = _re.compile(r"v(\d+)(?:\.gz)?\.metadata\.json$")
+
+        def _key(f: str):
+            m = vre.search(f)
+            # numeric when vN-named (v10 > v9); lexical fallback for
+            # foreign catalogs' 00000-<uuid>.metadata.json names
+            return (1, int(m.group(1)), f) if m else (0, 0, f)
+
         cands = sorted(
-            f
-            for f in os.listdir(meta_dir)
-            if f.endswith(".metadata.json")
+            (f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")),
+            key=_key,
         )
         if not cands:
             raise FileNotFoundError(f"no metadata.json under {meta_dir}")
         path = os.path.join(meta_dir, cands[-1])
-    with open(path) as f:
-        return json.load(f)
+    return _read_metadata_json(path)
 
 
 

@@ -2751,16 +2751,17 @@ class IceTable:
             add_delete_files=new_deletes, inherit_schema=True,
         )
 
-    def export_iceberg(self, dest: str) -> str:
+    def export_iceberg(self, dest: str, *, avro_codec: str = "null") -> str:
         """Export this table's main-branch history as an Apache Iceberg
         v2 metadata tree at ``dest`` (spec-conformant metadata.json +
         Avro manifests; data files hard-link). The cross-engine interop
         direction the reference gets from PyIceberg (icerunner.py:60-103)
         — see :mod:`icerunner_spark.iceberg_export` for fidelity notes.
-        Returns the metadata.json path."""
+        ``avro_codec``: ``null`` or ``deflate`` (Java Iceberg's default
+        wire compression). Returns the metadata.json path."""
         from icerunner_spark.iceberg_export import export_iceberg
 
-        return export_iceberg(self, dest)
+        return export_iceberg(self, dest, avro_codec=avro_codec)
 
     def rollback_to(self, snapshot_id: int) -> Snapshot:
         """Restore an ancestor snapshot's exact state as a NEW commit

@@ -118,11 +118,30 @@ class Report:
         }
 
 
+# vN.metadata.json, or vN.gz.metadata.json when the writer compresses
+# metadata (Java Iceberg's write.metadata.compression-codec=gzip)
+_VERSION_RE = re.compile(r"v(\d+)(?:\.gz)?\.metadata\.json$")
+
+
+def _read_metadata_file(path: str) -> dict:
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    if raw[:2] == b"\x1f\x8b":  # gzip magic — trust bytes, not the name
+        import gzip
+
+        raw = gzip.decompress(raw)
+    return json.loads(raw.decode("utf-8"))
+
+
 def _load_latest_metadata(location: str, rep: Report) -> dict | None:
     md_dir = os.path.join(location, "metadata")
     versions = sorted(
-        glob.glob(os.path.join(md_dir, "v*.metadata.json")),
-        key=lambda p: int(re.search(r"v(\d+)\.metadata\.json$", p).group(1)),
+        (
+            p
+            for p in glob.glob(os.path.join(md_dir, "v*.metadata.json"))
+            if _VERSION_RE.search(p)
+        ),
+        key=lambda p: int(_VERSION_RE.search(p).group(1)),
     )
     if not versions:
         rep.error(f"no vN.metadata.json under {md_dir}")
@@ -132,7 +151,7 @@ def _load_latest_metadata(location: str, rep: Report) -> dict | None:
     if os.path.exists(hint):
         with open(hint) as fh:
             hinted = fh.read().strip()
-        latest_n = re.search(r"v(\d+)\.metadata\.json$", latest).group(1)
+        latest_n = _VERSION_RE.search(latest).group(1)
         if hinted not in (latest_n, os.path.basename(latest)):
             rep.error(
                 f"version-hint.text says {hinted!r} but newest metadata is "
@@ -140,8 +159,11 @@ def _load_latest_metadata(location: str, rep: Report) -> dict | None:
             )
     else:
         rep.warn("no version-hint.text (HadoopCatalog readers need it)")
-    with open(latest) as fh:
-        meta = json.load(fh)
+    try:
+        meta = _read_metadata_file(latest)
+    except (ValueError, OSError) as exc:
+        rep.error(f"{os.path.basename(latest)} unreadable: {exc}")
+        return None
     rep.checked["metadata_files"] = len(versions)
     return meta
 
