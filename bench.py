@@ -107,6 +107,10 @@ HEADLINE = [
     "stream_dedup_watermark",
     "ridge_quality_fit",
     "pagerank_order_graph",
+    # r9 additions: exact Jaccard with prefix-filtered candidates,
+    # trailing-window EWMA + z-score anomaly flags
+    "neardup_prefix_filter",
+    "ewma_anomaly_events",
 ]
 
 

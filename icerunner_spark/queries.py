@@ -71,8 +71,9 @@ def register(name: str, oracle: str | None = None):
 # Round 10 window head (pinned now, per the same policy): the names
 # added AFTER this window was fixed — iceberg_eq_delete_import (late
 # r9-prep), then mid-r9 pagerank_order_graph, ridge_quality_fit,
-# stream_dedup_watermark, tfidf_top_terms — are never-driver-checked
-# and must lead the r10 rotation, followed by the r6-stale cohort.
+# stream_dedup_watermark, tfidf_top_terms, ewma_anomaly_events,
+# neardup_prefix_filter — are never-driver-checked and must lead the
+# r10 rotation, followed by the r6-stale cohort.
 # The policy is now EXECUTABLE: `python tools/window_policy.py` audits
 # this list against the CORRECTNESS artifacts (CI: tests/test_tools.py)
 # and `--propose` prints the next round's list to paste here.
@@ -1494,6 +1495,55 @@ def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs(d, "doc_id", "text", n=5, threshold=0.25)
+    return out.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "neardup_prefix_filter",
+    # Same exact semantics as the inverted-index oracle — prefix
+    # filtering changes the CANDIDATE set, never the result (the prefix
+    # theorem guarantees no t-similar pair is skipped), so the full
+    # all-pairs SQL is this query's oracle verbatim.
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+        FROM documents WHERE doc_id < 2000
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 12) AS gram
+        FROM norm, LATERAL (SELECT unnest(generate_series(1, GREATEST(length(t) - 11, 1))) AS i) s
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           ROUND(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = id1
+    JOIN sizes s2 ON s2.doc_id = id2
+    WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
+    """,
+)
+def neardup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs with PREFIX-FILTERED candidates
+    (operators.dedup.prefix_jaccard_pairs, AllPairs/PPJoin family):
+    each doc joins only on its rarest |d|-ceil(t|d|)+1 shingles under a
+    global df-ascending order instead of all of them. The scale path
+    for exact near-dup where the full inverted index hits hot-shingle
+    blowup; result-identical to the all-pairs formulation by the prefix
+    theorem (equality also pinned in tests/test_operators.py). Long
+    12-char shingles at t=0.5 — the fuzzy-near-dup config whose rare-
+    shingle vocabulary is where prefix pruning pays (this corpus's
+    5-gram vocabulary is only ~2k strings, so EVERY doc pair collides
+    at short n and no exact method can prune); bounded to doc_id<2000
+    so the bench entry measures the operator, not the corpus size."""
+    from icerunner_spark.operators.dedup import prefix_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    out = prefix_jaccard_pairs(d, "doc_id", "text", n=12, threshold=0.5)
     return out.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -7917,6 +7967,109 @@ def ridge_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (a * (e * s2y - s1y * f) - b * (b * s2y - s1y * c)
              + sy * (b * f - e * c)) / det, 6
         ).alias("beta_chars"),
+    )
+
+
+@register(
+    "ewma_anomaly_events",
+    # The trailing-K EWMA is a finite weighted mean, so both engines can
+    # compute it in closed form — no recursion, no unbounded pow() that
+    # overflows on long partitions. The oracle replays the identical
+    # 50-row window as a bounded self-join on row_number; z-scores use
+    # the same 49-preceding-to-1-preceding frame. Floats: weighted sums
+    # of <=50 terms agree to ~1e-13 across engines, rounded at 6dp; the
+    # spike flag compares the ROUNDED z so the boolean can't straddle an
+    # engine-noise boundary.
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    ew AS (
+        SELECT r.event_id, r.user_id, r.value, r.rn,
+               SUM(s.value * POWER(0.9, r.rn - s.rn)) AS num,
+               SUM(POWER(0.9, r.rn - s.rn)) AS den
+        FROM seq r
+        JOIN seq s
+          ON s.user_id = r.user_id AND s.rn BETWEEN r.rn - 49 AND r.rn
+        GROUP BY 1, 2, 3, 4
+    ),
+    st AS (
+        SELECT event_id,
+               AVG(value) OVER w AS mean_prev,
+               STDDEV_SAMP(value) OVER w AS sd_prev
+        FROM seq
+        WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 49 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT e.event_id, e.user_id,
+           ROUND(e.num / e.den, 6) AS ewma,
+           ROUND((e.value - st.mean_prev) / NULLIF(st.sd_prev, 0), 6) AS zdev,
+           COALESCE(ROUND((e.value - st.mean_prev) / NULLIF(st.sd_prev, 0), 6) > 3.0,
+                    FALSE) AS is_spike
+    FROM ew e JOIN st USING (event_id)
+    """,
+)
+def ewma_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series smoothing + anomaly flags per user: trailing-50-event
+    exponentially weighted moving average (decay 0.9/step, normalized
+    weights) and a z-score of each value against its trailing window's
+    mean/stddev (excluding the current row), spike = z > 3.
+
+    Spark shape: ONE shuffle on user_id serves all three window
+    computations (collect_list / avg / stddev share the sort); the EWMA
+    is a zip_with + aggregate fold over the <=50-element trailing array
+    — pure Catalyst higher-order functions, no UDF, and per-row state is
+    bounded by K=50 regardless of partition length, so a user with a
+    billion events costs O(K) memory per row, not O(history). At 100 TB
+    the partition key (user_id) scales with data; no global sort."""
+    e = _t(spark, sf_dir, "events")
+    w_arr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, 0)
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, -1)
+    )
+    decay = F.lit(0.9)
+    arr = F.collect_list("value").over(w_arr)
+    base = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        arr.alias("trail"),
+        F.avg("value").over(w_prev).alias("mean_prev"),
+        F.stddev_samp("value").over(w_prev).alias("sd_prev"),
+    )
+    # weight for trail[i] is decay^(len-1-i): newest term weight 1
+    wts = F.transform(
+        "trail", lambda x, i: F.pow(decay, F.size("trail") - 1 - i)
+    )
+    num = F.aggregate(
+        F.zip_with("trail", wts, lambda x, wt: x * wt),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(wts, F.lit(0.0), lambda acc, x: acc + x)
+    # Spark's stddev_samp over a 1-row frame is NaN where DuckDB (and
+    # ANSI) give NULL — normalize before dividing
+    sd_clean = F.when(
+        F.col("sd_prev").isNull()
+        | F.isnan("sd_prev")
+        | (F.col("sd_prev") == 0.0),
+        F.lit(None).cast("double"),
+    ).otherwise(F.col("sd_prev"))
+    zdev = F.round((F.col("value") - F.col("mean_prev")) / sd_clean, 6)
+    return base.select(
+        "event_id",
+        "user_id",
+        F.round(num / den, 6).alias("ewma"),
+        zdev.alias("zdev"),
+        F.coalesce(zdev > F.lit(3.0), F.lit(False)).alias("is_spike"),
     )
 
 

@@ -65,6 +65,82 @@ def test_minhash_recall_against_exact(spark, docs_with_dups):
     )
 
 
+def test_prefix_filter_equals_inverted_index(spark, docs_with_dups):
+    """prefix_jaccard_pairs must return EXACTLY the inverted-index
+    result at the same (n, threshold) — the prefix theorem says the
+    pruned candidate set loses no t-similar pair, and the verify stage
+    recomputes the same exact Jaccard. Checked at two thresholds to
+    exercise different prefix lengths."""
+    from icerunner_spark.operators.dedup import prefix_jaccard_pairs
+
+    for thr in (0.4, 0.7):
+        exact = {
+            (r["id1"], r["id2"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(
+                docs_with_dups, "doc_id", "text", n=4, threshold=thr
+            ).collect()
+        }
+        pruned = {
+            (r["id1"], r["id2"], round(r["jaccard"], 9))
+            for r in prefix_jaccard_pairs(
+                docs_with_dups, "doc_id", "text", n=4, threshold=thr
+            ).collect()
+        }
+        assert exact, "fixture must contain near-dup pairs"
+        assert pruned == exact, (
+            f"thr={thr}: missed={sorted(exact - pruned)[:5]} "
+            f"extra={sorted(pruned - exact)[:5]}"
+        )
+
+
+def test_prefix_filter_prunes_join_volume(spark, docs_with_dups):
+    """The point of prefix filtering is a smaller candidate JOIN: the
+    cost driver of the inverted-index join is sum_g C(df_g, 2) (every
+    co-occurrence of every shared gram), and the prefix join must cut
+    it hard because hot grams never enter a prefix. Distinct PAIR
+    counts barely move on this 520-doc fixture (nearly every doc pair
+    shares some rare 4-gram), so the pin is on join volume — measured
+    4.1x smaller at thr=0.4 and 18.8x at thr=0.7; asserted with slack."""
+    from icerunner_spark.functions.text import normalize_ws
+    from icerunner_spark.operators.dedup import char_ngrams
+
+    grams = docs_with_dups.select(
+        F.col("doc_id").alias("id"), normalize_ws("text").alias("__norm")
+    ).select(
+        "id",
+        F.explode(F.array_distinct(char_ngrams(F.col("__norm"), 4, normalized=True))).alias("gram"),
+    )
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+
+    def volume(df_per_key):
+        return df_per_key.select(
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("v")
+        ).collect()[0]["v"]
+
+    full_volume = volume(dfreq)
+    for thr, bound in ((0.4, 0.5), (0.7, 0.15)):
+        sized = (
+            grams.join(dfreq, "gram")
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_list(F.struct("df", "gram"))).alias("toks"))
+            .select("id", F.col("toks.gram").alias("grams"), F.size("toks").alias("sz"))
+            .withColumn(
+                "pfx_len",
+                F.col("sz") - F.ceil(F.lit(thr) * F.col("sz")).cast("int") + F.lit(1),
+            )
+        )
+        pfx = sized.select(
+            "id", F.explode(F.slice("grams", F.lit(1), F.col("pfx_len"))).alias("gram")
+        )
+        pruned_volume = volume(
+            pfx.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        )
+        assert pruned_volume < full_volume * bound, (
+            f"thr={thr}: prefix join volume {pruned_volume:.0f} vs full "
+            f"{full_volume:.0f} — expected < {bound:.0%}"
+        )
+
+
 def test_simhash_finds_planted_dups(spark, docs_with_dups):
     pairs = simhash_neardup_pairs(docs_with_dups, "doc_id", "text", max_distance=6)
     found = {(r["id1"], r["id2"]) for r in pairs.collect()}

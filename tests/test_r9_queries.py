@@ -141,3 +141,65 @@ class TestStreamDedupWatermark:
         total = out.agg(F.sum("n_events").alias("s")).collect()[0]["s"]
         raw = spark.read.parquet(f"{SF_MED}/events.parquet").count()
         assert total == raw
+
+
+class TestEwmaAnomalyEvents:
+    def test_matches_numpy_reference(self, spark):
+        """The window-array EWMA and z-scores must equal a numpy replay
+        of the definition (trailing-50 normalized exponential weights;
+        trailing mean/stddev excluding the current row) — an independent
+        per-user sequential reference, not a SQL replay."""
+        out = {
+            r["event_id"]: r
+            for r in q.queries()["ewma_anomaly_events"](spark, SF).collect()
+        }
+        rows = (
+            spark.read.parquet(f"{SF}/events.parquet")
+            .select("event_id", "user_id", "ts", "value")
+            .collect()
+        )
+        by_user: dict = {}
+        for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+            by_user.setdefault(r["user_id"], []).append(r)
+        checked = 0
+        for user, seq in by_user.items():
+            vals = np.array([r["value"] for r in seq])
+            for i, r in enumerate(seq):
+                lo = max(0, i - 49)
+                trail = vals[lo : i + 1]
+                w = 0.9 ** np.arange(len(trail) - 1, -1, -1)
+                ewma = float((trail * w).sum() / w.sum())
+                got = out[r["event_id"]]
+                assert got["ewma"] == pytest.approx(ewma, abs=5e-6), (
+                    f"user {user} event {r['event_id']}"
+                )
+                prev = vals[lo:i]
+                if len(prev) >= 2 and prev.std(ddof=1) > 0:
+                    z = (vals[i] - prev.mean()) / prev.std(ddof=1)
+                    assert got["zdev"] == pytest.approx(z, abs=5e-6)
+                    assert bool(got["is_spike"]) == (round(z, 6) > 3.0)
+                else:
+                    assert got["zdev"] is None
+                    assert got["is_spike"] is False
+                checked += 1
+        assert checked == len(rows) and checked > 0
+
+
+class TestNeardupPrefixFilter:
+    def test_partitioning_independent(self, spark):
+        """Exact pair results must not depend on the shuffle layout."""
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            a = sorted(
+                tuple(r)
+                for r in q.queries()["neardup_prefix_filter"](spark, SF).collect()
+            )
+            spark.conf.set("spark.sql.shuffle.partitions", "17")
+            b = sorted(
+                tuple(r)
+                for r in q.queries()["neardup_prefix_filter"](spark, SF).collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert a == b and a
