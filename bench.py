@@ -108,9 +108,11 @@ HEADLINE = [
     "ridge_quality_fit",
     "pagerank_order_graph",
     # r9 additions: exact Jaccard with prefix-filtered candidates,
-    # trailing-window EWMA + z-score anomaly flags
+    # trailing-window EWMA + z-score anomaly flags, predicate-pushdown
+    # Iceberg import over deflate-codec metadata
     "neardup_prefix_filter",
     "ewma_anomaly_events",
+    "iceberg_pruned_import",
 ]
 
 

@@ -83,9 +83,12 @@ from icerunner_spark import iceavro
 from icerunner_spark.table import (
     IceTable,
     Snapshot,
+    _bounds_may_match,
     _commit_dir_of,
     _hive_partition_values,
+    _normalize_predicates,
     _parse_spec,
+    _predicates_to_column,
 )
 
 _EPOCH_DATE = datetime.date(1970, 1, 1)
@@ -1399,6 +1402,7 @@ def read_iceberg(
     *,
     snapshot_id: int | None = None,
     ref: str | None = None,
+    where=None,
     delete_broadcast_max_bytes: int = DELETE_BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """Read a static Iceberg v2 table (current snapshot, time travel by
@@ -1413,7 +1417,13 @@ def read_iceberg(
     sequence D remove (file, pos) rows of data files with sequence
     <= D; equality deletes (content=2 — Flink CDC's native upsert form)
     remove rows whose equality columns match, from data files with
-    sequence STRICTLY LESS than D, with null-safe key matching."""
+    sequence STRICTLY LESS than D, with null-safe key matching.
+
+    ``where`` (same ``(column, op, value)`` conjunct form as
+    ``IceTable.scan``) prunes data files at PLANNING time from the
+    manifests' identity-partition values and per-column bounds — on a
+    100 TB foreign table the predicate skips files before any footer is
+    read — and is applied exactly via a residual Catalyst filter."""
     if snapshot_id is not None and ref is not None:
         raise ValueError("pass at most one of snapshot_id, ref")
     meta = _load_metadata(location)
@@ -1471,6 +1481,8 @@ def read_iceberg(
                 ),
                 "partition": df_rec.get("partition") or {},
                 "spec_id": m["partition_spec_id"],
+                "lower_bounds": df_rec.get("lower_bounds"),
+                "upper_bounds": df_rec.get("upper_bounds"),
             }
             content = df_rec.get("content", 0)
             if content == 0 and m.get("content", 0) == 0:
@@ -1491,6 +1503,29 @@ def read_iceberg(
                 raise ValueError(
                     f"unsupported delete content {content} in {rec['path']}"
                 )
+    # identity partition sources per spec: field-id -> spec field name
+    identity_by_spec: dict = {}
+    for spid, sp in specs.items():
+        identity_by_spec[spid] = {
+            f["source-id"]: f["name"]
+            for f in sp.get("fields", [])
+            if f["transform"] == "identity"
+        }
+
+    preds = _normalize_predicates(where)
+    if preds and data_files:
+        # planning-time file pruning: identity-partition values and
+        # column bounds straight from the manifests — before the
+        # per-file footer reads below, so a selective predicate cuts
+        # BOTH the data IO and the planning cost
+        name_to_fid = {f["name"]: f["id"] for f in schema["fields"]}
+        ftype = {f["id"]: f["type"] for f in schema["fields"]}
+        data_files = [
+            r
+            for r in data_files
+            if _file_may_match(r, preds, name_to_fid, ftype, identity_by_spec)
+        ]
+
     if not data_files:
         ddl = ", ".join(
             f"`{f['name']}` {_spark_type(f['type'])}"
@@ -1510,15 +1545,6 @@ def read_iceberg(
         sch = _pq.read_schema(rec["path"])
         phys = tuple(zip(sch.names, (str(t) for t in sch.types)))
         groups.setdefault(phys, []).append(rec)
-
-    # identity partition sources per spec: field-id -> spec field name
-    identity_by_spec: dict = {}
-    for spid, sp in specs.items():
-        identity_by_spec[spid] = {
-            f["source-id"]: f["name"]
-            for f in sp.get("fields", [])
-            if f["transform"] == "identity"
-        }
 
     norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
     parts = []
@@ -1692,7 +1718,94 @@ def read_iceberg(
 
     if delete_files or eq_delete_files:
         out = out.drop("__data_seq")
-    return out.drop("__ice_file", "__ice_pos")
+    out = out.drop("__ice_file", "__ice_pos")
+    if preds:
+        # pruning is an optimization; the residual filter is what makes
+        # where= exact (same contract as IceTable.scan)
+        out = out.filter(_predicates_to_column(preds))
+    return out
+
+
+def _decode_single_value(ice_type, raw):
+    """Iceberg single-value binary (spec appendix D) -> comparable
+    Python value; None for types this reader doesn't prune on (decimal,
+    fixed, binary, uuid, nested) — a None bound just means the file is
+    never skipped on that column."""
+    if raw is None or not isinstance(ice_type, str):
+        return None
+    b = bytes(raw)
+    try:
+        if ice_type == "int":
+            return struct.unpack("<i", b)[0]
+        if ice_type == "long":
+            return struct.unpack("<q", b)[0]
+        if ice_type == "float":
+            return struct.unpack("<f", b)[0]
+        if ice_type == "double":
+            return struct.unpack("<d", b)[0]
+        if ice_type == "boolean":
+            return b != b"\x00"
+        if ice_type == "string":
+            return b.decode("utf-8")
+        if ice_type == "date":
+            return _EPOCH_DATE + datetime.timedelta(
+                days=struct.unpack("<i", b)[0]
+            )
+        if ice_type in ("timestamp", "timestamptz"):
+            return _EPOCH_DT + datetime.timedelta(
+                microseconds=struct.unpack("<q", b)[0]
+            )
+    except (struct.error, UnicodeDecodeError):
+        return None
+    return None
+
+
+def _file_may_match(
+    rec: dict,
+    preds: list,
+    name_to_fid: dict,
+    ftype: dict,
+    identity_by_spec: dict,
+) -> bool:
+    """Manifest-level file pruning for read_iceberg: False only when the
+    entry's identity-partition value or column bounds PROVE no row can
+    satisfy the conjunction. Conservative everywhere else (missing
+    bounds, non-identity transforms, undecodable types -> keep)."""
+    ident = identity_by_spec.get(rec["spec_id"], {})
+    lowers = {e["key"]: e["value"] for e in (rec.get("lower_bounds") or [])}
+    uppers = {e["key"]: e["value"] for e in (rec.get("upper_bounds") or [])}
+    for col, op, val in preds:
+        fid = name_to_fid.get(col)
+        if fid is None:
+            continue
+        # identity partition: the value holds for EVERY row of the file
+        pname = ident.get(fid)
+        if pname is not None and pname in rec["partition"]:
+            pv = _partition_py_value(
+                _spark_type(ftype[fid]), rec["partition"][pname]
+            )
+            if op == "is_null":
+                if pv is not None:
+                    return False
+                continue
+            if op == "is_not_null":
+                if pv is None:
+                    return False
+                continue
+            if pv is None:
+                return False  # all-null file: no comparison matches
+            if not _bounds_may_match(pv, pv, op, val):
+                return False
+            continue
+        if op in ("is_null", "is_not_null"):
+            continue  # null counts not tracked here — keep
+        lo = _decode_single_value(ftype[fid], lowers.get(fid))
+        hi = _decode_single_value(ftype[fid], uppers.get(fid))
+        if lo is None or hi is None:
+            continue
+        if not _bounds_may_match(lo, hi, op, val):
+            return False
+    return True
 
 
 def _partition_py_value(spark_ddl: str, v):

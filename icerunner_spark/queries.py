@@ -72,8 +72,9 @@ def register(name: str, oracle: str | None = None):
 # added AFTER this window was fixed — iceberg_eq_delete_import (late
 # r9-prep), then mid-r9 pagerank_order_graph, ridge_quality_fit,
 # stream_dedup_watermark, tfidf_top_terms, ewma_anomaly_events,
-# neardup_prefix_filter — are never-driver-checked and must lead the
-# r10 rotation, followed by the r6-stale cohort.
+# neardup_prefix_filter, iceberg_pruned_import — are
+# never-driver-checked and must lead the r10 rotation, followed by the
+# r6-stale cohort.
 # The policy is now EXECUTABLE: `python tools/window_policy.py` audits
 # this list against the CORRECTNESS artifacts (CI: tests/test_tools.py)
 # and `--propose` prints the next round's list to paste here.
@@ -3599,6 +3600,61 @@ def iceberg_eq_delete_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(dest, "metadata", "version-hint.text"), "w") as f:
         f.write("1")
     return read_iceberg(spark, dest)
+
+
+@register(
+    "iceberg_pruned_import",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(CAST(o_totalprice AS DOUBLE), 2) AS totalprice
+    FROM orders
+    WHERE o_orderkey < 20000 AND o_orderstatus = 'F'
+      AND o_totalprice > 150000
+    """,
+)
+def iceberg_pruned_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-pushdown import: export an identity-partitioned,
+    sort-clustered table as Iceberg v2 metadata (deflate-codec Avro —
+    Java Iceberg's default wire form), then read it back through
+    read_iceberg(where=). The partition conjunct prunes whole partition
+    dirs and the range conjunct prunes via per-file column bounds AT
+    PLANNING TIME (before any parquet footer is read — the pruning a
+    1000-executor reader of a 100 TB foreign table lives on); the
+    residual Catalyst filter makes the result exact, which is what the
+    oracle checks. File-skip behavior itself is pinned by footer-read
+    counts in tests/test_iceberg_export.py."""
+    from icerunner_spark.iceberg_export import export_iceberg, read_iceberg
+    from icerunner_spark.table import IceTable
+
+    wh = _demo_warehouse("icerunner_iceberg_prune_demo", sf_dir)
+    t = IceTable(spark, os.path.join(wh, "orders_part"))
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 20000).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    # demo-sized write fan-out (same rationale as the other iceberg
+    # demos, commit df385a6): two writer tasks x 3 status partitions = 6
+    # files; the file-skip behavior itself is pinned by footer counts in
+    # tests/test_iceberg_export.py, this entry's job is oracle exactness
+    t.create(
+        o.coalesce(2),
+        partition_by=["o_orderstatus"],
+        properties={"write.sort.columns": "o_totalprice"},
+    )
+    dest = os.path.join(wh, "orders_ice")
+    export_iceberg(t, dest, avro_codec="deflate")
+    out = read_iceberg(
+        spark,
+        dest,
+        where=[("o_orderstatus", "=", "F"), ("o_totalprice", ">", 150000.0)],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
 
 
 @register(

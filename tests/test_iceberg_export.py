@@ -1565,3 +1565,100 @@ class TestDeflateCodec:
                 )
                 codecs.add(fmeta["avro.codec"])
         assert b"deflate" in codecs and b"null" in codecs
+
+
+# --------------------------------------------------------------------------- #
+# planning-time predicate pruning on import (where=)
+# --------------------------------------------------------------------------- #
+
+
+class TestReadIcebergPruning:
+    def _count_footer_reads(self, monkeypatch):
+        """read_iceberg reads one parquet footer per surviving data file
+        (the schema-grouping step) — counting them observes pruning."""
+        import pyarrow.parquet as pq
+
+        calls = {"n": 0}
+        real = pq.read_schema
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(pq, "read_schema", counting)
+        return calls
+
+    def test_partition_prune_and_exactness(self, spark, tmp_path, monkeypatch):
+        """An identity-partitioned export read with where= must (a)
+        return exactly the filtered rows, (b) plan only the partition's
+        files — observed via footer-read count."""
+        t = IceTable(spark, str(tmp_path / "src"))
+        df = spark.range(0, 90).select(
+            F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("g")
+        )
+        t.create(df, partition_by=["g"])
+        t.delete_where((F.col("k") % 7) == 0, mode="merge-on-read")
+        dest = str(tmp_path / "exp")
+        export_iceberg(t, dest)
+
+        calls = self._count_footer_reads(monkeypatch)
+        got = _rows(read_iceberg(spark, dest, where=[("g", "=", 1)]))
+        pruned_reads = calls["n"]
+        want = _rows(t.scan().filter("g = 1"))
+        assert got == want and got
+
+        calls["n"] = 0
+        _rows(read_iceberg(spark, dest))
+        full_reads = calls["n"]
+        assert 0 < pruned_reads < full_reads, (
+            f"where= read {pruned_reads} footers vs {full_reads} unpruned"
+        )
+
+    def test_bounds_prune_sorted_files(self, spark, tmp_path, monkeypatch):
+        """Column-bound pruning: a range predicate over sort-clustered
+        files must skip the files whose [min,max] misses the range."""
+        t = IceTable(spark, str(tmp_path / "src"))
+        t.create(
+            spark.range(0, 100).select(F.col("id").alias("k")),
+            properties={"write.sort.columns": "k"},
+        )
+        for lo in (100, 200, 300):
+            t.append(
+                spark.range(lo, lo + 100).select(F.col("id").alias("k"))
+            )
+        dest = str(tmp_path / "exp")
+        export_iceberg(t, dest)
+
+        calls = self._count_footer_reads(monkeypatch)
+        got = _rows(read_iceberg(spark, dest, where=[("k", "<", 50)]))
+        pruned_reads = calls["n"]
+        assert got == {(i,) for i in range(50)}
+
+        calls["n"] = 0
+        _rows(read_iceberg(spark, dest))
+        full_reads = calls["n"]
+        assert 0 < pruned_reads < full_reads
+
+    def test_where_all_pruned_returns_empty_with_schema(self, spark, tmp_path):
+        t = IceTable(spark, str(tmp_path / "src"))
+        t.create(spark.range(0, 10).select(F.col("id").alias("k")))
+        dest = str(tmp_path / "exp")
+        export_iceberg(t, dest)
+        out = read_iceberg(spark, dest, where=[("k", ">", 10_000)])
+        assert out.count() == 0
+        assert out.columns == ["k"]
+
+    def test_residual_filter_is_exact_within_file(self, spark, tmp_path):
+        """A predicate no file can be pruned by (mid-range) must still
+        filter exactly — the residual Catalyst filter, not pruning, is
+        the correctness path."""
+        t = IceTable(spark, str(tmp_path / "src"))
+        t.create(spark.range(0, 100).select(F.col("id").alias("k")))
+        dest = str(tmp_path / "exp")
+        export_iceberg(t, dest)
+        got = _rows(
+            read_iceberg(
+                spark, dest, where=[("k", ">=", 10), ("k", "<", 13)]
+            )
+        )
+        assert got == {(10,), (11,), (12,)}
