@@ -185,3 +185,76 @@ class TestPartitionSummaryBounds:
         entries = [{"status": 1, "data_file": {"partition": {"k": 3}}}]
         v._check_partition_summaries(ml, entries, {"fields": [{"name": "k"}]}, rep)
         assert any("lower_bound" in e for e in rep.errors)
+
+
+class TestColumnBoundsAudit:
+    """Manifest lower/upper bounds are load-bearing (read_iceberg and
+    foreign engines prune files on them) — the auditor re-measures the
+    true per-column min/max from the parquet data and must flag a bound
+    that no longer bounds it."""
+
+    def _tamper_long_bound(self, dest, kind):
+        import struct
+
+        from icerunner_spark import iceavro
+
+        manifest = next(
+            os.path.join(dest, "metadata", f)
+            for f in sorted(os.listdir(os.path.join(dest, "metadata")))
+            if f.startswith("manifest-") and f.endswith("-0.avro")
+        )
+        schema, fmeta, entries = iceavro.read_ocf(manifest)
+        bumped = False
+        for e in entries:
+            df = e.get("data_file") or {}
+            for kv in df.get(kind) or []:
+                raw = bytes(kv["value"])
+                if len(raw) == 8 and not bumped:
+                    (v,) = struct.unpack("<q", raw)
+                    # lower bound raised above the min / upper lowered
+                    # below the max — both must be caught
+                    delta = 1 if kind == "lower_bounds" else -1
+                    kv["value"] = struct.pack("<q", v + delta)
+                    bumped = True
+        assert bumped, "no 8-byte long bound found to tamper"
+        extras = {
+            k: v
+            for k, v in fmeta.items()
+            if k not in ("avro.schema", "avro.codec")
+        }
+        iceavro.write_ocf(manifest, schema, entries, metadata=extras)
+        return manifest
+
+    def test_clean_bounds_pass_and_are_checked(self, tmp_path, spark):
+        v = _validator()
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        t = cat.table("orders_b")
+        t.create(
+            load_table(spark, "orders", "/root/testdata/sf0.001").select(
+                "o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus"
+            )
+        )
+        dest = str(tmp_path / "exp")
+        export_iceberg(t, dest)
+        rep = v.validate(dest).as_dict()
+        assert rep["ok"], rep["errors"]
+
+    @pytest.mark.parametrize("kind", ["lower_bounds", "upper_bounds"])
+    def test_tampered_bound_is_caught(self, tmp_path, spark, kind):
+        v = _validator()
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        t = cat.table(f"orders_t_{kind}")
+        t.create(
+            load_table(spark, "orders", "/root/testdata/sf0.001").select(
+                "o_orderkey", "o_totalprice"
+            )
+        )
+        dest = str(tmp_path / "exp")
+        export_iceberg(t, dest)
+        assert v.validate(dest).as_dict()["ok"]
+        self._tamper_long_bound(dest, kind)
+        rep = v.validate(dest).as_dict()
+        want = "lower_bound" if kind == "lower_bounds" else "upper_bound"
+        assert any(
+            want in e and "does not bound actual" in e for e in rep["errors"]
+        ), rep["errors"]

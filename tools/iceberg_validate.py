@@ -308,8 +308,11 @@ def _check_partition_summaries(ml_entry: dict, entries: list, spec: dict, rep: R
 
 
 def _check_snapshot(meta: dict, snap: dict, location: str, rep: Report,
-                    data_rowcounts: dict[str, int]) -> None:
+                    data_rowcounts: dict[str, int],
+                    id_types: dict | None = None) -> None:
     from icerunner_spark.iceavro import read_ocf
+
+    id_types = id_types or {}
 
     ml_path = _local(snap.get("manifest-list", ""))
     if not os.path.exists(ml_path):
@@ -398,6 +401,9 @@ def _check_snapshot(meta: dict, snap: dict, location: str, rep: Report,
             if df.get("content", 0) == 0:
                 rep.checked["data_files"] += 1
                 data_rowcounts[df.get("file_path", "")] = pf.metadata.num_rows
+                _check_column_bounds(
+                    pf, df, id_types, name, os.path.basename(fpath), rep
+                )
             elif df.get("content") == 1:
                 rep.checked["delete_files"] += 1
                 _check_pos_delete(pf, fpath, name, rep, data_rowcounts)
@@ -423,6 +429,105 @@ def _check_snapshot(meta: dict, snap: dict, location: str, rep: Report,
         _check_partition_summaries(
             ml, entries, specs.get(ml.get("partition_spec_id"), {}), rep
         )
+
+
+def _decode_bound_bytes(ice_type, raw):
+    """Iceberg single-value binary (spec appendix D) -> Python value,
+    decoded HERE from the spec, independent of the exporter/reader.
+    None for types this audit doesn't check."""
+    import datetime
+    import struct
+
+    if raw is None or not isinstance(ice_type, str):
+        return None
+    b = bytes(raw)
+    try:
+        if ice_type == "int":
+            return struct.unpack("<i", b)[0]
+        if ice_type == "long":
+            return struct.unpack("<q", b)[0]
+        if ice_type == "float":
+            return struct.unpack("<f", b)[0]
+        if ice_type == "double":
+            return struct.unpack("<d", b)[0]
+        if ice_type == "boolean":
+            return b != b"\x00"
+        if ice_type == "string":
+            return b.decode("utf-8")
+        if ice_type == "date":
+            return datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=struct.unpack("<i", b)[0]
+            )
+        if ice_type in ("timestamp", "timestamptz"):
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=struct.unpack("<q", b)[0]
+            )
+    except (struct.error, UnicodeDecodeError):
+        return None
+    return None
+
+
+def _check_column_bounds(pf, df_rec: dict, id_types: dict, mname: str,
+                         fname: str, rep: Report) -> None:
+    """Manifest lower/upper bounds are load-bearing: readers (ours and
+    foreign engines) PRUNE files on them, so a wrong bound silently
+    drops rows. Re-measure the true per-column min/max from the parquet
+    data itself (pyarrow — a path that shares no code with the
+    exporter's stats collection) and assert the manifest bounds bound
+    it."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    lowers = {e["key"]: e["value"] for e in (df_rec.get("lower_bounds") or [])}
+    uppers = {e["key"]: e["value"] for e in (df_rec.get("upper_bounds") or [])}
+    if not lowers and not uppers:
+        return
+    schema = pf.schema_arrow
+    fid_to_col = {}
+    for field in schema:
+        md = field.metadata or {}
+        fid = md.get(b"PARQUET:field_id")
+        if fid is not None:
+            fid_to_col[int(fid)] = field.name
+    for fid, (name, _t) in id_types.items():
+        if fid not in fid_to_col and name in schema.names:
+            fid_to_col[fid] = name
+    for fid in sorted(set(lowers) | set(uppers)):
+        entry = id_types.get(fid)
+        col = fid_to_col.get(fid)
+        if entry is None or col is None:
+            continue
+        cname, ice_t = entry
+        lo = _decode_bound_bytes(ice_t, lowers.get(fid))
+        hi = _decode_bound_bytes(ice_t, uppers.get(fid))
+        if lo is None and hi is None:
+            continue
+        data = pf.read(columns=[col]).column(0)
+        if data.null_count == len(data):
+            continue
+        mm = pc.min_max(data)
+        amin, amax = mm["min"].as_py(), mm["max"].as_py()
+        # tz-aware parquet stats vs naive-UTC manifest micros
+        if isinstance(amin, datetime.datetime) and amin.tzinfo is not None:
+            amin = amin.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            amax = amax.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        try:
+            if lo is not None and amin < lo:
+                rep.error(
+                    f"{mname}: {fname} column {cname!r} lower_bound {lo!r} "
+                    f"does not bound actual min {amin!r}"
+                )
+            if hi is not None and amax > hi:
+                rep.error(
+                    f"{mname}: {fname} column {cname!r} upper_bound {hi!r} "
+                    f"does not bound actual max {amax!r}"
+                )
+        except TypeError:
+            rep.warn(
+                f"{mname}: {fname} column {cname!r} bounds unchecked "
+                f"(incomparable types {type(lo).__name__}/{type(amin).__name__})"
+            )
 
 
 def _check_pos_delete(pf, fpath: str, mname: str, rep: Report,
@@ -475,11 +580,28 @@ def validate(location: str) -> Report:
     # manifests because export writes them that way; the shared
     # data_rowcounts dict also accumulates across snapshots)
     data_rowcounts: dict[str, int] = {}
+    # field-id -> (name, iceberg type) across all schemas, current wins:
+    # bounds may have been written under a historical schema
+    id_types: dict = {}
+    for s in meta.get("schemas", []):
+        for f in s.get("fields", []):
+            id_types[f["id"]] = (f["name"], f["type"])
+    cur = next(
+        (
+            s
+            for s in meta.get("schemas", [])
+            if s.get("schema-id") == meta.get("current-schema-id")
+        ),
+        None,
+    )
+    if cur:
+        for f in cur.get("fields", []):
+            id_types[f["id"]] = (f["name"], f["type"])
     snaps = sorted(
         meta.get("snapshots", []), key=lambda s: s.get("sequence-number", 0)
     )
     for snap in snaps:
-        _check_snapshot(meta, snap, location, rep, data_rowcounts)
+        _check_snapshot(meta, snap, location, rep, data_rowcounts, id_types)
     return rep
 
 
