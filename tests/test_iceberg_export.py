@@ -1662,3 +1662,38 @@ class TestReadIcebergPruning:
             )
         )
         assert got == {(10,), (11,), (12,)}
+
+
+class TestExpireThenReexport:
+    def test_history_shrink_between_exports(self, spark, tmp_path):
+        """Continuous mirror with retention: snapshots EXPIRED between
+        two incremental exports must not corrupt the dest — the new
+        metadata carries only live history, rows read equal, and the
+        standalone audit stays clean (expired-snapshot references in
+        old metadata-log entries are Iceberg-normal)."""
+        import importlib.util as _ilu
+
+        t = IceTable(spark, str(tmp_path / "src"))
+        df = spark.range(0, 60).select(F.col("id").alias("k"))
+        t.create(df.filter("k < 20").coalesce(1))
+        dest = str(tmp_path / "exp")
+        export_iceberg(t, dest)
+        t.append(df.filter("k >= 20 and k < 40").coalesce(1))
+        export_iceberg(t, dest)
+        t.append(df.filter("k >= 40").coalesce(1))
+        t.expire_snapshots(keep_last=1, older_than_ms=0)
+        meta_path = export_iceberg(t, dest)
+        assert meta_path.endswith("v3.metadata.json")
+        assert _rows(read_iceberg(spark, dest)) == _rows(t.scan())
+
+        spec = _ilu.spec_from_file_location(
+            "iceberg_validate",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "tools", "iceberg_validate.py",
+            ),
+        )
+        mod = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        rep = mod.validate(dest).as_dict()
+        assert rep["ok"], rep["errors"]
