@@ -258,3 +258,52 @@ class TestColumnBoundsAudit:
         assert any(
             want in e and "does not bound actual" in e for e in rep["errors"]
         ), rep["errors"]
+
+
+class TestIdentityPartitionAudit:
+    def test_tampered_partition_value_is_caught(self, tmp_path, spark):
+        """A manifest that claims the wrong identity-partition value must
+        be flagged: readers inject/prune on these values, so a bad one is
+        silent wrong data."""
+        from icerunner_spark import iceavro
+
+        v = _validator()
+        cat = Catalog(spark, str(tmp_path / "wh"))
+        t = cat.table("orders_p")
+        t.create(
+            load_table(spark, "orders", "/root/testdata/sf0.001").select(
+                "o_orderkey", "o_orderstatus"
+            ).coalesce(1),
+            partition_by=["o_orderstatus"],
+        )
+        dest = str(tmp_path / "exp")
+        export_iceberg(t, dest)
+        assert v.validate(dest).as_dict()["ok"]
+
+        manifest = next(
+            os.path.join(dest, "metadata", f)
+            for f in sorted(os.listdir(os.path.join(dest, "metadata")))
+            if f.startswith("manifest-") and f.endswith("-0.avro")
+        )
+        schema, fmeta, entries = iceavro.read_ocf(manifest)
+        part = entries[0]["data_file"]["partition"]
+        key = next(iter(part))
+        assert isinstance(part[key], str)
+        # same-length tamper so the manifest_length check can't mask
+        # the partition-value check
+        assert part[key] != "X" * len(part[key])
+        part[key] = "X" * len(part[key])
+        extras = {
+            k: val for k, val in fmeta.items()
+            if k not in ("avro.schema", "avro.codec")
+        }
+        iceavro.write_ocf(manifest, schema, entries, metadata=extras)
+        rep = v.validate(dest).as_dict()
+        # hive-layout tables drop the column from the parquet, so the
+        # cross-check is against the hive path value; a table that keeps
+        # the column would produce the "column holds other values" form
+        assert any(
+            "column holds other values" in e
+            or "disagrees with hive path value" in e
+            for e in rep["errors"]
+        ), rep["errors"]

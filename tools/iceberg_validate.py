@@ -404,6 +404,10 @@ def _check_snapshot(meta: dict, snap: dict, location: str, rep: Report,
                 _check_column_bounds(
                     pf, df, id_types, name, os.path.basename(fpath), rep
                 )
+                _check_identity_partition(
+                    pf, e, specs.get(ml.get("partition_spec_id"), {}),
+                    id_types, name, os.path.basename(fpath), rep,
+                )
             elif df.get("content") == 1:
                 rep.checked["delete_files"] += 1
                 _check_pos_delete(pf, fpath, name, rep, data_rowcounts)
@@ -527,6 +531,108 @@ def _check_column_bounds(pf, df_rec: dict, id_types: dict, mname: str,
             rep.warn(
                 f"{mname}: {fname} column {cname!r} bounds unchecked "
                 f"(incomparable types {type(lo).__name__}/{type(amin).__name__})"
+            )
+
+
+def _check_identity_partition(pf, entry: dict, spec: dict, id_types: dict,
+                              mname: str, fname: str, rep: Report) -> None:
+    """Identity-partition values claim EVERY row of the file has that
+    value — readers prune on them and even inject them as column values
+    when the column is absent from the parquet. When the source column
+    IS present, re-read it and assert the claim."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    part = entry.get("data_file", {}).get("partition") or {}
+    if not isinstance(part, dict) or not part:
+        return
+    schema_names = pf.schema_arrow.names
+    for f in spec.get("fields", []):
+        if f.get("transform") != "identity":
+            continue
+        pname = f.get("name")
+        if pname not in part:
+            continue
+        src = id_types.get(f.get("source-id"))
+        if src is None:
+            continue
+        cname, ice_t = src
+        pv = part[pname]
+        if cname not in schema_names:
+            # injection case: the column lives only in the manifest and
+            # the hive path — readers materialize it from the manifest
+            # value, so cross-check the two independent records of it
+            seg = next(
+                (
+                    s.split("=", 1)[1]
+                    for s in entry.get("data_file", {})
+                    .get("file_path", "")
+                    .split("/")
+                    if s.startswith(f"{cname}=") or s.startswith(f"{pname}=")
+                ),
+                None,
+            )
+            if seg is None:
+                continue
+            from urllib.parse import unquote
+
+            seg = unquote(seg)
+            if seg == "__HIVE_DEFAULT_PARTITION__":
+                if pv is not None:
+                    rep.error(
+                        f"{mname}: {fname} partition {pname!r}={pv!r} but "
+                        "the hive path says null"
+                    )
+                continue
+            # compare only types whose hive-path form is unambiguous
+            if ice_t in ("int", "long", "string"):
+                want = None if pv is None else str(pv)
+            elif ice_t == "date":
+                want = (
+                    None
+                    if pv is None
+                    else str(
+                        datetime.date(1970, 1, 1)
+                        + datetime.timedelta(days=int(pv))
+                    )
+                )
+            else:
+                continue
+            if want is None or want != seg:
+                rep.error(
+                    f"{mname}: {fname} partition {pname!r}={pv!r} "
+                    f"disagrees with hive path value {seg!r}"
+                )
+            continue
+        data = pf.read(columns=[cname]).column(0)
+        if pv is None:
+            if data.null_count != len(data):
+                rep.error(
+                    f"{mname}: {fname} partition {pname!r} claims null but "
+                    "the column has non-null values"
+                )
+            continue
+        if isinstance(ice_t, str) and ice_t == "date":
+            pv = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(pv))
+        elif isinstance(ice_t, str) and ice_t in ("timestamp", "timestamptz"):
+            pv = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=int(pv)
+            )
+        try:
+            distinct = pc.unique(data).to_pylist()
+        except Exception:
+            continue
+        bad = []
+        for v in distinct:
+            if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            if v != pv:
+                bad.append(v)
+        if bad:
+            rep.error(
+                f"{mname}: {fname} partition {pname!r}={pv!r} but the "
+                f"column holds other values (e.g. {bad[:3]!r})"
             )
 
 
