@@ -113,6 +113,8 @@ HEADLINE = [
     "neardup_prefix_filter",
     "ewma_anomaly_events",
     "iceberg_pruned_import",
+    # r9: exact two-pass heavy hitters (answer-bounded shuffle)
+    "frequent_tokens_documents",
 ]
 
 

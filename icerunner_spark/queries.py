@@ -72,9 +72,9 @@ def register(name: str, oracle: str | None = None):
 # added AFTER this window was fixed — iceberg_eq_delete_import (late
 # r9-prep), then mid-r9 pagerank_order_graph, ridge_quality_fit,
 # stream_dedup_watermark, tfidf_top_terms, ewma_anomaly_events,
-# neardup_prefix_filter, iceberg_pruned_import — are
-# never-driver-checked and must lead the r10 rotation, followed by the
-# r6-stale cohort.
+# neardup_prefix_filter, iceberg_pruned_import,
+# frequent_tokens_documents — are never-driver-checked and must lead
+# the r10 rotation, followed by the r6-stale cohort.
 # The policy is now EXECUTABLE: `python tools/window_policy.py` audits
 # this list against the CORRECTNESS artifacts (CI: tests/test_tools.py)
 # and `--propose` prints the next round's list to paste here.
@@ -8127,6 +8127,41 @@ def ewma_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         zdev.alias("zdev"),
         F.coalesce(zdev > F.lit(3.0), F.lit(False)).alias("is_spike"),
     )
+
+
+@register(
+    "frequent_tokens_documents",
+    # exact two-pass heavy hitters: pass 1 is a zero-shuffle candidate
+    # superset (averaging argument), pass 2 recomputes exact counts for
+    # candidates only — so the ONE-PASS exact SQL is the oracle verbatim
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(lower(text),
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS item
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT item, COUNT(*) AS cnt,
+           ROUND(COUNT(*) * 1.0 / (SELECT n FROM tot), 6) AS frac
+    FROM tok GROUP BY item
+    HAVING COUNT(*) * 1.0 >= 0.02 * (SELECT n FROM tot)
+    """,
+)
+def frequent_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent items (operators.frequent.frequent_items): tokens
+    holding >= 2% of the corpus's token mass. The shuffle is bounded by
+    the ANSWER (candidates from a zero-shuffle Arrow mapInPandas pass,
+    at most partitions/threshold keys), not the domain — the formulation
+    that still works when the key domain is billions of mostly-singleton
+    tokens/URLs/entities. Result is exact and partitioning-independent
+    (pinned in tests/test_operators.py)."""
+    from icerunner_spark.functions.text import tokens
+    from icerunner_spark.operators.frequent import frequent_items
+
+    spread = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf_dir, "documents").repartition(spread, "doc_id")
+    tok = d.select(F.explode(tokens("text")).alias("item"))
+    return frequent_items(tok, "item", threshold=0.02)
 
 
 # --------------------------------------------------------------------------- #

@@ -1343,3 +1343,92 @@ def test_semantic_best_match_one_row_per_doc(spark):
         k = int(np.argmax(np.round(sims, 6)))
         assert by_id[i]["eval_id"] == k
         assert by_id[i]["cos_sim"] == pytest.approx(float(sims[k]), abs=1e-12)
+
+
+class TestFrequentItems:
+    def test_equals_one_pass_exact(self, spark):
+        """Two-pass frequent_items must equal the one-pass exact
+        groupBy at multiple thresholds — the sketch bounds the shuffle,
+        never the answer."""
+        from icerunner_spark.functions.text import tokens as tok_fn
+        from icerunner_spark.operators.frequent import frequent_items
+
+        d = load_table(spark, "documents", SF).repartition(8, "doc_id")
+        tok = d.select(F.explode(tok_fn("text")).alias("item"))
+        n = tok.count()
+        # fixture vocabulary is ~31 near-uniform tokens (~3.2% each), so
+        # 0.02 keeps most and 0.03 splits the set; 0.05 would be empty
+        for thr in (0.02, 0.03):
+            got = {
+                (r["item"], r["cnt"])
+                for r in frequent_items(tok, "item", threshold=thr).collect()
+            }
+            want = {
+                (r["item"], r["cnt"])
+                for r in tok.groupBy("item")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .filter(F.col("cnt") * 1.0 >= thr * n)
+                .collect()
+            }
+            assert got == want and got, f"thr={thr}"
+
+    def test_partitioning_independent_and_candidates_bounded(self, spark):
+        """The result must not depend on the partition layout, and the
+        pass-1 candidate set must respect its partitions/threshold
+        bound (the bounded-shuffle claim)."""
+        from icerunner_spark.functions.text import tokens as tok_fn
+        from icerunner_spark.operators.frequent import frequent_items
+
+        d = load_table(spark, "documents", SF)
+        thr = 0.03
+        results = []
+        for parts in (3, 17):
+            tok = d.repartition(parts, "doc_id").select(
+                F.explode(tok_fn("text")).alias("item")
+            )
+            results.append(
+                sorted(
+                    tuple(r)
+                    for r in frequent_items(
+                        tok, "item", threshold=thr
+                    ).collect()
+                )
+            )
+        assert results[0] == results[1] and results[0]
+
+        # candidate bound: reproduce pass 1 and count
+        tok = d.repartition(5, "doc_id").select(
+            F.explode(tok_fn("text")).alias("item")
+        )
+        import pandas as pd
+
+        def local_frequent(batches):
+            from collections import Counter
+
+            counts, n = Counter(), 0
+            for pdf in batches:
+                counts.update(pdf["item"])
+                n += len(pdf)
+            if n:
+                keep = [k for k, c in counts.items() if c >= thr * n]
+                if keep:
+                    yield pd.DataFrame({"item": keep})
+
+        cand = tok.mapInPandas(local_frequent, schema="item string").distinct()
+        n_cand = cand.count()
+        assert n_cand <= 5 / thr, f"{n_cand} candidates exceed partitions/threshold"
+        final = {
+            r["item"]
+            for r in frequent_items(tok, "item", threshold=thr).collect()
+        }
+        cand_set = {r["item"] for r in cand.collect()}
+        assert final <= cand_set, "pass-1 candidates must be a superset"
+
+    def test_rejects_bad_threshold(self, spark):
+        from icerunner_spark.operators.frequent import frequent_items
+
+        d = load_table(spark, "documents", SF).select(
+            F.col("lang").alias("item")
+        )
+        with pytest.raises(ValueError):
+            frequent_items(d, "item", threshold=0.0)
