@@ -113,8 +113,10 @@ HEADLINE = [
     "neardup_prefix_filter",
     "ewma_anomaly_events",
     "iceberg_pruned_import",
-    # r9: exact two-pass heavy hitters (answer-bounded shuffle)
+    # r9: exact two-pass heavy hitters (answer-bounded shuffle),
+    # import-side Iceberg CDC
     "frequent_tokens_documents",
+    "iceberg_changes_import",
 ]
 
 

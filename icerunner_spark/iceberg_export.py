@@ -1533,73 +1533,9 @@ def read_iceberg(
         )
         return spark.createDataFrame([], ddl)
 
-    import pyarrow.parquet as _pq
-
-    # group files by physical top-level column tuple (O(#files) footer
-    # reads driver-side — the same cost every Iceberg reader pays to
-    # plan; at cluster scale this is the planning step, not data IO)
-    # key by (name, type) pairs: a widened column (int -> long) must not
-    # share a scan with files written after the widening
-    groups: dict = {}
-    for rec in data_files:
-        sch = _pq.read_schema(rec["path"])
-        phys = tuple(zip(sch.names, (str(t) for t in sch.types)))
-        groups.setdefault(phys, []).append(rec)
-
-    norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
-    parts = []
-    for phys, recs in groups.items():
-        phys_names = [n for n, _t in phys]
-        phys_by_id = {}
-        for n in phys_names:
-            fid = name_to_id.get(n)
-            if fid is not None:
-                phys_by_id[fid] = n
-        raw = spark.read.parquet(*[r["path"] for r in recs])
-        cols = []
-        inject: dict = {}  # field name -> (ddl, {path: value})
-        for f in schema["fields"]:
-            fid, name = f["id"], f["name"]
-            tgt = _spark_type(f["type"])
-            src = phys_by_id.get(fid) or (
-                name if name in phys_names else None
-            )
-            if src is not None:
-                cols.append(F.col(src).cast(tgt).alias(name))
-                continue
-            # identity-partition value from manifest metadata?
-            vals = {}
-            missing = False
-            for r in recs:
-                pname = identity_by_spec.get(r["spec_id"], {}).get(fid)
-                if pname is None or pname not in r["partition"]:
-                    missing = True
-                    break
-                vals[r["path"]] = r["partition"][pname]
-            if not missing:
-                inject[name] = (tgt, vals)
-                continue
-            cols.append(F.lit(None).cast(tgt).alias(name))
-        df = raw.select(
-            *cols,
-            norm.alias("__ice_file"),
-            F.col("_metadata.row_index").alias("__ice_pos"),
-        )
-        for name, (tgt, vals) in inject.items():
-            rows = [(p, _partition_py_value(tgt, v)) for p, v in vals.items()]
-            vmap = spark.createDataFrame(
-                rows, f"__ice_file_v string, `{name}` {tgt}"
-            )
-            df = df.join(
-                F.broadcast(vmap),
-                df["__ice_file"] == vmap["__ice_file_v"],
-                "left",
-            ).drop("__ice_file_v")
-        order = [f["name"] for f in schema["fields"]]
-        parts.append(df.select(*order, "__ice_file", "__ice_pos"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    out = _scan_data_files(
+        spark, data_files, schema, name_to_id, identity_by_spec
+    )
 
     if delete_files or eq_delete_files:
         # both delete kinds need the data file's sequence number per row
@@ -1724,6 +1660,208 @@ def read_iceberg(
         # where= exact (same contract as IceTable.scan)
         out = out.filter(_predicates_to_column(preds))
     return out
+
+
+def _scan_data_files(
+    spark: SparkSession,
+    data_files: list[dict],
+    schema: dict,
+    name_to_id: dict,
+    identity_by_spec: dict,
+) -> DataFrame:
+    """One Spark scan per distinct physical parquet schema over the
+    given data-file records, resolved to the requested Iceberg schema:
+    renames resolve via name-mapping ids, widened columns cast up,
+    absent identity-partition columns inject from manifest values, and
+    every row carries (__ice_file, __ice_pos) for delete application."""
+    import pyarrow.parquet as _pq
+
+    # group files by physical top-level column tuple (O(#files) footer
+    # reads driver-side — the same cost every Iceberg reader pays to
+    # plan; at cluster scale this is the planning step, not data IO)
+    # key by (name, type) pairs: a widened column (int -> long) must not
+    # share a scan with files written after the widening
+    groups: dict = {}
+    for rec in data_files:
+        sch = _pq.read_schema(rec["path"])
+        phys = tuple(zip(sch.names, (str(t) for t in sch.types)))
+        groups.setdefault(phys, []).append(rec)
+
+    norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    parts = []
+    for phys, recs in groups.items():
+        phys_names = [n for n, _t in phys]
+        phys_by_id = {}
+        for n in phys_names:
+            fid = name_to_id.get(n)
+            if fid is not None:
+                phys_by_id[fid] = n
+        raw = spark.read.parquet(*[r["path"] for r in recs])
+        cols = []
+        inject: dict = {}  # field name -> (ddl, {path: value})
+        for f in schema["fields"]:
+            fid, name = f["id"], f["name"]
+            tgt = _spark_type(f["type"])
+            src = phys_by_id.get(fid) or (
+                name if name in phys_names else None
+            )
+            if src is not None:
+                cols.append(F.col(src).cast(tgt).alias(name))
+                continue
+            # identity-partition value from manifest metadata?
+            vals = {}
+            missing = False
+            for r in recs:
+                pname = identity_by_spec.get(r["spec_id"], {}).get(fid)
+                if pname is None or pname not in r["partition"]:
+                    missing = True
+                    break
+                vals[r["path"]] = r["partition"][pname]
+            if not missing:
+                inject[name] = (tgt, vals)
+                continue
+            cols.append(F.lit(None).cast(tgt).alias(name))
+        df = raw.select(
+            *cols,
+            norm.alias("__ice_file"),
+            F.col("_metadata.row_index").alias("__ice_pos"),
+        )
+        for name, (tgt, vals) in inject.items():
+            rows = [(p, _partition_py_value(tgt, v)) for p, v in vals.items()]
+            vmap = spark.createDataFrame(
+                rows, f"__ice_file_v string, `{name}` {tgt}"
+            )
+            df = df.join(
+                F.broadcast(vmap),
+                df["__ice_file"] == vmap["__ice_file_v"],
+                "left",
+            ).drop("__ice_file_v")
+        order = [f["name"] for f in schema["fields"]]
+        parts.append(df.select(*order, "__ice_file", "__ice_pos"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read_iceberg_changes(
+    spark: SparkSession,
+    location: str,
+    *,
+    start_snapshot_id: int,
+    end_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Incremental append scan of a static Iceberg v2 table: the rows
+    ADDED by snapshots after ``start_snapshot_id`` (exclusive) up to
+    ``end_snapshot_id`` (inclusive; default the current snapshot) —
+    Spark's ``start-snapshot-id``/``end-snapshot-id`` incremental read,
+    re-expressed for foreign tables. This is the import-side CDC that
+    makes a PULL mirror incremental: each sync reads only the delta.
+
+    Semantics match Iceberg's incremental append scan: 'replace'
+    snapshots (compaction — no logical change) are skipped; 'overwrite'
+    or 'delete' snapshots in range raise, because their row-level
+    changes cannot be represented as appends. Planning walks the parent
+    chain, prunes manifests by ``added_snapshot_id`` (only manifests
+    minted by an in-range snapshot are opened), and reads ADDED entries
+    (status=1); the scan itself is O(delta files), not O(table)."""
+    meta = _load_metadata(location)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    end = (
+        end_snapshot_id
+        if end_snapshot_id is not None
+        else meta.get("current-snapshot-id")
+    )
+    if end not in snaps:
+        raise ValueError(f"no such snapshot: {end}")
+    if start_snapshot_id not in snaps:
+        raise ValueError(f"no such snapshot: {start_snapshot_id}")
+    # walk end -> start along parent ids (range is exclusive of start)
+    chain: list[dict] = []
+    cur = end
+    while cur is not None and cur != start_snapshot_id:
+        s = snaps.get(cur)
+        if s is None:
+            raise ValueError(
+                f"snapshot {start_snapshot_id} is not an ancestor of {end}"
+            )
+        chain.append(s)
+        cur = s.get("parent-snapshot-id")
+    if cur is None and start_snapshot_id != end:
+        raise ValueError(
+            f"snapshot {start_snapshot_id} is not an ancestor of {end}"
+        )
+    chain.reverse()
+
+    schema_id = (
+        snaps[end].get("schema-id", meta.get("current-schema-id"))
+    )
+    schema = next(
+        s for s in meta["schemas"] if s.get("schema-id") == schema_id
+    )
+    specs = {sp["spec-id"]: sp for sp in meta.get("partition-specs", [])}
+    mapping = json.loads(
+        meta.get("properties", {}).get("schema.name-mapping.default", "[]")
+    )
+    name_to_id = {
+        n: e["field-id"] for e in mapping for n in e.get("names", [])
+    }
+    identity_by_spec = {
+        spid: {
+            f["source-id"]: f["name"]
+            for f in sp.get("fields", [])
+            if f["transform"] == "identity"
+        }
+        for spid, sp in specs.items()
+    }
+
+    data_files: list[dict] = []
+    for s in chain:
+        op = (s.get("summary") or {}).get("operation", "append")
+        if op == "replace":
+            continue  # compaction: no logical change
+        if op not in ("append",):
+            raise ValueError(
+                f"cannot read snapshot {s['snapshot-id']} incrementally: "
+                f"operation {op!r} is not an append"
+            )
+        sid = s["snapshot-id"]
+        _, _, manifests = iceavro.read_ocf(_strip_uri(s["manifest-list"]))
+        for m in manifests:
+            if m.get("added_snapshot_id") != sid or m.get("content", 0) != 0:
+                continue
+            _, _, entries = iceavro.read_ocf(
+                _strip_uri(m["manifest_path"])
+            )
+            for e in entries:
+                if e.get("status") != 1:  # ADDED in this snapshot only
+                    continue
+                # foreign writers merge manifests: a merged manifest's
+                # added_snapshot_id is the merging commit, but entries
+                # keep their minting snapshot_id — honor it when present
+                esid = e.get("snapshot_id")
+                if esid is not None and esid != sid:
+                    continue
+                df_rec = e["data_file"]
+                if df_rec.get("content", 0) != 0:
+                    continue
+                data_files.append(
+                    {
+                        "path": _strip_uri(df_rec["file_path"]),
+                        "partition": df_rec.get("partition") or {},
+                        "spec_id": m["partition_spec_id"],
+                    }
+                )
+    if not data_files:
+        ddl = ", ".join(
+            f"`{f['name']}` {_spark_type(f['type'])}"
+            for f in schema["fields"]
+        )
+        return spark.createDataFrame([], ddl)
+    out = _scan_data_files(
+        spark, data_files, schema, name_to_id, identity_by_spec
+    )
+    return out.drop("__ice_file", "__ice_pos")
 
 
 def _decode_single_value(ice_type, raw):

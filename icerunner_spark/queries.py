@@ -73,8 +73,9 @@ def register(name: str, oracle: str | None = None):
 # r9-prep), then mid-r9 pagerank_order_graph, ridge_quality_fit,
 # stream_dedup_watermark, tfidf_top_terms, ewma_anomaly_events,
 # neardup_prefix_filter, iceberg_pruned_import,
-# frequent_tokens_documents — are never-driver-checked and must lead
-# the r10 rotation, followed by the r6-stale cohort.
+# frequent_tokens_documents, iceberg_changes_import — are
+# never-driver-checked and must lead the r10 rotation, followed by the
+# r6-stale cohort.
 # The policy is now EXECUTABLE: `python tools/window_policy.py` audits
 # this list against the CORRECTNESS artifacts (CI: tests/test_tools.py)
 # and `--propose` prints the next round's list to paste here.
@@ -8126,6 +8127,59 @@ def ewma_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / den, 6).alias("ewma"),
         zdev.alias("zdev"),
         F.coalesce(zdev > F.lit(3.0), F.lit(False)).alias("is_spike"),
+    )
+
+
+@register(
+    "iceberg_changes_import",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(CAST(o_totalprice AS DOUBLE), 2) AS totalprice
+    FROM orders
+    WHERE o_orderkey >= 10000 AND o_orderkey < 20000
+    """,
+)
+def iceberg_changes_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import-side CDC (read_iceberg_changes — Iceberg's incremental
+    append scan, Spark's start/end-snapshot-id options, re-expressed
+    for foreign static tables): export, append, re-export, then read
+    ONLY the delta between the two exported snapshots. This is what
+    makes a pull mirror of a foreign Iceberg table incremental — each
+    sync plans O(delta files) by pruning manifests on added_snapshot_id
+    and entries on ADDED status, never rescanning the table. The oracle
+    recomputes the appended slice from the raw fixture."""
+    from icerunner_spark.iceberg_export import (
+        _load_metadata,
+        export_iceberg,
+        read_iceberg_changes,
+    )
+    from icerunner_spark.table import IceTable
+
+    wh = _demo_warehouse("icerunner_iceberg_changes_demo", sf_dir)
+    t = IceTable(spark, os.path.join(wh, "orders_src"))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    t.create(o.filter(F.col("o_orderkey") < 10000).coalesce(1))
+    dest = os.path.join(wh, "orders_ice")
+    export_iceberg(t, dest)
+    t.append(
+        o.filter(
+            (F.col("o_orderkey") >= 10000) & (F.col("o_orderkey") < 20000)
+        ).coalesce(1)
+    )
+    export_iceberg(t, dest)
+    meta = _load_metadata(dest)
+    first = min(
+        meta["snapshots"], key=lambda s: s.get("sequence-number", 0)
+    )["snapshot-id"]
+    out = read_iceberg_changes(spark, dest, start_snapshot_id=first)
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
     )
 
 

@@ -1697,3 +1697,107 @@ class TestExpireThenReexport:
         spec.loader.exec_module(mod)
         rep = mod.validate(dest).as_dict()
         assert rep["ok"], rep["errors"]
+
+
+# --------------------------------------------------------------------------- #
+# incremental append scan (read_iceberg_changes)
+# --------------------------------------------------------------------------- #
+
+
+class TestReadIcebergChanges:
+    def _snap_ids(self, dest):
+        from icerunner_spark.iceberg_export import _load_metadata
+
+        meta = _load_metadata(dest)
+        ordered = sorted(
+            meta["snapshots"], key=lambda s: s.get("sequence-number", 0)
+        )
+        return [s["snapshot-id"] for s in ordered]
+
+    def test_delta_between_snapshots(self, spark, tmp_path):
+        from icerunner_spark.iceberg_export import read_iceberg_changes
+
+        t = IceTable(spark, str(tmp_path / "src"))
+        df = spark.range(0, 90).select(F.col("id").alias("k"))
+        t.create(df.filter("k < 30").coalesce(1))
+        t.append(df.filter("k >= 30 and k < 60").coalesce(1))
+        t.append(df.filter("k >= 60").coalesce(1))
+        dest = str(tmp_path / "exp")
+        export_iceberg(t, dest)
+        s1, s2, s3 = self._snap_ids(dest)
+
+        got = _rows(
+            read_iceberg_changes(spark, dest, start_snapshot_id=s1)
+        )
+        assert got == {(i,) for i in range(30, 90)}
+        mid = _rows(
+            read_iceberg_changes(
+                spark, dest, start_snapshot_id=s1, end_snapshot_id=s2
+            )
+        )
+        assert mid == {(i,) for i in range(30, 60)}
+        none = _rows(
+            read_iceberg_changes(
+                spark, dest, start_snapshot_id=s3, end_snapshot_id=s3
+            )
+        )
+        assert none == set()
+
+    def test_replace_skipped_and_delete_raises(self, spark, tmp_path):
+        from icerunner_spark.iceberg_export import read_iceberg_changes
+
+        t = IceTable(spark, str(tmp_path / "src"))
+        df = spark.range(0, 60).select(F.col("id").alias("k"))
+        t.create(df.filter("k < 20").coalesce(1))
+        t.append(df.filter("k >= 20 and k < 40").coalesce(1))
+        t.compact()  # 'replace': rewrites files, no logical change
+        t.append(df.filter("k >= 40").coalesce(1))
+        dest = str(tmp_path / "exp")
+        export_iceberg(t, dest)
+        ids = self._snap_ids(dest)
+
+        # from the first snapshot: the compaction must contribute
+        # NOTHING (its rewritten files would duplicate rows 0-39)
+        got = _rows(
+            read_iceberg_changes(spark, dest, start_snapshot_id=ids[0])
+        )
+        assert got == {(i,) for i in range(20, 60)}
+
+        t.delete_where("k % 7 = 0")
+        export_iceberg(t, dest)
+        ids2 = self._snap_ids(dest)
+        with pytest.raises(ValueError, match="not an append"):
+            read_iceberg_changes(
+                spark, dest, start_snapshot_id=ids2[0]
+            ).collect()
+
+    def test_non_ancestor_raises(self, spark, tmp_path):
+        from icerunner_spark.iceberg_export import read_iceberg_changes
+
+        t = IceTable(spark, str(tmp_path / "src"))
+        t.create(spark.range(0, 10).select(F.col("id").alias("k")))
+        dest = str(tmp_path / "exp")
+        export_iceberg(t, dest)
+        (s1,) = self._snap_ids(dest)
+        with pytest.raises(ValueError, match="no such snapshot"):
+            read_iceberg_changes(spark, dest, start_snapshot_id=s1 + 1)
+
+    def test_partitioned_delta_carries_partition_column(self, spark, tmp_path):
+        """Appended files in a hive-partitioned table drop the partition
+        column from the parquet — the delta must inject it from manifest
+        partition values, same as the full read."""
+        from icerunner_spark.iceberg_export import read_iceberg_changes
+
+        t = IceTable(spark, str(tmp_path / "src"))
+        df = spark.range(0, 40).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("g")
+        )
+        t.create(df.filter("k < 20").coalesce(1), partition_by=["g"])
+        t.append(df.filter("k >= 20").coalesce(1))
+        dest = str(tmp_path / "exp")
+        export_iceberg(t, dest)
+        s1, _s2 = self._snap_ids(dest)
+        got = _rows(
+            read_iceberg_changes(spark, dest, start_snapshot_id=s1)
+        )
+        assert got == {(i, i % 2) for i in range(20, 40)}
