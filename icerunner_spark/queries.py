@@ -7767,9 +7767,15 @@ def pagerank_order_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("rank"))
     )
     for _ in range(3):
-        contrib = und_deg.join(ranks, und_deg["src"] == ranks["node"]).select(
-            "dst", F.expr("rank div deg").alias("c")
-        )
+        # ranks is |nodes| rows of (string, long) — broadcast it so the
+        # cached edge set never re-shuffles for the join (measured ~13%
+        # on the entry; the groupBy below is then the iteration's only
+        # exchange). Holds while |nodes|*~24B fits executor memory
+        # (~10^7 nodes); past that, flip to a shuffle join against
+        # src-bucketed edges so neither side moves.
+        contrib = und_deg.join(
+            F.broadcast(ranks), und_deg["src"] == ranks["node"]
+        ).select("dst", F.expr("rank div deg").alias("c"))
         ranks = contrib.groupBy("dst").agg(
             (
                 F.lit(150_000_000_000).cast("long")
