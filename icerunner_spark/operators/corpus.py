@@ -279,6 +279,74 @@ def stratified_sample(
     return df.where(bucket < threshold)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    key_col: str,
+    *,
+    total_budget: int,
+    alpha: float = 0.5,
+    max_sources: int = 10_000,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled source mixing: each source's share of a total
+    token budget is proportional to ``mass_i ** alpha`` (alpha=1 keeps
+    the natural distribution; alpha -> 0 flattens toward uniform — the
+    multilingual-sampling rule from the mT5/XLM-R line of work), and
+    documents fill each source's budget in deterministic md5 order.
+
+    Cross-engine exactness: the only floating-point step is
+    ``round(sqrt-like pow * 1e6)`` per source — everything after is
+    64-bit integer arithmetic (``budget_i = total * m_i // S`` with
+    ``m_i = round(mass_i**alpha * 1e6)`` and ``S = sum m_i``), so the
+    selected set is bit-identical on any engine and any partitioning.
+
+    Scale shape: one map-side-combinable agg over ``source_col`` (the
+    per-source token masses — at most ``max_sources`` rows, enforced),
+    budgets joined back via broadcast, then ONE window per source
+    (running token total in md5 order) and a filter. The corpus
+    shuffles once, on the source key; document text never needs to be
+    in ``df`` at all. Returns the kept rows plus ``cum_tokens`` and
+    ``budget`` columns."""
+    masses = (
+        df.groupBy(source_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("__mass"))
+        .withColumn(
+            "__m",
+            F.round(F.pow(F.col("__mass").cast("double"), F.lit(alpha)) * 1e6)
+            .cast("long"),
+        )
+    )
+    # bounded driver transfer: at most max_sources tiny rows (the same
+    # documented-bound pattern as the k-means centroid collect)
+    rows = masses.limit(max_sources + 1).collect()
+    if len(rows) > max_sources:
+        raise ValueError(
+            f"temperature_mixture: more than {max_sources} sources; "
+            "raise max_sources if the cardinality is intentional"
+        )
+    s_total = sum(r["__m"] for r in rows)
+    budgets = [
+        (r[source_col], int(total_budget * r["__m"] // s_total)) for r in rows
+    ]
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(budgets, [source_col, "budget"])
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy(source_col).orderBy(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), key_col
+    )
+    out = (
+        df.join(F.broadcast(bdf), source_col)
+        .withColumn(
+            "cum_tokens", F.sum(F.col(token_col).cast("long")).over(w)
+        )
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+    )
+    return out
+
+
 def leakage_safe_split(
     df: DataFrame,
     id_col: str,

@@ -8224,6 +8224,58 @@ def frequent_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_items(tok, "item", threshold=0.02)
 
 
+@register(
+    "temperature_sampled_mixture",
+    # every step after round(pow(mass, 0.5) * 1e6) is 64-bit integer
+    # arithmetic, so the oracle replays the budget math exactly
+    oracle=f"""
+    WITH base AS (
+        SELECT lang, doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    masses AS (
+        SELECT lang, CAST(ROUND(POW(SUM(n_tok) * 1.0, 0.5) * 1e6) AS BIGINT) AS m
+        FROM base GROUP BY lang
+    ),
+    budgets AS (
+        SELECT lang, CAST(20000 * m // (SELECT SUM(m) FROM masses) AS BIGINT) AS budget
+        FROM masses
+    ),
+    ranked AS (
+        SELECT b.lang, b.doc_id, b.n_tok, g.budget,
+               CAST(SUM(b.n_tok) OVER (
+                   PARTITION BY b.lang
+                   ORDER BY md5(CAST(b.doc_id AS VARCHAR) || 'temp'), b.doc_id
+               ) AS BIGINT) AS cum_tokens
+        FROM base b JOIN budgets g USING (lang)
+    )
+    SELECT lang, doc_id, n_tok, budget, cum_tokens
+    FROM ranked WHERE cum_tokens <= budget
+    """,
+)
+def temperature_sampled_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (operators.corpus.
+    temperature_mixture): each language's share of a 20k-token budget is
+    proportional to sqrt(its token mass) — alpha=0.5 upweights the tail
+    languages the way multilingual-LM samplers do — and documents fill
+    each share in deterministic md5 order. The budget arithmetic is
+    integer-exact after one rounded pow() per source, so the selected
+    set is bit-identical across engines and partitionings. One agg over
+    at most max_sources keys, a broadcast of the tiny budget frame, one
+    window per source; the corpus shuffles once."""
+    from icerunner_spark.functions.text import token_count
+    from icerunner_spark.operators.corpus import temperature_mixture
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", token_count("text").cast("long").alias("n_tok")
+    )
+    out = temperature_mixture(
+        d, "lang", "n_tok", "doc_id", total_budget=20000, alpha=0.5
+    )
+    return out.select("lang", "doc_id", "n_tok", "budget", "cum_tokens")
+
+
 # --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #

@@ -591,3 +591,74 @@ def test_pipeline_to_split_no_cluster_straddles(spark):
     assert len(set(cluster_by_id.values())) < 90
     # and at this size the split uses more than one bucket
     assert len(set(split_by_id.values())) >= 2
+
+
+# --------------------------------------------------------------------------- #
+# temperature-scaled mixture
+# --------------------------------------------------------------------------- #
+
+
+def test_temperature_mixture_budgets_and_determinism(spark):
+    from icerunner_spark.operators.corpus import temperature_mixture
+
+    d = load_table(spark, "documents", SF_MEDIUM).select(
+        "lang", "doc_id", (F.length("text") / 5).cast("long").alias("n_tok")
+    )
+    out = temperature_mixture(
+        d, "lang", "n_tok", "doc_id", total_budget=5000, alpha=0.5
+    )
+    rows = out.collect()
+    # budget enforcement is exact: per-source cum_tokens never exceeds
+    # the source's integer budget
+    for r in rows:
+        assert r["cum_tokens"] <= r["budget"]
+    # budgets sum to <= total (floor division can only under-fill)
+    budgets = {r["lang"]: r["budget"] for r in rows}
+    assert sum(budgets.values()) <= 5000
+    # partitioning independence: the selected set is a pure function of
+    # the data, not the layout
+    rows2 = temperature_mixture(
+        d.repartition(13, "doc_id"),
+        "lang",
+        "n_tok",
+        "doc_id",
+        total_budget=5000,
+        alpha=0.5,
+    ).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in rows2
+    )
+
+
+def test_temperature_mixture_alpha_flattens(spark):
+    """alpha=0 gives every source the same budget; alpha=1 keeps the
+    natural mass proportions (up to floor)."""
+    from icerunner_spark.operators.corpus import temperature_mixture
+
+    d = spark.createDataFrame(
+        [("big", i, 100) for i in range(90)]
+        + [("small", 1000 + i, 100) for i in range(10)],
+        ["src", "id", "n_tok"],
+    )
+    flat = temperature_mixture(
+        d, "src", "n_tok", "id", total_budget=2000, alpha=0.0
+    )
+    b = {r["src"]: r["budget"] for r in flat.collect()}
+    assert b["big"] == b["small"] == 1000
+    nat = temperature_mixture(
+        d, "src", "n_tok", "id", total_budget=2000, alpha=1.0
+    )
+    b = {r["src"]: r["budget"] for r in nat.collect()}
+    assert b["big"] == 1800 and b["small"] == 200
+
+
+def test_temperature_mixture_source_cap(spark):
+    from icerunner_spark.operators.corpus import temperature_mixture
+
+    d = spark.createDataFrame(
+        [(f"s{i}", i, 10) for i in range(20)], ["src", "id", "n_tok"]
+    )
+    with pytest.raises(ValueError, match="more than 5 sources"):
+        temperature_mixture(
+            d, "src", "n_tok", "id", total_budget=100, max_sources=5
+        )
