@@ -8276,6 +8276,118 @@ def temperature_sampled_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "doc_id", "n_tok", "budget", "cum_tokens")
 
 
+@register(
+    "url_canonical_dedup",
+    # the oracle replays the canonicalization RULES (regex + list ops),
+    # not the Spark code — an independent second implementation of the
+    # same published contract (functions/url.py module doc)
+    oracle="""
+    WITH raw AS (
+        SELECT o_orderkey AS k,
+               CASE o_orderkey % 5
+                 WHEN 0 THEN 'HTTP://Example.COM:80/products/' || (o_orderkey // 7) || '?utm_source=news&b=2&a=1#frag'
+                 WHEN 1 THEN 'http://example.com/products/' || (o_orderkey // 7) || '?b=2&a=1'
+                 WHEN 2 THEN 'https://WWW.Shop.example.ORG:443/item/' || (o_orderkey // 3) || '/'
+                 WHEN 3 THEN 'https://shop.example.org/item/' || (o_orderkey // 3)
+                 ELSE 'http://blog.example.net/post?gclid=x&id=' || (o_orderkey // 11)
+               END AS url
+        FROM orders
+    ),
+    parts AS (
+        SELECT k,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_replace(regexp_replace(url, '#.*$', ''),
+                              '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        FROM raw
+    ),
+    fields AS (
+        SELECT k, scheme,
+               regexp_replace(lower(regexp_extract(regexp_extract(rest, '^([^/?]*)', 1), '^([^:]*)', 1)), '^www\\.', '') AS host,
+               regexp_extract(regexp_extract(rest, '^([^/?]*)', 1), ':(\\d+)$', 1) AS port,
+               regexp_extract(regexp_replace(rest, '^[^/?]*', ''), '^([^?]*)', 1) AS path0,
+               regexp_extract(regexp_replace(rest, '^[^/?]*', ''), '\\?(.*)$', 1) AS query
+        FROM parts
+    ),
+    canon AS (
+        SELECT k,
+               scheme || '://' || host ||
+               CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443')
+                    THEN '' ELSE ':' || port END ||
+               CASE WHEN path0 = '' THEN '/'
+                    ELSE regexp_replace(path0, '(.)/$', '\\1') END ||
+               CASE WHEN len(list_filter(string_split(query, '&'),
+                        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))) > 0
+                    THEN '?' || array_to_string(list_sort(list_filter(string_split(query, '&'),
+                        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))), '&')
+                    ELSE '' END AS canonical_url
+        FROM fields
+    )
+    SELECT canonical_url, COUNT(*) AS n_dups, MIN(k) AS first_key
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup, the first stage of every web-corpus pipeline
+    (functions.url.canonicalize_url): five deterministic URL spellings
+    are synthesized per order key (case noise, default ports, tracking
+    params, unsorted query strings, trailing slashes, fragments — the
+    multimodal queries' synthesize-then-process pattern), canonicalized
+    by a single whole-stage-codegen expression tree (regex + sorted
+    query params; zero Python, zero extra shuffle), and deduped by one
+    hash aggregation on the canonical form. At 100 TB this is scan
+    speed + one agg whose key is the canonical URL — the cheapest dedup
+    signal there is."""
+    from icerunner_spark.functions.url import canonicalize_url
+
+    k = F.col("o_orderkey")
+    url = (
+        F.when(
+            k % 5 == 0,
+            F.concat(
+                F.lit("HTTP://Example.COM:80/products/"),
+                F.expr("o_orderkey div 7"),
+                F.lit("?utm_source=news&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            k % 5 == 1,
+            F.concat(
+                F.lit("http://example.com/products/"),
+                F.expr("o_orderkey div 7"),
+                F.lit("?b=2&a=1"),
+            ),
+        )
+        .when(
+            k % 5 == 2,
+            F.concat(
+                F.lit("https://WWW.Shop.example.ORG:443/item/"),
+                F.expr("o_orderkey div 3"),
+                F.lit("/"),
+            ),
+        )
+        .when(
+            k % 5 == 3,
+            F.concat(
+                F.lit("https://shop.example.org/item/"),
+                F.expr("o_orderkey div 3"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://blog.example.net/post?gclid=x&id="),
+                F.expr("o_orderkey div 11"),
+            )
+        )
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        k.alias("k"), canonicalize_url(url).alias("canonical_url")
+    )
+    return o.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min("k").alias("first_key")
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #

@@ -1432,3 +1432,53 @@ class TestFrequentItems:
         )
         with pytest.raises(ValueError):
             frequent_items(d, "item", threshold=0.0)
+
+
+# --------------------------------------------------------------------------- #
+# URL canonicalization (functions/url.py)
+# --------------------------------------------------------------------------- #
+
+
+def test_canonicalize_url_rules(spark):
+    from icerunner_spark.functions.url import canonicalize_url
+
+    cases = [
+        # (input, expected canonical)
+        ("HTTP://Example.COM:80/a/b?utm_source=x&z=1&a=2#f",
+         "http://example.com/a/b?a=2&z=1"),
+        ("https://WWW.Site.ORG:443/x/", "https://site.org/x"),
+        ("https://site.org:8443/x", "https://site.org:8443/x"),
+        ("http://host.net", "http://host.net/"),
+        ("http://host.net/?fbclid=abc", "http://host.net/"),
+        ("http://host.net/p?gclid=1&ref=t&id=9", "http://host.net/p?id=9"),
+        ("http://host.net/deep/path/", "http://host.net/deep/path"),
+        ("https://a.b/", "https://a.b/"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"]
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url("url").alias("c")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: got {got[i]!r}, want {want!r}"
+
+
+def test_canonicalize_url_is_idempotent(spark):
+    from icerunner_spark.functions.url import canonicalize_url
+
+    urls = [
+        "HTTP://A.com:80/x?b=2&a=1#z",
+        "https://www.b.org/y/",
+        "http://c.net/p?utm_medium=m&q=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(canonicalize_url("url").alias("c"))
+    twice = once.select(canonicalize_url("c").alias("c"))
+    assert [r["c"] for r in once.collect()] == [
+        r["c"] for r in twice.collect()
+    ]
