@@ -556,14 +556,37 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_distance.
 
+    Thin wrapper: text -> :func:`simhash_signatures` -> the generic
+    banded join :func:`hamming_neardup_pairs` (shared with the
+    perceptual-image-hash dedup in ``operators.multimodal``). Short
+    fixture documents move ~4-6 bits per small edit, hence the default
+    distance 6."""
+    return hamming_neardup_pairs(
+        simhash_signatures(df, id_col, text_col),
+        max_distance=max_distance,
+        chunk_bits=chunk_bits,
+        max_bucket=max_bucket,
+    )
+
+
+def hamming_neardup_pairs(
+    sigs: DataFrame,
+    *,
+    max_distance: int = 6,
+    chunk_bits: int | None = None,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-dup pairs over any (``id``, ``sig``) 64-bit signature frame
+    (simhash, image dHash, audio fingerprints): hamming(sig) <=
+    max_distance, without an all-pairs join.
+
     Candidates via the pigeonhole principle: split the 64-bit signature
     into 64/chunk_bits chunks; distance <= n_chunks-1 implies at least
     one chunk is identical, so only same-chunk-value pairs are compared.
     ``chunk_bits`` defaults by radius: 16-bit chunks (4 chunks, 65536
     bucket values per chunk) when max_distance <= 3, else 8-bit chunks
     (8 chunks, 256 values — needed for the looser distance <= 7
-    guarantee; short fixture documents move ~4-6 bits per small edit,
-    hence the default 6).
+    guarantee).
 
     Buckets are built by groupBy(chunk, value) + capped pair expansion —
     same skew guard as MinHash LSH: with only 2^chunk_bits values per
@@ -583,7 +606,6 @@ def simhash_neardup_pairs(
             f"distance <= {n_chunks - 1}"
         )
     mask = F.lit((1 << chunk_bits) - 1)
-    sigs = simhash_signatures(df, id_col, text_col)
     chunks = sigs.select(
         F.struct("id", "sig").alias("doc"),
         F.posexplode(

@@ -8388,6 +8388,103 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "image_dhash_neardup",
+    # seeded gradient blobs (the multimodal_decode_stats generator:
+    # pixel v = (doc_id*7+3y+x)%256, 25x16, BMP/PPM/PGM by doc_id%3) are
+    # REALLY encoded and decoded; the oracle replays the dHash contract
+    # bit-for-bit from the generator arithmetic — resample grid
+    # ys=(y*16)//8, xs=(x*25)//9, bit = luma(y,x+1) > luma(y,x), then
+    # pairwise hamming over the 64 bit positions
+    oracle="""
+    WITH grid AS (
+        SELECT d.doc_id, y.y, x.x,
+               (d.doc_id * 7 + 3 * ((y.y * 16) // 8)
+                + ((x.x * 25) // 9)) % 256 AS v
+        FROM documents d, range(0, 8) AS y(y), range(0, 9) AS x(x)
+        WHERE d.doc_id < 60
+    ),
+    lum AS (
+        SELECT doc_id, y, x,
+               CASE WHEN doc_id % 3 = 1
+                    THEN (299 * v + 587 * ((v + 40) % 256)
+                          + 114 * ((v + 80) % 256)) // 1000
+                    ELSE v END AS luma
+        FROM grid
+    ),
+    bits AS (
+        SELECT a.doc_id, a.y, a.x,
+               CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+        FROM lum a JOIN lum b
+          ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        WHERE a.x < 8
+    ),
+    dist AS (
+        SELECT p.doc_id AS id1, q.doc_id AS id2,
+               SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS d
+        FROM bits p JOIN bits q
+          ON p.y = q.y AND p.x = q.x AND p.doc_id < q.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2, CAST(d AS INT) AS distance
+    FROM dist WHERE d <= 7
+    """,
+)
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup end-to-end: encode 60 seeded gradient
+    images (BMP / binary PPM / PGM — real bytes), dHash them
+    (operators.multimodal.dhash_images: decode -> 9x8 nearest-neighbor
+    luma grid -> 64 difference bits, one narrow mapInPandas stage), then
+    pair near-duplicates with the banded pigeonhole join shared with
+    simhash text dedup (operators.dedup.hamming_neardup_pairs, 8x8-bit
+    chunks, never all-pairs). Only 16-byte (id, sig) rows ever shuffle —
+    image bytes stay in the scan stage, which is what makes this the
+    image-dedup plan that survives 100 TB of blobs."""
+    from icerunner_spark.operators.dedup import hamming_neardup_pairs
+    from icerunner_spark.operators.multimodal import as_assets, dhash_images
+
+    def encode_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from icerunner_spark.operators.codecs import (
+            encode_gray_bmp,
+            encode_pgm,
+            encode_ppm,
+        )
+
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                y, x = np.mgrid[0:16, 0:25]
+                v = ((d * 7 + 3 * y + x) % 256).astype(np.uint8)
+                if d % 3 == 0:
+                    blobs.append(encode_gray_bmp(v))
+                elif d % 3 == 1:
+                    rgb = np.stack(
+                        [v, (v.astype(np.int64) + 40) % 256,
+                         (v.astype(np.int64) + 80) % 256],
+                        axis=2,
+                    ).astype(np.uint8)
+                    blobs.append(encode_ppm(rgb))
+                else:
+                    blobs.append(encode_pgm(v))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 60
+    )
+    blobs = d.mapInPandas(encode_batches, schema="doc_id long, blob binary")
+    assets = as_assets(blobs, "doc_id", "blob", kind="image",
+                       content_type="image/x-seeded")
+    sigs = dhash_images(assets)
+    pairs = hamming_neardup_pairs(sigs, max_distance=7, chunk_bits=8)
+    return pairs.select(
+        "id1", "id2", F.col("distance").cast("int").alias("distance")
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #

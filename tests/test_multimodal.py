@@ -1110,3 +1110,69 @@ def test_codec_jpeg_progressive_color_interleaved_dc():
     w, h, luma = decode_jpeg(bytes(out))
     assert (w, h) == (16, 16)
     assert np.abs(luma.astype(int) - g.astype(int)).max() <= 3
+
+
+# --------------------------------------------------------------------------- #
+# perceptual dHash (operators.multimodal.dhash_images)
+# --------------------------------------------------------------------------- #
+
+
+def test_dhash_matches_reference_bits(spark):
+    """The packed 64-bit signature equals the bit-by-bit reference
+    computed here from the decoded luma (independent packing order
+    check: bit y*8+x, signed-long wrap)."""
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import encode_gray_bmp
+    from icerunner_spark.operators.multimodal import as_assets, dhash_images
+
+    rng = np.random.default_rng(7)
+    imgs = {i: rng.integers(0, 256, (16, 25), dtype=np.uint8).astype(np.uint8)
+            for i in range(6)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_gray_bmp(a))) for i, a in imgs.items()],
+        "doc_id long, blob binary",
+    )
+    assets = as_assets(df, "doc_id", "blob", kind="image")
+    got = {r["id"]: r["sig"] for r in dhash_images(assets).collect()}
+    for i, a in imgs.items():
+        ys = (np.arange(8) * 16) // 8
+        xs = (np.arange(9) * 25) // 9
+        g = a[ys][:, xs].astype(int)
+        want = 0
+        for y in range(8):
+            for x in range(8):
+                if g[y, x + 1] > g[y, x]:
+                    want |= 1 << (y * 8 + x)
+        if want >= 1 << 63:
+            want -= 1 << 64
+        assert got[i] == want
+
+
+def test_dhash_near_and_far(spark):
+    """A lightly-perturbed copy stays within a few bits; an unrelated
+    image does not — and the banded pair join finds exactly the close
+    pair."""
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import encode_gray_bmp
+    from icerunner_spark.operators.dedup import hamming_neardup_pairs
+    from icerunner_spark.operators.multimodal import as_assets, dhash_images
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (32, 32), dtype=np.uint8).astype(np.uint8)
+    near = base.copy()
+    near[:2, :2] = 255 - near[:2, :2]  # local edit
+    far = rng.permutation(base.ravel()).reshape(32, 32).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_gray_bmp(base))),
+         (1, bytearray(encode_gray_bmp(near))),
+         (2, bytearray(encode_gray_bmp(far)))],
+        "doc_id long, blob binary",
+    )
+    sigs = dhash_images(as_assets(df, "doc_id", "blob", kind="image"))
+    pairs = {(r["id1"], r["id2"]): r["distance"]
+             for r in hamming_neardup_pairs(
+                 sigs, max_distance=7, chunk_bits=8).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 7
+    assert (0, 2) not in pairs and (1, 2) not in pairs
