@@ -506,6 +506,56 @@ def decode_audio(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, schema=_AUDIO_SCHEMA)
 
 
+def audio_fingerprints(assets: DataFrame, *, frame: int = 64) -> DataFrame:
+    """64-bit audio fingerprint per PCM asset: the sign pattern of
+    frame-to-frame energy deltas (the Haitsma-Kalker band-energy scheme
+    collapsed to one band — robust to gain changes, cheap enough for a
+    first-pass dedup of an audio corpus before any spectral work).
+
+    Channel 0 of the first ``65 * frame`` samples (zero-padded when
+    shorter) is split into 65 frames; bit ``f`` is set iff
+    ``energy(f+1) > energy(f)``. 16-bit PCM energies are exact in
+    float64 (each term is an integer scaled by 2^-30 and the frame sum
+    stays far under 2^53), so the signature is integer-replayable on
+    any engine. Pair near-duplicates with
+    ``operators.dedup.hamming_neardup_pairs`` — blobs never shuffle,
+    only (id, sig) rows. Returns (``id``, ``sig``)."""
+    n_frames = 65
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from icerunner_spark.operators.codecs import decode_wav, sniff_format
+
+        weights = 1 << np.arange(n_frames - 1, dtype=np.uint64)
+
+        for pdf in it:
+            rows = []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(blob) if blob is not None else b""
+                if sniff_format(b) != "wav":
+                    raise NotImplementedError(
+                        "fingerprinting this audio blob needs a codec "
+                        "library: only RIFF/WAVE PCM decodes without one"
+                    )
+                _, _, _, samples = decode_wav(b)
+                ch0 = samples[:, 0] if samples.ndim == 2 else samples
+                need = n_frames * frame
+                buf = np.zeros(need, dtype=np.float64)
+                buf[: min(len(ch0), need)] = ch0[:need]
+                e = (buf.reshape(n_frames, frame) ** 2).sum(axis=1)
+                bits = (e[1:] > e[:-1]).astype(np.uint64)
+                v = int((bits * weights).sum())
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                rows.append((int(aid), v))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _DHASH_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(batches, schema=_DHASH_SCHEMA)
+
+
 # --------------------------------------------------------------------------- #
 # video decode (REAL for MJPEG-in-AVI — operators.codecs.decode_avi)
 # --------------------------------------------------------------------------- #

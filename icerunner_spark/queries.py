@@ -8485,6 +8485,89 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "audio_fingerprint_neardup",
+    # seeded int16 PCM: sample s(d,t) = (((d%30)*131 + t*(t+7)) % 4096)
+    # - 2048, plus a +977 tail perturbation (t >= 3840) for d >= 30 —
+    # so docs d and d+30 share 60 of 65 frames and land within hamming
+    # 5. Frame energies are integers, so the oracle replays the
+    # fingerprint contract exactly: bit f = energy(f+1) > energy(f)
+    # over 64-sample frames, pairwise hamming <= 7.
+    oracle="""
+    WITH samp AS (
+        SELECT d.doc_id, t.t,
+               (((d.doc_id % 30) * 131 + t.t * (t.t + 7)) % 4096) - 2048
+               + CASE WHEN d.doc_id >= 30 AND t.t >= 3840
+                      THEN 977 ELSE 0 END AS s
+        FROM documents d, range(0, 4160) AS t(t)
+        WHERE d.doc_id < 60
+    ),
+    en AS (
+        SELECT doc_id, t // 64 AS f, SUM(s * s) AS e
+        FROM samp GROUP BY 1, 2
+    ),
+    bits AS (
+        SELECT a.doc_id, a.f AS p,
+               CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+        FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        WHERE a.f < 64
+    ),
+    dist AS (
+        SELECT p.doc_id AS id1, q.doc_id AS id2,
+               SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS d
+        FROM bits p JOIN bits q
+          ON p.p = q.p AND p.doc_id < q.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2, CAST(d AS INT) AS distance
+    FROM dist WHERE d <= 7
+    """,
+)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup end-to-end: encode 60 seeded int16 PCM clips as real
+    RIFF/WAVE blobs (30 base signals; clips 30..59 repeat a base with a
+    perturbed tail — the re-encoded/re-trimmed duplicate case), derive
+    64-bit energy-delta fingerprints (operators.multimodal.
+    audio_fingerprints: real WAV decode + frame energies, one narrow
+    mapInPandas), and pair near-duplicates with the banded hamming join
+    shared with simhash/dHash (never all-pairs). Only 16-byte (id, sig)
+    rows shuffle; audio bytes stay in the scan stage."""
+    from icerunner_spark.operators.dedup import hamming_neardup_pairs
+    from icerunner_spark.operators.multimodal import (
+        as_assets,
+        audio_fingerprints,
+    )
+
+    def encode_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from icerunner_spark.operators.codecs import encode_wav
+
+        t = np.arange(4160, dtype=np.int64)
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                s = (((d % 30) * 131 + t * (t + 7)) % 4096) - 2048
+                if d >= 30:
+                    s = s + np.where(t >= 3840, 977, 0)
+                blobs.append(encode_wav(s.astype(np.int16), 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 60
+    )
+    blobs = d.mapInPandas(encode_batches, schema="doc_id long, blob binary")
+    assets = as_assets(blobs, "doc_id", "blob", kind="audio",
+                       content_type="audio/wav")
+    sigs = audio_fingerprints(assets)
+    pairs = hamming_neardup_pairs(sigs, max_distance=7, chunk_bits=8)
+    return pairs.select(
+        "id1", "id2", F.col("distance").cast("int").alias("distance")
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #

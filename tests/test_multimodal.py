@@ -1176,3 +1176,44 @@ def test_dhash_near_and_far(spark):
                  sigs, max_distance=7, chunk_bits=8).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] <= 7
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_audio_fingerprint_gain_invariant_and_discriminating(spark):
+    """Scaling amplitude scales every frame energy by the same factor,
+    so the delta-sign fingerprint is identical; an unrelated signal is
+    far away; the banded join pairs only the true matches."""
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import encode_wav
+    from icerunner_spark.operators.dedup import hamming_neardup_pairs
+    from icerunner_spark.operators.multimodal import (
+        as_assets,
+        audio_fingerprints,
+    )
+
+    rng = np.random.default_rng(3)
+    t = np.arange(65 * 64)
+    base = (2000 * np.sin(t / 17) * (1 + 0.5 * np.sin(t / 301))).astype(
+        np.int16
+    )
+    half = (base.astype(np.int32) // 2).astype(np.int16)  # -6 dB copy
+    noise = rng.integers(-2000, 2000, len(t)).astype(np.int16)
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_wav(base, 8000))),
+         (1, bytearray(encode_wav(half, 8000))),
+         (2, bytearray(encode_wav(noise, 8000)))],
+        "doc_id long, blob binary",
+    )
+    sigs = audio_fingerprints(
+        as_assets(df, "doc_id", "blob", kind="audio")
+    )
+    by_id = {r["id"]: r["sig"] for r in sigs.collect()}
+    # halving int16 amplitudes floors odd samples, so the copy is close
+    # but not necessarily identical — the near-dup contract, not equality
+    d01 = bin((by_id[0] ^ by_id[1]) & ((1 << 64) - 1)).count("1")
+    assert d01 <= 7, f"gain-shifted copy drifted {d01} bits"
+    pairs = {(r["id1"], r["id2"])
+             for r in hamming_neardup_pairs(
+                 sigs, max_distance=7, chunk_bits=8).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
