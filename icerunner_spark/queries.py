@@ -8568,6 +8568,81 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "zorder_compact_scan",
+    oracle="""
+    WITH cuts AS (
+        SELECT MAX(l_orderkey) // 4 AS cut_k, MAX(l_partkey) // 4 AS cut_p
+        FROM lineitem
+    )
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS sum_price
+    FROM lineitem, cuts
+    WHERE l_orderkey <= cut_k AND l_partkey <= cut_p
+    GROUP BY l_returnflag
+    """,
+)
+def zorder_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order compaction as a MULTI-dimensional index build
+    (table.compact(zorder=[...]) — Iceberg's z-order rewrite strategy):
+    lineitem lands hash-scattered (no file-stats pruning on anything),
+    then one Morton-curve rewrite clusters on interleaved bit codes of
+    (l_orderkey, l_partkey) — after which a selective predicate on
+    EITHER column prunes files at planning time, which a single-key sort
+    cannot give the second column. Inline assertions pin all three
+    layout facts (no pruning before; pruning after on each dimension
+    independently); the oracle — a plain 2-D filtered aggregate over the
+    raw parquet — pins that the rewrite changed the LAYOUT, never the
+    rows. At 100 TB this is the background pass that makes multi-tenant
+    point-lookup-ish scans affordable on a fact table queried along two
+    axes."""
+    from icerunner_spark.connector import Connector
+
+    wh = _demo_warehouse("icerunner_zorder_demo", sf_dir)
+    c = Connector(spark, wh)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice"
+    )
+    cuts = li.agg(
+        F.max("l_orderkey").alias("mk"), F.max("l_partkey").alias("mp")
+    ).first()
+    cut_k, cut_p = cuts["mk"] // 4, cuts["mp"] // 4
+    t = c.catalog.table("lineitem_zordered")
+    # hash repartition deliberately scatters both key ranges across all
+    # files of both commits
+    t.create(li.filter(F.col("l_orderkey") % 2 == 0).repartition(4))
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1).repartition(4))
+    pre_k = t.plan_files([("l_orderkey", "<=", cut_k)])
+    pre_p = t.plan_files([("l_partkey", "<=", cut_p)])
+    total = len(t.current_snapshot().manifest)
+    assert len(pre_k) == total and len(pre_p) == total, (
+        "expected NO pruning before z-order clustering"
+    )
+    n_rows = t.scan().count()
+    t.compact(
+        target_file_rows=max(1000, n_rows // 16),
+        zorder=["l_orderkey", "l_partkey"],
+    )
+    total = len(t.current_snapshot().manifest)
+    post_k = t.plan_files([("l_orderkey", "<=", cut_k)])
+    post_p = t.plan_files([("l_partkey", "<=", cut_p)])
+    assert len(post_k) < total, "z-order gave no pruning on dim 1"
+    assert len(post_p) < total, "z-order gave no pruning on dim 2"
+    return (
+        t.scan(
+            where=[("l_orderkey", "<=", cut_k), ("l_partkey", "<=", cut_p)]
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(_dec("l_extendedprice", 14)).cast("double"), 2
+            ).alias("sum_price"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Registration order IS the driver's correctness window
 # --------------------------------------------------------------------------- #
