@@ -1217,3 +1217,65 @@ def test_audio_fingerprint_gain_invariant_and_discriminating(spark):
                  sigs, max_distance=7, chunk_bits=8).collect()}
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_video_dhash_neardup_finds_brightness_shifted_copy(spark):
+    """dHash is invariant to constant brightness shifts, so a +10-luma
+    re-encode of the same clip matches nearly frame-for-frame even
+    through JPEG loss; an unrelated clip does not pair."""
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import encode_mjpeg_avi
+    from icerunner_spark.operators.multimodal import (
+        as_assets,
+        dhash_video_frames,
+        video_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    y, x = np.mgrid[0:16, 0:16]
+
+    def clip(offset, scramble=False):
+        frames = []
+        for fi in range(4):
+            v = ((fi * 11 + 3 * y + 5 * x) % 200 + offset).astype(np.uint8)
+            if scramble:
+                v = rng.permutation(v.ravel()).reshape(16, 16).astype(np.uint8)
+            frames.append(v)
+        return encode_mjpeg_avi(frames, fps=5)
+
+    df = spark.createDataFrame(
+        [(0, bytearray(clip(0))), (1, bytearray(clip(10))),
+         (2, bytearray(clip(0, scramble=True)))],
+        "doc_id long, blob binary",
+    )
+    assets = as_assets(df, "doc_id", "blob", kind="video")
+    sigs = dhash_video_frames(assets)
+    assert sigs.count() == 12  # 3 clips x 4 frames
+    pairs = {(r["id1"], r["id2"]): r["n_matching_frames"]
+             for r in video_neardup_pairs(
+                 sigs, max_distance=7, min_matching_frames=2).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_video_dhash_every_n_subsamples(spark):
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import encode_mjpeg_avi
+    from icerunner_spark.operators.multimodal import (
+        as_assets,
+        dhash_video_frames,
+    )
+
+    y, x = np.mgrid[0:16, 0:16]
+    frames = [((fi * 7 + y + x) % 250).astype(np.uint8) for fi in range(6)]
+    df = spark.createDataFrame(
+        [(9, bytearray(encode_mjpeg_avi(frames, fps=5)))],
+        "doc_id long, blob binary",
+    )
+    sigs = dhash_video_frames(
+        as_assets(df, "doc_id", "blob", kind="video"), every_n=2
+    )
+    got = sorted(r["frame_idx"] for r in sigs.collect())
+    assert got == [0, 2, 4]
