@@ -73,9 +73,11 @@ def register(name: str, oracle: str | None = None):
 # r9-prep), then mid-r9 pagerank_order_graph, ridge_quality_fit,
 # stream_dedup_watermark, tfidf_top_terms, ewma_anomaly_events,
 # neardup_prefix_filter, iceberg_pruned_import,
-# frequent_tokens_documents, iceberg_changes_import — are
-# never-driver-checked and must lead the r10 rotation, followed by the
-# r6-stale cohort.
+# frequent_tokens_documents, iceberg_changes_import, plus the late-r9
+# additions temperature_sampled_mixture, url_canonical_dedup,
+# image_dhash_neardup, audio_fingerprint_neardup, zorder_compact_scan —
+# are never-driver-checked and must lead the r10 rotation, followed by
+# the r6-stale cohort.
 # The policy is now EXECUTABLE: `python tools/window_policy.py` audits
 # this list against the CORRECTNESS artifacts (CI: tests/test_tools.py)
 # and `--propose` prints the next round's list to paste here.
