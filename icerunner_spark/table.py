@@ -3190,11 +3190,22 @@ class IceTable:
             )
             return files
 
+        # clustering rewrites stamp their layout into the snapshot
+        # summary so the maintenance policy can tell how many files
+        # landed SINCE the layout was last established
+        cluster_summary = {}
+        if sort_by or zorder:
+            cluster_summary = {
+                "cluster-strategy": "zorder" if zorder else "sort",
+                "cluster-columns": ",".join(zorder or sort_by),
+            }
+
         if mode == "full":
             files = _rewrite(self._scan_snapshot(snap))
             return self._publish(
                 "replace", files, snap.schema_json, replace_manifest=True,
-                summary={"compacted_to_files": str(len(files))},
+                summary={"compacted_to_files": str(len(files)),
+                         **cluster_summary},
                 require_parent_snapshot_id=snap.snapshot_id,
             )
         if mode != "bin-pack":
@@ -3238,6 +3249,7 @@ class IceTable:
                 "compacted_to_files": str(len(files)),
                 "rewritten_files": str(len(dirty)),
                 "kept_files": str(len(clean)),
+                **cluster_summary,
             },
             require_parent_snapshot_id=snap.snapshot_id,
         )
@@ -3405,6 +3417,14 @@ class IceTable:
           smaller than this many rows or any delete/eq-delete files are
           pending; ``maintenance.target-file-rows`` (int, default
           1_000_000) sizes the rewrite.
+        - ``maintenance.cluster.columns`` (comma list): re-establish a
+          clustered layout (:meth:`compact` with ``sort_by=`` or, when
+          ``maintenance.cluster.strategy`` = ``zorder``, ``zorder=``)
+          once at least ``maintenance.cluster.min-new-files`` (default
+          8) data files have landed since the last clustering rewrite
+          with the same strategy+columns — so ingest churn degrades
+          pruning only up to a bounded backlog, and the O(table)
+          rewrite fires on backlog, not on cadence.
         - ``maintenance.expire.keep-last`` (int) and/or
           ``maintenance.expire.older-than-ms`` (int): expire snapshots
           (:meth:`expire_snapshots`; keep-last defaults to 1 when only
@@ -3461,6 +3481,44 @@ class IceTable:
                     )
                 except CommitConflict as e:
                     report["compact_binpack"] = f"conflict: {e}"
+
+        ccols = props.get("maintenance.cluster.columns")
+        if ccols:
+            cols = [c.strip() for c in ccols.split(",") if c.strip()]
+            strategy = props.get("maintenance.cluster.strategy", "sort")
+            if strategy not in ("sort", "zorder"):
+                raise ValueError(
+                    f"maintenance.cluster.strategy must be sort|zorder, "
+                    f"got {strategy!r}"
+                )
+            min_new = _int("maintenance.cluster.min-new-files") or 8
+            # data files landed since the last clustering rewrite with
+            # this exact layout (snapshot summaries are the ledger)
+            backlog = 0
+            for s in self.snapshots():
+                if (
+                    s.summary.get("cluster-strategy") == strategy
+                    and s.summary.get("cluster-columns") == ",".join(cols)
+                ):
+                    backlog = 0
+                else:
+                    backlog += len(s.added_files)
+            if backlog >= min_new:
+                try:
+                    out = self.compact(
+                        target_file_rows=_int("maintenance.target-file-rows")
+                        or 1_000_000,
+                        **({"zorder": cols} if strategy == "zorder"
+                           else {"sort_by": cols}),
+                    )
+                    report["compact_cluster"] = {
+                        "strategy": strategy,
+                        "columns": ",".join(cols),
+                        "backlog_files": backlog,
+                        "to_files": out.summary.get("compacted_to_files"),
+                    }
+                except CommitConflict as e:
+                    report["compact_cluster"] = f"conflict: {e}"
 
         keep_last = _int("maintenance.expire.keep-last")
         older_ms = _int("maintenance.expire.older-than-ms")

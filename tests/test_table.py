@@ -3722,3 +3722,47 @@ def test_alter_race_add_drop_columns(spark, warehouse):
     assert t2.schema()["v"].dataType.typeName() == "long"
     rows = {(r["id"], int(r["v"])) for r in t2.scan().collect()}
     assert rows == {(i, i * 10) for i in range(6)}
+
+
+def test_run_maintenance_reclusters_on_backlog(spark, warehouse):
+    """maintenance.cluster.*: the clustering rewrite fires only once the
+    file backlog since the last same-layout rewrite reaches the
+    threshold; afterwards pruning works on both z-ordered dimensions
+    and the backlog counter resets."""
+    from icerunner_spark.catalog import Catalog
+
+    t = Catalog(spark, warehouse).table("maint_cluster")
+    df = spark.createDataFrame(
+        [(k, (k * 37) % 500, f"v{k}") for k in range(500)],
+        "a long, b long, v string",
+    )
+    t.create(df.filter("a % 2 = 0").repartition(3))
+    t.set_properties({
+        "maintenance.cluster.columns": "a,b",
+        "maintenance.cluster.strategy": "zorder",
+        "maintenance.cluster.min-new-files": "6",
+        "maintenance.target-file-rows": "100",
+    })
+    # backlog = 3 create files (+1 alter) < 6 -> no fire
+    rep = t.run_maintenance()
+    assert "compact_cluster" not in rep
+    t.append(df.filter("a % 2 = 1").repartition(3))
+    expect = {(r["a"], r["b"]) for r in t.scan().select("a", "b").collect()}
+    # backlog = 6 -> fires, and the layout now prunes on BOTH dims
+    rep = t.run_maintenance()
+    assert rep["compact_cluster"]["strategy"] == "zorder"
+    assert rep["compact_cluster"]["backlog_files"] >= 6
+    total = len(t.current_snapshot().manifest)
+    assert total > 1
+    assert len(t.plan_files([("a", "<=", 100)])) < total
+    assert len(t.plan_files([("b", "<=", 100)])) < total
+    assert {(r["a"], r["b"]) for r in t.scan().select("a", "b").collect()} == expect
+    # freshly clustered: backlog 0 -> no refire
+    rep2 = t.run_maintenance()
+    assert "compact_cluster" not in rep2
+    # strategy validation
+    t.set_properties({"maintenance.cluster.strategy": "hilbert"})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sort\\|zorder"):
+        t.run_maintenance()
