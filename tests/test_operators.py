@@ -1482,3 +1482,62 @@ def test_canonicalize_url_is_idempotent(spark):
     assert [r["c"] for r in once.collect()] == [
         r["c"] for r in twice.collect()
     ]
+
+
+def test_canonicalize_url_postconditions_random(spark):
+    """200 seeded random URLs: one pass establishes every published
+    rule's postcondition (no fragment, lowercase scheme+host, no www.
+    label, no default port, no tracking params, sorted params, no
+    trailing slash on non-root paths) and a second pass is a fixpoint."""
+    import random
+
+    from icerunner_spark.functions.url import canonicalize_url
+
+    rng = random.Random(42)
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    hosts = ["Example.com", "www.Site.ORG", "a.b.c.NET", "host"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/x", "/x/y/", "/x//y"]
+    params = ["a=1", "b=2", "utm_source=s", "Z=9", "gclid=g", "ref=r"]
+    urls = []
+    for _ in range(200):
+        q = "&".join(rng.sample(params, rng.randint(0, 4)))
+        urls.append(
+            rng.choice(schemes) + "://" + rng.choice(hosts)
+            + rng.choice(ports) + rng.choice(paths)
+            + (("?" + q) if q else "")
+            + (("#frag" + str(rng.randint(0, 9))) if rng.random() < 0.5 else "")
+        )
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    out = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    twice = [
+        r["c"]
+        for r in spark.createDataFrame([(c,) for c in out], ["c"])
+        .select(canonicalize_url("c").alias("c"))
+        .collect()
+    ]
+    assert out == twice  # idempotent on everything generated
+    for c in out:
+        scheme, rest = c.split("://", 1)
+        assert scheme == scheme.lower()
+        assert "#" not in c
+        hostport = rest.split("/", 1)[0].split("?", 1)[0]
+        host = hostport.split(":", 1)[0]
+        assert host == host.lower() and not host.startswith("www.")
+        # default ports are stripped only for their OWN scheme
+        # (http://h:443 keeps the port — it is not a default there)
+        if scheme == "http":
+            assert not hostport.endswith(":80")
+        if scheme == "https":
+            assert not hostport.endswith(":443")
+        pathq = rest[len(hostport):]
+        path = pathq.split("?", 1)[0]
+        assert path.startswith("/")
+        assert path == "/" or not path.endswith("/")
+        if "?" in pathq:
+            ps = pathq.split("?", 1)[1].split("&")
+            assert ps == sorted(ps) and all(ps)
+            assert not any(
+                p.startswith(("utm_", "fbclid=", "gclid=", "msclkid=", "ref="))
+                for p in ps
+            )
