@@ -117,6 +117,13 @@ HEADLINE = [
     # import-side Iceberg CDC
     "frequent_tokens_documents",
     "iceberg_changes_import",
+    # late r9: URL canonicalization dedup, temperature mixing,
+    # perceptual image/audio fingerprint dedup, z-order 2-D pruning
+    "url_canonical_dedup",
+    "temperature_sampled_mixture",
+    "image_dhash_neardup",
+    "audio_fingerprint_neardup",
+    "zorder_compact_scan",
 ]
 
 

@@ -81,6 +81,15 @@ PROBE = [
     # exchange) — the two new entries with scale-sensitive exchanges
     "pagerank_order_graph",
     "tfidf_top_terms",
+    # late-r9 additions that scale with table size: URL dedup (orders-
+    # scaled codegen agg), temperature mixing (documents window),
+    # z-order compaction (O(table) rewrite — its exponent SHOULD be ~1,
+    # the probe pins it doesn't go superlinear); the dHash/audio
+    # fingerprint queries are 60-blob-bounded by construction, nothing
+    # to probe
+    "url_canonical_dedup",
+    "temperature_sampled_mixture",
+    "zorder_compact_scan",
 ]
 
 
