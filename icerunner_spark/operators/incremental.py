@@ -355,6 +355,147 @@ def greedy_minhash_dedup(
 
 
 # --------------------------------------------------------------------------- #
+# incremental hamming-signature dedup (simhash text / image dHash / audio
+# fingerprints — any 64-bit signature frame)
+# --------------------------------------------------------------------------- #
+
+
+def incremental_hamming_dedup(
+    prior_sigs: DataFrame,
+    delta_sigs: DataFrame,
+    *,
+    max_distance: int = 6,
+    chunk_bits: int | None = None,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Delta signatures surviving greedy hamming near-dup dedup against
+    the retained prior corpus and each other — the CDC daily-run twin of
+    ``operators.dedup.hamming_neardup_pairs``, shared by every 64-bit
+    signature family (simhash text, image dHash, audio energy
+    fingerprints, per-frame video hashes).
+
+    Inputs are (``id``, ``sig``) frames; ids obey the append-monotone
+    contract (module docstring), under which the result equals the delta
+    slice of a full greedy re-dedup (:func:`greedy_hamming_dedup`;
+    equivalence pinned in tests). Media blobs never appear here at all —
+    the state a pipeline persists is 16 bytes per kept asset, and this
+    operator moves only chunk buckets the DELTA touches (with the state
+    table physically bucketed by (chunk, value), a partition-pruned
+    read). Distance needs no re-verify pass: it is exact from the
+    signatures themselves (bit_count of XOR)."""
+    if chunk_bits is None:
+        chunk_bits = 16 if max_distance <= 3 else 8
+    if 64 % chunk_bits:
+        raise ValueError("chunk_bits must divide 64")
+    n_chunks = 64 // chunk_bits
+    if max_distance > n_chunks - 1:
+        raise ValueError(
+            f"{n_chunks}-chunk banding guarantees candidates only for "
+            f"distance <= {n_chunks - 1}"
+        )
+    mask = F.lit((1 << chunk_bits) - 1)
+
+    def chunked(sigs: DataFrame, is_delta: bool) -> DataFrame:
+        return sigs.select(
+            F.struct("id", "sig").alias("doc"),
+            F.lit(is_delta).alias("is_delta"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned("sig", chunk_bits * c)
+                        .bitwiseAND(mask)
+                        for c in range(n_chunks)
+                    ]
+                )
+            ).alias("chunk", "cv"),
+        )
+
+    buckets = chunked(prior_sigs, False).unionByName(chunked(delta_sigs, True))
+    grouped = (
+        buckets.groupBy("chunk", "cv")
+        .agg(
+            F.collect_list("doc").alias("docs"),
+            F.collect_list(F.when(F.col("is_delta"), F.col("doc"))).alias(
+                "delta_docs"
+            ),
+        )
+        # delta-touched, non-degenerate, skew-capped buckets only
+        .filter(
+            (F.size("delta_docs") >= 1)
+            & (F.size("docs") >= 2)
+            & (F.size("docs") <= max_bucket)
+        )
+    )
+    docs, ddocs = F.col("docs"), F.col("delta_docs")
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ddocs,
+                        lambda d: F.transform(
+                            F.filter(docs, lambda x: x["id"] < d["id"]),
+                            lambda x: F.struct(
+                                x["id"].alias("id1"),
+                                d["id"].alias("id2"),
+                                x["sig"].alias("s1"),
+                                d["sig"].alias("s2"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id1", "p.id2", "p.s1", "p.s2")
+        .distinct()
+    )
+    from icerunner_spark.operators.dedup import hamming64
+
+    verified = pairs.select(
+        "id1", "id2", hamming64(F.col("s1"), F.col("s2")).alias("distance")
+    ).filter(F.col("distance") <= max_distance)
+    max_prior = F.broadcast(
+        prior_sigs.agg(F.max("id").alias("__max_prior"))
+    )
+    v = verified.crossJoin(max_prior).localCheckpoint(eager=True)
+    dropped_by_prior = (
+        v.filter(F.col("id1") <= F.col("__max_prior"))
+        .select(F.col("id2").alias("id"))
+        .distinct()
+    )
+    delta_pairs = (
+        v.filter(F.col("id1") > F.col("__max_prior"))
+        .select("id1", "id2")
+        .join(dropped_by_prior.withColumnRenamed("id", "id1"), "id1", "left_anti")
+        .join(dropped_by_prior.withColumnRenamed("id", "id2"), "id2", "left_anti")
+    )
+    dropped = dropped_by_prior.union(greedy_dropped_ids(delta_pairs))
+    return delta_sigs.join(dropped, "id", "left_anti")
+
+
+def greedy_hamming_dedup(
+    sigs: DataFrame,
+    *,
+    max_distance: int = 6,
+    chunk_bits: int | None = None,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Full-corpus greedy hamming dedup over an (id, sig) frame — the
+    batch twin of :func:`incremental_hamming_dedup`; running it over
+    prior ∪ delta must equal prior-run ∪ incremental (pinned)."""
+    from icerunner_spark.operators.dedup import hamming_neardup_pairs
+
+    pairs = hamming_neardup_pairs(
+        sigs,
+        max_distance=max_distance,
+        chunk_bits=chunk_bits,
+        max_bucket=max_bucket,
+    )
+    dropped = greedy_dropped_ids(pairs.select("id1", "id2"))
+    return sigs.join(dropped, "id", "left_anti")
+
+
+# --------------------------------------------------------------------------- #
 # in-place continuous-clean maintenance (CDC dedup + merge-on-read delete)
 # --------------------------------------------------------------------------- #
 

@@ -662,3 +662,61 @@ def test_temperature_mixture_source_cap(spark):
         temperature_mixture(
             d, "src", "n_tok", "id", total_budget=100, max_sources=5
         )
+
+
+# --------------------------------------------------------------------------- #
+# incremental hamming-signature dedup (the perceptual/CDC twin)
+# --------------------------------------------------------------------------- #
+
+
+def test_incremental_hamming_dedup_equals_full(spark):
+    """greedy_hamming_dedup(prior ∪ delta) == greedy(prior) ∪
+    incremental(kept(prior), delta) under the monotone-id contract —
+    the same equivalence the minhash path pins, over raw 64-bit
+    signatures (image dHash / audio fingerprints / simhash alike)."""
+    import random
+
+    from icerunner_spark.operators.incremental import (
+        greedy_hamming_dedup,
+        incremental_hamming_dedup,
+    )
+
+    rng = random.Random(19)
+
+    def rand_sig():
+        v = rng.getrandbits(64)
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    def flip(sig, bits):
+        v = sig & ((1 << 64) - 1)
+        for p in bits:
+            v ^= 1 << p
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    prior = [(i, rand_sig()) for i in range(40)]
+    # disjoint bit sets make every pairwise distance exact by counting
+    prior[7] = (7, flip(prior[3][1], [0, 1, 2]))     # d(7,3)=3: dropped
+    prior[25] = (25, flip(prior[3][1], [20, 21]))    # d(25,3)=2: dropped
+    delta = [(100 + i, rand_sig()) for i in range(25)]
+    delta[2] = (102, flip(prior[11][1], [30, 31, 32, 33]))  # d=4 to kept 11
+    # d(105,7)=4 but 7 was DROPPED; d(105,3)=7 and d(105,25)=9, both
+    # beyond the radius — greedy ignores dropped docs, so 105 survives
+    delta[5] = (105, flip(prior[7][1], [10, 11, 12, 13]))
+    delta[9] = (109, flip(delta[0][1], [40, 41, 42, 43, 44]))  # d=5 to 100
+    delta[12] = (112, flip(delta[9][1], [50, 51]))   # chain within delta
+
+    pdf = spark.createDataFrame(prior, ["id", "sig"])
+    ddf = spark.createDataFrame(delta, ["id", "sig"])
+    kept_prior = greedy_hamming_dedup(pdf, max_distance=6)
+    inc = incremental_hamming_dedup(kept_prior, ddf, max_distance=6)
+    full = greedy_hamming_dedup(pdf.unionByName(ddf), max_distance=6)
+
+    got = sorted(
+        r["id"] for r in kept_prior.select("id").collect()
+    ) + sorted(r["id"] for r in inc.select("id").collect())
+    want = sorted(r["id"] for r in full.select("id").collect())
+    assert sorted(got) == want
+    # the planted prior dupes really dropped and 105 really survived
+    # (its only neighbor 7 was dropped, and greedy ignores dropped docs)
+    assert 7 not in got and 25 not in got
+    assert 105 in got and 102 not in got and 109 not in got
