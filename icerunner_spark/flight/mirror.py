@@ -314,6 +314,32 @@ def perform_sync(
     status = "success"
     src_fields = None
 
+    def _replay_properties() -> None:
+        """Replicate source table properties onto the target (they ride
+        get_metadata): additive — source keys overwrite, target-only
+        keys survive, so a mirror admin's local knobs are never
+        clobbered by the sync (property REMOVAL at the source is
+        deliberately not replayed for the same reason). This is what
+        makes a mirrored table self-maintaining: write-path config
+        (bloom/ndv/sort columns) and the maintenance policy
+        (maintenance.*) follow the source automatically. Metadata-only;
+        a failed replay logs and never blocks the row sync."""
+        try:
+            src_props = json.loads(
+                _source_metadata().get("properties") or "{}"
+            )
+            tt = connector.table(target_table)
+            snap = tt.current_snapshot()
+            cur = dict(snap.properties) if snap else {}
+            diff = {k: v for k, v in src_props.items() if cur.get(k) != v}
+            if diff:
+                tt.set_properties(diff)
+                logger.info(
+                    "replayed source properties: %s", sorted(diff)
+                )
+        except Exception as e:
+            logger.warning("property replay skipped: %s", e)
+
     def _fetch_source_fields():
         nonlocal src_fields
         if src_fields is None:
@@ -350,6 +376,7 @@ def perform_sync(
         rows_synced = _append_stream(reader, connector, target_table, batch_rows)
         if not was_pinned:
             status = "success_unpinned"
+        _replay_properties()
     else:
         # Pin the end snapshot BEFORE reading and bound get_changes to it;
         # the same id becomes the saved cursor, so rows committed after the
@@ -391,6 +418,7 @@ def perform_sync(
                     logger.info("replayed source partition spec: %s", src_spec)
             except Exception as e_spec:
                 logger.warning("partition-spec replay skipped: %s", e_spec)
+            _replay_properties()
             changes_cmd = {
                 "command": "get_changes",
                 "table": source_table,

@@ -1585,3 +1585,38 @@ def test_scan_negated_predicates_over_wire(spark, warehouse, server):
     assert {r.k for r in out.collect()} == {
         k for k in range(60) if k % 3 and k not in (4, 5)
     }
+
+
+def test_mirror_replicates_table_properties(spark, server, tmp_path):
+    """Source table properties follow the mirror (initial sync AND
+    later changes), additively: target-local keys survive. This is what
+    makes a replica self-maintaining — maintenance.* policy and
+    write-path config arrive with the rows."""
+    c = server.connector
+    c.create_table("props_src", _writer_table([1, 2], ["a", "b"]))
+    t = c.table("props_src")
+    t.set_properties({
+        "maintenance.small-file-rows": "100",
+        "write.sort.columns": "id",
+    })
+    target_wh = str(tmp_path / "target_wh")
+    url = f"grpc://127.0.0.1:{server.port}/props_src"
+    n = run_mirror(url, target_table="props_m", warehouse_path=target_wh,
+                   continuous=False, spark=spark)
+    assert n == 2
+    tgt = Connector(spark, target_wh)
+    got = tgt.table("props_m").current_snapshot().properties
+    assert got.get("maintenance.small-file-rows") == "100"
+    assert got.get("write.sort.columns") == "id"
+
+    # a target-local knob survives subsequent syncs (additive contract)
+    tgt.table("props_m").set_properties({"local.only": "keep"})
+    # source changes a property and appends; the next sync carries both
+    t.set_properties({"maintenance.small-file-rows": "250"})
+    c.insert("props_src", _writer_table([3], ["c"]))
+    n2 = run_mirror(url, target_table="props_m", warehouse_path=target_wh,
+                    continuous=False, spark=spark)
+    assert n2 == 1
+    got2 = tgt.table("props_m").current_snapshot().properties
+    assert got2.get("maintenance.small-file-rows") == "250"
+    assert got2.get("local.only") == "keep"
