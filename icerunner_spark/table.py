@@ -674,11 +674,18 @@ def _decode_bound(dtype, v):
 
     t = dtype.typeName()
     if t in ("timestamp", "timestamp_ntz"):
-        return (
+        out = (
             v
             if isinstance(v, datetime.datetime)
             else datetime.datetime.fromisoformat(str(v))
         )
+        # normalize to naive UTC: stored bounds carry +00:00 (Spark
+        # session tz is UTC) while predicate literals are usually naive
+        # — mixed-awareness compares raise TypeError, which the pruner
+        # treats as "can't decide" and silently stops skipping files
+        if out.tzinfo is not None:
+            out = out.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return out
     if t == "date":
         if isinstance(v, datetime.datetime):
             return v.date()
@@ -3417,6 +3424,14 @@ class IceTable:
           smaller than this many rows or any delete/eq-delete files are
           pending; ``maintenance.target-file-rows`` (int, default
           1_000_000) sizes the rewrite.
+        - ``maintenance.ttl.column`` (timestamp or epoch-ms long column)
+          + ``maintenance.ttl.max-age-ms`` (int): row-level retention —
+          merge-on-read DELETE of rows older than the age. The trigger
+          is pure planning metadata (:meth:`plan_files` on the cutoff:
+          only files whose min bound proves expired rows CAN exist
+          start a job), so the steady-state pass on a healthy table
+          costs zero IO, and the delete itself is O(expired rows), not
+          a rewrite.
         - ``maintenance.cluster.columns`` (comma list): re-establish a
           clustered layout (:meth:`compact` with ``sort_by=`` or, when
           ``maintenance.cluster.strategy`` = ``zorder``, ``zorder=``)
@@ -3481,6 +3496,44 @@ class IceTable:
                     )
                 except CommitConflict as e:
                     report["compact_binpack"] = f"conflict: {e}"
+
+        ttl_col = props.get("maintenance.ttl.column")
+        ttl_ms = _int("maintenance.ttl.max-age-ms")
+        if ttl_col and ttl_ms is not None:
+            import datetime as _dt
+            import time as _time
+
+            names = {f.name: f.dataType for f in self.schema().fields}
+            if ttl_col not in names:
+                raise ValueError(f"maintenance.ttl.column not in schema: {ttl_col}")
+            tname = names[ttl_col].typeName()
+            cutoff_ms = int(_time.time() * 1000) - ttl_ms
+            if tname in ("timestamp", "timestamp_ntz"):
+                cutoff = _dt.datetime.fromtimestamp(
+                    cutoff_ms / 1000, tz=_dt.timezone.utc
+                ).replace(tzinfo=None)
+            elif tname in ("long", "integer"):
+                cutoff = cutoff_ms
+            else:
+                raise ValueError(
+                    "maintenance.ttl.column must be a timestamp or "
+                    f"epoch-ms integer column, got {tname}"
+                )
+            # metadata-only trigger: no file's bounds admit expired rows
+            # -> nothing to do, no job starts
+            if self.plan_files([(ttl_col, "<", cutoff)]):
+                try:
+                    out = self.delete_where(
+                        F.col(ttl_col) < F.lit(cutoff), mode="merge-on-read"
+                    )
+                    report["ttl_delete"] = (
+                        "no-op"
+                        if out is None
+                        else {"cutoff_ms": cutoff_ms,
+                              "delete_files": len(out.delete_files)}
+                    )
+                except CommitConflict as e:
+                    report["ttl_delete"] = f"conflict: {e}"
 
         ccols = props.get("maintenance.cluster.columns")
         if ccols:
@@ -3769,6 +3822,11 @@ class IceTable:
         for rel in files:
             keep = True
             tier = None
+            if preds and snap.file_stats.get(rel, {}).get("__rows__") == 0:
+                # provably empty file: no predicate can match a row
+                if report is not None:
+                    report["bounds"] = report.get("bounds", 0) + 1
+                continue
             d = _commit_dir_of(rel)
             if d not in layouts:
                 layouts[d] = _dir_layout(d)

@@ -3766,3 +3766,64 @@ def test_run_maintenance_reclusters_on_backlog(spark, warehouse):
 
     with _pytest.raises(ValueError, match="sort\\|zorder"):
         t.run_maintenance()
+
+
+def test_run_maintenance_ttl_expires_rows(spark, warehouse):
+    """maintenance.ttl.*: rows older than the age are MOR-deleted; the
+    trigger is planning metadata, so a table with no old rows never
+    starts a job; a re-pass after the delete no-ops."""
+    import datetime
+
+    from icerunner_spark.catalog import Catalog
+
+    now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    old = now - datetime.timedelta(days=30)
+    t = Catalog(spark, warehouse).table("maint_ttl")
+    t.create(spark.createDataFrame(
+        [(1, old), (2, old), (3, now)], "id long, ts timestamp"
+    ).coalesce(1))
+    week_ms = str(7 * 86400 * 1000)
+    t.set_properties({
+        "maintenance.ttl.column": "ts",
+        "maintenance.ttl.max-age-ms": week_ms,
+    })
+    rep = t.run_maintenance()
+    assert rep["ttl_delete"]["delete_files"] >= 1
+    assert sorted(r["id"] for r in t.scan().collect()) == [3]
+    # expired rows already tombstoned: the re-pass publishes nothing
+    rep2 = t.run_maintenance()
+    assert rep2.get("ttl_delete") == "no-op"
+
+    # healthy table: bounds prove nothing is expired -> step never fires
+    t2 = Catalog(spark, warehouse).table("maint_ttl_fresh")
+    t2.create(spark.createDataFrame([(1, now)], "id long, ts timestamp"))
+    t2.set_properties({
+        "maintenance.ttl.column": "ts",
+        "maintenance.ttl.max-age-ms": week_ms,
+    })
+    assert "ttl_delete" not in t2.run_maintenance()
+
+    # epoch-ms long columns work too; bad column types refuse loudly
+    t3 = Catalog(spark, warehouse).table("maint_ttl_long")
+    old_ms = int(old.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    now_ms = int(now.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    t3.create(spark.createDataFrame(
+        [(1, old_ms), (2, now_ms)], "id long, ts_ms long"
+    ).coalesce(1))
+    t3.set_properties({
+        "maintenance.ttl.column": "ts_ms",
+        "maintenance.ttl.max-age-ms": week_ms,
+    })
+    assert t3.run_maintenance()["ttl_delete"]["delete_files"] >= 1
+    assert sorted(r["id"] for r in t3.scan().collect()) == [2]
+
+    t4 = Catalog(spark, warehouse).table("maint_ttl_bad")
+    t4.create(spark.createDataFrame([("x",)], "s string"))
+    t4.set_properties({
+        "maintenance.ttl.column": "s",
+        "maintenance.ttl.max-age-ms": "1",
+    })
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="timestamp or"):
+        t4.run_maintenance()
