@@ -254,6 +254,36 @@ def _maintenance_ops(spark, sf_dir: str) -> dict[str, float]:
         t5.append(upd.limit(1000))
         t5.delete_where("o_orderkey % 103 = 0", mode="merge-on-read")
         timed("maint_mv_refresh", lambda: mv.refresh())
+        # r9 policy steps, timed through run_maintenance itself so the
+        # cost includes the trigger evaluation: TTL row retention (MOR
+        # delete of an expired slice) and backlog-triggered z-order
+        # re-clustering (O(table) rewrite)
+        import datetime as _dt
+
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        t6 = IceTable(spark, os.path.join(base, "events_ttl"))
+        ev = load_table(spark, "events", sf_dir).select(
+            "event_id", "user_id", "value"
+        ).withColumn(
+            # ~3% expired: event_id % 31 == 0 rows get a 30-day-old stamp
+            "ts",
+            F.when(
+                F.col("event_id") % 31 == 0,
+                F.lit(now - _dt.timedelta(days=30)),
+            ).otherwise(F.lit(now)),
+        )
+        t6.create(ev, properties={
+            "maintenance.ttl.column": "ts",
+            "maintenance.ttl.max-age-ms": str(7 * 86400 * 1000),
+        })
+        timed("maint_ttl_delete", lambda: t6.run_maintenance())
+        t7 = IceTable(spark, os.path.join(base, "orders_zorder"))
+        t7.create(orders.repartition(8), properties={
+            "maintenance.cluster.columns": "o_orderkey,o_custkey",
+            "maintenance.cluster.strategy": "zorder",
+            "maintenance.cluster.min-new-files": "4",
+        })
+        timed("maint_compact_cluster", lambda: t7.run_maintenance())
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return ops
