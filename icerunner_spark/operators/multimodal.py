@@ -615,6 +615,69 @@ def video_neardup_pairs(
     )
 
 
+def audio_spectral_fingerprints(
+    assets: DataFrame, *, frame: int = 256, hop: int = 128
+) -> DataFrame:
+    """64-bit Haitsma-Kalker spectral fingerprint per PCM asset: energy
+    in 9 log-spaced frequency bands over 9 overlapping frames (numpy
+    rfft), and bit ``(t, b)`` is the sign of the band-energy delta's
+    TIME difference —
+
+        F(t, b) = [E(t,b) - E(t,b+1)] - [E(t-1,b) - E(t-1,b+1)] > 0
+
+    — the published scheme's core, robust to gain, EQ tilt, and mild
+    noise where the plain time-energy fingerprint
+    (:func:`audio_fingerprints`) is not. 8 time-deltas x 8 band-pairs
+    fill exactly 64 bits, so the output joins the same banded hamming
+    machinery as simhash/dHash. One narrow ``mapInPandas``; only
+    (id, sig) rows leave the stage. FFT makes this numpy-only (no SQL
+    oracle); correctness is pinned against perturbation/discrimination
+    fixtures in tests/test_multimodal.py."""
+    n_frames, n_bands = 9, 9
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from icerunner_spark.operators.codecs import decode_wav, sniff_format
+
+        weights = 1 << np.arange(64, dtype=np.uint64)
+
+        for pdf in it:
+            rows = []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(blob) if blob is not None else b""
+                if sniff_format(b) != "wav":
+                    raise NotImplementedError(
+                        "fingerprinting this audio blob needs a codec "
+                        "library: only RIFF/WAVE PCM decodes without one"
+                    )
+                _, _, _, samples = decode_wav(b)
+                ch0 = samples[:, 0] if samples.ndim == 2 else samples
+                need = hop * (n_frames - 1) + frame
+                buf = np.zeros(need, dtype=np.float64)
+                buf[: min(len(ch0), need)] = ch0[:need]
+                idx = hop * np.arange(n_frames)[:, None] + np.arange(frame)
+                spec = np.abs(np.fft.rfft(buf[idx], axis=1)) ** 2
+                # 9 log-spaced band edges over [2, frame//2) bins
+                edges = np.unique(
+                    np.geomspace(2, spec.shape[1] - 1, n_bands + 1).astype(int)
+                )
+                while len(edges) < n_bands + 1:  # tiny frames: pad linearly
+                    edges = np.append(edges, edges[-1] + 1)
+                e = np.add.reduceat(spec, edges[:-1], axis=1)[:, :n_bands]
+                d = e[:, :-1] - e[:, 1:]            # band-pair deltas
+                bits = (d[1:] - d[:-1] > 0).astype(np.uint64).ravel()
+                v = int((bits * weights[: bits.size]).sum())
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                rows.append((int(aid), v))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _DHASH_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(batches, schema=_DHASH_SCHEMA)
+
+
 def audio_fingerprints(assets: DataFrame, *, frame: int = 64) -> DataFrame:
     """64-bit audio fingerprint per PCM asset: the sign pattern of
     frame-to-frame energy deltas (the Haitsma-Kalker band-energy scheme

@@ -1279,3 +1279,56 @@ def test_video_dhash_every_n_subsamples(spark):
     )
     got = sorted(r["frame_idx"] for r in sigs.collect())
     assert got == [0, 2, 4]
+
+
+def test_audio_spectral_fingerprint_robust_and_discriminating(spark):
+    """The HK spectral fingerprint survives gain change AND mild
+    additive noise (where the plain energy fingerprint may not), and
+    separates unrelated signals; the banded join pairs only the true
+    matches."""
+    import numpy as np
+
+    from icerunner_spark.operators.codecs import encode_wav
+    from icerunner_spark.operators.dedup import hamming_neardup_pairs
+    from icerunner_spark.operators.multimodal import (
+        as_assets,
+        audio_spectral_fingerprints,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 128 * 8 + 256
+    t = np.arange(n)
+    # a chirpy tone stack: distinct band structure per frame
+    base = (
+        6000 * np.sin(2 * np.pi * t * (0.01 + 0.00002 * t))
+        + 3000 * np.sin(2 * np.pi * 0.11 * t)
+    ).astype(np.int16)
+    gain = (base.astype(np.int32) * 2 // 3).astype(np.int16)
+    noisy = (base + rng.integers(-300, 300, n)).astype(np.int16)
+    other = (
+        6000 * np.sin(2 * np.pi * t * (0.2 - 0.00002 * t))
+        + 3000 * np.sin(2 * np.pi * 0.31 * t)
+    ).astype(np.int16)
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_wav(base, 8000))),
+         (1, bytearray(encode_wav(gain, 8000))),
+         (2, bytearray(encode_wav(noisy, 8000))),
+         (3, bytearray(encode_wav(other, 8000)))],
+        "doc_id long, blob binary",
+    )
+    sigs = audio_spectral_fingerprints(
+        as_assets(df, "doc_id", "blob", kind="audio")
+    )
+    by_id = {r["id"]: r["sig"] for r in sigs.collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(by_id[0], by_id[1]) <= 7, "gain copy drifted"
+    assert ham(by_id[0], by_id[2]) <= 7, "mild noise drifted"
+    assert ham(by_id[0], by_id[3]) > 7, "unrelated signal too close"
+    pairs = {(r["id1"], r["id2"])
+             for r in hamming_neardup_pairs(
+                 sigs, max_distance=7, chunk_bits=8).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert not any(3 in p for p in pairs)
