@@ -38,16 +38,19 @@ Fidelity notes (all spec-driven, none lossy for correctness):
   physical name claimed by two different ids (drop + re-add, then
   re-use) cannot be expressed in one global mapping: export refuses
   with the remediation (compact() rewrites under current names).
-- **Refusals.** Equality deletes (their key files are written under
-  rename-proof ``__eq_<id>`` physical names a global name-mapping
-  cannot also claim) and v3 ``initial-default`` field defaults cannot
-  round-trip through v2 metadata: snapshots carrying either are skipped
-  from the exported history, and if the CURRENT snapshot does, export
-  raises with the remediation (``compact()`` materializes both).
+- **Refusals.** v3 ``initial-default`` field defaults cannot round-trip
+  through v2 metadata: snapshots carrying them are skipped from the
+  exported history, and if the CURRENT snapshot does, export raises
+  with the remediation (``compact()`` materializes them).
 - **Deletes.** Positional delete parquet files are rewritten (their
   ``file_path`` column must name the exported URIs) with the spec's
   reserved field ids 2147483546/2147483545 stamped in the parquet
-  schema; data files hard-link unchanged.
+  schema. Equality deletes export too (r9): each key file's
+  rename-proof ``__eq_<fid>`` columns are rewritten to logical names
+  with their field ids stamped, and delete manifests carry
+  ``content=2`` entries with ``equality_ids`` — the import side applies
+  the spec's strictly-less sequence rule, so a key re-inserted after
+  the delete survives the round trip. Data files hard-link unchanged.
 - **Manifests.** One manifest per (commit dir, live-file subset),
   REUSED across every snapshot that contains it — Iceberg's
   manifest-list indirection, so the export is O(total files + commits),
@@ -591,21 +594,12 @@ class IcebergExporter:
 
             raise NoSuchTableError(self.table.path)
         cur = snaps[-1]
-        if cur.eq_delete_files:
-            raise ValueError(
-                "cannot export equality deletes to Iceberg v2 metadata "
-                "(their key files use rename-proof physical names a global "
-                "name-mapping cannot claim): run compact() to materialize "
-                "them first"
-            )
         if cur.field_defaults:
             raise ValueError(
                 "cannot export v3 initial-default field defaults through "
                 "v2 metadata: run compact() to materialize them first"
             )
-        return [
-            s for s in snaps if not s.eq_delete_files and not s.field_defaults
-        ]
+        return [s for s in snaps if not s.field_defaults]
 
     # -- schemas -------------------------------------------------------- #
 
@@ -710,11 +704,19 @@ class IcebergExporter:
             for rel in list(s.manifest) + list(s.delete_files):
                 if rel not in attr:
                     attr[rel] = (s.snapshot_id, s.sequence)
+            # equality deletes carry their OWN applicability sequence
+            # (entry[2], the committing snapshot's sequence — the spec's
+            # strictly-less rule keys off it, so it must be exported
+            # verbatim even when the committing snapshot was expired)
+            for paths, _fids, seq in s.eq_delete_files:
+                for rel in paths:
+                    if rel not in attr:
+                        attr[rel] = (s.snapshot_id, int(seq))
         return attr
 
     def _write_manifest(
         self,
-        kind: int,  # 0 = data, 1 = deletes
+        kind: int,  # 0 = data, 1 = positional deletes, 2 = eq deletes
         commit_dir: str,
         files: list[str],
         spec_list: list,
@@ -724,6 +726,7 @@ class IcebergExporter:
         schema_json_for_meta: str,
         schema_id: int,
         spec_fields_json: str,
+        eq_ids: dict | None = None,  # rel -> tuple of key field ids
     ) -> dict:
         """Write (or reuse) one manifest Avro; returns its manifest_file
         entry for manifest lists."""
@@ -825,7 +828,9 @@ class IcebergExporter:
                     "sequence_number": seq,
                     "file_sequence_number": seq,
                     "data_file": {
-                        "content": kind,
+                        "content": (
+                            2 if eq_ids and rel in eq_ids else min(kind, 1)
+                        ),
                         "file_path": _uri(abs_path),
                         "file_format": "PARQUET",
                         "partition": partition,
@@ -839,7 +844,11 @@ class IcebergExporter:
                         or None,
                         "upper_bounds": sorted(upper, key=lambda e: e["key"])
                         or None,
-                        "equality_ids": None,
+                        "equality_ids": (
+                            [int(f) for f in eq_ids[rel]]
+                            if eq_ids and rel in eq_ids
+                            else None
+                        ),
                         "sort_order_id": None,
                     },
                 }
@@ -891,7 +900,9 @@ class IcebergExporter:
             "manifest_path": _uri(path),
             "manifest_length": length,
             "partition_spec_id": spec_id,
-            "content": kind,
+            # manifest_file.content is 0=data/1=deletes ONLY; eq-delete
+            # manifests (kind 2) are delete manifests at this level
+            "content": min(kind, 1),
             "sequence_number": max(s for s, _ in seqs),
             "min_sequence_number": min_seq,
             "added_snapshot_id": next(
@@ -938,6 +949,8 @@ class IcebergExporter:
             if not entries:
                 continue
             kind = 0 if fmeta.get("content") == b"data" else 1
+            if kind == 1 and entries[0]["data_file"].get("content") == 2:
+                kind = 2  # eq-delete manifests cache under their own kind
             rels = sorted(
                 os.path.relpath(_strip_uri(e["data_file"]["file_path"]), self.dest)
                 for e in entries
@@ -951,7 +964,7 @@ class IcebergExporter:
                 "partition_spec_id": int(
                     fmeta.get("partition-spec-id", b"0").decode("utf-8")
                 ),
-                "content": kind,
+                "content": min(kind, 1),
                 "sequence_number": max(s for s, _ in seqs),
                 "min_sequence_number": min_seq,
                 "added_snapshot_id": next(
@@ -1082,6 +1095,51 @@ class IcebergExporter:
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         pq.write_table(out, dst)
 
+    def _materialize_eq_delete(self, rel: str, fids: tuple, snaps) -> None:
+        """Rewrite one equality-delete key parquet: the native format's
+        rename-proof ``__eq_<fid>`` columns become logical names with
+        their real field ids stamped, so any Iceberg reader resolves the
+        keys by id (spec) or by name (fallback). Names resolve from the
+        NEWEST exported snapshot still carrying the field id — a key
+        column dropped after the delete was materialized keeps its
+        historical name (time-travel readers resolve it through that
+        snapshot's schema or the stamped id)."""
+        if rel in self._linked:
+            return
+        self._linked.add(rel)
+        dst = os.path.join(self.dest, rel)
+        if os.path.exists(dst):  # immutable + deterministic: reuse
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(self.table.path, rel))
+        inv: dict[int, str] = {}
+        for s in snaps:  # newest snapshot wins per fid
+            for name_, fid_ in s.field_ids.items():
+                inv[int(fid_)] = name_
+        cols, fields = [], []
+        for fid in fids:
+            name = inv.get(int(fid))
+            if name is None:
+                raise ValueError(
+                    f"equality delete references field id {fid} unknown "
+                    "to every exported snapshot; run compact() first"
+                )
+            col = t.column(f"__eq_{int(fid)}")
+            cols.append(col)
+            fields.append(
+                pa.field(
+                    name,
+                    col.type,
+                    metadata={
+                        b"PARQUET:field_id": str(int(fid)).encode()
+                    },
+                )
+            )
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        pq.write_table(pa.table(cols, schema=pa.schema(fields)), dst)
+
     # -- name mapping ---------------------------------------------------- #
 
     def _name_mapping(self, snaps: list[Snapshot]) -> list:
@@ -1154,12 +1212,21 @@ class IcebergExporter:
         name_mapping = self._name_mapping(snaps)
 
         all_deletes = {d for s in snaps for d in s.delete_files}
+        # equality-delete key files: rel -> key field-id tuple (the
+        # rewrite stamps names + ids; manifests stamp equality_ids)
+        eq_info: dict[str, tuple] = {}
+        for s in snaps:
+            for paths, fids, _seq in s.eq_delete_files:
+                for p in paths:
+                    eq_info.setdefault(p, tuple(int(f) for f in fids))
         # data files first: delete rewrites reference their exported paths
         for rel in attr:
-            if rel not in all_deletes:
+            if rel not in all_deletes and rel not in eq_info:
                 self._materialize_data(rel)
         for rel in all_deletes:
             self._materialize_delete(rel)
+        for rel, fids in eq_info.items():
+            self._materialize_eq_delete(rel, fids, snaps)
 
         snapshots_meta = []
         snapshot_log = []
@@ -1208,6 +1275,28 @@ class IcebergExporter:
                         schema_json_meta,
                         sid,
                         json.dumps(specs[unpart_id]["fields"]),
+                    )
+                )
+            eqdel_by_dir: dict = {}
+            for paths, _fids, _seq in s.eq_delete_files:
+                for rel in paths:
+                    eqdel_by_dir.setdefault(
+                        _commit_dir_of(rel), []
+                    ).append(rel)
+            for d, files in sorted(eqdel_by_dir.items()):
+                manifests.append(
+                    self._write_manifest(
+                        2,
+                        d,
+                        sorted(set(files)),
+                        [],
+                        unpart_id,
+                        attr,
+                        cur,
+                        schema_json_meta,
+                        sid,
+                        json.dumps(specs[unpart_id]["fields"]),
+                        eq_ids=eq_info,
                     )
                 )
             ml_path = self._manifest_list_path(s, manifests, prev_id, version)
@@ -1622,6 +1711,19 @@ def read_iceberg(
                         ),
                         None,
                     )
+                    if src is None:
+                        # last resort: the key file's own parquet field-id
+                        # stamps (spec-preferred resolution — survives
+                        # renames the name-mapping never saw)
+                        import pyarrow.parquet as _pq
+
+                        for fld in _pq.read_schema(r["path"]):
+                            md = fld.metadata or {}
+                            if md.get(b"PARQUET:field_id") == str(
+                                int(fid)
+                            ).encode():
+                                src = fld.name
+                                break
                     if src is None:
                         raise ValueError(
                             f"equality delete file {r['path']} lacks a "

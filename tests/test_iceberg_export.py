@@ -550,23 +550,108 @@ class TestIncrementalReExport:
             assert _rows(got) == _rows(t.scan(snapshot_id=s.snapshot_id))
 
 
-class TestRefusals:
-    def test_equality_deletes_refused(self, spark, tmp_path):
+class TestEqualityDeleteExport:
+    """Pending equality deletes export for real (r9): content=2 delete
+    files with equality_ids, key columns rewritten from the native
+    ``__eq_<fid>`` names to the current schema names with field ids
+    stamped — and the spec's strictly-less sequence rule survives the
+    round trip (a re-inserted key stays alive)."""
+
+    def test_eq_delete_export_roundtrip_and_sequence_rule(
+        self, spark, tmp_path
+    ):
         t = IceTable(spark, str(tmp_path / "eq_src"))
         t.create(
             spark.range(0, 10).select(
                 F.col("id").alias("k"), F.lit("x").alias("v")
-            )
+            ).coalesce(1)
         )
         keys = spark.createDataFrame([(3,), (4,)], "k long")
         t.delete_rows(keys, ["k"], mode="equality")
-        with pytest.raises(ValueError, match="equality deletes"):
-            export_iceberg(t, str(tmp_path / "eq_exp"))
-        # compaction materializes them; export then succeeds
-        t.compact()
-        dest = str(tmp_path / "eq_exp2")
+        # re-insert one deleted key AFTER the delete: the eq delete must
+        # not touch it (its data sequence postdates the delete's)
+        t.append(spark.createDataFrame([(3, "reborn")], "k long, v string"))
+        dest = str(tmp_path / "eq_exp")
         export_iceberg(t, dest)
         assert _rows(read_iceberg(spark, dest)) == _rows(t.scan())
+        got = {
+            (r["k"], r["v"]) for r in read_iceberg(spark, dest).collect()
+        }
+        assert (3, "reborn") in got and not any(k == 4 for k, _ in got)
+        # time travel through the export sees the pre-delete state too
+        for s in t.snapshots():
+            ti = read_iceberg(spark, dest, snapshot_id=s.snapshot_id)
+            assert _rows(ti) == _rows(t.scan(snapshot_id=s.snapshot_id))
+        # the standalone auditor accepts the tree and counts the eq files
+        from tools.iceberg_validate import validate
+
+        rep = validate(dest)
+        assert rep.as_dict()["ok"], rep.as_dict()["errors"]
+        assert rep.checked.get("eq_delete_files", 0) >= 1
+
+    def test_eq_delete_incremental_reexport_reuses(self, spark, tmp_path):
+        """A second export after another eq delete rewrites only the NEW
+        metadata (O(delta)); reads stay equal at every snapshot."""
+        t = IceTable(spark, str(tmp_path / "eqi_src"))
+        t.create(
+            spark.range(0, 20).select(
+                F.col("id").alias("k"), F.lit("x").alias("v")
+            ).coalesce(1)
+        )
+        t.delete_rows(
+            spark.createDataFrame([(1,)], "k long"), ["k"], mode="equality"
+        )
+        dest = str(tmp_path / "eqi_exp")
+        export_iceberg(t, dest)
+        before = {
+            f
+            for f in os.listdir(os.path.join(dest, "metadata"))
+            if f.startswith("manifest-") and f.endswith(".avro")
+        }
+        t.delete_rows(
+            spark.createDataFrame([(2,)], "k long"), ["k"], mode="equality"
+        )
+        export_iceberg(t, dest)
+        after = {
+            f
+            for f in os.listdir(os.path.join(dest, "metadata"))
+            if f.startswith("manifest-") and f.endswith(".avro")
+        }
+        assert before <= after and len(after) > len(before)
+        assert _rows(read_iceberg(spark, dest)) == _rows(t.scan())
+        for s in t.snapshots():
+            got = read_iceberg(spark, dest, snapshot_id=s.snapshot_id)
+            assert _rows(got) == _rows(t.scan(snapshot_id=s.snapshot_id))
+
+    def test_eq_delete_key_column_dropped_after_compact(
+        self, spark, tmp_path
+    ):
+        """An eq delete materialized by compact() whose key column is
+        THEN dropped still exports: the historical snapshot needs the
+        delete for time travel, and the key file resolves its name from
+        the newest snapshot that knew the field id (plus the stamped
+        parquet field id as the reader's last resort)."""
+        t = IceTable(spark, str(tmp_path / "eqd_src"))
+        t.create(
+            spark.range(0, 6).select(
+                F.col("id").alias("k"), F.lit("x").alias("v"),
+                (F.col("id") % 2).alias("g")
+            ).coalesce(1)
+        )
+        t.delete_rows(
+            spark.createDataFrame([(0,)], "g long"), ["g"], mode="equality"
+        )
+        t.compact()  # materializes; current snapshot has no pending eq
+        t.drop_column("g")
+        dest = str(tmp_path / "eqd_exp")
+        export_iceberg(t, dest)
+        assert _rows(read_iceberg(spark, dest)) == _rows(t.scan())
+        for s in t.snapshots():
+            got = read_iceberg(spark, dest, snapshot_id=s.snapshot_id)
+            assert _rows(got) == _rows(t.scan(snapshot_id=s.snapshot_id))
+
+
+class TestRefusals:
 
     def test_field_defaults_refused(self, spark, tmp_path):
         t = IceTable(spark, str(tmp_path / "fd_src"))

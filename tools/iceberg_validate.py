@@ -411,6 +411,31 @@ def _check_snapshot(meta: dict, snap: dict, location: str, rep: Report,
             elif df.get("content") == 1:
                 rep.checked["delete_files"] += 1
                 _check_pos_delete(pf, fpath, name, rep, data_rowcounts)
+            elif df.get("content") == 2:
+                rep.checked["eq_delete_files"] = (
+                    rep.checked.get("eq_delete_files", 0) + 1
+                )
+                eq_ids = df.get("equality_ids") or []
+                if not eq_ids:
+                    rep.error(
+                        f"{name}: equality delete without equality_ids: "
+                        f"{os.path.basename(fpath)}"
+                    )
+                # every key field id must resolve to a column in the
+                # key file itself (by parquet field_id metadata)
+                file_fids = set()
+                for fld in pf.schema_arrow:
+                    md = fld.metadata or {}
+                    fid_b = md.get(b"PARQUET:field_id")
+                    if fid_b is not None:
+                        file_fids.add(int(fid_b))
+                for fid in eq_ids:
+                    if int(fid) not in file_fids:
+                        rep.error(
+                            f"{name}: equality delete key file "
+                            f"{os.path.basename(fpath)} lacks a column "
+                            f"stamped with field id {fid}"
+                        )
         want = {
             "added": (ml.get("added_files_count"), ml.get("added_rows_count")),
             "existing": (
