@@ -75,7 +75,8 @@ def register(name: str, oracle: str | None = None):
 # neardup_prefix_filter, iceberg_pruned_import,
 # frequent_tokens_documents, iceberg_changes_import, plus the late-r9
 # additions temperature_sampled_mixture, url_canonical_dedup,
-# image_dhash_neardup, audio_fingerprint_neardup, zorder_compact_scan —
+# image_dhash_neardup, audio_fingerprint_neardup, zorder_compact_scan,
+# iceberg_eq_delete_export —
 # are never-driver-checked and must lead the r10 rotation, followed by
 # the r6-stale cohort.
 # The policy is now EXECUTABLE: `python tools/window_policy.py` audits
@@ -8643,6 +8644,57 @@ def zorder_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_price"),
         )
     )
+
+
+@register(
+    "iceberg_eq_delete_export",
+    # survivors = rows whose key was never equality-deleted, plus the
+    # re-inserted keys (data sequence > delete sequence: the spec's
+    # strictly-less rule keeps them) — recomputable from the raw fixture
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS c,
+               ROUND(CAST(o_totalprice AS DOUBLE), 2) AS p
+        FROM orders WHERE o_orderkey < 5000
+    )
+    SELECT k, c, p FROM base WHERE k % 10 <> 3
+    UNION ALL
+    SELECT k, CAST(-1 AS BIGINT) AS c, p FROM base WHERE k % 100 = 13
+    """,
+)
+def iceberg_eq_delete_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality deletes through the EXPORT direction (r9 — the refusal
+    removed): key-addressed deletes land as native eq-delete files
+    (O(keys) commit, no table read), a slice of the keys is re-inserted
+    AFTER the delete, then the whole table exports to Iceberg v2 —
+    content=2 delete manifests with equality_ids, key parquets rewritten
+    to logical names + stamped field ids — and `read_iceberg` applies
+    the spec's strictly-less sequence rule distributively. The oracle
+    recomputes the survivor set (never-deleted ∪ re-inserted) from the
+    raw fixture, so a wrong sequence comparison on either side flips the
+    hash."""
+    from icerunner_spark.iceberg_export import export_iceberg, read_iceberg
+    from icerunner_spark.table import IceTable
+
+    wh = _demo_warehouse("icerunner_eq_export_demo", sf_dir)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("p"),
+    )
+    t = IceTable(spark, os.path.join(wh, "orders_eq"))
+    t.create(o.coalesce(1))
+    t.delete_rows(
+        o.filter(F.col("k") % 10 == 3).select("k"), ["k"], mode="equality"
+    )
+    t.append(
+        o.filter(F.col("k") % 100 == 13)
+        .withColumn("c", F.lit(-1).cast("long"))
+        .coalesce(1)
+    )
+    dest = os.path.join(wh, "orders_ice")
+    export_iceberg(t, dest)
+    return read_iceberg(spark, dest).select("k", "c", "p")
 
 
 # --------------------------------------------------------------------------- #
