@@ -124,6 +124,7 @@ HEADLINE = [
     "image_dhash_neardup",
     "audio_fingerprint_neardup",
     "zorder_compact_scan",
+    "iceberg_eq_delete_export",
 ]
 
 
