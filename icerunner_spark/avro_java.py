@@ -1,0 +1,236 @@
+"""Avro OCF decode/encode through the Apache Avro *Java* reference
+implementation riding Spark's JVM classpath.
+
+Every Spark distribution ships ``avro-1.x.jar`` (spark-core depends on
+it for its Avro serializer), so ``spark._jvm.org.apache.avro`` is a
+wire-format implementation wholly independent of
+:mod:`icerunner_spark.iceavro` — different codebase, different authors,
+the project that OWNS the spec. Reading an exported Iceberg manifest
+through it is a true foreign decode: a symmetric spec-misreading in the
+pure-Python codec (same bug in ``write_ocf`` and ``read_ocf``) cannot
+self-confirm through this path, which is exactly the gap round-trip
+tests leave open (r8 verdict, "What's missing" #1).
+
+Used by ``tests/test_avro_java_conformance.py`` (both directions, all
+codecs, plus a full ``export_iceberg`` tree cross-decoded file by file)
+and by ``tools/iceberg_validate.py --java-avro``.
+
+Comparison contract: :func:`read_ocf_java` parses each record from the
+Java ``GenericRecord.toString()`` JSON rendering, where ``bytes`` and
+``fixed`` values appear as ISO-8859-1 strings (one char per byte — the
+Avro project's own JSON encoding for binary). :func:`normalize` maps a
+Python-side decode onto the same shape, schema-aware, so the two
+decodes compare with ``==``:
+
+- bytes/fixed -> latin-1 str;
+- float -> round-tripped through a 4-byte pack (Java prints the
+  shortest decimal that round-trips the FLOAT, json.loads widens it to
+  a double — repacking both sides as float32 makes equality exact);
+- unions resolved to their value, records/arrays/maps recursed.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any
+
+__all__ = [
+    "read_ocf_java",
+    "write_ocf_java",
+    "normalize",
+    "schema_names_match",
+]
+
+
+def _avro(jvm):
+    return jvm.org.apache.avro
+
+
+def read_ocf_java(spark, path: str) -> tuple[str, dict[str, bytes], list]:
+    """Decode one OCF through org.apache.avro (Java).
+
+    Returns ``(schema_json, metadata, records)`` where ``metadata`` maps
+    every non-reserved header key to its raw bytes and each record is
+    the JSON-parsed ``GenericRecord.toString()`` rendering (see module
+    docstring for the binary-value convention).
+    """
+    jvm = spark._jvm
+    avro = _avro(jvm)
+    reader = avro.file.DataFileReader(
+        jvm.java.io.File(path), avro.generic.GenericDatumReader()
+    )
+    try:
+        schema_json = reader.getSchema().toString()
+        # reserved avro.* keys included: iceavro.read_ocf surfaces them
+        # too, so the two meta maps compare key-for-key
+        meta: dict[str, bytes] = {
+            str(k): bytes(reader.getMeta(k)) for k in reader.getMetaKeys()
+        }
+        records = []
+        while reader.hasNext():
+            records.append(json.loads(str(reader.next())))
+        return schema_json, meta, records
+    finally:
+        reader.close()
+
+
+def _to_java(jvm, schema, value):
+    """Python value -> Java object matching a parsed org.apache.avro
+    Schema node (py4j's default int/float coercions pick the wrong
+    boxed type for long/float fields, so every number is boxed
+    explicitly)."""
+    avro = _avro(jvm)
+    t = schema.getType().getName()
+    if t == "union":
+        for branch in schema.getTypes():
+            if (branch.getType().getName() == "null") == (value is None):
+                return _to_java(jvm, branch, value)
+        raise ValueError("no union branch for value")
+    if t == "null":
+        return None
+    if t == "boolean":
+        return bool(value)
+    if t == "int":
+        return jvm.java.lang.Integer.valueOf(int(value))
+    if t == "long":
+        return jvm.java.lang.Long.valueOf(str(int(value)))
+    if t == "float":
+        return jvm.java.lang.Float.valueOf(repr(float(value)))
+    if t == "double":
+        return jvm.java.lang.Double.valueOf(repr(float(value)))
+    if t == "string":
+        return str(value)
+    if t == "bytes":
+        return jvm.java.nio.ByteBuffer.wrap(bytearray(value))
+    if t == "fixed":
+        return avro.generic.GenericData.Fixed(schema, bytearray(value))
+    if t == "record":
+        rec = avro.generic.GenericData.Record(schema)
+        for f in schema.getFields():
+            rec.put(f.name(), _to_java(jvm, f.schema(), value.get(f.name())))
+        return rec
+    if t == "array":
+        arr = jvm.java.util.ArrayList()
+        for item in value:
+            arr.add(_to_java(jvm, schema.getElementType(), item))
+        return arr
+    if t == "map":
+        m = jvm.java.util.HashMap()
+        for k, v in dict(value).items():
+            m.put(str(k), _to_java(jvm, schema.getValueType(), v))
+        return m
+    raise ValueError(f"unsupported Avro type for Java bridge: {t!r}")
+
+
+def write_ocf_java(
+    spark,
+    path: str,
+    schema: dict,
+    records: list,
+    *,
+    metadata: dict | None = None,
+    codec: str = "null",
+) -> None:
+    """Write an OCF with the Java reference writer (DataFileWriter +
+    GenericDatumWriter) so ``iceavro.read_ocf`` can be exercised against
+    bytes this repo's writer never produced."""
+    jvm = spark._jvm
+    avro = _avro(jvm)
+    jschema = avro.Schema.Parser().parse(json.dumps(schema))
+    writer = avro.file.DataFileWriter(avro.generic.GenericDatumWriter())
+    try:
+        if codec == "deflate":
+            writer.setCodec(avro.file.CodecFactory.deflateCodec(6))
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec!r}")
+        for k, v in (metadata or {}).items():
+            writer.setMeta(
+                str(k), bytearray(v if isinstance(v, bytes) else str(v).encode())
+            )
+        writer.create(jschema, jvm.java.io.File(path))
+        for rec in records:
+            writer.append(_to_java(jvm, jschema, rec))
+    finally:
+        writer.close()
+
+
+def normalize(value: Any, schema) -> Any:
+    """Canonicalize one decoded value (from EITHER decoder) against its
+    JSON-parsed Avro schema node, so Java-JSON and iceavro decodes
+    compare with ``==``."""
+    if isinstance(schema, str):
+        t = schema
+    elif isinstance(schema, list):
+        t = "union"
+    else:
+        t = schema["type"]
+    if t == "union":
+        branch = next(
+            b
+            for b in schema
+            if ((b == "null" if isinstance(b, str) else b.get("type") == "null"))
+            == (value is None)
+        )
+        return normalize(value, branch)
+    if t == "null":
+        return None
+    if t in ("bytes", "fixed"):
+        if isinstance(value, (bytes, bytearray)):
+            return bytes(value).decode("latin-1")
+        if isinstance(value, list):
+            # Java renders Fixed as a signed-byte array ([1, -1, ...])
+            return bytes(v & 0xFF for v in value).decode("latin-1")
+        return str(value)
+    if t == "float":
+        return struct.unpack("<f", struct.pack("<f", float(value)))[0]
+    if t == "double":
+        return float(value)
+    if t in ("int", "long"):
+        return int(value)
+    if t == "boolean":
+        return bool(value)
+    if t == "string":
+        return str(value)
+    if t == "record":
+        return {
+            f["name"]: normalize(value.get(f["name"]), f["type"])
+            for f in schema["fields"]
+        }
+    if t == "array":
+        return [normalize(v, schema["items"]) for v in value]
+    if t == "map":
+        return {str(k): normalize(v, schema["values"]) for k, v in dict(value).items()}
+    raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+def schema_names_match(a: dict | str, b: dict | str) -> bool:
+    """Structural schema equality on the fields conformance cares about
+    (Java re-serializes schemas with namespace/doc reordering, so raw
+    JSON strings differ while the types agree)."""
+
+    def canon(s):
+        if isinstance(s, str):
+            return s
+        if isinstance(s, list):
+            return [canon(x) for x in s]
+        t = s["type"]
+        out: dict = {"type": canon(t) if not isinstance(t, str) else t}
+        if t == "record":
+            out["name"] = s["name"].rsplit(".", 1)[-1]
+            out["fields"] = [
+                {"name": f["name"], "type": canon(f["type"])}
+                for f in s["fields"]
+            ]
+        elif t == "array":
+            out["items"] = canon(s["items"])
+        elif t == "map":
+            out["values"] = canon(s["values"])
+        elif t == "fixed":
+            out["name"] = s["name"].rsplit(".", 1)[-1]
+            out["size"] = s["size"]
+        return out
+
+    pa = json.loads(a) if isinstance(a, str) else a
+    pb = json.loads(b) if isinstance(b, str) else b
+    return canon(pa) == canon(pb)

@@ -122,13 +122,18 @@ class IncrementalBm25Index:
             raise NoSuchTableError(self.base.path)
         if snap.snapshot_id == start:
             return None
+        # persist the delta once: changed-keys, the arrival window, and
+        # the tokenize pass all derive from it, and each downstream
+        # consumer (two empty-gates + two appends) would otherwise
+        # replay the whole changelog scan
         delta = self.base.scan_changelog(
             start, snap.snapshot_id, with_ordinal=True
-        )
-        changed = delta.select(
-            F.col(self.id_col).alias("doc_id")
-        ).distinct().persist()
+        ).persist()
+        posts = lens = None
         try:
+            changed = delta.select(
+                F.col(self.id_col).alias("doc_id")
+            ).distinct()
             # last state per id decides: an id whose final in-range
             # change is an insert re-enters; anything else just leaves
             from pyspark.sql import Window
@@ -149,6 +154,10 @@ class IncrementalBm25Index:
                 self.postings.delete_rows(changed, ["doc_id"], mode="equality")
                 self.doclens.delete_rows(changed, ["doc_id"], mode="equality")
             posts, lens = self._rows_of(arrivals)
+            # delta-sized; cached so the empty-gate probe and the append
+            # share one tokenize+aggregate pass instead of two each
+            posts = posts.persist()
+            lens = lens.persist()
             # gate the two appends INDEPENDENTLY: a doc that tokenizes
             # to zero tokens has no postings rows but still counts in
             # doclens (dl=0) — build() includes it, so refresh must too
@@ -163,7 +172,11 @@ class IncrementalBm25Index:
                 {_CURSOR_PROP: str(snap.snapshot_id)}
             )
         finally:
-            changed.unpersist()
+            delta.unpersist()
+            if posts is not None:
+                posts.unpersist()
+            if lens is not None:
+                lens.unpersist()
 
     # ---------- query ----------
 

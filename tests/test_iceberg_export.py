@@ -10,7 +10,10 @@ The reference relies on PyIceberg for all of this (icerunner.py:60-103);
 neither PyIceberg nor the DuckDB iceberg extension is installable in
 this container (SCALE.md §7 records the attempted load), so the gold
 cross-engine read is replaced by spec-field validation plus an
-independent Avro decode of every emitted file.
+independent Avro decode of every emitted file. The Avro wire format
+itself IS foreign-verified: tests/test_avro_java_conformance.py decodes
+every exported file through the Apache Avro Java reference
+implementation on Spark's classpath.
 """
 
 from __future__ import annotations
