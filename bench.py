@@ -125,6 +125,8 @@ HEADLINE = [
     "audio_fingerprint_neardup",
     "zorder_compact_scan",
     "iceberg_eq_delete_export",
+    # r9: hard-negative mining for contrastive retrieval training
+    "hard_negative_mining",
 ]
 
 

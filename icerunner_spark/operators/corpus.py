@@ -501,3 +501,134 @@ def repetition_cols(text_col: str) -> dict[str, Column]:
         "dup_token_ratio": dup_ratio(toks),
         "dup_2gram_ratio": dup_ratio(grams2),
     }
+
+
+# --------------------------------------------------------------------------- #
+# Hard-negative mining (retrieval / embedding training pairs)
+# --------------------------------------------------------------------------- #
+
+
+def mine_hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int = 3,
+    df_max: int = 64,
+    min_shared: int = 3,
+    jaccard_max: float = 0.5,
+    per_anchor: int = 3,
+) -> DataFrame:
+    """Mine hard NEGATIVES for contrastive retrieval training: for each
+    anchor document, the documents that share rare vocabulary (lexically
+    close — the negatives a BM25-ish retriever would wrongly surface)
+    but are NOT near-duplicates (which would be false negatives). The
+    standard recipe for training dense retrievers / embedding models:
+    random negatives are too easy, duplicates are poison, and the value
+    is in the band between.
+
+    Candidate generation is an inverted-index self-join restricted to
+    INFORMATIVE units — distinct word ``ngram``-grams with document
+    frequency in ``[2, df_max]`` (n-grams, not single tokens: template-
+    heavy corpora have tiny unigram vocabularies where every token is a
+    stopword, while n-gram df still separates shared phrasing from
+    boilerplate) — which is both the relevance signal and the scale
+    bound: a gram at df = d contributes d·(d-1)/2 candidate pairs, so
+    total candidates are bounded by ``df_max × total_postings`` —
+    LINEAR in the corpus, never all-pairs.
+    Near-dup exclusion and scoring reuse the same informative-gram
+    sets: pairs with informative-Jaccard >= ``jaccard_max`` are dropped
+    as duplicates, the rest rank per anchor by summed integer gram
+    rarity ``n_docs DIV df`` (integer arithmetic end-to-end — like
+    :func:`temperature_mixture`, the selected pairs are bit-identical
+    on any engine and any partitioning; no float sums whose association
+    could differ).
+
+    Shuffles: grams hash once for df, once for the pair aggregation;
+    document text never shuffles. Returns
+    ``(anchor_id, negative_id, shared_terms, rarity_score)`` with at
+    most ``per_anchor`` rows per anchor.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, ngram))).alias(
+            "tok"
+        ),
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    tdf = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter((F.col("dfreq") >= 2) & (F.col("dfreq") <= df_max))
+    )
+    posts = (
+        toks.join(tdf, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            # integer rarity: floor(n_docs / df). Exact in doubles for
+            # any corpus < 2^53 docs, and integer thereafter — the
+            # cross-engine-deterministic stand-in for log-IDF
+            F.floor(F.col("n_docs") / F.col("dfreq")).alias("w"),
+        )
+    )
+    sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = posts.alias("a"), posts.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.sum(F.col("a.w")).alias("score"),
+        )
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    flt = (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(
+            (F.col("shared") >= min_shared)
+            & (
+                F.col("shared")
+                / (F.col("sz1") + F.col("sz2") - F.col("shared"))
+                < jaccard_max
+            )
+        )
+        .select("id1", "id2", "shared", "score")
+    )
+    directed = flt.select(
+        F.col("id1").alias("anchor_id"),
+        F.col("id2").alias("negative_id"),
+        "shared",
+        "score",
+    ).unionByName(
+        flt.select(
+            F.col("id2").alias("anchor_id"),
+            F.col("id1").alias("negative_id"),
+            "shared",
+            "score",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("score"), F.desc("shared"), F.asc("negative_id")
+    )
+    return (
+        directed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_anchor)
+        .select(
+            "anchor_id",
+            "negative_id",
+            F.col("shared").alias("shared_terms"),
+            F.col("score").alias("rarity_score"),
+        )
+    )

@@ -76,7 +76,7 @@ def register(name: str, oracle: str | None = None):
 # frequent_tokens_documents, iceberg_changes_import, plus the late-r9
 # additions temperature_sampled_mixture, url_canonical_dedup,
 # image_dhash_neardup, audio_fingerprint_neardup, zorder_compact_scan,
-# iceberg_eq_delete_export —
+# iceberg_eq_delete_export, and mid-r9 hard_negative_mining —
 # are never-driver-checked and must lead the r10 rotation, followed by
 # the r6-stale cohort.
 # The policy is now EXECUTABLE: `python tools/window_policy.py` audits
@@ -3701,6 +3701,87 @@ def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights={"train": 0.8, "val": 0.1, "test": 0.1},
     )
     return out.select("doc_id", "split")
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text),
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS t
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, GREATEST(len(t) - 2, 1) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS tok
+        FROM t
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tdf AS (
+        SELECT tok, COUNT(*) AS dfreq FROM toks GROUP BY tok
+        HAVING COUNT(*) BETWEEN 2 AND 64
+    ),
+    posts AS (
+        SELECT t.doc_id, t.tok,
+               CAST((SELECT n_docs FROM stats) // dfreq AS BIGINT) AS w
+        FROM toks t JOIN tdf USING (tok)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM posts GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               COUNT(*) AS shared, CAST(SUM(a.w) AS BIGINT) AS score
+        FROM posts a JOIN posts b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    flt AS (
+        SELECT id1, id2, shared, score
+        FROM pairs
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE shared >= 3
+          AND shared * 1.0 / (s1.sz + s2.sz - shared) < 0.5
+    ),
+    directed AS (
+        SELECT id1 AS anchor_id, id2 AS negative_id, shared, score FROM flt
+        UNION ALL
+        SELECT id2, id1, shared, score FROM flt
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY anchor_id
+            ORDER BY score DESC, shared DESC, negative_id
+        ) AS rn
+        FROM directed
+    )
+    SELECT anchor_id, negative_id,
+           shared AS shared_terms, score AS rarity_score
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training
+    (operators.corpus.mine_hard_negatives): per anchor document, the
+    top-3 documents sharing rare phrasing (what a lexical retriever
+    would wrongly surface) that are NOT near-duplicates
+    (informative-gram Jaccard < 0.5 — duplicates would be false
+    negatives). Candidates come from an inverted-index self-join on
+    word 3-grams with df in [2, 64], bounding pair fan-out by df_max x
+    total_postings — linear in the corpus, never all-pairs. Scoring is
+    integer rarity (n_docs DIV df summed) so the selected pairs are
+    bit-identical across engines and partitionings; the oracle replays
+    the identical pipeline in SQL."""
+    from icerunner_spark.operators.corpus import mine_hard_negatives
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return mine_hard_negatives(
+        d, "doc_id", "text",
+        ngram=3, df_max=64, min_shared=3, jaccard_max=0.5, per_anchor=3,
+    )
 
 
 # --------------------------------------------------------------------------- #

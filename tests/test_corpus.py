@@ -720,3 +720,71 @@ def test_incremental_hamming_dedup_equals_full(spark):
     # (its only neighbor 7 was dropped, and greedy ignores dropped docs)
     assert 7 not in got and 25 not in got
     assert 105 in got and 102 not in got and 109 not in got
+
+
+# --------------------------------------------------------------------------- #
+# hard-negative mining
+# --------------------------------------------------------------------------- #
+
+
+def test_mine_hard_negatives_semantics(spark):
+    """Planted corpus: docs 1/2 are near-duplicates (must be EXCLUDED as
+    negatives of each other), docs 1/3 share rare phrasing but diverge
+    (the hard negative we want), doc 4 shares nothing informative."""
+    from icerunner_spark.operators.corpus import mine_hard_negatives
+
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, base + " one two three"),
+        (2, base + " one two four"),          # near-dup of 1
+        (3, base + " totally different tail here now ok"),  # hard negative
+        (4, "unrelated words nothing shared at all whatsoever"),
+        # a second copy of doc 4's phrasing so its grams reach df=2 —
+        # informative, but shared with nobody else
+        (5, "unrelated words nothing shared at all whatsoever x"),
+        # shares doc 3's tail so the tail grams become informative
+        # (df=2): without this, doc 3's only informative grams are the
+        # base phrase and 1<->3 would look like a near-dup
+        (6, "totally different tail here now ok padding words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = mine_hard_negatives(
+        df, "doc_id", "text",
+        ngram=3, df_max=10, min_shared=2, jaccard_max=0.6, per_anchor=3,
+    )
+    got = {(r["anchor_id"], r["negative_id"]) for r in out.collect()}
+    # 1<->2 is a near-dup pair: excluded. 1<->3 and 2<->3 share the base
+    # phrase but diverge: kept, both directions.
+    assert (1, 2) not in got and (2, 1) not in got
+    assert (1, 3) in got and (3, 1) in got
+    assert (2, 3) in got and (3, 2) in got
+    # doc 4's informative grams are shared only with 5 — but 4/5 are
+    # near-dups of each other, so neither produces a negative
+    assert not any(a in (4, 5) or n in (4, 5) for a, n in got)
+
+
+def test_mine_hard_negatives_deterministic_and_bounded(spark):
+    """Partitioning-independence (integer scoring, total ordering) and
+    the per_anchor bound, on real corpus data."""
+    from icerunner_spark.operators.corpus import mine_hard_negatives
+
+    d = load_table(spark, "documents", SF_MEDIUM).select("doc_id", "text")
+    out1 = sorted(
+        tuple(r)
+        for r in mine_hard_negatives(
+            d.repartition(7), "doc_id", "text", per_anchor=3
+        ).collect()
+    )
+    out2 = sorted(
+        tuple(r)
+        for r in mine_hard_negatives(
+            d.coalesce(1), "doc_id", "text", per_anchor=3
+        ).collect()
+    )
+    assert out1 == out2 and out1
+    from collections import Counter
+
+    per_anchor = Counter(a for a, _, _, _ in out1)
+    assert max(per_anchor.values()) <= 3
+    # negatives are never self-pairs and scores are positive integers
+    assert all(a != n and s >= 1 and w >= 1 for a, n, s, w in out1)
