@@ -2034,7 +2034,14 @@ def _file_may_match(
                 continue
             if pv is None:
                 return False  # all-null file: no comparison matches
-            if not _bounds_may_match(pv, pv, op, val):
+            # identity-partition values are ACHIEVED by every row
+            # (unlike bounds, no NaN can hide behind a finite value), so
+            # the NaN-aware path is needed only when the partition value
+            # itself is NaN — plain interval logic would prune "= NaN"
+            # though Spark's NaN = NaN is true
+            if not _bounds_may_match(
+                pv, pv, op, val, float_type=isinstance(pv, float) and pv != pv
+            ):
                 return False
             continue
         if op in ("is_null", "is_not_null"):
@@ -2043,7 +2050,13 @@ def _file_may_match(
         hi = _decode_single_value(ftype[fid], uppers.get(fid))
         if lo is None or hi is None:
             continue
-        if not _bounds_may_match(lo, hi, op, val):
+        # float/double bounds exclude NaN rows (Iceberg metrics), and
+        # this reader has no nan_value_counts — ops a NaN row could
+        # satisfy under Spark ordering never prune (see table.py)
+        if not _bounds_may_match(
+            lo, hi, op, val,
+            float_type=ftype[fid] in ("float", "double"),
+        ):
             return False
     return True
 

@@ -731,9 +731,30 @@ def _normalize_predicates(where) -> list[tuple]:
     return preds
 
 
-def _bounds_may_match(lo, hi, op: str, val) -> bool:
+def _is_nan(v) -> bool:
+    return isinstance(v, float) and v != v
+
+
+def _bounds_may_match(lo, hi, op: str, val, *, float_type: bool = False) -> bool:
     """Conservative interval check: could a row inside [lo, hi] satisfy
-    ``col <op> val``? False only when provably impossible."""
+    ``col <op> val``? False only when provably impossible.
+
+    ``float_type`` marks float/double columns, whose recorded bounds
+    EXCLUDE NaN rows (parquet footer stats and Iceberg metrics never
+    incorporate NaN) while Spark SQL orders NaN GREATER than every value
+    and NaN = NaN — so a hidden NaN row satisfies ``>``, ``>=``, ``!=``
+    and ``not_in`` (non-NaN literals) no matter what the bounds say, and
+    ``=``/``in`` when the literal itself is NaN. Those ops never prune a
+    float column without a NaN count, mirroring Iceberg's
+    InclusiveMetricsEvaluator when nan_value_counts are absent. ``<`` and
+    ``<=`` stay prunable: NaN can never satisfy them."""
+    if float_type:
+        if op in (">", ">=", "!=", "not_in"):
+            return True
+        if op == "=" and _is_nan(val):
+            return True
+        if op == "in" and any(_is_nan(x) for x in val):
+            return True
     try:
         if op == "=":
             return lo <= val <= hi
@@ -757,13 +778,27 @@ def _bounds_may_match(lo, hi, op: str, val) -> bool:
     return True
 
 
-def _bounds_all_match(lo, hi, op: str, val) -> bool:
+def _bounds_all_match(lo, hi, op: str, val, *, float_type: bool = False) -> bool:
     """Dual of :func:`_bounds_may_match`: does EVERY value inside
     ``[lo, hi]`` provably satisfy ``col <op> val``? False whenever
     uncertain — the caller falls back to scanning. Safe even when a
     writer widened the recorded bounds (truncated-string lower/upper):
     proving the property over a SUPERSET interval still proves it for
-    the file's actual values."""
+    the file's actual values.
+
+    For float/double columns (``float_type``) a NaN row is invisible to
+    the bounds but FAILS ``<``/``<=``/``=``/``in`` (NaN is greater than
+    everything in Spark) and fails ``!=``/``not_in`` exactly when the
+    literal set contains NaN (NaN = NaN in Spark) — those proofs refuse;
+    ``>``/``>=`` against a non-NaN literal survive (a NaN row satisfies
+    them too)."""
+    if float_type:
+        if op in ("<", "<=", "=", "in"):
+            return False
+        if op in ("!=", "not_in") and any(
+            _is_nan(x) for x in (val if op == "not_in" else [val])
+        ):
+            return False
     try:
         if op == "=":
             return lo == hi == val
@@ -3955,7 +3990,10 @@ class IceTable:
                     )
                 except (ValueError, TypeError):
                     continue
-                if not _bounds_may_match(lo, hi, op, v):
+                if not _bounds_may_match(
+                    lo, hi, op, v,
+                    float_type=dt.typeName() in ("float", "double"),
+                ):
                     keep, tier = False, "bounds"
                     break
             if keep:
@@ -4123,10 +4161,11 @@ class IceTable:
                     )
                 except (ValueError, TypeError):
                     return None
-                if not _bounds_may_match(lo, hi, op, v):
+                is_float = dt.typeName() in ("float", "double")
+                if not _bounds_may_match(lo, hi, op, v, float_type=is_float):
                     contributes = False  # provably empty intersection
                     break
-                if not _bounds_all_match(lo, hi, op, v):
+                if not _bounds_all_match(lo, hi, op, v, float_type=is_float):
                     return None
             if contributes:
                 total += rows
@@ -4142,8 +4181,11 @@ class IceTable:
         delete (the extreme row might be deleted), a string/binary
         column (footer stats may be width-truncated, so recorded bounds
         are containing, not achieved — fine for pruning, wrong as an
-        answer), or any live file lacking bounds that isn't provably
-        all-NULL/empty. NULLs are ignored, matching SQL MIN/MAX."""
+        answer), a float/double column (footer bounds exclude NaN rows
+        while Spark's MAX treats NaN as greater than everything — a
+        hidden NaN makes the metadata answer wrong), or any live file
+        lacking bounds that isn't provably all-NULL/empty. NULLs are
+        ignored, matching SQL MIN/MAX."""
         snap = (
             self.current_snapshot()
             if snapshot_id is None
@@ -4156,7 +4198,7 @@ class IceTable:
         schema = StructType.fromJson(json.loads(snap.schema_json))
         types = {f.name: f.dataType for f in schema.fields}
         dt = types.get(col)
-        if dt is None or dt.typeName() in ("string", "binary"):
+        if dt is None or dt.typeName() in ("string", "binary", "float", "double"):
             return None
         fid = str(snap.field_ids.get(col, ""))
         mn = mx = None

@@ -3000,7 +3000,10 @@ def test_metadata_count_and_min_max(spark, warehouse):
     assert t.metadata_count([("id", ">", 1000)]) == 0
 
     assert t.metadata_min_max("id") == (0, 99)
-    assert t.metadata_min_max("x") == (0.0, 49.5)
+    # float/double never answer: footer bounds exclude NaN rows while
+    # Spark's MAX ranks NaN above everything — a hidden NaN would make
+    # the metadata answer wrong, so the fast path refuses
+    assert t.metadata_min_max("x") is None
     # strings never answer (footer stats may be truncated bounds)
     assert t.metadata_min_max("s") is None
     assert t.metadata_min_max("nope") is None
@@ -3029,6 +3032,83 @@ def test_metadata_count_and_min_max(spark, warehouse):
     # connector fast path falls back to the true count
     c = Connector(spark, warehouse)
     assert c.count("metaagg") == 89
+
+
+def test_float_bounds_pruning_is_nan_safe(spark, warehouse):
+    """Parquet footer min/max EXCLUDE NaN while Spark SQL ranks NaN
+    above every value (NaN > x is TRUE) — so bounds-pruning a float
+    predicate could skip a file whose only matching rows are NaN.
+    Reproduced pre-fix: scan(where=[('x','>',5)]) returned [] against a
+    full-scan match. Every op a NaN row can satisfy must keep the file;
+    <%s stays prunable (NaN never satisfies it)."""
+    import math
+
+    from icerunner_spark.catalog import Catalog
+
+    cat = Catalog(spark, warehouse)
+    t = cat.table("nanprune")
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 2.0)], "id int, x double"
+    ).coalesce(1)
+    t.create(df)
+
+    def ids(where):
+        return sorted(r["id"] for r in t.scan(where=where).collect())
+
+    def full(cond):
+        return sorted(
+            r["id"] for r in t.scan().filter(cond).collect()
+        )
+
+    # NaN satisfies > / >= / != in Spark: the file must survive pruning
+    assert ids([("x", ">", 5.0)]) == full("x > 5.0") == [2]
+    assert ids([("x", ">=", 5.0)]) == full("x >= 5.0") == [2]
+    assert ids([("x", "!=", 99.0)]) == full("x != 99.0") == [1, 2, 3]
+    # = NaN is TRUE for the NaN row in Spark (unlike IEEE)
+    assert full("x = double('nan')") == [2]
+    assert ids([("x", "=", float("nan"))]) == [2]
+    # < / <= stay prunable: NaN can never satisfy them
+    assert ids([("x", "<", 0.5)]) == full("x < 0.5") == []
+    rep = t.explain_scan(where=[("x", "<", 0.5)])
+    assert rep["skipped"].get("bounds") == 1
+    # filtered metadata counts: the no-match "<" proof stays valid (NaN
+    # fails < as well) so a fully-out-of-range "<" still answers 0, but
+    # any proof a hidden NaN row could break refuses — the ">" no-match
+    # (NaN matches >) and the "<" all-match (NaN fails <) both -> None
+    assert t.metadata_count([("x", ">", 5.0)]) is None
+    assert t.metadata_count([("x", "<", 0.5)]) == 0
+    assert t.metadata_count([("x", "<", 100.0)]) is None
+    # int columns keep full pruning + provable counts
+    assert t.metadata_count([("id", ">", 100)]) == 0
+    assert math.isnan(
+        t.scan().agg({"x": "max"}).collect()[0][0]
+    )  # Spark MAX = NaN: why metadata_min_max refuses floats
+
+
+def test_iceberg_import_pruning_is_nan_safe(spark, warehouse, tmp_path):
+    """The read_iceberg(where=) manifest pruning honors the same rule:
+    Iceberg metrics exclude NaN, this reader has no nan_value_counts."""
+    from icerunner_spark.catalog import Catalog
+    from icerunner_spark.iceberg_export import export_iceberg, read_iceberg
+
+    cat = Catalog(spark, warehouse)
+    t = cat.table("nanice")
+    t.create(
+        spark.createDataFrame(
+            [(1, 1.0), (2, float("nan")), (3, 2.0)], "id int, x double"
+        ).coalesce(1)
+    )
+    dest = str(tmp_path / "nanice_exp")
+    export_iceberg(t, dest)
+    got = sorted(
+        r["id"]
+        for r in read_iceberg(spark, dest, where=[("x", ">", 5.0)]).collect()
+    )
+    assert got == [2]
+    # < stays prunable and exact
+    assert (
+        read_iceberg(spark, dest, where=[("x", "<", 0.5)]).count() == 0
+    )
 
 
 def test_metadata_count_all_null_and_empty_files(spark, warehouse):

@@ -90,6 +90,10 @@ PROBE = [
     "url_canonical_dedup",
     "temperature_sampled_mixture",
     "zorder_compact_scan",
+    # r9: hard-negative mining — gram explode + df join + pair
+    # aggregation are all corpus-proportional exchanges; the df_max
+    # bound should keep the pair stage sub-linear, the probe checks
+    "hard_negative_mining",
 ]
 
 
