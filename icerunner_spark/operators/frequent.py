@@ -52,6 +52,16 @@ def frequent_items(
 
     item_type = src.schema["item"].dataType.simpleString()
 
+    # NaN cannot ride the sketch path: Spark groups NaN as EQUAL
+    # (NaN = NaN is true in Spark SQL), but Python Counter keys compare
+    # unequal across distinct float('nan') objects (fragmenting every
+    # NaN row into its own bucket), and Arrow converts a pandas NaN back
+    # to NULL on the mapInPandas return — the candidate would arrive as
+    # None and the semi-join would never match. NaN is ONE key, so it is
+    # counted EXACTLY in the same narrow aggregate that computes the
+    # total, and unioned in declaratively when it clears the threshold.
+    is_float = item_type in ("float", "double")
+
     def local_frequent(batches):
         from collections import Counter
 
@@ -60,9 +70,12 @@ def frequent_items(
         counts: Counter = Counter()
         n = 0
         for pdf in batches:
-            vals = pdf["item"]
-            counts.update(vals)
-            n += len(vals)
+            # value_counts is vectorized and (dropna=True) skips the
+            # NaNs the Spark-side exact count owns; NaN rows still
+            # count toward n — the local threshold stays the global one
+            for k, c in pdf["item"].value_counts().items():
+                counts[k] += int(c)
+            n += len(pdf)
         if n:
             cut = threshold * n
             keep = [k for k, c in counts.items() if c >= cut]
@@ -73,7 +86,12 @@ def frequent_items(
         local_frequent, schema=f"item {item_type}"
     ).distinct()
 
-    total = src.agg(F.count(F.lit(1)).alias("__n"))
+    total = src.agg(
+        F.count(F.lit(1)).alias("__n"),
+        (
+            F.sum(F.isnan("item").cast("long")) if is_float else F.lit(0)
+        ).alias("__n_nan"),
+    )
     exact = (
         src.join(F.broadcast(candidates), "item", "left_semi")
         .groupBy("item")
@@ -81,8 +99,18 @@ def frequent_items(
         .crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * 1.0 >= F.lit(threshold) * F.col("__n"))
     )
-    return exact.select(
+    out = exact.select(
         "item",
         "cnt",
         F.round(F.col("cnt") / F.col("__n"), 6).alias("frac"),
     )
+    if is_float:
+        nan_row = total.filter(
+            F.col("__n_nan") * 1.0 >= F.lit(threshold) * F.col("__n")
+        ).select(
+            F.lit(float("nan")).cast(item_type).alias("item"),
+            F.col("__n_nan").alias("cnt"),
+            F.round(F.col("__n_nan") / F.col("__n"), 6).alias("frac"),
+        )
+        out = out.unionByName(nan_row)
+    return out

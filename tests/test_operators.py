@@ -1372,6 +1372,22 @@ class TestFrequentItems:
             }
             assert got == want and got, f"thr={thr}"
 
+    def test_nan_keys_group_like_spark(self, spark):
+        """Spark groups NaN as equal (NaN = NaN is true in Spark SQL),
+        so a frequent NaN must surface as ONE heavy hitter — the naive
+        Counter accumulation fragmented every NaN row into its own
+        bucket and dropped it below any cut."""
+        import math
+
+        from icerunner_spark.operators.frequent import frequent_items
+
+        rows = [(float("nan"),)] * 40 + [(float(i), ) for i in range(60)]
+        df = spark.createDataFrame(rows, "item double").repartition(4)
+        out = frequent_items(df, "item", threshold=0.3).collect()
+        assert len(out) == 1
+        assert math.isnan(out[0]["item"]) and out[0]["cnt"] == 40
+        assert out[0]["frac"] == 0.4
+
     def test_partitioning_independent_and_candidates_bounded(self, spark):
         """The result must not depend on the partition layout, and the
         pass-1 candidate set must respect its partitions/threshold
