@@ -75,6 +75,19 @@ def read_ocf_java(spark, path: str) -> tuple[str, dict[str, bytes], list]:
         reader.close()
 
 
+def _java_float_str(v: float) -> str:
+    """Python float -> the string Java's Float/Double.valueOf parses
+    (Java wants 'NaN'/'Infinity'/'-Infinity', not repr's 'nan'/'inf')."""
+    v = float(v)
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "Infinity"
+    if v == float("-inf"):
+        return "-Infinity"
+    return repr(v)
+
+
 def _to_java(jvm, schema, value):
     """Python value -> Java object matching a parsed org.apache.avro
     Schema node (py4j's default int/float coercions pick the wrong
@@ -83,10 +96,14 @@ def _to_java(jvm, schema, value):
     avro = _avro(jvm)
     t = schema.getType().getName()
     if t == "union":
+        # Iceberg metadata unions are all ["null", T]; resolve by
+        # None-ness with a clear error rather than a bare StopIteration
         for branch in schema.getTypes():
             if (branch.getType().getName() == "null") == (value is None):
                 return _to_java(jvm, branch, value)
-        raise ValueError("no union branch for value")
+        raise ValueError(
+            f"no union branch for value {value!r} in {schema.toString()}"
+        )
     if t == "null":
         return None
     if t == "boolean":
@@ -96,9 +113,9 @@ def _to_java(jvm, schema, value):
     if t == "long":
         return jvm.java.lang.Long.valueOf(str(int(value)))
     if t == "float":
-        return jvm.java.lang.Float.valueOf(repr(float(value)))
+        return jvm.java.lang.Float.valueOf(_java_float_str(value))
     if t == "double":
-        return jvm.java.lang.Double.valueOf(repr(float(value)))
+        return jvm.java.lang.Double.valueOf(_java_float_str(value))
     if t == "string":
         return str(value)
     if t == "bytes":
@@ -166,12 +183,23 @@ def normalize(value: Any, schema) -> Any:
     else:
         t = schema["type"]
     if t == "union":
+        # Iceberg metadata unions are all ["null", T] — resolve by
+        # None-ness, with a clear error for the wider unions this
+        # comparator doesn't model (better a named failure than a
+        # mis-normalized "match")
         branch = next(
-            b
-            for b in schema
-            if ((b == "null" if isinstance(b, str) else b.get("type") == "null"))
-            == (value is None)
+            (
+                b
+                for b in schema
+                if (
+                    (b == "null" if isinstance(b, str) else b.get("type") == "null")
+                )
+                == (value is None)
+            ),
+            None,
         )
+        if branch is None:
+            raise ValueError(f"no union branch for {value!r} in {schema!r}")
         return normalize(value, branch)
     if t == "null":
         return None
@@ -182,10 +210,18 @@ def normalize(value: Any, schema) -> Any:
             # Java renders Fixed as a signed-byte array ([1, -1, ...])
             return bytes(v & 0xFF for v in value).decode("latin-1")
         return str(value)
-    if t == "float":
-        return struct.unpack("<f", struct.pack("<f", float(value)))[0]
-    if t == "double":
-        return float(value)
+    if t in ("float", "double"):
+        v = float(value)
+        # NaN != NaN would make equal records compare unequal, and the
+        # infinities have no exact float32 round-trip concern — map the
+        # non-finites to compare-stable tokens
+        if v != v:
+            return "NaN"
+        if v in (float("inf"), float("-inf")):
+            return _java_float_str(v)
+        if t == "float":
+            return struct.unpack("<f", struct.pack("<f", v))[0]
+        return v
     if t in ("int", "long"):
         return int(value)
     if t == "boolean":

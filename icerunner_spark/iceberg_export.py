@@ -89,6 +89,7 @@ from icerunner_spark.table import (
     _bounds_may_match,
     _commit_dir_of,
     _hive_partition_values,
+    _is_nan,
     _normalize_predicates,
     _parse_spec,
     _predicates_to_column,
@@ -2039,9 +2040,7 @@ def _file_may_match(
             # the NaN-aware path is needed only when the partition value
             # itself is NaN — plain interval logic would prune "= NaN"
             # though Spark's NaN = NaN is true
-            if not _bounds_may_match(
-                pv, pv, op, val, float_type=isinstance(pv, float) and pv != pv
-            ):
+            if not _bounds_may_match(pv, pv, op, val, float_type=_is_nan(pv)):
                 return False
             continue
         if op in ("is_null", "is_not_null"):

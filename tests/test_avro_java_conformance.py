@@ -87,6 +87,21 @@ _LATTICE_ROWS = [
         "d": 1.5, "bo": False, "fx": b"\x00\x00\x00\x00", "arr": [],
         "mp": {}, "nested": None,
     },
+    # non-finite floats are legal Avro values both codecs must carry:
+    # NaN/±Infinity round Java's toString as bare NaN/Infinity literals
+    # (which Python's json parser accepts) and normalize() maps them to
+    # compare-stable tokens (NaN != NaN would break record equality)
+    {
+        "l": 0, "i": 0, "s": "nonfinite", "b": b"", "f": float("nan"),
+        "d": float("inf"), "bo": True, "fx": b"\x7f\xc0\x00\x00",
+        "arr": [1], "mp": {"k": "v"},
+        "nested": {"k": -1, "v": None},
+    },
+    {
+        "l": 1, "i": 1, "s": None, "b": None, "f": float("-inf"),
+        "d": float("nan"), "bo": False, "fx": b"\xff\x80\x00\x00",
+        "arr": [], "mp": {}, "nested": None,
+    },
 ]
 
 
@@ -146,9 +161,12 @@ class TestOursReadsJava:
         _compare(_LATTICE_ROWS, recs, _LATTICE)
 
     def test_java_block_framing(self, spark, tmp_path):
+        # fat string rows: multiple OCF blocks (Java flushes ~64 KB) at
+        # ~2k py4j round-trips — 20k skinny rows took minutes through
+        # the bridge for the same block coverage
         sch = {"type": "record", "name": "m",
-               "fields": [{"name": "v", "type": "long"}]}
-        recs = [{"v": i} for i in range(20000)]
+               "fields": [{"name": "v", "type": "string"}]}
+        recs = [{"v": f"row-{i:05d}-" + "x" * 200} for i in range(2000)]
         p = str(tmp_path / "jm.avro")
         write_ocf_java(spark, p, sch, recs)
         _, _, out = iceavro.read_ocf(p)

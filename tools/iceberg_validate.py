@@ -755,27 +755,30 @@ def java_avro_crosscheck(location: str, rep: Report) -> None:
         glob.glob(os.path.join(_local(location), "metadata", "*.avro"))
     )
     for p in paths:
+        # the whole per-file pass reports instead of raising: normalize/
+        # schema_names_match can themselves raise on schema shapes the
+        # comparator doesn't model, and one odd file must not mask the
+        # report for the rest of the tree
         try:
             py_schema, py_meta, py_recs = iceavro.read_ocf(p)
             j_schema, j_meta, j_recs = read_ocf_java(spark, p)
+            if not schema_names_match(j_schema, py_schema):
+                rep.error(f"java-avro: {p}: schema disagreement")
+            for k, v in py_meta.items():
+                if j_meta.get(k) != v:
+                    rep.error(f"java-avro: {p}: metadata key {k!r} differs")
+            if len(py_recs) != len(j_recs):
+                rep.error(
+                    f"java-avro: {p}: record count {len(py_recs)} != "
+                    f"{len(j_recs)}"
+                )
+                continue
+            for i, (a, b) in enumerate(zip(py_recs, j_recs)):
+                if normalize(a, py_schema) != normalize(b, py_schema):
+                    rep.error(f"java-avro: {p}: record {i} differs")
+                    break
         except Exception as e:  # noqa: BLE001 — validator reports, not raises
-            rep.error(f"java-avro: {p}: decode failed: {e}")
-            continue
-        if not schema_names_match(j_schema, py_schema):
-            rep.error(f"java-avro: {p}: schema disagreement")
-        for k, v in py_meta.items():
-            if j_meta.get(k) != v:
-                rep.error(f"java-avro: {p}: metadata key {k!r} differs")
-        if len(py_recs) != len(j_recs):
-            rep.error(
-                f"java-avro: {p}: record count {len(py_recs)} != "
-                f"{len(j_recs)}"
-            )
-            continue
-        for i, (a, b) in enumerate(zip(py_recs, j_recs)):
-            if normalize(a, py_schema) != normalize(b, py_schema):
-                rep.error(f"java-avro: {p}: record {i} differs")
-                break
+            rep.error(f"java-avro: {p}: cross-decode failed: {e!r}")
     rep.checked["java_avro_files"] = len(paths)
 
 
