@@ -125,8 +125,10 @@ HEADLINE = [
     "audio_fingerprint_neardup",
     "zorder_compact_scan",
     "iceberg_eq_delete_export",
-    # r9: hard-negative mining for contrastive retrieval training
+    # r9: hard-negative mining for contrastive retrieval training,
+    # cross-source duplication forensics
     "hard_negative_mining",
+    "source_overlap_matrix",
 ]
 
 

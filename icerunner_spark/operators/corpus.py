@@ -632,3 +632,83 @@ def mine_hard_negatives(
             F.col("score").alias("rarity_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# Cross-source duplication forensics
+# --------------------------------------------------------------------------- #
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    *,
+    ngram: int | None = None,
+    key: Column | None = None,
+) -> DataFrame:
+    """Pairwise cross-source duplication matrix: for every pair of
+    sources, how many duplication-unit classes they share, and the
+    overlap coefficient ``shared / min(classes_a, classes_b)``. The
+    corpus-forensics question behind source selection ("which crawl
+    dumps/mirrors duplicate each other, and how much of the smaller one
+    is redundant?") — answered BEFORE committing to a mixture, since a
+    source largely contained in another contributes little new text but
+    full storage/compute cost.
+
+    The duplication unit, strictest first:
+    - default: the whole-document exact-dup class
+      (``md5(normalize_ws(text))`` — same normalization as the exact
+      dedup operators, md5 so any engine replays it);
+    - ``ngram=n``: distinct word n-grams (md5-hashed), the CCNet-style
+      shared-phrase measure that also sees partial/containment overlap
+      exact doc classes miss — the right unit for crawl-dump forensics.
+
+    Scale shape: one distinct over (key, source) — the only corpus-
+    proportional exchange, carrying 32-hex md5 keys, never text — then
+    a self-equi-join on the key. Per-key join fan-out is bounded by the
+    number of sources carrying that key (thousands at most, and only
+    keys on >= 2 sources survive), so the pair stage is answer-shaped:
+    at most sources^2 output rows regardless of corpus size."""
+    from icerunner_spark.functions.text import normalize_ws
+
+    if key is None:
+        if ngram is not None:
+            key = F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_ngrams(text_col, ngram), lambda g: F.md5(g)
+                    )
+                )
+            )
+        else:
+            key = F.md5(normalize_ws(text_col))
+    ks = df.select(
+        key.alias("__k"), F.col(source_col).alias("__src")
+    ).distinct()
+    per_source = ks.groupBy("__src").agg(F.count(F.lit(1)).alias("__n"))
+    a = ks.select(F.col("__k"), F.col("__src").alias("source_1"))
+    b = ks.select(F.col("__k").alias("__k2"), F.col("__src").alias("source_2"))
+    pairs = (
+        a.join(b, (a["__k"] == b["__k2"]) & (F.col("source_1") < F.col("source_2")))
+        .groupBy("source_1", "source_2")
+        .agg(F.count(F.lit(1)).alias("shared_classes"))
+    )
+    n1 = per_source.select(
+        F.col("__src").alias("source_1"), F.col("__n").alias("__n1")
+    )
+    n2 = per_source.select(
+        F.col("__src").alias("source_2"), F.col("__n").alias("__n2")
+    )
+    return (
+        pairs.join(n1, "source_1")
+        .join(n2, "source_2")
+        .select(
+            "source_1",
+            "source_2",
+            "shared_classes",
+            F.round(
+                F.col("shared_classes") / F.least("__n1", "__n2"), 6
+            ).alias("overlap_coeff"),
+        )
+    )

@@ -76,7 +76,8 @@ def register(name: str, oracle: str | None = None):
 # frequent_tokens_documents, iceberg_changes_import, plus the late-r9
 # additions temperature_sampled_mixture, url_canonical_dedup,
 # image_dhash_neardup, audio_fingerprint_neardup, zorder_compact_scan,
-# iceberg_eq_delete_export, and mid-r9 hard_negative_mining —
+# iceberg_eq_delete_export, and mid-r9 hard_negative_mining and
+# source_overlap_matrix —
 # are never-driver-checked and must lead the r10 rotation, followed by
 # the r6-stale cohort.
 # The policy is now EXECUTABLE: `python tools/window_policy.py` audits
@@ -3782,6 +3783,56 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text",
         ngram=3, df_max=64, min_shared=3, jaccard_max=0.5, per_anchor=3,
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+    WITH t AS (
+        SELECT source,
+               regexp_extract_all(lower(text),
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS t
+        FROM documents
+    ),
+    ks AS (
+        SELECT DISTINCT source,
+               md5(list_aggregate(t[CAST(i AS INT):CAST(i+7 AS INT)],
+                                  'string_agg', ' ')) AS k
+        FROM t, LATERAL (SELECT unnest(generate_series(1,
+                 GREATEST(len(t) - 7, 1))) AS i) s
+    ),
+    per_source AS (SELECT source, COUNT(*) AS n FROM ks GROUP BY source),
+    pairs AS (
+        SELECT a.source AS source_1, b.source AS source_2,
+               COUNT(*) AS shared_classes
+        FROM ks a JOIN ks b ON a.k = b.k AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_1, source_2, shared_classes,
+           ROUND(shared_classes * 1.0 / LEAST(n1.n, n2.n), 6)
+               AS overlap_coeff
+    FROM pairs
+    JOIN per_source n1 ON n1.source = source_1
+    JOIN per_source n2 ON n2.source = source_2
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication forensics
+    (operators.corpus.source_overlap, ngram=8): for every source pair,
+    the count of shared distinct word 8-grams and the overlap
+    coefficient shared/min(|A|,|B|) — the CCNet-style shared-phrase
+    measure behind source selection (a crawl dump largely contained in
+    another contributes storage cost, not new text). One corpus-
+    proportional exchange (distinct md5(gram)+source — hashes, never
+    text), then an answer-shaped self-join: per-gram fan-out is bounded
+    by the sources carrying it, output by sources^2. The oracle replays
+    the identical gram/md5 pipeline in SQL."""
+    from icerunner_spark.operators.corpus import source_overlap
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return source_overlap(d, "source", "text", ngram=8)
 
 
 # --------------------------------------------------------------------------- #

@@ -788,3 +788,65 @@ def test_mine_hard_negatives_deterministic_and_bounded(spark):
     assert max(per_anchor.values()) <= 3
     # negatives are never self-pairs and scores are positive integers
     assert all(a != n and s >= 1 and w >= 1 for a, n, s, w in out1)
+
+
+# --------------------------------------------------------------------------- #
+# cross-source duplication matrix
+# --------------------------------------------------------------------------- #
+
+
+def test_source_overlap_semantics(spark):
+    """Planted corpus: src a/b share one document verbatim (exact-dup
+    mode sees it), src c shares only a phrase with a (gram mode sees
+    it, exact mode must not), src d is disjoint (never appears)."""
+    from icerunner_spark.operators.corpus import source_overlap
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "a", shared),
+        (2, "a", "unique to a entirely different words here now"),
+        (3, "b", shared),                       # verbatim cross-source dup
+        (4, "b", "b only content nothing shared with anyone else"),
+        (5, "c", shared + " with an extra divergent tail attached"),
+        (6, "d", "totally disjoint vocabulary in every way imaginable"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+    exact = {
+        (r["source_1"], r["source_2"]): r["shared_classes"]
+        for r in source_overlap(df, "source", "text").collect()
+    }
+    assert exact == {("a", "b"): 1}
+
+    grams = {
+        (r["source_1"], r["source_2"]): r["shared_classes"]
+        for r in source_overlap(df, "source", "text", ngram=8).collect()
+    }
+    # a/b share all 3 8-grams of the shared doc; a/c and b/c share them
+    # too (c contains the phrase); d appears nowhere
+    assert grams[("a", "b")] == 3
+    assert grams[("a", "c")] == 3 and grams[("b", "c")] == 3
+    assert not any("d" in pair for pair in grams)
+    # coefficient: shared / min(|A|,|B|), by hand — the shared doc has
+    # 10 tokens -> 3 distinct 8-grams; each filler doc has 8 tokens ->
+    # 1 gram; so |a| = |b| = 4 and coeff(a,b) = 3/4
+    out = {
+        (r["source_1"], r["source_2"]): r["overlap_coeff"]
+        for r in source_overlap(df, "source", "text", ngram=8).collect()
+    }
+    assert out[("a", "b")] == 0.75
+
+
+def test_source_overlap_partitioning_independent(spark):
+    from icerunner_spark.operators.corpus import source_overlap
+
+    d = load_table(spark, "documents", SF_MEDIUM).select("source", "text")
+    a = sorted(
+        tuple(r)
+        for r in source_overlap(d.repartition(7), "source", "text", ngram=8).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in source_overlap(d.coalesce(1), "source", "text", ngram=8).collect()
+    )
+    assert a == b and a

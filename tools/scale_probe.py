@@ -94,6 +94,9 @@ PROBE = [
     # aggregation are all corpus-proportional exchanges; the df_max
     # bound should keep the pair stage sub-linear, the probe checks
     "hard_negative_mining",
+    # r9: source overlap — the gram+source distinct is the corpus-
+    # proportional exchange; the self-join output is sources^2-bounded
+    "source_overlap_matrix",
 ]
 
 
