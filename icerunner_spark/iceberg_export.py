@@ -1476,6 +1476,60 @@ def _load_metadata(location: str) -> dict:
     return _read_metadata_json(path)
 
 
+def _meta_schemas(meta: dict) -> list:
+    """The metadata's schema list: v2 (and late-v1) ``schemas``, or the
+    ORIGINAL v1 singular ``schema`` field (pre-schema-evolution writers
+    — common in old foreign tables), normalized to carry a schema-id."""
+    if "schemas" in meta:
+        return meta["schemas"]
+    sch = dict(meta["schema"])
+    sch.setdefault("schema-id", meta.get("current-schema-id", 0))
+    return [sch]
+
+
+def _resolve_schema(meta: dict, snap: dict) -> dict:
+    """The schema a snapshot reads with: by the snapshot's pinned
+    schema-id, falling back to the table's single schema when the
+    metadata predates schema ids entirely."""
+    schemas = _meta_schemas(meta)
+    schema_id = snap.get("schema-id", meta.get("current-schema-id"))
+    for s in schemas:
+        if s.get("schema-id") == schema_id:
+            return s
+    if len(schemas) == 1:
+        return schemas[0]
+    raise ValueError(f"schema-id {schema_id!r} not found in metadata")
+
+
+def _meta_specs(meta: dict) -> dict:
+    """spec-id -> partition spec: v2 ``partition-specs``, or original
+    v1's singular ``partition-spec`` (a bare field list, spec 0)."""
+    if "partition-specs" in meta:
+        return {sp["spec-id"]: sp for sp in meta["partition-specs"]}
+    return {0: {"spec-id": 0, "fields": meta.get("partition-spec", [])}}
+
+
+def _snapshot_manifest_files(snap: dict) -> list:
+    """manifest_file entries for one snapshot: decoded from the v2
+    ``manifest-list`` Avro, or SYNTHESIZED from original v1's inline
+    ``manifests`` path list (no list level existed — sequence numbers
+    default to 0, content to data, and the spec id is left None for the
+    caller to fill from the manifest's own OCF header)."""
+    ml = snap.get("manifest-list")
+    if ml is not None:
+        return iceavro.read_ocf(_strip_uri(ml))[2]
+    return [
+        {
+            "manifest_path": p,
+            "partition_spec_id": None,
+            "sequence_number": 0,
+            "min_sequence_number": 0,
+            "content": 0,
+            "added_snapshot_id": snap.get("snapshot-id"),
+        }
+        for p in snap.get("manifests", [])
+    ]
+
 
 # Positional-delete sets at or under this total parquet size broadcast
 # to every task (one hash probe, no shuffle of the data side); larger
@@ -1495,9 +1549,12 @@ def read_iceberg(
     where=None,
     delete_broadcast_max_bytes: int = DELETE_BROADCAST_MAX_BYTES,
 ) -> DataFrame:
-    """Read a static Iceberg v2 table (current snapshot, time travel by
-    ``snapshot_id``, or a named ``ref`` — branch or tag from metadata
-    refs, `VERSION AS OF 'name'` semantics): walks metadata.json ->
+    """Read a static Iceberg v2 — or v1, including ORIGINAL v1 with the
+    singular ``schema``/``partition-spec`` metadata fields and inline
+    snapshot ``manifests`` lists predating manifest-list files — table
+    (current snapshot, time travel by ``snapshot_id``, or a named
+    ``ref`` — branch or tag from metadata refs, `VERSION AS OF 'name'`
+    semantics): walks metadata.json ->
     manifest-list Avro -> manifest Avro, reads the live data files
     grouped by physical parquet schema (one Spark scan per distinct
     write-schema — renames resolve through
@@ -1531,11 +1588,8 @@ def read_iceberg(
     if sid is None or sid not in snaps:
         raise ValueError(f"no such snapshot: {snapshot_id}")
     snap = snaps[sid]
-    schema_id = snap.get("schema-id", meta.get("current-schema-id"))
-    schema = next(
-        s for s in meta["schemas"] if s.get("schema-id") == schema_id
-    )
-    specs = {sp["spec-id"]: sp for sp in meta.get("partition-specs", [])}
+    schema = _resolve_schema(meta, snap)
+    specs = _meta_specs(meta)
     mapping = json.loads(
         meta.get("properties", {}).get("schema.name-mapping.default", "[]")
     )
@@ -1543,14 +1597,18 @@ def read_iceberg(
         n: e["field-id"] for e in mapping for n in e.get("names", [])
     }
 
-    _, _, manifests = iceavro.read_ocf(
-        _strip_uri(snap["manifest-list"])
-    )
+    manifests = _snapshot_manifest_files(snap)
     data_files: list[dict] = []
     delete_files: list[dict] = []
     eq_delete_files: list[dict] = []
     for m in manifests:
         _, mmeta, entries = iceavro.read_ocf(_strip_uri(m["manifest_path"]))
+        if m["partition_spec_id"] is None:
+            # original-v1 inline 'manifests' carry no list-level spec id;
+            # the manifest's own OCF header has it (or spec 0)
+            m["partition_spec_id"] = int(
+                mmeta.get("partition-spec-id", b"0").decode("utf-8")
+            )
         for e in entries:
             if e["status"] == 2:  # deleted
                 continue
@@ -1896,13 +1954,8 @@ def read_iceberg_changes(
         )
     chain.reverse()
 
-    schema_id = (
-        snaps[end].get("schema-id", meta.get("current-schema-id"))
-    )
-    schema = next(
-        s for s in meta["schemas"] if s.get("schema-id") == schema_id
-    )
-    specs = {sp["spec-id"]: sp for sp in meta.get("partition-specs", [])}
+    schema = _resolve_schema(meta, snaps[end])
+    specs = _meta_specs(meta)
     mapping = json.loads(
         meta.get("properties", {}).get("schema.name-mapping.default", "[]")
     )
@@ -1929,10 +1982,14 @@ def read_iceberg_changes(
                 f"operation {op!r} is not an append"
             )
         sid = s["snapshot-id"]
-        _, _, manifests = iceavro.read_ocf(_strip_uri(s["manifest-list"]))
+        manifests = _snapshot_manifest_files(s)
         for m in manifests:
             if m.get("added_snapshot_id") != sid or m.get("content", 0) != 0:
                 continue
+            # original-v1 inline manifests list EVERY live manifest (no
+            # added/inherited distinction at this level); the per-entry
+            # status==1 + snapshot_id filters below keep only this
+            # snapshot's additions either way
             _, _, entries = iceavro.read_ocf(
                 _strip_uri(m["manifest_path"])
             )

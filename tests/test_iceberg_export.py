@@ -1889,3 +1889,147 @@ class TestReadIcebergChanges:
             read_iceberg_changes(spark, dest, start_snapshot_id=s1)
         )
         assert got == {(i, i % 2) for i in range(20, 40)}
+
+
+class TestOriginalV1Import:
+    def test_hand_built_original_v1_table_reads(self, spark, tmp_path):
+        """A foreign table in ORIGINAL Iceberg v1 shape — singular
+        'schema' and 'partition-spec' metadata fields (pre-schema-
+        evolution writers), snapshots carrying an inline 'manifests'
+        path list instead of a manifest-list Avro, manifest entries
+        without any sequence-number fields, data_file records with v1's
+        block_size_in_bytes and no content field. read_iceberg must
+        resolve the singular schema, synthesize the manifest-file level,
+        pull the spec id from the manifest's own OCF header, and
+        attribute incremental changes per-entry (read_iceberg_changes
+        has no added_snapshot_id to go by at the list level)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from icerunner_spark.iceberg_export import (
+            _uri,
+            read_iceberg,
+            read_iceberg_changes,
+        )
+
+        dest = tmp_path / "v1tab"
+        (dest / "data").mkdir(parents=True)
+        (dest / "metadata").mkdir()
+
+        def _datafile(name, ks):
+            p = str(dest / "data" / name)
+            pq.write_table(pa.table({"k": pa.array(ks, pa.int64())}), p)
+            return p
+
+        f1 = _datafile("f1.parquet", [1, 2])
+        f2 = _datafile("f2.parquet", [3, 4, 5])
+
+        # v1 manifest entry: no sequence fields; v1 data_file shape
+        entry_schema = {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"],
+                 "default": None},
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {
+                                "name": "partition",
+                                "type": {"type": "record", "name": "r102",
+                                         "fields": []},
+                            },
+                            {"name": "record_count", "type": "long"},
+                            {"name": "file_size_in_bytes", "type": "long"},
+                            {"name": "block_size_in_bytes", "type": "long"},
+                        ],
+                    },
+                },
+            ],
+        }
+
+        def _manifest(name, path, nrows, sid):
+            mp = str(dest / "metadata" / name)
+            iceavro.write_ocf(
+                mp,
+                entry_schema,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": sid,
+                        "data_file": {
+                            "file_path": _uri(path),
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": nrows,
+                            "file_size_in_bytes": os.path.getsize(path),
+                            "block_size_in_bytes": 67108864,
+                        },
+                    }
+                ],
+                metadata={"partition-spec-id": "0", "content": "data"},
+            )
+            return mp
+
+        m1 = _manifest("m1.avro", f1, 2, 11)
+        m2 = _manifest("m2.avro", f2, 3, 12)
+
+        meta = {
+            "format-version": 1,
+            "table-uuid": "00000000-0000-0000-0000-000000000011",
+            "location": _uri(str(dest)),
+            "last-updated-ms": 0,
+            "last-column-id": 1,
+            # ORIGINAL v1: singular schema / partition-spec, no ids
+            "schema": {
+                "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "long"}
+                ],
+            },
+            "partition-spec": [],
+            "properties": {
+                "schema.name-mapping.default": json.dumps(
+                    [{"field-id": 1, "names": ["k"]}]
+                )
+            },
+            "current-snapshot-id": 12,
+            "snapshots": [
+                {
+                    "snapshot-id": 11,
+                    "timestamp-ms": 0,
+                    "summary": {"operation": "append"},
+                    "manifests": [_uri(m1)],
+                },
+                {
+                    "snapshot-id": 12,
+                    "parent-snapshot-id": 11,
+                    "timestamp-ms": 1,
+                    "summary": {"operation": "append"},
+                    # v1 snapshots list EVERY live manifest inline
+                    "manifests": [_uri(m1), _uri(m2)],
+                },
+            ],
+            "snapshot-log": [],
+        }
+        with open(dest / "metadata" / "v1.metadata.json", "w") as f:
+            json.dump(meta, f)
+        with open(dest / "metadata" / "version-hint.text", "w") as f:
+            f.write("1")
+
+        got = read_iceberg(spark, str(dest))
+        assert _rows(got) == {(1,), (2,), (3,), (4,), (5,)}
+        # time travel to the first snapshot
+        assert _rows(read_iceberg(spark, str(dest), snapshot_id=11)) == {
+            (1,), (2,),
+        }
+        # incremental append scan: only snapshot 12's additions, even
+        # though its inline manifest list repeats m1
+        delta = read_iceberg_changes(spark, str(dest), start_snapshot_id=11)
+        assert _rows(delta.select("k")) == {(3,), (4,), (5,)}
