@@ -80,63 +80,65 @@ def register(name: str, oracle: str | None = None):
 # source_overlap_matrix —
 # are never-driver-checked and must lead the r10 rotation, followed by
 # the r6-stale cohort.
+# Round 10 (r9 verdict item 1): rotated via `window_policy.py --propose`
+# — head = the 18 never-driver-checked r9 names (alphabetical), then 22
+# of the 40-name r6-stale cohort (recomputed from CORRECTNESS_r01..r09:
+# Counter{r9:50, r8:40, r7:41, r6:33} + 18 never); post-r10 the stalest
+# checked name is r6 (18 r6 names remain for r11's head).
 # The policy is now EXECUTABLE: `python tools/window_policy.py` audits
 # this list against the CORRECTNESS artifacts (CI: tests/test_tools.py)
 # and `--propose` prints the next round's list to paste here.
 _DRIVER_WINDOW = [
-    # --- 2 never driver-checked (added post-r8-window) ---
-    "iceberg_incremental_mirror",  # never — O(delta) Iceberg re-export
-    "leakage_safe_split_documents",  # never — dup-group-keyed split
-    # --- 38 stalest (latest driver row r5), alphabetical ---
-    "bigram_logprob_quality",  # r5
-    "bloom_pruned_scan",  # r5
-    "clustered_compact_scan",  # r5
-    "decontam_ngram_overlap",  # r5
-    "dedup_cluster_resolution",  # r5
-    "dedup_maintenance_roundtrip",  # r5
-    "dynamic_file_prune_join",  # r5
-    "flight_federated_join",  # r5
-    "flight_sql_passthrough",  # r5
-    "hybrid_retrieval_rerank",  # r5
-    "incremental_bm25_index",  # r5
-    "incremental_mv_refresh",  # r5
-    "kmeans_cluster_profile",  # r5
-    "metadata_agg_pushdown",  # r5
-    "partition_spec_evolution",  # r5
-    "q11_important_stock",  # r5
-    "q12_priority_lateness",  # r5
-    "q13_customer_distribution",  # r5
-    "q14_promo_revenue",  # r5
-    "q15_top_supplier",  # r5
-    "q16_supplier_part_counts",  # r5
-    "q18_large_volume_customers",  # r5
-    "q19_disjunctive_revenue",  # r5
-    "q20_excess_share_suppliers",  # r5
-    "q22_idle_customers",  # r5
-    "q2_min_cost_supplier",  # r5
-    "q4_order_priority",  # r5
-    "q8_market_share",  # r5
-    "q9_product_profit",  # r5
-    "recursive_cte_hierarchy",  # r5
-    "row_lineage_scan",  # r5
-    "semantic_dedup_resolution",  # r5
-    "snapshot_eq_delete_roundtrip",  # r5
-    "snapshot_update_roundtrip",  # r5
-    "sql_udf_surface",  # r5
-    "stats_pruned_scan",  # r5
-    "table_ndv_stats",  # r5
-    "transform_partition_prune",  # r5
-    # --- 10 keepers, one per operator family ---
-    "q1_pricing_summary",  # TPC-H aggregation
-    "window_topk_orders_per_customer",  # window functions
-    "cdc_changelog_diff",  # row-level changelog CDC
-    "snapshot_merge_upsert",  # MERGE / merge-on-read
-    "wap_branch_publish",  # branches / write-audit-publish
-    "flight_pushdown_scan",  # Flight federation
-    "stream_exactly_once_ingest",  # streaming sink
-    "dedup_minhash_lsh",  # near-dup dedup
-    "similarity_bruteforce_topk",  # similarity baseline
-    "iceberg_export_roundtrip",  # Iceberg v2 interop (new family, r8)
+    "audio_fingerprint_neardup",  # never
+    "ewma_anomaly_events",  # never
+    "frequent_tokens_documents",  # never
+    "hard_negative_mining",  # never
+    "iceberg_changes_import",  # never
+    "iceberg_eq_delete_export",  # never
+    "iceberg_eq_delete_import",  # never
+    "iceberg_pruned_import",  # never
+    "image_dhash_neardup",  # never
+    "neardup_prefix_filter",  # never
+    "pagerank_order_graph",  # never
+    "ridge_quality_fit",  # never
+    "source_overlap_matrix",  # never
+    "stream_dedup_watermark",  # never
+    "temperature_sampled_mixture",  # never
+    "tfidf_top_terms",  # never
+    "url_canonical_dedup",  # never
+    "zorder_compact_scan",  # never
+    "add_files_import",  # r6
+    "approx_distinct_parts",  # r6
+    "approx_quantiles_totalprice",  # r6
+    "bpe_encode_documents",  # r6
+    "bpe_pair_frequencies",  # r6
+    "bpe_train_merges",  # r6
+    "chunk_documents_windows",  # r6
+    "exact_substring_spans",  # r6
+    "gopher_quality_filter",  # r6
+    "high_water_marks_users",  # r6
+    "hll_sketch_union_parts",  # r6
+    "importance_sample_documents",  # r6
+    "incremental_neardup_cdc",  # r6
+    "merge_into_clauses",  # r6
+    "null_semantics_orders",  # r6
+    "pagination_orders",  # r6
+    "per_source_caps",  # r6
+    "ranking_family_orders",  # r6
+    "repetition_quality_documents",  # r6
+    "segment_dedup_reassemble",  # r6
+    "sequence_packing_stats",  # r6
+    "shard_assignment_stats",  # r6
+    "q1_pricing_summary",  # KEEPER
+    "window_topk_orders_per_customer",  # KEEPER
+    "cdc_changelog_diff",  # KEEPER
+    "snapshot_merge_upsert",  # KEEPER
+    "wap_branch_publish",  # KEEPER
+    "flight_pushdown_scan",  # KEEPER
+    "stream_exactly_once_ingest",  # KEEPER
+    "dedup_minhash_lsh",  # KEEPER
+    "similarity_bruteforce_topk",  # KEEPER
+    "iceberg_export_roundtrip",  # KEEPER
 ]
 
 
