@@ -1990,9 +1990,17 @@ def read_iceberg_changes(
             # added/inherited distinction at this level); the per-entry
             # status==1 + snapshot_id filters below keep only this
             # snapshot's additions either way
-            _, _, entries = iceavro.read_ocf(
+            _, mmeta, entries = iceavro.read_ocf(
                 _strip_uri(m["manifest_path"])
             )
+            if m["partition_spec_id"] is None:
+                # original-v1 synthesized list entries carry no spec id;
+                # without this backfill identity_by_spec.get(None) -> {}
+                # would silently NULL identity-partition columns that
+                # live only in manifest metadata (Hive-style layouts)
+                m["partition_spec_id"] = int(
+                    mmeta.get("partition-spec-id", b"0").decode("utf-8")
+                )
             for e in entries:
                 if e.get("status") != 1:  # ADDED in this snapshot only
                     continue

@@ -3718,7 +3718,7 @@ def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks AS (
         SELECT doc_id, unnest(list_distinct(list_transform(
                    range(1, GREATEST(len(t) - 2, 1) + 1),
-                   i -> array_to_string(t[i:i+2], ' ')))) AS tok
+                   i -> COALESCE(array_to_string(t[i:i+2], ' '), '')))) AS tok
         FROM t
     ),
     stats AS (SELECT COUNT(*) AS n_docs FROM documents),
@@ -3798,8 +3798,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ks AS (
         SELECT DISTINCT source,
-               md5(list_aggregate(t[CAST(i AS INT):CAST(i+7 AS INT)],
-                                  'string_agg', ' ')) AS k
+               md5(COALESCE(array_to_string(
+                   t[CAST(i AS INT):CAST(i+7 AS INT)], ' '), '')) AS k
         FROM t, LATERAL (SELECT unnest(generate_series(1,
                  GREATEST(len(t) - 7, 1))) AS i) s
     ),
@@ -4101,7 +4101,7 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source,
                list_distinct(list_transform(
                    range(1, GREATEST(len(t) - 7, 1) + 1),
-                   i -> array_to_string(t[i:i+7], ' '))) AS grams
+                   i -> COALESCE(array_to_string(t[i:i+7], ' '), ''))) AS grams
         FROM toks
     ),
     eval_grams AS (
@@ -4274,7 +4274,7 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
         SELECT lang, t,
                list_transform(range(1, GREATEST(len(t) - 1, 1) + 1),
-                              i -> array_to_string(t[i:i+1], ' ')) AS g2
+                              i -> COALESCE(array_to_string(t[i:i+1], ' '), '')) AS g2
         FROM toks
     ),
     per_doc AS (
@@ -4854,7 +4854,7 @@ def stream_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
            CAST(len(t[CAST(s AS INT):CAST(s + 63 AS INT)]) AS BIGINT) AS n_chunk_tokens,
-           md5(array_to_string(t[CAST(s AS INT):CAST(s + 63 AS INT)], ' ')) AS chunk_md5
+           md5(COALESCE(array_to_string(t[CAST(s AS INT):CAST(s + 63 AS INT)], ' '), '')) AS chunk_md5
     FROM toks,
          LATERAL (SELECT unnest(range(1, GREATEST(len(t), 1) + 1, 48)) AS s) g
     ORDER BY doc_id, chunk_idx
@@ -5775,7 +5775,7 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     segs AS (
         SELECT doc_id, CAST((s - 1) / 16 AS BIGINT) AS seg_idx,
-               array_to_string(t[CAST(s AS INT):CAST(s + 15 AS INT)], ' ') AS seg_text
+               COALESCE(array_to_string(t[CAST(s AS INT):CAST(s + 15 AS INT)], ' '), '') AS seg_text
         FROM toks,
              LATERAL (SELECT unnest(range(1, GREATEST(len(t), 1) + 1, 16)) AS s) g
     ),
@@ -7892,12 +7892,18 @@ def pagerank_order_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration is then a single src-keyed join + one dst-keyed partial
     # aggregate (the two-join formulation re-shuffled the edge set twice
     # per iteration — measured 6.1 s -> see bench for the folded form).
-    # The persist must outlive the returned lazy frame (the caller
-    # collects it), so it is released by the harnesses' clearCache
-    # between queries, not here — the cache entry is |edges| rows, once
-    # per invocation.
+    # Cache-lifetime contract (r9 verdict item 7): an eager
+    # localCheckpoint, NOT persist(). A persist entry lives in the SQL
+    # CacheManager until someone calls clearCache — composing this
+    # operator into a longer pipeline leaked it. The checkpoint
+    # materializes the same |edges| rows once, registers NO CacheManager
+    # entry (pinned by the composition pytest), truncates the iteration
+    # lineage, and its blocks are released by the ContextCleaner when
+    # the returned frame is garbage-collected — no harness clearCache
+    # dependency. On a real cluster, reliable checkpointing (or
+    # src-bucketed persisted edges) replaces this single-node form.
     w = Window.partitionBy("src")
-    und_deg = und.withColumn("deg", F.count(F.lit(1)).over(w)).persist()
+    und_deg = und.withColumn("deg", F.count(F.lit(1)).over(w)).localCheckpoint()
     SCALE = 1_000_000_000_000
     ranks = (
         und_deg.select("src").distinct()

@@ -747,7 +747,20 @@ def _bounds_may_match(lo, hi, op: str, val, *, float_type: bool = False) -> bool
     ``=``/``in`` when the literal itself is NaN. Those ops never prune a
     float column without a NaN count, mirroring Iceberg's
     InclusiveMetricsEvaluator when nan_value_counts are absent. ``<`` and
-    ``<=`` stay prunable: NaN can never satisfy them."""
+    ``<=`` stay prunable for non-NaN literals: NaN can never satisfy
+    them. A NaN LITERAL inverts that: Spark evaluates ``col < NaN`` TRUE
+    for every non-NaN row and ``col <= NaN`` TRUE for every row, while
+    Python's ``lo < nan`` is False — so the generic interval test below
+    would wrongly prune. Handled here unconditionally (not gated on
+    ``float_type``) because the identity-partition caller passes
+    ``float_type=_is_nan(pv)``, which is False for a finite pv."""
+    if _is_nan(val) and op in ("<", "<="):
+        if op == "<=":
+            return True  # every value (NaN included) satisfies <= NaN
+        if not _is_nan(lo):
+            return True  # a non-NaN row exists in [lo, hi]: col < NaN
+        # all-NaN identity partition: NaN < NaN is false -> prunable
+        return False
     if float_type:
         if op in (">", ">=", "!=", "not_in"):
             return True

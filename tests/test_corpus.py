@@ -5,6 +5,7 @@ and sequence packing (operators/corpus.py, operators/packing.py)."""
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -20,6 +21,7 @@ from icerunner_spark.operators.packing import pack_sequences
 from icerunner_spark.plans import plan_report
 from icerunner_spark.sources.testdata import load_table
 
+SF_SMALL = "/root/testdata/sf0.001"
 SF_MEDIUM = "/root/testdata/sf0.01"
 
 
@@ -835,6 +837,141 @@ def test_source_overlap_semantics(spark):
         for r in source_overlap(df, "source", "text", ngram=8).collect()
     }
     assert out[("a", "b")] == 0.75
+
+
+def test_source_overlap_oracle_matches_on_zero_token_docs(spark, tmp_path):
+    """r9->r10 ADVICE.md: Spark's word_ngrams yields ONE empty-string
+    gram for a zero-token document (concat_ws over an empty slice ->
+    ''), keyed md5(''). The oracle must produce the same key — DuckDB's
+    list_aggregate('string_agg') over an empty slice returns NULL (row
+    never joins, but still inflates per_source) where array_to_string
+    returns ''. A whitespace-only doc in the corpus must not flip
+    shared_classes / overlap_coeff between engines."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from icerunner_spark.queries import _ORACLES, source_overlap_matrix
+
+    rows = [
+        (1, "a", "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (2, "a", "   "),  # whitespace-only: zero tokens, one '' gram
+        (3, "b", "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (4, "b", ""),  # empty: zero tokens, one '' gram
+        (5, "c", "unrelated filler words that never collide with others"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "source": pa.array([r[1] for r in rows]),
+                "text": pa.array([r[2] for r in rows]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    got = sorted(
+        (r["source_1"], r["source_2"], r["shared_classes"],
+         float(r["overlap_coeff"]))
+        for r in source_overlap_matrix(spark, str(tmp_path)).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path / 'documents.parquet'}')"
+    )
+    want = sorted(
+        (r[0], r[1], r[2], float(r[3]))
+        for r in con.execute(_ORACLES["source_overlap_matrix"]).fetchall()
+    )
+    assert got == want
+    # both engines must count the '' gram: a and b share the verbatim
+    # doc's grams AND the zero-token '' gram
+    ab = [r for r in got if r[:2] == ("a", "b")]
+    assert ab and ab[0][2] >= 2
+
+
+@pytest.fixture(scope="module")
+def zero_token_docs_dir(tmp_path_factory):
+    """40 real fixture docs + four zero-token docs (empty, spaces, tab/
+    newline, and one on the decontam EVAL side: 9028 % 37 == 0) — the
+    corpus shape the sf fixtures lack, where DuckDB's
+    array_to_string([], ' ') -> NULL diverges from Spark's '' gram."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("ztok")
+    src = pq.read_table(os.path.join(SF_SMALL, "documents.parquet"))
+    head = src.slice(0, 40)
+    extra = pa.table(
+        {
+            "doc_id": pa.array([9001, 9002, 9003, 9028], pa.int64()),
+            "text": pa.array(["", "   ", "\t\n", ""]),
+            "lang": pa.array(["en", "en", "de", "en"]),
+            "source": pa.array(["web", "books", "web", "wiki"]),
+            "n_chars": pa.array([0, 3, 2, 0], pa.int64()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([head.select(extra.column_names), extra]),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "source_overlap_matrix",
+        "hard_negative_mining",
+        "decontam_ngram_overlap",
+        "chunk_documents_windows",
+        "segment_dedup_reassemble",
+        "repetition_quality_documents",
+        "exact_substring_spans",
+    ],
+)
+def test_gram_oracles_match_on_zero_token_docs(
+    spark, zero_token_docs_dir, name
+):
+    """r9->r10 ADVICE.md hardening, swept across every oracle that
+    slices a token array into space-joined grams: a zero-token document
+    yields one '' gram on the Spark side (concat_ws over an empty
+    slice), while DuckDB's array_to_string/list_aggregate over the
+    empty slice returns NULL — the gram never equi-joins, list_distinct
+    silently drops it, and string_agg skips it. Each oracle now
+    COALESCEs to '' (or provably filters the case); this sweep fails if
+    a new gram oracle reintroduces the hole."""
+    import duckdb
+
+    from icerunner_spark.queries import _ORACLES, _QUERIES
+
+    sdf = _QUERIES[name](spark, zero_token_docs_dir)
+    cols = sorted(sdf.columns)
+
+    def norm(v):
+        if v is None:
+            return "\x00NULL"
+        if isinstance(v, float):
+            return str(round(v, 6))
+        return str(v)
+
+    got = sorted(tuple(norm(r[c]) for c in cols) for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(zero_token_docs_dir, 'documents.parquet')}')"
+    )
+    out = con.sql(_ORACLES[name])
+    idx = [out.columns.index(c) for c in sorted(out.columns)]
+    want = sorted(
+        tuple(norm(row[i]) for i in idx) for row in out.fetchall()
+    )
+    assert got == want
+    assert got  # non-empty: the sweep exercises real rows
 
 
 def test_source_overlap_partitioning_independent(spark):

@@ -2033,3 +2033,152 @@ class TestOriginalV1Import:
         # though its inline manifest list repeats m1
         delta = read_iceberg_changes(spark, str(dest), start_snapshot_id=11)
         assert _rows(delta.select("k")) == {(3,), (4,), (5,)}
+
+    def test_original_v1_partitioned_changelog_injects_partition(
+        self, spark, tmp_path
+    ):
+        """Hive-style original-v1 layout: the partition column exists
+        ONLY in manifest metadata (data parquets carry just `k`), and
+        the synthesized manifest-file entries carry spec_id=None.
+        read_iceberg_changes must backfill the spec id from each
+        manifest's own OCF header — identity_by_spec.get(None) would
+        silently inject NULL for `g` (the r9->r10 ADVICE.md medium)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from icerunner_spark.iceberg_export import (
+            _uri,
+            read_iceberg,
+            read_iceberg_changes,
+        )
+
+        dest = tmp_path / "v1part"
+        (dest / "data").mkdir(parents=True)
+        (dest / "metadata").mkdir()
+
+        def _datafile(name, ks):
+            p = str(dest / "data" / name)
+            # Hive-style: partition column NOT in the file
+            pq.write_table(pa.table({"k": pa.array(ks, pa.int64())}), p)
+            return p
+
+        f1 = _datafile("g0.parquet", [1, 2])
+        f2 = _datafile("g1.parquet", [3, 4])
+
+        entry_schema = {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"],
+                 "default": None},
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {
+                                "name": "partition",
+                                "type": {
+                                    "type": "record",
+                                    "name": "r102",
+                                    "fields": [
+                                        {"name": "g",
+                                         "type": ["null", "int"],
+                                         "default": None}
+                                    ],
+                                },
+                            },
+                            {"name": "record_count", "type": "long"},
+                            {"name": "file_size_in_bytes", "type": "long"},
+                            {"name": "block_size_in_bytes", "type": "long"},
+                        ],
+                    },
+                },
+            ],
+        }
+
+        def _manifest(name, path, nrows, sid, g):
+            mp = str(dest / "metadata" / name)
+            iceavro.write_ocf(
+                mp,
+                entry_schema,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": sid,
+                        "data_file": {
+                            "file_path": _uri(path),
+                            "file_format": "PARQUET",
+                            "partition": {"g": g},
+                            "record_count": nrows,
+                            "file_size_in_bytes": os.path.getsize(path),
+                            "block_size_in_bytes": 67108864,
+                        },
+                    }
+                ],
+                metadata={"partition-spec-id": "0", "content": "data"},
+            )
+            return mp
+
+        m1 = _manifest("m1.avro", f1, 2, 21, 0)
+        m2 = _manifest("m2.avro", f2, 2, 22, 1)
+
+        meta = {
+            "format-version": 1,
+            "table-uuid": "00000000-0000-0000-0000-000000000012",
+            "location": _uri(str(dest)),
+            "last-updated-ms": 0,
+            "last-column-id": 2,
+            "schema": {
+                "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "k", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "g", "required": False,
+                     "type": "int"},
+                ],
+            },
+            # ORIGINAL v1: singular bare field list = spec 0
+            "partition-spec": [
+                {"name": "g", "transform": "identity",
+                 "source-id": 2, "field-id": 1000}
+            ],
+            "properties": {
+                "schema.name-mapping.default": json.dumps(
+                    [{"field-id": 1, "names": ["k"]}]
+                )
+            },
+            "current-snapshot-id": 22,
+            "snapshots": [
+                {
+                    "snapshot-id": 21,
+                    "timestamp-ms": 0,
+                    "summary": {"operation": "append"},
+                    "manifests": [_uri(m1)],
+                },
+                {
+                    "snapshot-id": 22,
+                    "parent-snapshot-id": 21,
+                    "timestamp-ms": 1,
+                    "summary": {"operation": "append"},
+                    "manifests": [_uri(m1), _uri(m2)],
+                },
+            ],
+            "snapshot-log": [],
+        }
+        with open(dest / "metadata" / "v1.metadata.json", "w") as f:
+            json.dump(meta, f)
+        with open(dest / "metadata" / "version-hint.text", "w") as f:
+            f.write("1")
+
+        # full read injects g from manifest partition values
+        assert _rows(read_iceberg(spark, str(dest))) == {
+            (1, 0), (2, 0), (3, 1), (4, 1),
+        }
+        # changelog: g must be the manifest value, not NULL
+        delta = read_iceberg_changes(spark, str(dest), start_snapshot_id=21)
+        assert _rows(delta.select("k", "g")) == {(3, 1), (4, 1)}

@@ -3071,6 +3071,14 @@ def test_float_bounds_pruning_is_nan_safe(spark, warehouse):
     assert ids([("x", "<", 0.5)]) == full("x < 0.5") == []
     rep = t.explain_scan(where=[("x", "<", 0.5)])
     assert rep["skipped"].get("bounds") == 1
+    # ...but a NaN LITERAL inverts the rule: Spark evaluates col < NaN
+    # TRUE for every non-NaN row and col <= NaN TRUE for every row
+    # (NaN = NaN), while Python's lo < nan is False. Reproduced
+    # pre-fix: both scans pruned the file and returned [].
+    assert full("x < double('nan')") == [1, 3]
+    assert ids([("x", "<", float("nan"))]) == [1, 3]
+    assert full("x <= double('nan')") == [1, 2, 3]
+    assert ids([("x", "<=", float("nan"))]) == [1, 2, 3]
     # filtered metadata counts: the no-match "<" proof stays valid (NaN
     # fails < as well) so a fully-out-of-range "<" still answers 0, but
     # any proof a hidden NaN row could break refuses — the ">" no-match
@@ -3083,6 +3091,23 @@ def test_float_bounds_pruning_is_nan_safe(spark, warehouse):
     assert math.isnan(
         t.scan().agg({"x": "max"}).collect()[0][0]
     )  # Spark MAX = NaN: why metadata_min_max refuses floats
+
+
+def test_bounds_may_match_nan_literal_unit():
+    """The identity-partition callers pass float_type=_is_nan(pv) —
+    False for a finite pv — so the NaN-literal guard must not be gated
+    on float_type. Pins the truth table directly."""
+    nan = float("nan")
+    from icerunner_spark.table import _bounds_may_match
+
+    # finite identity value (pv, pv): Spark's pv < NaN / pv <= NaN TRUE
+    assert _bounds_may_match(5.0, 5.0, "<", nan, float_type=False)
+    assert _bounds_may_match(5.0, 5.0, "<=", nan, float_type=False)
+    # all-NaN identity value: NaN < NaN false -> prunable; <= keeps
+    assert not _bounds_may_match(nan, nan, "<", nan, float_type=True)
+    assert _bounds_may_match(nan, nan, "<=", nan, float_type=True)
+    # non-NaN literals keep the old rule: < stays prunable
+    assert not _bounds_may_match(1.0, 2.0, "<", 0.5, float_type=True)
 
 
 def test_iceberg_import_pruning_is_nan_safe(spark, warehouse, tmp_path):
