@@ -55,11 +55,10 @@ class TestPagerankOrderGraph:
             a = sorted(
                 tuple(r) for r in q.queries()["pagerank_order_graph"](spark, SF).collect()
             )
-            # drop the persisted edge frame: CacheManager would otherwise
-            # substitute run 1's materialized InMemoryRelation into run
-            # 2's identical plan, and the edge build + degree fold would
-            # never re-execute under the second shuffle layout
-            spark.catalog.clearCache()
+            # no clearCache needed between runs: the edge frame is an
+            # eager localCheckpoint scoped to each invocation, not a
+            # CacheManager entry that would substitute run 1's blocks
+            # into run 2's identical plan
             spark.conf.set("spark.sql.shuffle.partitions", "11")
             b = sorted(
                 tuple(r) for r in q.queries()["pagerank_order_graph"](spark, SF).collect()
@@ -69,6 +68,28 @@ class TestPagerankOrderGraph:
             spark.catalog.clearCache()
         assert a == b
         assert len(a) == 20
+
+    def test_composes_without_cache_registry_growth(self, spark):
+        """Cache-lifetime contract (r9 verdict item 7): a standalone
+        caller composing pagerank into a longer pipeline must not leak a
+        CacheManager entry that only a harness clearCache would release.
+        The edge frame is an eager localCheckpoint — SQL cache registry
+        stays empty, and a second query in the same session runs on an
+        untouched cache."""
+        spark.catalog.clearCache()
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        assert cm.isEmpty()
+        pr = q.queries()["pagerank_order_graph"](spark, SF)
+        # compose: join the ranks back to a second aggregate in one plan
+        top = pr.limit(5)
+        composed = top.join(
+            q.queries()["q1_pricing_summary"](spark, SF).limit(1).crossJoin(
+                top.select(F.count(F.lit(1)).alias("k"))
+            ),
+            how="cross",
+        )
+        assert composed.count() > 0
+        assert cm.isEmpty()  # no persist entry to leak
 
     def test_rank_floor_and_mass(self, spark):
         """Every damped rank >= 0.15*SCALE (the teleport floor), and
