@@ -226,3 +226,75 @@ class TestWindowPolicy:
         ) + wp.KEEPERS
         problems = wp.audit(fresh_window, registry, latest)
         assert any("stalest checked cohort" in p for p in problems), problems
+
+
+class TestScaleFixtureGenerator:
+    """The probe generator's structural contract (r10): per-copy
+    transforms are bijections preserving within-copy structure, and
+    cross-copy n-gram identity is destroyed at BOTH the word and the
+    CHARACTER level (the r10 probe postmortem: word-only rotation left
+    char-shingle overlap at J 0.1-0.3, and 87% of sf1 LSH candidates
+    were a cross-copy quadratic artifact billed to the minhash plan)."""
+
+    def _mod(self):
+        return _load_module("tools/make_scale_fixtures.py", "msf")
+
+    def test_char_rotation_is_class_preserving_bijection(self):
+        msf = self._mod()
+        for copy in (1, 3, 9, 19):
+            tab = msf._char_rotation_table(copy)
+            # bijective on its domain
+            assert len(set(tab.values())) == len(tab)
+            for src, dst in tab.items():
+                s, d = chr(src), chr(dst)
+                for lo, hi in (("a", "z"), ("A", "Z"), ("0", "9")):
+                    assert (lo <= s <= hi) == (lo <= d <= hi)
+                assert (0x4E00 <= src <= 0x9FFF) == (0x4E00 <= dst <= 0x9FFF)
+
+    def test_cross_copy_shingles_disjoint(self):
+        """Remap a synthetic corpus into two copies and assert the
+        char-5-gram sets are disjoint once punctuation/whitespace-only
+        grams (deliberate fixed points) are excluded — the property the
+        minhash scale exponent rests on."""
+        import re
+
+        import pyarrow as pa
+
+        msf = self._mod()
+        texts = [
+            "the quick brown fox jumps over the lazy dog 42 times",
+            "pack my box with five dozen liquor jugs, 100% proof!",
+            "the quick brown fox jumps over the lazy dog 42 times",
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(texts),
+                "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+            }
+        )
+        alnum = re.compile(r"[a-zA-Z0-9一-鿿]")
+
+        def shingles(tab):
+            out = set()
+            for s in tab.column("text").to_pylist():
+                norm = re.sub(r"\s+", " ", s.lower())
+                for i in range(max(len(norm) - 4, 1)):
+                    g = norm[i : i + 5]
+                    if alnum.search(g):  # punctuation-only are fixed points
+                        out.add(g)
+            return out
+
+        c1 = shingles(msf._remap_documents(t, 1))
+        c2 = shingles(msf._remap_documents(t, 2))
+        c0 = shingles(t)
+        # accidental Caesar alignments exist (e.g. "box"+7 = "ive", so a
+        # rotated copy can coincidentally share a shingle with copy 0's
+        # "five") — the contract is NO SIGNIFICANT overlap (J at the
+        # 0.1-0.3 level caused the r10 artifact), not exact disjointness
+        for a, b in ((c1, c2), (c0, c1), (c0, c2)):
+            j = len(a & b) / len(a | b)
+            assert j < 0.05, (j, sorted(a & b)[:5])
+        # bijection: within-copy duplicate structure preserved exactly
+        r1 = msf._remap_documents(t, 1).column("text").to_pylist()
+        assert r1[0] == r1[2] and r1[0] != r1[1]

@@ -72,6 +72,25 @@ def _shift_keys(t: pa.Table, shifts: dict[str, int], copy: int) -> pa.Table:
     return t
 
 
+def _char_rotation_table(copy: int) -> dict[int, int]:
+    """Per-copy bijective character map, rotating WITHIN each tokenizer
+    character class so token boundaries, token lengths, and regex class
+    membership ([a-z]+ / [0-9]+ / CJK-single-char) are preserved
+    exactly: lowercase and uppercase Caesar-rotate by 7*copy, digits by
+    copy, CJK Unified Ideographs rotate within their block by 131*copy.
+    Punctuation and whitespace are fixed points (structure carriers)."""
+    rot = {}
+    for base, n, k in ((97, 26, 7 * copy), (65, 26, 7 * copy), (48, 10, copy)):
+        for i in range(n):
+            rot[base + i] = base + (i + k) % n
+    cjk0, cjkn = 0x4E00, 0x9FFF - 0x4E00 + 1
+    step = (131 * copy) % cjkn
+    if step:
+        for i in range(cjkn):
+            rot[cjk0 + i] = cjk0 + (i + step) % cjkn
+    return rot
+
+
 def _remap_documents(t: pa.Table, copy: int) -> pa.Table:
     if copy == 0:
         return t
@@ -80,8 +99,23 @@ def _remap_documents(t: pa.Table, copy: int) -> pa.Table:
     pos = {w: i for i, w in enumerate(vocab)}
     v = len(vocab)
     rot = 131 * copy  # coprime-ish stride; bijection for any v
+    # two bijections compose per copy: the word-level vocabulary
+    # rotation destroys cross-copy WORD n-gram identity, and the
+    # char-class rotation destroys cross-copy CHARACTER n-gram identity
+    # (r10 fix: word rotation alone permutes the SAME shared vocabulary,
+    # so char-shingle operators saw ~87% cross-copy LSH candidates at
+    # J 0.1-0.3 — a quadratic fixture artifact the sf0.1->sf1 exponent
+    # wrongly billed to the minhash plan). Both maps are bijective per
+    # copy, so WITHIN-copy dup/near-dup/span structure, token lengths,
+    # df multisets, and tokenizer character classes are preserved
+    # exactly; only punctuation/whitespace chars (structure carriers)
+    # remain cross-copy fixed points.
+    ctab = _char_rotation_table(copy)
     new_texts = [
-        " ".join(vocab[(pos[w] + rot) % v] for w in s.split(" ")) for s in texts
+        " ".join(
+            vocab[(pos[w] + rot) % v] for w in s.split(" ")
+        ).translate(ctab)
+        for s in texts
     ]
     t = t.set_column(
         t.schema.get_field_index("text"), t.schema.field("text"),
