@@ -4,8 +4,8 @@ plus sql (remote SQL over the served sql ticket), maintain
 export-iceberg (cross-engine Iceberg v2 metadata export,
 iceberg_export.py — re-running against the same output dir is an
 O(delta) incremental mirror) and validate-iceberg (spec-conformance
-audit of an exported tree, tools/iceberg_validate.py — no Spark
-session).
+audit of an exported tree, tools/iceberg_validate.py — includes the
+Apache Avro Java cross-decode by default since r10).
 
 Same verbs and flags; ``--batch-size`` counts ROWS (the reference documents
 rows but implements batches — bug at icerunner.py:1118)."""
@@ -83,10 +83,19 @@ def main(argv: list[str] | None = None) -> int:
     vi = sub.add_parser(
         "validate-iceberg",
         help="spec-conformance audit of an exported Iceberg tree "
-        "(metadata/manifest/file consistency; no Spark session needed)",
+        "(metadata/manifest/file consistency + Java Avro cross-decode; "
+        "--no-java-avro skips the JVM)",
     )
     vi.add_argument("-p", "--path", required=True, help="Iceberg table dir")
     vi.add_argument("--json", action="store_true", help="machine output")
+    vi.add_argument(
+        "--java-avro",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="cross-decode every Avro file through the Apache Avro Java "
+        "reference decoder (starts a local JVM; on by default — "
+        "--no-java-avro for a JVM-less quick pass)",
+    )
 
     args = p.parse_args(argv)
 
@@ -155,7 +164,10 @@ def main(argv: list[str] | None = None) -> int:
         spec = _ilu.spec_from_file_location("iceberg_validate", tool)
         mod = _ilu.module_from_spec(spec)
         spec.loader.exec_module(mod)
-        rep = mod.validate(args.path).as_dict()
+        report = mod.validate(args.path)
+        if args.java_avro:
+            mod.java_avro_crosscheck(args.path, report)
+        rep = report.as_dict()
         if args.json:
             print(_json.dumps(rep, indent=1))
         else:
