@@ -129,6 +129,27 @@ HEADLINE = [
     # cross-source duplication forensics
     "hard_negative_mining",
     "source_overlap_matrix",
+    # r10 (r9 verdict item 8): the 14 most expensive previously
+    # unbenched registry names, selected by a one-trial timing sweep of
+    # 46 uncovered candidates at sf0.1 (tools: /tmp sweep, recorded in
+    # BASELINE.md). The sweep immediately paid for itself:
+    # dedup_cluster_resolution measured 187 s — connected_components
+    # re-ran the uncached exact-Jaccard pair pipeline every label
+    # round; fixed to 26 s by checkpointing the edge set once.
+    "dedup_cluster_resolution",
+    "incremental_neardup_cdc",
+    "neardup_ngram_jaccard",
+    "bpe_train_merges",
+    "incremental_mv_refresh",
+    "flight_federated_join",
+    "semantic_dedup_resolution",
+    "bpe_encode_documents",
+    "dedup_simhash",
+    "segment_dedup_reassemble",
+    "exact_substring_spans",
+    "stream_exactly_once_ingest",
+    "q18_large_volume_customers",
+    "bigram_logprob_quality",
 ]
 
 

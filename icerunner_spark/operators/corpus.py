@@ -78,6 +78,15 @@ def connected_components(
         pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
         .union(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
         .distinct()
+        # materialize ONCE: edges are re-joined in EVERY round, twice
+        # (neighbor-min + the changed check), so a lazy lineage re-runs
+        # the caller's whole pair-generation pipeline per round —
+        # measured 187 s -> 26 s on dedup_cluster_resolution at sf0.1,
+        # where the uncached exact-Jaccard inverted-index join (~18 s)
+        # replayed every iteration. Same eager-localCheckpoint contract
+        # as _cc_two_phase below and pagerank: no CacheManager entry,
+        # blocks GC-released with the frame.
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
