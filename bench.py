@@ -150,6 +150,9 @@ HEADLINE = [
     "stream_exactly_once_ingest",
     "q18_large_volume_customers",
     "bigram_logprob_quality",
+    # r10 additions: corpus-QA operators
+    "zipf_token_fit",
+    "psi_source_drift",
 ]
 
 

@@ -8007,6 +8007,193 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zipf_token_fit",
+    oracle="""
+    WITH tok AS (
+        SELECT lang,
+               unnest(regexp_extract_all(lower(text),
+                      '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok
+    ),
+    ranked AS (
+        SELECT lang, c,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY c DESC, tok) AS r
+        FROM freq
+    ),
+    top AS (SELECT * FROM ranked WHERE r <= 1000),
+    s AS (
+        SELECT lang,
+               COUNT(*) AS n,
+               SUM(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(27,12))) AS sx,
+               SUM(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(27,12))) AS sy,
+               SUM(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+                        AS DECIMAL(27,12))) AS sxx,
+               SUM(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+                        AS DECIMAL(27,12))) AS sxy
+        FROM top GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_terms,
+           ROUND(-(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS zipf_alpha
+    FROM s ORDER BY lang
+    """,
+)
+def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-exponent fit per language — the corpus-health probe behind
+    "is this crawl dump natural text or generated/boilerplate spam"
+    (natural language sits near alpha 1; template floods and
+    deduplication failures flatten or steepen it). OLS of ln(freq) on
+    ln(rank) over the top-1000 token types per language, alpha = -slope.
+
+    Plan shape: ONE (lang, token) hash aggregate (map-side combinable —
+    the only corpus-proportional exchange, carrying token strings once),
+    a per-lang top-1000 rank (partition = per-lang VOCABULARY, bounded
+    by type count, not corpus size; at 100 TB swap in
+    operators.skew.capped_topk_per_key's two-phase pre-cap), then the
+    regression as one tiny aggregate — four moment sums per language,
+    bytes on the wire. Determinism: counts and ranks are exact integers
+    in both engines; each ln() term is an IEEE double computed from the
+    same integers, and the moment sums accumulate in DECIMAL(27,12)
+    (exact addition, association-free — the array_embedding_norms
+    pattern), so the 6dp slope is bit-stable across engines and
+    partitionings."""
+    from icerunner_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "tok")
+    top = freq.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 1000)
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    dec = "decimal(27,12)"
+    s = top.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lx.cast(dec)).alias("sx"),
+        F.sum(ly.cast(dec)).alias("sy"),
+        F.sum((lx * lx).cast(dec)).alias("sxx"),
+        F.sum((lx * ly).cast(dec)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    return s.select(
+        "lang",
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias(
+            "zipf_alpha"
+        ),
+    ).orderBy("lang")
+
+
+@register(
+    "psi_source_drift",
+    oracle="""
+    WITH b AS (
+        SELECT source,
+               LEAST(CAST(n_chars AS BIGINT) // 256, 15) AS bucket
+        FROM documents
+    ),
+    sb AS (
+        SELECT source, bucket, COUNT(*) AS c FROM b GROUP BY source, bucket
+    ),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    buckets AS (SELECT unnest(generate_series(0, 15)) AS bucket),
+    grid AS (
+        SELECT s.source, bk.bucket, COALESCE(sb.c, 0) AS c
+        FROM srcs s CROSS JOIN buckets bk
+        LEFT JOIN sb ON sb.source = s.source AND sb.bucket = bk.bucket
+    ),
+    gl AS (SELECT bucket, SUM(c) AS g FROM grid GROUP BY bucket),
+    tot AS (
+        SELECT source, SUM(c) AS n_src FROM grid GROUP BY source
+    ),
+    n_all AS (SELECT SUM(c) AS n FROM grid),
+    terms AS (
+        SELECT grid.source,
+               ((grid.c + 1.0) / (tot.n_src + 16.0)
+                - (gl.g + 1.0) / (n_all.n + 16.0))
+               * ln(((grid.c + 1.0) / (tot.n_src + 16.0))
+                    / ((gl.g + 1.0) / (n_all.n + 16.0))) AS term,
+               tot.n_src AS n_docs
+        FROM grid
+        JOIN gl USING (bucket)
+        JOIN tot ON tot.source = grid.source
+        CROSS JOIN n_all
+    )
+    SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+           ROUND(SUM(CAST(term AS DECIMAL(27,12)))::DOUBLE, 6) AS psi
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution against the whole corpus — the drift monitor a
+    production ingest runs per batch ("did this crawl dump's length
+    profile shift from the corpus it joins?"; PSI < 0.1 stable, > 0.25
+    action). Buckets are INTEGER length bands (n_chars div 256, capped
+    at 15) so bucketing is bit-identical on any engine — no float
+    edges; +1 Laplace smoothing on integer counts makes every
+    probability a ratio of exact integers, and the 16 per-source PSI
+    terms sum in DECIMAL(27,12) (association-free), so the 6dp PSI is
+    engine-stable. Plan shape: ONE (source, bucket) hash aggregate —
+    the only corpus-proportional pass, emitting at most
+    sources x 16 rows — then broadcast-sized grid joins; output is
+    answer-shaped (one row per source) regardless of corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(
+        "source",
+        F.least(
+            (F.col("n_chars").cast("long") / F.lit(256)).cast("long"),
+            F.lit(15),
+        ).alias("bucket"),
+    )
+    sb = b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    srcs = d.select("source").distinct()
+    buckets = spark.range(0, 16).select(F.col("id").alias("bucket"))
+    grid = (
+        srcs.crossJoin(F.broadcast(buckets))
+        .join(sb, ["source", "bucket"], "left")
+        .select("source", "bucket", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    gl = grid.groupBy("bucket").agg(F.sum("c").alias("g"))
+    tot = grid.groupBy("source").agg(F.sum("c").alias("n_src"))
+    n_all = grid.agg(F.sum("c").alias("n"))
+    p = (F.col("c") + F.lit(1.0)) / (F.col("n_src") + F.lit(16.0))
+    q = (F.col("g") + F.lit(1.0)) / (F.col("n") + F.lit(16.0))
+    terms = (
+        grid.join(F.broadcast(gl), "bucket")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            "n_src",
+            ((p - q) * F.log(p / q)).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("n_src").cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("term").cast("decimal(27,12)")).cast("double"), 6
+            ).alias("psi"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "stream_dedup_watermark",
     oracle="""
     SELECT event_type,

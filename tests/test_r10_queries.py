@@ -1,0 +1,153 @@
+"""Pins for the r10 registry additions beyond their DuckDB oracles:
+algorithmic correctness against independent references (numpy OLS for
+the Zipf fit, a hand-computed planted PSI), and the engine-portability
+claims (partitioning-independent results) the docstrings make."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from icerunner_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestZipfTokenFit:
+    def test_matches_numpy_ols(self, spark):
+        """alpha must equal numpy's polyfit slope on the same
+        (ln rank, ln freq) points — an independent regression reference,
+        not a replay of the SQL."""
+        rows = {
+            r["lang"]: r for r in q.queries()["zipf_token_fit"](spark, SF).collect()
+        }
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "lang", "text"
+        ).collect()
+        tok = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+        by_lang: dict = {}
+        for d in docs:
+            freq = by_lang.setdefault(d["lang"], {})
+            for t in tok.findall(d["text"].lower()):
+                freq[t] = freq.get(t, 0) + 1
+        for lang, freq in by_lang.items():
+            top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+            x = np.log(np.arange(1, len(top) + 1, dtype=float))
+            y = np.log(np.array([c for _, c in top], dtype=float))
+            slope = np.polyfit(x, y, 1)[0]
+            got = rows[lang]
+            assert got["n_terms"] == len(top)
+            assert got["zipf_alpha"] == pytest.approx(-slope, abs=5e-5)
+            # sanity band (wide: the synthetic zh docs tokenize to
+            # single CJK chars with a nearly flat frequency profile,
+            # alpha ~ 0.19 — a real signal the fit correctly reports)
+            assert 0.05 < got["zipf_alpha"] < 3.5
+
+    def test_partitioning_independent(self, spark):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            a = sorted(tuple(r) for r in q.queries()["zipf_token_fit"](spark, SF).collect())
+            spark.conf.set("spark.sql.shuffle.partitions", "13")
+            b = sorted(tuple(r) for r in q.queries()["zipf_token_fit"](spark, SF).collect())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert a == b and a
+
+
+class TestPsiSourceDrift:
+    def test_planted_distribution_hand_computed(self, spark, tmp_path):
+        """A planted two-source corpus where the PSI is computable by
+        hand: source 'a' all short docs (bucket 0), source 'b' all long
+        docs (bucket 1). Replays the +1-smoothed formula in plain
+        Python over the 16 integer buckets."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [(i, "x" * 10, "en", "a", 10) for i in range(30)] + [
+            (100 + i, "y" * 300, "en", "b", 300) for i in range(10)
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows]),
+                    "lang": pa.array([r[2] for r in rows]),
+                    "source": pa.array([r[3] for r in rows]),
+                    "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = {
+            r["source"]: r
+            for r in q.queries()["psi_source_drift"](spark, str(tmp_path)).collect()
+        }
+
+        def psi(counts: dict, n_src: int, glob: dict, n_all: int) -> float:
+            s = 0.0
+            for bk in range(16):
+                p = (counts.get(bk, 0) + 1.0) / (n_src + 16.0)
+                qq = (glob.get(bk, 0) + 1.0) / (n_all + 16.0)
+                s += (p - qq) * math.log(p / qq)
+            return round(s, 6)
+
+        glob = {0: 30, 1: 10}
+        assert got["a"]["n_docs"] == 30
+        assert got["b"]["n_docs"] == 10
+        assert got["a"]["psi"] == pytest.approx(psi({0: 30}, 30, glob, 40), abs=2e-6)
+        assert got["b"]["psi"] == pytest.approx(psi({1: 10}, 10, glob, 40), abs=2e-6)
+        # the minority source diverges more from the pooled corpus
+        assert got["b"]["psi"] > got["a"]["psi"] > 0
+
+    def test_identical_source_near_zero(self, spark, tmp_path):
+        """Sources whose length profiles ARE the corpus profile must
+        score equal, small PSI. Not ~0: with 20 docs/source the +1
+        smoothing over the 12 EMPTY buckets dominates ((1/36 vs 1/56)
+        per bucket), a deliberate small-sample bias the monitor shares
+        across batches — so the pin is symmetry plus a bound that the
+        hand replay confirms, not an idealized zero."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [
+            (i, "x" * ln, "en", src, ln)
+            for i, (src, ln) in enumerate(
+                [(s, ln) for s in ("a", "b") for ln in (10, 300, 600, 900) * 5]
+            )
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows]),
+                    "lang": pa.array([r[2] for r in rows]),
+                    "source": pa.array([r[3] for r in rows]),
+                    "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = {
+            r["source"]: r["psi"]
+            for r in q.queries()["psi_source_drift"](spark, str(tmp_path)).collect()
+        }
+        # identical profiles -> identical PSI, bounded by the smoothing
+        # floor for 20-docs-vs-16-buckets (hand value ~ 0.0725)
+        assert got["a"] == got["b"]
+        assert 0 < got["a"] < 0.1
+
+    def test_partitioning_independent(self, spark):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            a = sorted(tuple(r) for r in q.queries()["psi_source_drift"](spark, SF).collect())
+            spark.conf.set("spark.sql.shuffle.partitions", "13")
+            b = sorted(tuple(r) for r in q.queries()["psi_source_drift"](spark, SF).collect())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert a == b and a
