@@ -153,6 +153,9 @@ HEADLINE = [
     # r10 additions: corpus-QA operators
     "zipf_token_fit",
     "psi_source_drift",
+    "per_source_percentile_filter",
+    "decontam_eval_containment",
+    "embedding_outlier_zscore",
 ]
 
 

@@ -8193,6 +8193,241 @@ def psi_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "per_source_percentile_filter",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(lower(text),
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source, n_tokens,
+               PERCENT_RANK() OVER (PARTITION BY source
+                                    ORDER BY n_tokens, doc_id) AS pct
+        FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN pct >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(MIN(CASE WHEN pct >= 0.2 THEN n_tokens END) AS BIGINT)
+               AS min_kept_tokens
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def per_source_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-percentile filter: drop each source's shortest
+    20% of documents by token count instead of applying one global
+    length cutoff — the calibration step that stops a verbose source's
+    floor from nuking a terse-but-clean source (per-source thresholds
+    are how production quality filters are actually deployed). Fully
+    integer inputs: the rank key is (n_tokens, doc_id), so percent_rank
+    and the kept set are bit-identical on any engine or partitioning.
+    Plan: one window per source (partition = that source's docs), one
+    aggregate; output answer-shaped (one row per source). At 100 TB the
+    window partitions by source only — salt wide sources with a
+    two-phase rank if one source dominates."""
+    from icerunner_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    r = d.withColumn("pct", F.percent_rank().over(w))
+    kept = F.when(F.col("pct") >= 0.2, 1).otherwise(0)
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.min(F.when(F.col("pct") >= 0.2, F.col("n_tokens")))
+            .cast("long")
+            .alias("min_kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "decontam_eval_containment",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, GREATEST(len(t) - 7, 1) + 1),
+                   i -> COALESCE(array_to_string(t[i:i+7], ' '), ''))) AS grams
+        FROM toks
+    ),
+    eg AS (
+        SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 37 = 0
+    ),
+    cg AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 37 <> 0
+    ),
+    hit AS (
+        SELECT eg.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN cg.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM eg LEFT JOIN cg ON eg.gram = cg.gram
+        GROUP BY eg.doc_id
+    )
+    SELECT doc_id AS eval_doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hit AS BIGINT) AS n_contained,
+           ROUND(n_hit * 1.0 / n_grams, 6) AS containment
+    FROM hit ORDER BY eval_doc_id
+    """,
+)
+def decontam_eval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL-side contamination report: for every eval document
+    (doc_id % 37 == 0, the same held-out convention as
+    decontam_ngram_overlap), the fraction of its distinct word 8-grams
+    that appear anywhere in the training corpus — the containment
+    direction (which BENCHMARK items are compromised and must be
+    dropped or reported) that complements the corpus-side flags (which
+    TRAINING docs to filter). Shape: the corpus contributes ONE
+    distinct over its grams (md5-free here: grams join as strings once,
+    corpus-proportional, the same exchange the corpus-side decontam
+    pays); the eval side is tiny and drives a left join; output is one
+    row per eval doc. Integer counts + one 6dp ratio: engine-exact."""
+    from icerunner_spark.functions.text import word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams("text", 8))).alias("gram"),
+    )
+    eg = grams.filter(F.col("doc_id") % 37 == 0)
+    cg = (
+        grams.filter(F.col("doc_id") % 37 != 0)
+        .select("gram")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    hit = (
+        eg.join(cg, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias(
+                "n_contained"
+            ),
+        )
+    )
+    return hit.select(
+        F.col("doc_id").alias("eval_doc_id"),
+        "n_grams",
+        "n_contained",
+        F.round(F.col("n_contained") / F.col("n_grams"), 6).alias(
+            "containment"
+        ),
+    ).orderBy("eval_doc_id")
+
+
+@register(
+    "embedding_outlier_zscore",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    dim AS (
+        SELECT i.i AS pos, SUM(CAST(v[CAST(i.i AS INT)] AS DECIMAL(27,12))) AS s,
+               COUNT(*) AS n
+        FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) i
+        GROUP BY i.i
+    ),
+    cent AS (SELECT pos, CAST(s AS DOUBLE) / n AS c FROM dim),
+    dist AS (
+        SELECT e.vec_id,
+               sqrt(CAST(SUM(CAST(
+                   (v[CAST(pos AS INT)] - c) * (v[CAST(pos AS INT)] - c)
+                   AS DECIMAL(27,12))) AS DOUBLE)) AS d
+        FROM e, cent
+        GROUP BY e.vec_id
+    ),
+    mom AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(d AS DECIMAL(27,12))) AS DOUBLE) AS sd,
+               CAST(SUM(CAST(d * d AS DECIMAL(27,12))) AS DOUBLE) AS sd2
+        FROM dist
+    )
+    SELECT vec_id,
+           ROUND((d - sd / n) / sqrt(sd2 / n - (sd / n) * (sd / n)), 6)
+               AS dist_z
+    FROM dist, mom
+    ORDER BY dist_z DESC, vec_id
+    LIMIT 20
+    """,
+)
+def embedding_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: z-score of each vector's
+    distance to the corpus centroid, top-20 — the curation sweep that
+    surfaces mis-embedded/garbage vectors before they poison ANN
+    training or clustering. Two aggregate passes, both map-side
+    combinable and association-free: (1) the centroid as 64 per-dim
+    DECIMAL(27,12) sums (posexplode -> groupBy(pos), exact addition —
+    dims x 16 bytes on the wire regardless of corpus size); (2) the
+    distance moments (sum, sum of squares) again in decimal. Per-row
+    distance folds the 64 dims LEFT-TO-RIGHT in both engines (the
+    array_embedding_norms precedent), so every double matches
+    bit-for-bit before the 6dp round."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dec = "decimal(27,12)"
+    cent = (
+        e.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("x").cast(dec)).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("pos", (F.col("s").cast("double") / F.col("n")).alias("c"))
+    )
+    # distance² as an EXACT decimal sum per vector: explode the dims,
+    # broadcast-join the 64-row centroid, cast each squared term to
+    # decimal and hash-aggregate — both engines then sum the identical
+    # decimals with the identical result type (a zip_with double fold
+    # would expose Spark's decimal-precision wander vs DuckDB's
+    # DECIMAL(38,12) SUM at the 12th decimal)
+    terms = (
+        e.select("vec_id", F.posexplode("v").alias("pos", "x"))
+        .join(F.broadcast(cent), "pos")
+        .select(
+            "vec_id",
+            ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            .cast(dec)
+            .alias("t2"),
+        )
+    )
+    dist = terms.groupBy("vec_id").agg(
+        F.sqrt(F.sum("t2").cast("double")).alias("d")
+    )
+    mom = F.broadcast(
+        dist.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("d").cast(dec)).cast("double").alias("sd"),
+            F.sum((F.col("d") * F.col("d")).cast(dec))
+            .cast("double")
+            .alias("sd2"),
+        )
+    )
+    mu = F.col("sd") / F.col("n")
+    sig = F.sqrt(F.col("sd2") / F.col("n") - mu * mu)
+    return (
+        dist.crossJoin(mom)
+        .select("vec_id", F.round((F.col("d") - mu) / sig, 6).alias("dist_z"))
+        .orderBy(F.desc("dist_z"), "vec_id")
+        .limit(20)
+    )
+
+
 @register(
     "stream_dedup_watermark",
     oracle="""

@@ -151,3 +151,131 @@ class TestPsiSourceDrift:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         assert a == b and a
+
+
+class TestPerSourcePercentileFilter:
+    def test_planted_ranks_hand_computed(self, spark, tmp_path):
+        """10 docs with distinct token counts in one source: percent_rank
+        = (rank-1)/9, so pct >= 0.2 keeps ranks 3..10 — 8 docs, min kept
+        = the 3rd-smallest token count."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        texts = [("w " * k).strip() for k in range(1, 11)]  # 1..10 tokens
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(10), pa.int64()),
+                    "text": pa.array(texts),
+                    "lang": pa.array(["en"] * 10),
+                    "source": pa.array(["a"] * 10),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        (row,) = q.queries()["per_source_percentile_filter"](
+            spark, str(tmp_path)
+        ).collect()
+        assert row["n_docs"] == 10
+        assert row["n_kept"] == 8
+        assert row["min_kept_tokens"] == 3
+
+    def test_partitioning_independent(self, spark):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            a = sorted(tuple(r) for r in q.queries()["per_source_percentile_filter"](spark, SF).collect())
+            spark.conf.set("spark.sql.shuffle.partitions", "13")
+            b = sorted(tuple(r) for r in q.queries()["per_source_percentile_filter"](spark, SF).collect())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert a == b and a
+
+
+class TestDecontamEvalContainment:
+    def test_planted_containment(self, spark, tmp_path):
+        """Eval doc 0 (0 % 37 == 0) verbatim inside corpus doc 1 ->
+        containment 1.0; eval doc 37 disjoint from the corpus -> 0.0."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        shared = " ".join(chr(97 + i) * 3 for i in range(12))  # pure-alpha words
+        rows = [
+            (0, shared, "en", "eval", len(shared)),
+            (37, "nothing here overlaps with any training text at all "
+                 "truly unique words qqq www eee", "en", "eval", 10),
+            (1, "prefix words " + shared + " suffix words", "en", "web", 10),
+            (2, "other corpus content entirely unrelated filler "
+                "padding words to be safe", "en", "web", 10),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows]),
+                    "lang": pa.array([r[2] for r in rows]),
+                    "source": pa.array([r[3] for r in rows]),
+                    "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = {
+            r["eval_doc_id"]: r
+            for r in q.queries()["decontam_eval_containment"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert got[0]["containment"] == 1.0
+        assert got[0]["n_grams"] == got[0]["n_contained"] == 5  # 12 tokens -> 5 distinct 8-grams
+        assert got[37]["containment"] == 0.0
+        assert got[37]["n_contained"] == 0
+
+
+class TestEmbeddingOutlierZscore:
+    def test_planted_outlier_matches_numpy(self, spark, tmp_path):
+        """A tight cluster + one far vector: the far vector must rank
+        first with the z-score numpy computes from the same
+        centroid-distance formula."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.RandomState(7)
+        X = rng.normal(0, 0.1, size=(50, 64)).astype(np.float32)
+        X[13] = 5.0  # the outlier
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(50), pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, row)) for row in X],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array([0] * 50, pa.int32()),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        out = q.queries()["embedding_outlier_zscore"](spark, str(tmp_path)).collect()
+        assert out[0]["vec_id"] == 13
+        Xd = X.astype(np.float64)
+        c = Xd.mean(axis=0)
+        d = np.sqrt(((Xd - c) ** 2).sum(axis=1))
+        z = (d - d.mean()) / d.std()
+        assert out[0]["dist_z"] == pytest.approx(z[13], abs=1e-4)
+        # top-20 ordering matches numpy's
+        order = np.lexsort((np.arange(50), -np.round(z, 6)))[:20]
+        assert [r["vec_id"] for r in out] == [int(i) for i in order]
+
+    def test_partitioning_independent(self, spark):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            a = [tuple(r) for r in q.queries()["embedding_outlier_zscore"](spark, SF).collect()]
+            spark.conf.set("spark.sql.shuffle.partitions", "13")
+            b = [tuple(r) for r in q.queries()["embedding_outlier_zscore"](spark, SF).collect()]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert a == b and a
