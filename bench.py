@@ -447,6 +447,7 @@ def main() -> None:
     # summary (protocol rationale in the module docstring)
     timings: dict[str, float] = {}
     spreads: list[float] = []
+    spread_by_name: dict[str, float] = {}
     for name in HEADLINE:
         trials: list[float] = []
         for _ in range(3):
@@ -457,7 +458,9 @@ def main() -> None:
         trials.sort()
         median = trials[1]
         timings[name] = round(median, 4)
-        spreads.append((trials[-1] - trials[0]) / median if median > 0 else 0.0)
+        sp = (trials[-1] - trials[0]) / median if median > 0 else 0.0
+        spreads.append(sp)
+        spread_by_name[name] = sp
 
     timings.update(_maintenance_ops(spark, sf_dir))
     recall = _ann_recall(spark, sf_dir, registry)
@@ -468,6 +471,9 @@ def main() -> None:
         "median_spread": round(spreads[len(spreads) // 2], 4),
         "p90_spread": round(spreads[int(len(spreads) * 0.9)], 4),
         "max_spread": round(spreads[-1], 4),
+        # name the bimodal outlier so a high max_spread is actionable
+        # from the artifact alone (r10: an anonymous 6.8 told nothing)
+        "max_spread_query": max(spread_by_name, key=spread_by_name.get),
     }
 
     # recall floor (r6 verdict item 2): a regression must fail LOUDLY
