@@ -8037,11 +8037,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM top GROUP BY lang
     )
     SELECT lang, CAST(n AS BIGINT) AS n_terms,
-           ROUND(-(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-               AS zipf_alpha
+           CASE WHEN n >= 2 THEN
+               ROUND(-(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           END AS zipf_alpha
     FROM s ORDER BY lang
     """,
 )
@@ -8090,9 +8091,14 @@ def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "lang",
         F.col("n").cast("long").alias("n_terms"),
-        F.round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias(
-            "zipf_alpha"
-        ),
+        # n < 2 (single token type): the denominator n*sxx - sx² is 0
+        # (ln(1)=0) and the slope is undefined — emit NULL on both
+        # engines instead of letting Spark's NaN/Inf diverge from
+        # DuckDB's division semantics on degenerate fixtures
+        F.when(
+            F.col("n") >= 2,
+            F.round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 6),
+        ).alias("zipf_alpha"),
     ).orderBy("lang")
 
 
@@ -8342,7 +8348,7 @@ def decontam_eval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim AS (
         SELECT i.i AS pos, SUM(CAST(v[CAST(i.i AS INT)] AS DECIMAL(27,12))) AS s,
                COUNT(*) AS n
-        FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) i
+        FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i
         GROUP BY i.i
     ),
     cent AS (SELECT pos, CAST(s AS DOUBLE) / n AS c FROM dim),

@@ -241,7 +241,7 @@ class TestScaleFixtureGenerator:
 
     def test_char_rotation_is_class_preserving_bijection(self):
         msf = self._mod()
-        for copy in (1, 3, 9, 19):
+        for copy in (1, 3, 9, 10, 19, 20):
             tab = msf._char_rotation_table(copy)
             # bijective on its domain
             assert len(set(tab.values())) == len(tab)
@@ -250,6 +250,21 @@ class TestScaleFixtureGenerator:
                 for lo, hi in (("a", "z"), ("A", "Z"), ("0", "9")):
                     assert (lo <= s <= hi) == (lo <= d <= hi)
                 assert (0x4E00 <= src <= 0x9FFF) == (0x4E00 <= dst <= 0x9FFF)
+
+    def test_char_rotation_never_identity_on_any_class(self):
+        """r10 ADVICE: the old step `copy % 10` made the DIGIT map the
+        identity at copy 10 (present in sf2's --copies 20), silently
+        re-opening cross-copy identity for pure-numeric shingles. The
+        fixed step 1 + (stride*copy) % (n-1) lands in [1, n-1] for every
+        copy >= 1, so every class rotation is fixed-point-free."""
+        msf = self._mod()
+        for copy in range(1, 40):
+            tab = msf._char_rotation_table(copy)
+            for base, n in ((97, 26), (65, 26), (48, 10), (0x4E00, 100)):
+                assert all(tab[base + i] != base + i for i in range(n)), (
+                    copy,
+                    chr(base),
+                )
 
     def test_cross_copy_shingles_disjoint(self):
         """Remap a synthetic corpus into two copies and assert the

@@ -750,10 +750,20 @@ def java_avro_crosscheck(location: str, rep: Report) -> None:
     )
     from icerunner_spark.session import get_spark
 
-    spark = get_spark(app_name="iceberg_validate_java", master="local[2]")
     paths = sorted(
         glob.glob(os.path.join(_local(location), "metadata", "*.avro"))
     )
+    try:
+        spark = get_spark(app_name="iceberg_validate_java", master="local[2]")
+    except Exception as e:  # noqa: BLE001 — validator reports, not raises
+        # no working JVM/Spark in this environment: report once instead
+        # of dying with a raw traceback (the check is on by default)
+        rep.error(
+            "java-avro: Spark session startup failed "
+            f"(pass --no-java-avro to skip the JVM cross-decode): {e!r}"
+        )
+        rep.checked["java_avro_files"] = 0
+        return
     for p in paths:
         # the whole per-file pass reports instead of raising: normalize/
         # schema_names_match can themselves raise on schema shapes the

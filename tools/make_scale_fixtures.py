@@ -80,11 +80,17 @@ def _char_rotation_table(copy: int) -> dict[int, int]:
     copy, CJK Unified Ideographs rotate within their block by 131*copy.
     Punctuation and whitespace are fixed points (structure carriers)."""
     rot = {}
-    for base, n, k in ((97, 26, 7 * copy), (65, 26, 7 * copy), (48, 10, copy)):
+    # step = 1 + (stride*copy) % (n-1) is provably nonzero mod n for
+    # EVERY copy >= 1 (it lands in [1, n-1]) — a plain stride*copy % n
+    # hits the identity at copy = n/gcd(stride, n) (digits: copy 10,
+    # present in the sf2 fixture), silently re-opening cross-copy
+    # shingle identity for pure-numeric grams
+    for base, n, stride in ((97, 26, 7), (65, 26, 7), (48, 10, 7)):
+        k = 0 if copy == 0 else 1 + (stride * copy) % (n - 1)
         for i in range(n):
             rot[base + i] = base + (i + k) % n
     cjk0, cjkn = 0x4E00, 0x9FFF - 0x4E00 + 1
-    step = (131 * copy) % cjkn
+    step = 0 if copy == 0 else 1 + (131 * copy) % (cjkn - 1)
     if step:
         for i in range(cjkn):
             rot[cjk0 + i] = cjk0 + (i + step) % cjkn
