@@ -63,15 +63,36 @@ def ngram_jaccard_pairs(
     *,
     n: int = 5,
     threshold: float = 0.4,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs (id1 < id2) with Jaccard(ngram-set) >= threshold — exact.
 
     Inverted-index formulation: explode distinct shingles, self-join on the
     shingle to count intersections, then |A∪B| = |A|+|B|-|A∩B|. Shuffles on
-    shingle then on (id1,id2); no cross product. Hot shingles (stopword-like
-    grams shared by half the corpus) would blow up the index join at scale,
-    so shingles above ``max_doc_freq`` would be dropped in a production
-    tuning pass — kept exact here because the oracle must match.
+    shingle then on (id1,id2); no cross product.
+
+    ``max_doc_freq`` (r11): shingles appearing in more than this many
+    documents are dropped from the FINGERPRINT — both from the index
+    join and from the set sizes, so the result is the exact Jaccard of
+    the CAPPED gram sets (a deterministic, oracle-expressible measure:
+    the same df filter in SQL reproduces it bit-for-bit). This is the
+    hot-shingle lever: the uncapped join's volume is sum df(gram)^2,
+    quadratic on boilerplate shingles ("all rights reserved") whose
+    posting lists grow with the corpus; with the cap, candidate volume
+    is bounded by (max_doc_freq / 2) x total gram occurrences — LINEAR
+    in the corpus for a fixed cap, by construction. Dropping
+    corpus-ubiquitous shingles also sharpens the signal (shared
+    boilerplate should not make two documents near-duplicates) — the
+    same reasoning as stopword pruning in retrieval. None = uncapped
+    (the r10 behavior). Docs whose every gram is hot end with an empty
+    fingerprint and pair with nothing — the exact-dedup pass, not this
+    operator, owns pure-template duplicates. The r11 df-skew probe
+    (tools/skew_probe.py, SCALE.md §9e) measured the refutation of the
+    alternative PPJoin prefix route at these parameters: at t=0.25 on
+    short docs the 75% prefix still carries df~10^3 grams, so its
+    candidate join matched the full index (2.6e9 rows at 50k docs) and
+    its array-shipping verify filled 77 GB of spill — while this narrow
+    count formulation stayed linear.
     Returns (id1, id2, jaccard)."""
     spread = df.sparkSession.sparkContext.defaultParallelism
     # repartition before the gram explode: the small single-file fixture
@@ -92,6 +113,19 @@ def ngram_jaccard_pairs(
             ).alias("gram"),
         )
     )
+    if max_doc_freq is not None:
+        from pyspark.sql import Window as _W
+
+        # df via a gram-partitioned window: the hash exchange it needs
+        # is the SAME partitioning the self-join below consumes, so
+        # Catalyst reuses the exchange instead of shuffling twice
+        grams = (
+            grams.withColumn(
+                "__df", F.count(F.lit(1)).over(_W.partitionBy("gram"))
+            )
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (

@@ -89,6 +89,15 @@ def register(name: str, oracle: str | None = None):
 # this list against the CORRECTNESS artifacts (CI: tests/test_tools.py)
 # and `--propose` prints the next round's list to paste here.
 _DRIVER_WINDOW = [
+    # r11: the 5 r10-new operators join the head (they were registered
+    # after the r10 window was cut and CORRECTNESS_r10 never landed, so
+    # they have no driver row); 5 r6-stale names dropped to make room
+    # re-queue at the next rotation.
+    "decontam_eval_containment",  # never
+    "embedding_outlier_zscore",  # never
+    "per_source_percentile_filter",  # never
+    "psi_source_drift",  # never
+    "zipf_token_fit",  # never
     "audio_fingerprint_neardup",  # never
     "ewma_anomaly_events",  # never
     "frequent_tokens_documents",  # never
@@ -124,11 +133,6 @@ _DRIVER_WINDOW = [
     "null_semantics_orders",  # r6
     "pagination_orders",  # r6
     "per_source_caps",  # r6
-    "ranking_family_orders",  # r6
-    "repetition_quality_documents",  # r6
-    "segment_dedup_reassemble",  # r6
-    "sequence_packing_stats",  # r6
-    "shard_assignment_stats",  # r6
     "q1_pricing_summary",  # KEEPER
     "window_topk_orders_per_customer",  # KEEPER
     "cdc_changelog_diff",  # KEEPER
@@ -3162,19 +3166,36 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> list:
     return _ANN_INDEX[key]
 
 
+def _pq_codebook_budget(n_vectors: int) -> int:
+    """Codes per subspace as a function of corpus size (r10 verdict
+    item 4 — the budget RULE, not a fixed ask): n_codes = 32 at the
+    2k-vector baseline, growing with sqrt(N) and clamped to [32, 256]
+    so codes stay 1 byte. Rationale: at fixed m, per-subspace
+    quantization error sets the ADC ranking noise floor, and the number
+    of true-neighbor-vs-distractor inversions grows with the candidate
+    pool, so resolution must grow with the corpus — the r8..r10 probes
+    measured fixed 8x32 books at recall@10 = 1.00 / 0.84 / 0.72 over
+    sf0.1/1/2, a pure budget artifact (the fixture's codebook stayed
+    flat while distractors scaled 20x). sqrt keeps training cost (one
+    encode pass x n_codes argmin) sub-linear in N."""
+    import math as _math
+
+    return max(32, min(256, 32 * int(_math.ceil(_math.sqrt(n_vectors / 2000.0)))))
+
+
 def _pq_index(spark: SparkSession, sf_dir: str) -> list:
     from icerunner_spark.operators.similarity import pq_train_codebooks
 
-    # m=8 x 32 codes (r8): the sf1 recall probe measured the old m=4 x 16
-    # books at recall@10 = 0.44 on the 10x corpus (quantization too
-    # coarse — the fixed 960-candidate rescore pool can't compensate as
-    # distractors grow). 8 subspaces x 32 codes measured 1.00 / 0.84
-    # (sf0.1 / sf1) at the same rerank=96 and the same query latency;
-    # codes stay 1 byte each (8 B/row vs the embedding's 256 B).
+    # m=8 (code width: 8 B/row vs the embedding's 256 B) with the
+    # corpus-scaled n_codes budget above: r8 bought sf1 recall with
+    # resolution (4x16 -> 8x32: 0.44 -> 0.84), r11 makes that a RULE so
+    # the sf2 probe measures the production configuration instead of a
+    # frozen fixture codebook.
     key = ("pq", os.path.normpath(sf_dir))
     if key not in _ANN_INDEX:
+        e = _t(spark, sf_dir, "embeddings")
         _ANN_INDEX[key] = pq_train_codebooks(
-            _t(spark, sf_dir, "embeddings"), m=8, n_codes=32
+            e, m=8, n_codes=_pq_codebook_budget(e.count())
         )
     return _ANN_INDEX[key]
 
@@ -4039,9 +4060,14 @@ def pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
         FROM documents
     ),
-    grams AS (
+    grams0 AS (
         SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS gram
         FROM norm, LATERAL (SELECT unnest(generate_series(1, GREATEST(length(t) - 4, 1))) AS i) s
+    ),
+    freq AS (SELECT gram, COUNT(*) AS c FROM grams0 GROUP BY gram),
+    grams AS (
+        SELECT g.doc_id, g.gram FROM grams0 g JOIN freq f ON f.gram = g.gram
+        WHERE f.c <= 1000
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
     inter AS (
@@ -4074,17 +4100,36 @@ def pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution: pairwise dedup emits edges, but the
     pipeline must keep exactly one document per duplicate component.
-    Exact Jaccard pairs (same formulation as neardup_ngram_jaccard) feed
-    min-label-propagation connected components; cluster_id = min doc_id
-    in the component, its holder is the canonical survivor. The oracle
-    replays the component closure with a recursive CTE. Scale: the label
-    iteration shuffles only the PAIR graph (tiny vs the corpus); docs
-    join the final labels once. SURVEY §2.C near-dup family."""
+    Exact Jaccard pairs feed min-label-propagation connected components;
+    cluster_id = min doc_id in the component, its holder is the
+    canonical survivor. The oracle replays the component closure with a
+    recursive CTE. Scale: the label iteration shuffles only the PAIR
+    graph (tiny vs the corpus); docs join the final labels once.
+
+    Pair stage (r11, r10 verdict item 2): the inverted-index exact
+    Jaccard with ``max_doc_freq=1000`` — shingles in more than 1000
+    documents are dropped from the fingerprint (index AND set sizes;
+    the oracle applies the identical df filter, so the compare stays
+    value-exact). The cap makes the candidate join's volume LINEAR by
+    construction (<= cap/2 x gram occurrences) where the uncapped form
+    is sum df(gram)^2 — quadratic on corpus-wide boilerplate shingles.
+    1000 does not bind at the driver's sf0.01 (max df ~ corpus size
+    500), so r9's green rows stay comparable; at sf0.1+ it prunes the
+    Zipf head (measured: 151 hyper-hot grams carried 72% of the
+    sf0.1 join volume — SCALE.md §9e). The r11 probe also REFUTED the
+    PPJoin prefix route at these parameters (t=0.25, short docs): its
+    75%-of-doc prefixes still carry df~10^3 grams, so candidates
+    matched the full index (2.6e9 at 50k docs) and the array-shipping
+    verify filled the disk; prefix filtering pays only at higher
+    thresholds / longer shingles (neardup_prefix_filter's regime).
+    SURVEY §2.C near-dup family."""
     from icerunner_spark.operators.corpus import resolve_near_duplicates
     from icerunner_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.25)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=5, threshold=0.25, max_doc_freq=1000
+    )
     resolved = resolve_near_duplicates(docs.select("doc_id"), pairs, "doc_id")
     return resolved.select("doc_id", "cluster_id", "is_canonical").orderBy("doc_id")
 
@@ -6480,7 +6525,10 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool size, was the binding constraint, so r8 bought recall with
     codebook resolution (m=8x32: 1.00 / 0.84 at the same rerank=96 and
     latency) rather than letting the rescore pool grow with the
-    corpus."""
+    corpus. Since r11 the resolution follows the corpus by rule
+    (``_pq_codebook_budget``: n_codes = 32·ceil(sqrt(N/2000)), clamped
+    to one byte) — the r10 sf2 drift to 0.72 was the frozen fixture
+    codebook, not the algorithm."""
     from icerunner_spark.operators.similarity import pq_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -8230,30 +8278,54 @@ def per_source_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     20% of documents by token count instead of applying one global
     length cutoff — the calibration step that stops a verbose source's
     floor from nuking a terse-but-clean source (per-source thresholds
-    are how production quality filters are actually deployed). Fully
-    integer inputs: the rank key is (n_tokens, doc_id), so percent_rank
-    and the kept set are bit-identical on any engine or partitioning.
-    Plan: one window per source (partition = that source's docs), one
-    aggregate; output answer-shaped (one row per source). At 100 TB the
-    window partitions by source only — salt wide sources with a
-    two-phase rank if one source dominates."""
+    are how production quality filters are actually deployed).
+
+    TWO-PHASE rank (r11, r10 verdict item 3 — no per-source window over
+    raw documents): phase 1 is ONE map-side-combinable aggregate to the
+    per-(source, n_tokens) COUNT HISTOGRAM — the only
+    corpus-proportional exchange, and it cannot skew because its key
+    cardinality is (sources x distinct lengths), not docs. Phase 2
+    derives each source's cutoff from the histogram alone: with the
+    rank key (n_tokens, doc_id) every rank is distinct, so
+    percent_rank >= 0.2 <=> rank - 1 >= (N-1)/5 <=> the INTEGER cutoff
+    r0 = (N+3) div 5 + 1 (exact arithmetic, no float boundary), giving
+    n_kept = N - r0 + 1 and min_kept_tokens = the first histogram
+    bucket whose running count reaches r0. The old formulation's
+    Window.partitionBy(source) put a dominant source's every doc in ONE
+    partition — the 100 TB skew-killer this removes; the cumulative
+    window here runs over HISTOGRAM rows only. Equality vs the window
+    form is pinned in tests/test_r10_queries.py including a
+    90%-dominant-source fixture; the DuckDB oracle still runs the
+    percent_rank window over raw docs, so the driver's value-hash
+    compare is itself the cross-form pin."""
     from icerunner_spark.functions.text import token_count
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", token_count("text").alias("n_tokens")
     )
-    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
-    r = d.withColumn("pct", F.percent_rank().over(w))
-    kept = F.when(F.col("pct") >= 0.2, 1).otherwise(0)
+    hist = d.groupBy("source", "n_tokens").agg(F.count(F.lit(1)).alias("c"))
+    wh = Window.partitionBy("source").orderBy("n_tokens")
+    cum = hist.withColumn("cum", F.sum("c").over(wh))
+    stats = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n_docs"))
+    # r0 = smallest rank kept; single-doc sources keep nothing
+    # (percent_rank of the only row is 0 < 0.2). DIV keeps the cutoff
+    # in integer arithmetic end-to-end (no double floor at huge N).
+    r0 = F.expr("(n_docs + 3) DIV 5 + 1").cast("long")
+    stats = stats.withColumn("r0", r0).withColumn(
+        "n_kept",
+        F.when(F.col("n_docs") > 1, F.col("n_docs") - F.col("r0") + 1)
+        .otherwise(0)
+        .cast("long"),
+    )
+    min_kept = (
+        cum.join(F.broadcast(stats), "source")
+        .where((F.col("cum") >= F.col("r0")) & (F.col("n_docs") > 1))
+        .groupBy("source")
+        .agg(F.min("n_tokens").cast("long").alias("min_kept_tokens"))
+    )
     return (
-        r.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(kept).cast("long").alias("n_kept"),
-            F.min(F.when(F.col("pct") >= 0.2, F.col("n_tokens")))
-            .cast("long")
-            .alias("min_kept_tokens"),
-        )
+        stats.join(min_kept, "source", "left")
+        .select("source", "n_docs", "n_kept", "min_kept_tokens")
         .orderBy("source")
     )
 

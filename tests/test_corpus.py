@@ -530,6 +530,73 @@ def test_leakage_safe_split_null_keys_and_dup_groups(spark):
     assert all(len(s) == 1 for s in by_cluster.values())
 
 
+def test_cluster_resolution_cap_not_binding_equals_uncapped(spark):
+    """r11: dedup_cluster_resolution defaults to max_doc_freq=1000.
+    At the driver's sf0.01 (500 docs) no shingle CAN exceed the cap, so
+    the capped form must be IDENTICAL to the uncapped r10 behavior —
+    the pin behind the r9 driver rows staying comparable after the
+    default change."""
+    from icerunner_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, "documents", SF_MEDIUM)
+    out = {}
+    for cap in (None, 1000):
+        pairs = ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=5, threshold=0.25, max_doc_freq=cap
+        )
+        resolved = resolve_near_duplicates(docs.select("doc_id"), pairs, "doc_id")
+        out[cap] = {
+            (r["doc_id"], r["cluster_id"], r["is_canonical"])
+            for r in resolved.collect()
+        }
+    assert any(not can for _, _, can in out[None]), "fixture must contain dups"
+    assert out[1000] == out[None]
+
+
+def test_max_doc_freq_drops_boilerplate_pairs(spark):
+    """The cap's SEMANTICS, hand-computed: 6 docs where 0/1 share rare
+    content plus a boilerplate tail carried by ALL docs. Uncapped, the
+    ubiquitous boilerplate shingles alone push every doc pair over the
+    threshold (one mega-cluster); capped at df < n_docs the boilerplate
+    drops out of the fingerprint and only the genuine content pair
+    survives — with its Jaccard computed over capped SETS on both
+    sides, which is what lets a SQL oracle reproduce it exactly."""
+    import hashlib
+
+    from icerunner_spark.operators.dedup import ngram_jaccard_pairs
+
+    # ~320 chars of UNIQUE boilerplate (repetition would collapse under
+    # array_distinct): long enough that its shingles dominate any pair
+    bp = " " + " ".join(
+        hashlib.md5(f"bp:{j}".encode()).hexdigest()[:10] for j in range(30)
+    )
+    rows = []
+    for i in range(6):
+        fam = 0 if i < 2 else i  # docs 0,1 share content; 2..5 distinct
+        body = " ".join(
+            hashlib.md5(f"{fam}:{j}".encode()).hexdigest()[:10] for j in range(4)
+        )
+        rows.append((i, body + bp))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=5, threshold=0.4
+        ).collect()
+    }
+    capped = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=5, threshold=0.4, max_doc_freq=5
+        ).collect()
+    }
+    # boilerplate dominates every doc -> uncapped links everything
+    assert len(uncapped) == 15, sorted(uncapped)
+    # capped: only the genuine content pair remains
+    assert capped == {(0, 1)}, sorted(capped)
+
+
 def test_pipeline_to_split_no_cluster_straddles(spark):
     """The composed corpus path a training pipeline actually runs
     (r8 verdict item 7): near-dup pair generation -> cluster resolution

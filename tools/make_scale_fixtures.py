@@ -150,10 +150,70 @@ def _flip_embeddings(t: pa.Table, copy: int) -> pa.Table:
     )
 
 
+# Fixed boilerplate sentence for the df-skew variant (tools/skew_probe.py):
+# appended AFTER the per-copy remap so it is IDENTICAL across copies and
+# documents — its ~70 char-5-grams become corpus-wide hot shingles whose
+# posting lists grow with N, the power-law shape the standard fixture's
+# df-constant construction deliberately avoids. Short relative to a doc
+# (~70 vs ~1000 grams), so sharing ONLY boilerplate keeps Jaccard far
+# below any dedup threshold: it skews df without creating new pairs.
+BOILERPLATE = (
+    " subscribe to our newsletter for updates terms of service apply"
+    " copyright all rights reserved"
+)
+
+
+def _inject_boilerplate(
+    t: pa.Table, rate: float, *, min_len: int = 300
+) -> pa.Table:
+    """Append BOILERPLATE to every doc whose doc_id % round(1/rate) == 0
+    AND whose text is at least ``min_len`` chars (deterministic, uniform
+    across key-shifted copies); n_chars is recomputed so downstream
+    length features stay consistent.
+
+    The min_len gate keeps the skew HONEST: for a short doc the ~91
+    boilerplate shingles dominate its gram set, making every pair of
+    short boilerplate docs GENUINELY >= 0.25-Jaccard-similar — the
+    fixture would plant a quadratic ANSWER (C(hot_docs, 2) real pairs),
+    which no pair generator can emit sub-quadratically (measured: the
+    first r11 probe run at sf1 filled 77 GB of shuffle spill on exactly
+    those pairs). At min_len 300 the worst-case boilerplate-only
+    Jaccard is 91/(2*387-91) ~ 0.13 < 0.25, and no doc's rare-gram
+    count falls below its t=0.25 prefix length, so the boilerplate
+    skews document frequency without changing the answer."""
+    period = max(int(round(1.0 / rate)), 1)
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    new_texts = [
+        s + BOILERPLATE if i % period == 0 and len(s) >= min_len else s
+        for i, s in zip(ids, texts)
+    ]
+    t = t.set_column(
+        t.schema.get_field_index("text"),
+        t.schema.field("text"),
+        pa.array(new_texts, t.schema.field("text").type),
+    )
+    idx = t.schema.get_field_index("n_chars")
+    return t.set_column(
+        idx,
+        t.schema.field("n_chars"),
+        pa.array(
+            [len(s) for s in new_texts], t.schema.field("n_chars").type
+        ),
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--out", default=".scale/sf1")
+    ap.add_argument(
+        "--boilerplate-rate",
+        type=float,
+        default=0.0,
+        help="fraction of documents to append the fixed boilerplate to "
+        "(df-skew variant for tools/skew_probe.py; 0 = off)",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -170,6 +230,8 @@ def main() -> None:
             t = _shift_keys(base, shifts, c)
             if name == "documents":
                 t = _remap_documents(t, c)
+                if args.boilerplate_rate > 0:
+                    t = _inject_boilerplate(t, args.boilerplate_rate)
             elif name == "embeddings":
                 t = _flip_embeddings(t, c)
             parts.append(t)
