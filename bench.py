@@ -158,6 +158,12 @@ HEADLINE = [
     "embedding_outlier_zscore",
 ]
 
+# Entries whose FIRST invocation performs one-time environment setup that
+# outlives the query (an in-process Flight server cached per process).
+# They get one untimed pre-warm run so the 3 timed trials measure the
+# query, not the bootstrap (r10 verdict item 8).
+PREWARM = {"flight_federated_join"}
+
 
 def _maintenance_ops(spark, sf_dir: str) -> dict[str, float]:
     """Table-format maintenance benchmarks (VERDICT r4 item 7): the r4+
@@ -449,6 +455,15 @@ def main() -> None:
     spreads: list[float] = []
     spread_by_name: dict[str, float] = {}
     for name in HEADLINE:
+        if name in PREWARM:
+            # one untimed run: these entries perform one-time environment
+            # setup on first invocation (a live in-process Flight server,
+            # cached per process) that is client-cache state, not query
+            # cost — r10's max_spread 5.7 on flight_federated_join was
+            # entirely trial 1's server bootstrap against a 0.8 s
+            # median, drowning the signal the spread exists to carry
+            registry[name](spark, sf_dir).collect()
+            spark.catalog.clearCache()
         trials: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()

@@ -192,6 +192,81 @@ class TestPerSourcePercentileFilter:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         assert a == b and a
 
+    @staticmethod
+    def _window_reference(spark, sf_dir):
+        """The r10 single-window formulation, kept verbatim as the
+        equality oracle for the r11 two-phase histogram rank."""
+        from pyspark.sql import Window
+
+        from icerunner_spark.functions.text import token_count
+        from icerunner_spark.sources.testdata import load_table
+
+        d = load_table(spark, "documents", sf_dir).select(
+            "doc_id", "source", token_count("text").alias("n_tokens")
+        )
+        w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+        r = d.withColumn("pct", F.percent_rank().over(w))
+        kept = F.when(F.col("pct") >= 0.2, 1).otherwise(0)
+        return (
+            r.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(kept).cast("long").alias("n_kept"),
+                F.min(F.when(F.col("pct") >= 0.2, F.col("n_tokens")))
+                .cast("long")
+                .alias("min_kept_tokens"),
+            )
+            .orderBy("source")
+        )
+
+    def test_two_phase_equals_window_form_sf001(self, spark):
+        got = [tuple(r) for r in q.queries()["per_source_percentile_filter"](spark, SF).collect()]
+        ref = [tuple(r) for r in self._window_reference(spark, SF).collect()]
+        assert got == ref and got
+
+    def test_two_phase_equals_window_form_dominant_source(self, spark, tmp_path):
+        """r10 verdict item 3's fixture: ONE source holds 90% of docs
+        (the shape where the old per-source window serialized into one
+        partition), with heavy token-count ties so the histogram path's
+        cumulative-bucket cutoff is exercised, plus a single-doc source
+        (percent_rank 0 -> keeps nothing, NULL min) and a two-doc tie
+        source."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = []
+        for i in range(900):
+            rows.append((i, "big", ("w " * (1 + i % 7)).strip()))
+        for i in range(98):
+            rows.append((900 + i, "small", ("w " * (1 + i % 3)).strip()))
+        rows.append((998, "single", "w w"))
+        rows.append((999, "pair", "w"))
+        rows.append((1000, "pair", "w"))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[2] for r in rows]),
+                    "lang": pa.array(["en"] * len(rows)),
+                    "source": pa.array([r[1] for r in rows]),
+                    "n_chars": pa.array(
+                        [len(r[2]) for r in rows], pa.int64()
+                    ),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = [tuple(r) for r in q.queries()["per_source_percentile_filter"](
+            spark, str(tmp_path)
+        ).collect()]
+        ref = [tuple(r) for r in self._window_reference(
+            spark, str(tmp_path)
+        ).collect()]
+        assert got == ref
+        by_src = {r[0]: r for r in got}
+        assert by_src["single"][2] == 0 and by_src["single"][3] is None
+        assert by_src["big"][1] == 900
+
 
 class TestDecontamEvalContainment:
     def test_planted_containment(self, spark, tmp_path):

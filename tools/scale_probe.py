@@ -97,6 +97,15 @@ PROBE = [
     # r9: source overlap — the gram+source distinct is the corpus-
     # proportional exchange; the self-join output is sources^2-bounded
     "source_overlap_matrix",
+    # r11: two-phase histogram rank (r10 verdict item 3) — the only
+    # corpus-proportional exchange is the (source, n_tokens) histogram
+    # aggregate; the probe pins that the de-windowed form scales
+    "per_source_percentile_filter",
+    # r11 (r10 verdict item 5): the composed near-dup resolution with
+    # its prefix-filtered default pair stage — three-point exponent on
+    # the standard (df-constant) fixtures; the df-SKEWED behavior is
+    # tools/skew_probe.py's separate two-scale measurement
+    "dedup_cluster_resolution",
 ]
 
 
