@@ -75,8 +75,21 @@ def connected_components(
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm: {algorithm}")
     edges = (
-        pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
-        .union(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
+        # BOTH edge directions from ONE pass over pairs (posexplode of a
+        # two-struct array) — the r10 union-of-two-selects form gave the
+        # pair pipeline two lineages, and with a broadcast-joined pair
+        # plan there is no exchange for ReuseExchange to dedup, so the
+        # caller's whole pair generation executed twice inside the
+        # union's single job (r11 optimization round, guide §2.4).
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id1).alias("src"), F.col(id2).alias("dst")),
+                    F.struct(F.col(id2).alias("src"), F.col(id1).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         # materialize ONCE: edges are re-joined in EVERY round, twice
         # (neighbor-min + the changed check), so a lazy lineage re-runs

@@ -93,39 +93,39 @@ def ngram_jaccard_pairs(
     candidate join matched the full index (2.6e9 rows at 50k docs) and
     its array-shipping verify filled 77 GB of spill — while this narrow
     count formulation stayed linear.
+
+    Plan shape (r11 optimization round, guide §2.4): the gram-set frame
+    is built ONCE (eager localCheckpoint — it feeds both self-join sides
+    and the size aggregate; uncached, Catalyst re-ran the shingle
+    explode 4x, measured 113 s of the 668 s executor total at sf0.1) and
+    stays hash-partitioned by id, so the (id1, id2) intersection
+    aggregate after the self-join needs NO exchange (partitioning by
+    id1 already satisfies the grouping). The df cap is applied as a
+    broadcast ANTI-join against the hot-gram list (an Aggregate-bounded
+    subtree: at most one row per distinct gram above the cap) — the r11
+    mid-build version used a gram-partitioned window, whose exchange
+    destroyed the id-partitioning and forced the 142M-row join output
+    through a full shuffle that AQE had pre-coalesced to 7 tasks
+    (measured 212 s executor in one 7-task stage; the anti-join form
+    keeps the join output pipelined into its aggregate).
     Returns (id1, id2, jaccard)."""
-    spread = df.sparkSession.sparkContext.defaultParallelism
-    # repartition before the gram explode: the small single-file fixture
-    # scans as ONE partition, serializing the per-doc shingle work (at
-    # corpus scale the input arrives already partitioned and this is a
-    # cheap rebalance)
-    from icerunner_spark.functions.text import normalize_ws
-
-    grams = (
-        df.repartition(spread, id_col)
-        # materialize the normalization BEFORE the gram lambda — see
-        # functions.text.normalize_ws for the per-element re-eval trap
-        .select(F.col(id_col).alias("id"), normalize_ws(text_col).alias("__norm"))
-        .select(
-            "id",
-            F.explode(
-                F.array_distinct(char_ngrams(F.col("__norm"), n, normalized=True))
-            ).alias("gram"),
-        )
-    )
+    sets = ngram_sets(df, id_col, text_col, shingle=n).localCheckpoint(eager=True)
+    # re-declare the hash partitioning the checkpoint dropped (LogicalRDD
+    # advertises no outputPartitioning): one cheap exchange of the compact
+    # (id, gram-array) frame, ReuseExchange-shared by every consumer, so
+    # the (id1, id2) aggregate below runs WITHOUT exchanging the join
+    # output (hashpartitioning(id1) satisfies the grouping) — measured
+    # 128 MB of pair-aggregate shuffle otherwise at sf0.1
+    sets = sets.repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+    grams = sets.select("id", F.explode("g").alias("gram"))
     if max_doc_freq is not None:
-        from pyspark.sql import Window as _W
-
-        # df via a gram-partitioned window: the hash exchange it needs
-        # is the SAME partitioning the self-join below consumes, so
-        # Catalyst reuses the exchange instead of shuffling twice
-        grams = (
-            grams.withColumn(
-                "__df", F.count(F.lit(1)).over(_W.partitionBy("gram"))
-            )
-            .filter(F.col("__df") <= max_doc_freq)
-            .drop("__df")
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("gram")
         )
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (
