@@ -306,7 +306,8 @@ def minhash_signature(text_col: str, *, n_hashes: int = 64, shingle: int = 5) ->
 
 
 def ngram_sets(
-    df: DataFrame, id_col: str, text_col: str, *, shingle: int = 5
+    df: DataFrame, id_col: str, text_col: str, *, shingle: int = 5,
+    hashed: bool = False,
 ) -> DataFrame:
     """(id, g: array<string>) — each document's DISTINCT n-gram set,
     spread across the session's parallelism. This is the one
@@ -315,6 +316,20 @@ def ngram_sets(
     the arrays instead of re-deriving shingles from raw text (the
     re-derivation was ~a full corpus pass — the single biggest lever in
     corpus_clean_pipeline).
+
+    ``hashed=True`` (r11 optimization round, guide §2.3 "narrower
+    types") emits ``array<bigint>`` — each shingle replaced by its
+    xxhash64 — for pipelines that treat grams as OPAQUE set elements
+    (MinHash signatures, array_intersect verify): every downstream
+    stage then hashes/ships/compares 8-byte longs instead of n-char
+    strings. The signature aggregate evaluates k seeded hashes per gram
+    occurrence, so hashing the long instead of the string cuts its
+    per-row cost roughly in half. Same accepted collision risk as
+    :func:`prefix_jaccard_pairs` (P ~ |vocab|^2 / 2^64); the Jaccard
+    verify stays exact modulo that. MUST be uniform across a dedup
+    pipeline's full AND incremental paths (signatures must be equal for
+    the prefix-decomposability equivalence), which is why the flag
+    lives here and every minhash caller passes it.
 
     Repartitioned before the shingle build: document tables are compact
     on disk (a few MB of parquet can hold the whole corpus slice), so
@@ -330,7 +345,7 @@ def ngram_sets(
     # two projections on purpose: the normalization materializes before
     # the gram lambda (see functions.text.normalize_ws — an inlined norm
     # re-runs the regex once PER GRAM, measured 2.7x on this stage)
-    return (
+    out = (
         df.repartition(spread, id_col)
         .select(F.col(id_col).alias("id"), normalize_ws(text_col).alias("__norm"))
         .select(
@@ -340,6 +355,16 @@ def ngram_sets(
             ).alias("g"),
         )
     )
+    if hashed:
+        # array_distinct again: a within-doc hash collision would shrink
+        # the set (negligible odds, cheap insurance on 8-byte longs)
+        out = out.select(
+            "id",
+            F.array_distinct(
+                F.transform("g", lambda x: F.xxhash64(x))
+            ).alias("g"),
+        )
+    return out
 
 
 def minhash_signatures_from_grams(grams: DataFrame, *, n_hashes: int = 64) -> DataFrame:
@@ -384,7 +409,8 @@ def minhash_signatures(
     exactly should build (and cache) the gram frame once and use the
     ``_from_grams`` form for both stages."""
     return minhash_signatures_from_grams(
-        ngram_sets(df, id_col, text_col, shingle=shingle), n_hashes=n_hashes
+        ngram_sets(df, id_col, text_col, shingle=shingle, hashed=True),
+        n_hashes=n_hashes,
     )
 
 
@@ -459,17 +485,21 @@ def minhash_neardup_pairs(
     bands: int = 16,
     shingle: int = 5,
     threshold: float = 0.4,
+    _return_internal: bool = False,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard on their n-gram sets —
     the standard generate-then-verify near-dup pipeline. Only candidate
-    pairs pay the exact comparison. Returns (id1, id2, jaccard).
+    pairs pay the exact comparison. Returns (id1, id2, jaccard);
+    ``_return_internal=True`` additionally returns the cached gram-set
+    and signature frames, for callers (greedy/incremental dedup) that
+    would otherwise re-shingle the same corpus to rebuild them.
 
     Two shared frames, each computed once and cached: the n-gram sets
     (feeding BOTH the signature build and the exact verify — shingling
     raw text is a full corpus pass, paying it twice measured ~25% of
     the whole clean pipeline) and the signatures (k longs per doc,
     feeding candidate generation AND the estimate prefilter)."""
-    grams = ngram_sets(df, id_col, text_col, shingle=shingle).cache()
+    grams = ngram_sets(df, id_col, text_col, shingle=shingle, hashed=True).cache()
     sigs = minhash_signatures_from_grams(grams, n_hashes=n_hashes).cache()
     cands = minhash_lsh_candidates(
         df, id_col, text_col, n_hashes=n_hashes, bands=bands, shingle=shingle,
@@ -511,12 +541,15 @@ def minhash_neardup_pairs(
     )
     inter = F.size(F.array_intersect("g1", "g2"))
     jac = inter / (F.col("n1") + F.col("n2") - inter)
-    return (
+    out = (
         plausible.join(g1.hint("shuffle_hash"), "id1")
         .join(g2.hint("shuffle_hash"), "id2")
         .select("id1", "id2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    if _return_internal:
+        return out, grams, sigs
+    return out
 
 
 # --------------------------------------------------------------------------- #

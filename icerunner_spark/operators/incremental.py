@@ -144,7 +144,8 @@ def minhash_dedup_state(
     doc; at scale stored bucketed by band hash so an incremental run
     reads only the buckets its delta touches)."""
     return minhash_signatures_from_grams(
-        ngram_sets(kept, id_col, text_col, shingle=shingle), n_hashes=n_hashes
+        ngram_sets(kept, id_col, text_col, shingle=shingle, hashed=True),
+        n_hashes=n_hashes,
     )
 
 
@@ -194,8 +195,16 @@ def incremental_minhash_dedup(
         raise ValueError("bands must divide n_hashes")
     rows_per_band = n_hashes // bands
 
-    delta_grams = ngram_sets(delta, id_col, text_col, shingle=shingle).cache()
-    delta_sigs = minhash_signatures_from_grams(delta_grams, n_hashes=n_hashes)
+    delta_grams = ngram_sets(
+        delta, id_col, text_col, shingle=shingle, hashed=True
+    ).cache()
+    # cached: three consumers (band buckets, the estimate prefilter's s1
+    # via all_sigs AND s2) — uncached, the 64-seeded-hash signature
+    # aggregate re-ran per consumer (r11 optimization round, measured
+    # ~70 s of duplicated executor time at sf0.1 across the repeats)
+    delta_sigs = minhash_signatures_from_grams(
+        delta_grams, n_hashes=n_hashes
+    ).cache()
     prior_sigs = (
         state_sigs
         if state_sigs is not None
@@ -285,7 +294,9 @@ def incremental_minhash_dedup(
             cand.select(F.col("id1").alias(id_col)).distinct(), id_col, "left_semi"
         )
     )
-    prior_cand_grams = ngram_sets(prior_cand, id_col, text_col, shingle=shingle)
+    prior_cand_grams = ngram_sets(
+        prior_cand, id_col, text_col, shingle=shingle, hashed=True
+    )
     all_grams = prior_cand_grams.unionByName(delta_grams)
     g1 = all_grams.select(
         F.col("id").alias("id1"), F.col("g").alias("g1"), F.size("g").alias("n1")
@@ -333,15 +344,24 @@ def greedy_minhash_dedup(
     shingle: int = 5,
     threshold: float = 0.4,
     max_bucket: int = 200,
+    with_state: bool = False,
 ) -> DataFrame:
     """Full-corpus greedy near-dup dedup: MinHash-LSH verified pairs
     (operators.dedup.minhash_neardup_pairs) resolved by the greedy-by-id
     rule. The batch twin of :func:`incremental_minhash_dedup` — running
     it over prior ∪ delta must equal running it over prior and then the
-    incremental operator over delta (the equivalence tests pin)."""
+    incremental operator over delta (the equivalence tests pin).
+
+    ``with_state=True`` returns ``(kept, kept_sigs)`` where ``kept_sigs``
+    is the retained docs' MinHash state — the SAME (id, sig) frame
+    :func:`minhash_dedup_state` computes, but filtered out of the
+    signatures this pass already built instead of re-shingling the kept
+    corpus from raw text (r11 optimization round, guide §1.2 "don't
+    compute things you throw away": the pair pass signs every doc, and
+    the state is a subset of exactly those signatures)."""
     from icerunner_spark.operators.dedup import minhash_neardup_pairs
 
-    pairs = minhash_neardup_pairs(
+    pairs, _grams, sigs = minhash_neardup_pairs(
         df,
         id_col,
         text_col,
@@ -349,9 +369,16 @@ def greedy_minhash_dedup(
         bands=bands,
         shingle=shingle,
         threshold=threshold,
+        _return_internal=True,
     )
     dropped = greedy_dropped_ids(pairs.select("id1", "id2"))
-    return df.join(dropped.withColumnRenamed("id", id_col), id_col, "left_anti")
+    kept = df.join(dropped.withColumnRenamed("id", id_col), id_col, "left_anti")
+    if with_state:
+        kept_sigs = sigs.join(
+            kept.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
+        return kept, kept_sigs
+    return kept
 
 
 # --------------------------------------------------------------------------- #

@@ -1267,7 +1267,6 @@ def incremental_neardup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icerunner_spark.operators.incremental import (
         greedy_minhash_dedup,
         incremental_minhash_dedup,
-        minhash_dedup_state,
     )
 
     wh = _demo_warehouse("icerunner_incneardup_demo", sf_dir)
@@ -1282,8 +1281,18 @@ def incremental_neardup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.create(base)
     snap0 = t.current_snapshot().snapshot_id
     t.append(tail)
-    prior_kept = greedy_minhash_dedup(t.scan(snapshot_id=snap0), "doc_id", "text")
-    state = minhash_dedup_state(prior_kept, "doc_id", "text")
+    # r11 optimization round: the state is the greedy pass's OWN kept-doc
+    # signatures (with_state — minhash_dedup_state would re-shingle the
+    # kept corpus from raw text to rebuild the identical frame), and both
+    # are materialized once behind eager localCheckpoints — the
+    # incremental operator consumes prior_kept three times (max-id
+    # aggregate, verify semi-join, final anti-join), each of which
+    # otherwise replayed the greedy pipeline's anti-join lineage.
+    prior_kept, state = greedy_minhash_dedup(
+        t.scan(snapshot_id=snap0), "doc_id", "text", with_state=True
+    )
+    prior_kept = prior_kept.localCheckpoint(eager=True)
+    state = state.localCheckpoint(eager=True)
     survivors = incremental_minhash_dedup(
         prior_kept, t.scan_changes(snap0), "doc_id", "text", state_sigs=state
     )
