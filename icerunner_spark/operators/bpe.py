@@ -36,14 +36,11 @@ from icerunner_spark.functions.text import tokens
 def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     """(word, cnt) — the one corpus-scaled pass of BPE training. Token
     skew (stopwords shared by every doc) is absorbed by the partial
-    aggregate; only (word, partial-count) rows shuffle."""
-    # defaultParallelism alone: touching .rdd (getNumPartitions) would
-    # force an analysis pass and break pure-DataFrame lineage for what is
-    # only a sizing hint
-    spread = df.sparkSession.sparkContext.defaultParallelism
+    aggregate; only (word, partial-count) rows shuffle — the scan's own
+    partitioning carries the map side, so no exchange ever moves the
+    raw text."""
     return (
-        df.repartition(spread)
-        .select(F.explode(tokens(text_col)).alias("word"))
+        df.select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -73,12 +70,59 @@ def _merge_fold(syms, left: str, right: str):
     return F.aggregate(syms, F.array().cast("array<string>"), step)
 
 
+def _bpe_train_local(
+    word_counts: list[tuple[str, int]], n_merges: int, min_freq: int
+) -> list[tuple[str, str, int]]:
+    """Pure-Python BPE training over an in-memory (word, cnt) table —
+    same greedy fold (:func:`apply_merge`) and the same deterministic
+    argmax (max pair count, ties broken on lexicographically smallest
+    (left, right); Python tuple order on str equals Spark's binary UTF-8
+    order because UTF-8 byte order preserves code-point order) as the
+    distributed loop in :func:`bpe_train`, so the two paths are
+    interchangeable. Cost per round is O(total symbols), driver-only."""
+    state = [(list(w), int(c)) for w, c in word_counts]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in state:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + cnt
+        if not counts:
+            break
+        (left, right), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_freq:
+            break
+        merges.append((left, right, n))
+        state = [(apply_merge(syms, left, right), cnt) for syms, cnt in state]
+    return merges
+
+
 def bpe_train(
-    words: DataFrame, n_merges: int, *, min_freq: int = 2
+    words: DataFrame,
+    n_merges: int,
+    *,
+    min_freq: int = 2,
+    driver_vocab_cap: int = 1_000_000,
 ) -> list[tuple[str, str, int]]:
     """Train ``n_merges`` BPE merges over a (word, cnt) frequency table.
     Returns the learned merge table [(left, right, pair_freq)] in merge
-    order. Stops early when no adjacent pair reaches ``min_freq``."""
+    order. Stops early when no adjacent pair reaches ``min_freq``.
+
+    Adaptive execution: the frequency table is materialised once
+    (eager ``localCheckpoint`` — this is the only corpus-scaled work);
+    when its row count fits ``driver_vocab_cap`` the merge rounds run
+    driver-side over the collected table (bounded by the cap — the
+    standard industrial BPE-trainer shape, since the vocab table is
+    millions of rows even at 100 TB while each distributed round costs
+    fixed job/codegen overhead regardless of size). Above the cap the
+    original distributed loop runs unchanged. Both paths share the same
+    greedy fold and tie-break and are pinned equal in
+    tests/test_operators.py, so the result is path-independent. Set
+    ``driver_vocab_cap=0`` to force the distributed loop."""
+    words = words.localCheckpoint(eager=True)
+    if driver_vocab_cap and words.count() <= driver_vocab_cap:
+        pairs = [(r["word"], r["cnt"]) for r in words.select("word", "cnt").collect()]
+        return _bpe_train_local(pairs, n_merges, min_freq)
     syms = F.split(F.col("word"), "")  # characters
     state = words.select("word", "cnt", syms.alias("syms")).localCheckpoint(
         eager=True

@@ -885,6 +885,21 @@ def test_bpe_train_matches_python_reference(spark):
     assert len(got) == 32
 
 
+def test_bpe_train_local_matches_distributed_loop(spark):
+    """The driver-side training path (vocab under driver_vocab_cap) and
+    the distributed per-round loop (forced with driver_vocab_cap=0) must
+    learn the identical merge table — same argmax tie-break, same greedy
+    fold — so the adaptive cut-over is result-invisible."""
+    from icerunner_spark.operators.bpe import bpe_train, word_frequencies
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    wf = word_frequencies(docs, "text")
+    local = bpe_train(wf, 12)
+    dist = bpe_train(wf, 12, driver_vocab_cap=0)
+    assert local == dist
+    assert len(local) == 12
+
+
 def test_bpe_merge_fold_overlap(spark):
     """Greedy left-to-right: 'aaa' under merge (a,a) becomes [aa, a] —
     a just-merged symbol must not re-merge as the right half."""
