@@ -3946,12 +3946,16 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icerunner_spark.operators.text import quality_score
 
     # Single-file fixture scans as ONE partition, which would serialize the
-    # regex-heavy quality stage on one core; spread it first. On a real
-    # corpus the scan is already thousands of splits and this repartition
-    # is a no-op to remove (same artifact-only rationale as the
-    # gram-explode repartition in operators/dedup.py).
+    # regex-heavy quality stage on one core; spread it first. Keyed on
+    # doc_id (NOT round-robin): the hash partitioning is reused by the
+    # keep semi-join, the gram build, and the final anti-join — all
+    # doc_id-keyed — and a keyless repartition additionally pays a local
+    # sort (sortBeforeRepartition) for a partitioning nothing downstream
+    # can use. On a real corpus the scan is already thousands of splits
+    # and this repartition is a no-op to remove (same artifact-only
+    # rationale as the gram-explode repartition in operators/dedup.py).
     d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
     # cache() the scored survivors-of-the-quality-gate: BOTH the exact-
     # dedup keep-list and the survivor set derive from it, and the
