@@ -2278,6 +2278,13 @@ class IceTable:
             raise NoSuchTableError(self.path)
         if not key_cols:
             raise ValueError("merge requires at least one key column")
+        # `updates` is delta-sized by contract but its LINEAGE may be
+        # arbitrarily expensive (a changelog aggregation, a table scan);
+        # uncheckpointed it would re-execute for the dupe check, the
+        # distinct-keys probe, and the data write. One eager
+        # localCheckpoint bounds the plan to O(changed rows) storage and
+        # runs the lineage exactly once (r11, guide §1.2/§5).
+        updates = updates.localCheckpoint(eager=True)
         dupes = (
             updates.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1).count()
         )
@@ -2406,6 +2413,11 @@ class IceTable:
             raise ValueError("merge_into with no clauses is a no-op")
         if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"unknown merge mode: {mode}")
+        # same rationale as :meth:`merge`: the source is delta-sized but
+        # its lineage re-executes for every downstream consumer (dupe
+        # check, the classify join, the insert anti-join, the write) —
+        # materialize once
+        source = source.localCheckpoint(eager=True)
         dupes = (
             source.groupBy(*key_cols).count()
             .where(F.col("count") > 1).limit(1).count()
@@ -2449,9 +2461,12 @@ class IceTable:
             (~upd_take) & _cond(delete_condition) if delete else F.lit(False)
         )
         touched = j.filter(upd_take | del_take)
+        # O(touched rows); eager checkpoint so the classify join over the
+        # table runs once — uncheckpointed, the no-op probe and the
+        # delete-file write (or COW anti-join) each re-ran it
         coords = touched.select(
             F.col("t.__file").alias("file_path"), F.col("t.__pos").alias("pos")
-        ).distinct()
+        ).distinct().localCheckpoint(eager=True)
         if update is not None:
             if update == "*":
                 # UPDATE SET *: same-named source columns; columns the
@@ -2507,7 +2522,12 @@ class IceTable:
         if ins is not None:
             new_rows = ins if new_rows is None else new_rows.unionByName(ins)
         new_rows = (
-            self._align_df_to_schema(new_rows, table_schema)
+            # O(changed rows); checkpointed so the update/insert joins run
+            # once instead of once for the no-op probe and again for the
+            # data-file write
+            self._align_df_to_schema(new_rows, table_schema).localCheckpoint(
+                eager=True
+            )
             if new_rows is not None
             else None
         )
@@ -2658,7 +2678,12 @@ class IceTable:
 
         import pyarrow.parquet as _pq
 
-        matched = self._scan_snapshot(snap, with_pos=True).where(cond)
+        # O(matched rows); checkpointed so the predicate scan of the table
+        # runs once — uncheckpointed it re-ran for the coordinate write
+        # and again for the updated-rows write
+        matched = self._scan_snapshot(snap, with_pos=True).where(cond).localCheckpoint(
+            eager=True
+        )
         commit_dir = f"snap-{uuid.uuid4().hex[:12]}-deletes"
         out = os.path.join(self.data_dir, commit_dir)
         matched.select(
