@@ -295,6 +295,34 @@ def test_greedy_dropped_ids_empty(spark):
     assert greedy_dropped_ids(pairs).count() == 0
 
 
+def test_greedy_dropped_ids_driver_matches_distributed(spark):
+    """The capped driver-side resolution (r11) must equal the
+    distributed fixed-point on a graph mixing chains, triangles, stars,
+    and isolated edges — force the distributed path with cap=0."""
+    import random
+
+    from icerunner_spark.operators.incremental import greedy_dropped_ids
+
+    rng = random.Random(7)
+    edges = set()
+    # random sparse graph over 200 nodes + known structures
+    while len(edges) < 300:
+        a, b = rng.randrange(200), rng.randrange(200)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges |= {(500, 501), (501, 502), (502, 503), (600, 601), (600, 602)}
+    pairs = spark.createDataFrame(sorted(edges), ["id1", "id2"])
+    via_driver = {r["id"] for r in greedy_dropped_ids(pairs).collect()}
+    via_rounds = {
+        r["id"]
+        for r in greedy_dropped_ids(pairs, driver_edge_cap=0).collect()
+    }
+    assert via_driver == via_rounds
+    # chain 500-503: 501/503 dropped; star 600: both leaves dropped
+    assert {501, 503, 601, 602} <= via_driver
+    assert {500, 502, 600}.isdisjoint(via_driver)
+
+
 def test_incremental_exact_dedup_equals_full(spark):
     """Prefix decomposability of the exact path, with manufactured dups:
     copies of prior docs (must drop against state) and within-delta
