@@ -197,20 +197,23 @@ class IncrementalBm25Index:
                 for i, t in enumerate(terms)
             ]
         )
-        dfreq = probed.groupBy("term").agg(
-            F.count(F.lit(1)).alias("df")
+        # every term's df in ONE conditional aggregate over the probed
+        # scan — the per-term ``dfreq.filter(term == t)`` broadcasts each
+        # re-ran the postings scan + its delete anti-joins (4 scan
+        # subtrees and 3 nested-loop joins in the plan for a 3-term
+        # query; r11 optimization round, guide §1.2 "don't recompute").
+        # A term absent from the index counts 0, same as the old
+        # COALESCE(MAX(df), 0).
+        dfs = probed.agg(
+            *[
+                F.count(F.when(F.col("term") == t, F.lit(1))).alias(f"df_{i}")
+                for i, t in enumerate(terms)
+            ]
         )
         stats = self.doclens.scan().agg(
             F.count(F.lit(1)).alias("n_docs"),
             (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-        )
-        for i, t in enumerate(terms):
-            stats = stats.crossJoin(
-                F.broadcast(
-                    dfreq.filter(F.col("term") == t)
-                    .select(F.coalesce(F.max("df"), F.lit(0)).alias(f"df_{i}"))
-                )
-            )
+        ).crossJoin(F.broadcast(dfs))
         scored = (
             tf.join(self.doclens.scan(), "doc_id")
             .crossJoin(F.broadcast(stats))
