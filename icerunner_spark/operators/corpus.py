@@ -567,7 +567,11 @@ def mine_hard_negatives(
     could differ).
 
     Shuffles: grams hash once for df, once for the pair aggregation;
-    document text never shuffles. Returns
+    document text never shuffles. The informative postings table is
+    materialized ONCE (eager ``localCheckpoint`` — it feeds both
+    self-join sides plus the per-doc size aggregate, and without the
+    cut each consumer re-runs the tokenize + df lineage); its size is
+    bounded by ``df_max x |informative grams|`` narrow rows. Returns
     ``(anchor_id, negative_id, shared_terms, rarity_score)`` with at
     most ``per_anchor`` rows per anchor.
     """
@@ -594,6 +598,7 @@ def mine_hard_negatives(
             # cross-engine-deterministic stand-in for log-IDF
             F.floor(F.col("n_docs") / F.col("dfreq")).alias("w"),
         )
+        .localCheckpoint(eager=True)
     )
     sizes = posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = posts.alias("a"), posts.alias("b")
@@ -626,19 +631,25 @@ def mine_hard_negatives(
         )
         .select("id1", "id2", "shared", "score")
     )
+    # both directions carry the same (shared, score), so a single
+    # explode replaces the union — a union re-runs the whole pair
+    # pipeline once per branch, an explode emits both rows in one pass
     directed = flt.select(
-        F.col("id1").alias("anchor_id"),
-        F.col("id2").alias("negative_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id1").alias("anchor_id"),
+                    F.col("id2").alias("negative_id"),
+                ),
+                F.struct(
+                    F.col("id2").alias("anchor_id"),
+                    F.col("id1").alias("negative_id"),
+                ),
+            )
+        ).alias("__d"),
         "shared",
         "score",
-    ).unionByName(
-        flt.select(
-            F.col("id2").alias("anchor_id"),
-            F.col("id1").alias("negative_id"),
-            "shared",
-            "score",
-        )
-    )
+    ).select("__d.anchor_id", "__d.negative_id", "shared", "score")
     from pyspark.sql import Window
 
     w = Window.partitionBy("anchor_id").orderBy(

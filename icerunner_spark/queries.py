@@ -3808,8 +3808,12 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical pipeline in SQL."""
     from icerunner_spark.operators.corpus import mine_hard_negatives
 
+    # Keyed on doc_id, not round-robin: spreads the single-file fixture
+    # scan without the sortBeforeRepartition local sort (same rationale
+    # as corpus_clean_pipeline; on a real corpus the scan is already
+    # thousands of splits and this is a no-op to remove).
     d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
     return mine_hard_negatives(
         d, "doc_id", "text",
