@@ -108,8 +108,19 @@ def ngram_jaccard_pairs(
     through a full shuffle that AQE had pre-coalesced to 7 tasks
     (measured 212 s executor in one 7-task stage; the anti-join form
     keeps the join output pipelined into its aggregate).
+    Shingles are 64-bit-hashed at the ngram_sets boundary (r11
+    optimization round, guide §2.3 narrower types): every stage —
+    the self-join's hash build/probe over ~sum df(gram)^2 emitted
+    pairs, the df cap aggregate, the size counts — then hashes and
+    compares 8-byte longs instead of n-char strings. Jaccard is a
+    count over distinct set elements, so the values are bit-identical
+    under any injective relabeling; the accepted cross-doc collision
+    risk (P ~ |vocab|^2 / 2^64) is the same one the prefix-filtered
+    exact operator and the exact-dedup fingerprint already carry.
     Returns (id1, id2, jaccard)."""
-    sets = ngram_sets(df, id_col, text_col, shingle=n).localCheckpoint(eager=True)
+    sets = ngram_sets(
+        df, id_col, text_col, shingle=n, hashed=True
+    ).localCheckpoint(eager=True)
     # re-declare the hash partitioning the checkpoint dropped (LogicalRDD
     # advertises no outputPartitioning): one cheap exchange of the compact
     # (id, gram-array) frame, ReuseExchange-shared by every consumer, so

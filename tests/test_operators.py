@@ -65,6 +65,53 @@ def test_minhash_recall_against_exact(spark, docs_with_dups):
     )
 
 
+def test_hashed_gram_jaccard_equals_string_grams(spark, docs_with_dups):
+    """r11: ngram_jaccard_pairs hashes shingles to longs before the
+    inverted-index join (guide §2.3 narrower types). Jaccard is a count
+    over distinct set elements, so any injective relabeling leaves every
+    (id1, id2, jaccard) bit-identical — pinned here against a direct
+    string-gram recomputation so a future refactor cannot silently
+    change what the oracle-paired queries return."""
+    from icerunner_spark.functions.text import char_ngrams, normalize_ws
+
+    out = {
+        (r["id1"], r["id2"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            docs_with_dups, "doc_id", "text", n=4, threshold=0.3
+        ).collect()
+    }
+    sets = docs_with_dups.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(
+            char_ngrams(normalize_ws("text"), 4, normalized=True)
+        ).alias("g"),
+    )
+    grams = sets.select("id", F.explode("g").alias("gram"))
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ref = {
+        (r["id1"], r["id2"], round(r["jaccard"], 9))
+        for r in inter.join(
+            sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1")), "id1"
+        )
+        .join(sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("i") / (F.col("sz1") + F.col("sz2") - F.col("i"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+        .collect()
+    }
+    assert ref, "fixture must contain near-dup pairs"
+    assert out == ref
+
+
 def test_prefix_filter_equals_inverted_index(spark, docs_with_dups):
     """prefix_jaccard_pairs must return EXACTLY the inverted-index
     result at the same (n, threshold) — the prefix theorem says the
