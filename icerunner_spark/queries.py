@@ -8571,6 +8571,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_stream,
         read_events_stream,
         run_available_now,
+        stream_state_partitions,
     )
 
     wh = _demo_warehouse("icerunner_stream_dedup", sf_dir)
@@ -8591,7 +8592,17 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lookup to see batch-1's ids when batch 2 drains
         watermark="750 hours",
     )
-    run_available_now(stream, out_dir, checkpoint_dir=os.path.join(wh, "_ckpt"))
+    # state-store instances sized to the STATE (~100k event ids), not the
+    # session's 32-wide batch shuffle width: every instance pays a task +
+    # a per-micro-batch state-commit fsync whether or not it holds keys
+    # (r11 optimization round; rule + production sizing in
+    # streaming.pipeline.stream_state_partitions)
+    run_available_now(
+        stream,
+        out_dir,
+        checkpoint_dir=os.path.join(wh, "_ckpt"),
+        state_partitions=stream_state_partitions(),
+    )
     return (
         spark.read.parquet(out_dir)
         .groupBy("event_type")

@@ -18,6 +18,7 @@ from icerunner_spark.streaming.pipeline import (
     run_available_now,
     running_user_totals,
     session_counts,
+    stream_state_partitions,
     view_purchase_attribution,
     windowed_counts,
 )
@@ -32,5 +33,6 @@ __all__ = [
     "dedup_stream",
     "running_user_totals",
     "run_available_now",
+    "stream_state_partitions",
     "view_purchase_attribution",
 ]

@@ -298,6 +298,26 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_state_partitions() -> int:
+    """Default state-store partition count for stateful drains
+    (``ICERUNNER_STREAM_STATE_PARTITIONS``, default 8).
+
+    Stateful streaming operators create one state-store instance per
+    shuffle partition, and the count is pinned by the checkpoint at the
+    FIRST micro-batch — so it must be sized to the STATE (keys inside
+    the watermark horizon), not to the session's batch shuffle width.
+    Every extra instance costs a task + a per-micro-batch state commit
+    (delta file + fsync) whether or not it holds keys: on the r11
+    measurement host (~1.2k fsync IOPS) the inherited 32-partition
+    default drew a bimodal 5.7–28.4 s drain for ~100k keys of dedup
+    state, vs a stable 2.7–5.3 s at 8 partitions (identical output).
+    8 partitions hold ~10M keys comfortably (HDFS-backed store keeps a
+    partition's state on-heap; ~100 bytes/key → ~128 MB/partition at
+    10M); production streams with larger horizons RAISE the env var —
+    the right value tracks key volume, never the core count."""
+    return int(os.environ.get("ICERUNNER_STREAM_STATE_PARTITIONS", "8"))
+
+
 def run_available_now(
     stream_df: DataFrame,
     out_dir: str,
@@ -305,10 +325,18 @@ def run_available_now(
     checkpoint_dir: str | None = None,
     output_mode: str = "append",
     timeout_s: int = 300,
+    state_partitions: int | None = None,
 ) -> None:
     """Drain everything currently available through the streaming engine
     (micro-batch by micro-batch per source options) into parquet, then
-    stop. The batch-equivalence harness for every pipeline above."""
+    stop. The batch-equivalence harness for every pipeline above.
+
+    ``state_partitions`` (optional) sets ``spark.sql.shuffle.partitions``
+    for the duration of the drain — the only lever over how many
+    state-store instances a stateful query creates (see
+    :func:`stream_state_partitions`) — and restores the session value
+    afterwards. Output is partitioning-independent; only task/commit
+    overhead changes."""
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
     writer = (
         stream_df.writeStream.outputMode(output_mode)
@@ -328,20 +356,29 @@ def run_available_now(
             batch_df.write.mode("append").parquet(data_dir)
 
         writer = writer.foreachBatch(_sink)
-    q = writer.start()
+    spark = stream_df.sparkSession
+    prev_parts: str | None = None
+    if state_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
     try:
-        # awaitTermination returns False on timeout — surface it rather than
-        # letting q.stop() silently truncate the drain mid-run. timeout_s=None
-        # means wait-forever: awaitTermination(None) blocks until done and
-        # returns None, which must not be read as a timeout.
-        if timeout_s is None:
-            q.awaitTermination()
-        elif not q.awaitTermination(timeout_s):
-            raise TimeoutError(
-                f"availableNow drain did not finish within {timeout_s}s"
-            )
+        q = writer.start()
+        try:
+            # awaitTermination returns False on timeout — surface it rather
+            # than letting q.stop() silently truncate the drain mid-run.
+            # timeout_s=None means wait-forever: awaitTermination(None) blocks
+            # until done and returns None, which must not be read as a timeout.
+            if timeout_s is None:
+                q.awaitTermination()
+            elif not q.awaitTermination(timeout_s):
+                raise TimeoutError(
+                    f"availableNow drain did not finish within {timeout_s}s"
+                )
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def high_water_marks(events: DataFrame) -> DataFrame:

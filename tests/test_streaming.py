@@ -126,6 +126,36 @@ def test_dedup_stream_drops_replayed_batch(spark, events_batch, tmp_path):
     assert got.select("event_id").distinct().count() == n
 
 
+def test_dedup_stream_state_partitions_equal_and_restore(
+    spark, events_batch, tmp_path
+):
+    """state_partitions resizes the state store (r11 optimization: one
+    instance per shuffle partition, each paying a task + per-batch commit
+    fsync) — the drained output must be IDENTICAL to the default-width
+    run, and the session's shuffle-partition conf must be restored."""
+    d = str(tmp_path / "dup_events_sp")
+    raw = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    raw.coalesce(1).write.mode("append").parquet(d)
+    raw.coalesce(1).write.mode("append").parquet(d)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def drain(out, n_parts):
+        stream = dedup_stream(
+            read_events_stream(spark, d), watermark="750 hours"
+        )
+        run_available_now(stream, out, state_partitions=n_parts)
+        return spark.read.parquet(out)
+
+    wide = drain(str(tmp_path / "dedup_wide"), None)
+    narrow = drain(str(tmp_path / "dedup_narrow"), 5)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert _rows(narrow) == _rows(wide)
+    assert narrow.count() == events_batch.count()
+    from icerunner_spark.streaming import stream_state_partitions
+
+    assert stream_state_partitions() >= 1  # env default parses
+
+
 def test_running_user_totals_stateful(spark, events_dir, events_batch, tmp_path):
     """applyInPandasWithState: the LAST emitted row per user (update mode,
     cumulative state) must equal the batch per-user aggregate."""
