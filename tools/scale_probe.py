@@ -110,11 +110,24 @@ PROBE = [
 
 
 def median_n(fn, n: int = 3) -> tuple[float, float]:
+    import gc
+
     trials = []
     for _ in range(n):
         t0 = time.perf_counter()
         fn()
         trials.append(time.perf_counter() - t0)
+        # release the PREVIOUS trial's eager-localCheckpoint blocks before
+        # timing the next one: checkpointed RDD blocks are freed on Python
+        # frame GC, so a long probe session otherwise accumulates every
+        # prior trial's blocks in the block manager — measured at sf2
+        # (r11): dedup_cluster_resolution drew a stable 112 s when probed
+        # AFTER 14 prior heavy trials in one session vs 72-90 s in a
+        # fresh process; gc between trials removes the cross-trial bias
+        # the exponent fit would otherwise read as superlinearity. The
+        # gc runs OUTSIDE the timed window (bench.py is untouched — its
+        # round-over-round protocol is frozen).
+        gc.collect()
     trials.sort()
     med = trials[len(trials) // 2]
     return med, (trials[-1] - trials[0]) / med if med > 0 else 0.0
