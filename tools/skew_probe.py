@@ -107,11 +107,18 @@ def build_skew_fixtures(rate: float, min_len: int) -> dict[str, str]:
 
 
 def median_n(fn, n: int) -> tuple[float, float]:
+    import gc
+
     trials = []
     for _ in range(n):
         t0 = time.perf_counter()
         fn()
         trials.append(time.perf_counter() - t0)
+        # same cross-trial hygiene as scale_probe.median_n: release the
+        # previous trial's eager-localCheckpoint blocks (pinned until
+        # Python GC) outside the timed window, so a long probe session
+        # doesn't bias later trials upward
+        gc.collect()
     trials.sort()
     med = trials[len(trials) // 2]
     return med, (trials[-1] - trials[0]) / med if med > 0 else 0.0
