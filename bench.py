@@ -3,10 +3,14 @@
 
 Prints the full JSON artifact line first ({"metric", "value", "unit",
 "queries": {name: sec, ...}, "sf", "recall", "noise"}), then a compact
-summary line LAST (same keys minus the per-query map) that always fits
-the driver's 2000-char tail capture — r6's artifact was unparseable
-because the grown one-line JSON outran the tail window. The full
-artifact is also written to bench_full.json next to this file.
+summary line LAST that always fits the driver's 2000-char tail capture —
+r6's artifact was unparseable because the grown one-line JSON outran the
+tail window. The last line carries the headline plus as many per-query
+entries as fit the tail budget, most-expensive first ("queries" +
+"queries_omitted"; r11 verdict item 1 — the driver's per-query compare
+reads the parsed last line, and the complete map cannot fit: its names
+alone exceed the window). The full artifact is also written to
+bench_full.json next to this file.
 
 Measurement protocol (fixed, round-over-round comparable):
 - one warm-up query amortizes JVM/codegen/parquet-footer startup;
@@ -539,6 +543,29 @@ def main() -> None:
     }
     if violations:
         compact["recall_violation"] = violations
+    # r12 (r11 verdict item 1): the driver's per-query round-over-round
+    # comparison and scaling analysis read "queries" from the PARSED last
+    # line, which PERF_r11 showed empty (n_common: 0) because the full
+    # map only ever reached bench_full.json / the front-truncated first
+    # line. The complete 102-entry map is ~3.3 kB — the names alone are
+    # 2.1 kB, so it can NEVER fit the 2000-char tail window. The last
+    # line therefore carries the MOST EXPENSIVE entries, greedily packed
+    # in descending median seconds until the line reaches the tail
+    # budget, plus "queries_omitted" = how many (cheap) entries did not
+    # fit. Purely additive: every entry keeps its name and value in the
+    # full artifact (first line + bench_full.json); nothing is removed
+    # or renamed.
+    tail_budget = 1950  # the driver keeps the last 2000 chars of stdout
+    fitted: dict[str, float] = {}
+    for name in sorted(timings, key=lambda k: timings[k], reverse=True):
+        trial = dict(compact)
+        trial["queries"] = {**fitted, name: timings[name]}
+        trial["queries_omitted"] = len(timings) - len(trial["queries"])
+        if len(json.dumps(trial, separators=(",", ":"))) > tail_budget:
+            break
+        fitted = trial["queries"]
+    compact["queries"] = fitted
+    compact["queries_omitted"] = len(timings) - len(fitted)
     print(json.dumps(compact, separators=(",", ":")))
     if violations:
         sys.exit(

@@ -119,7 +119,7 @@ def ngram_jaccard_pairs(
     exact operator and the exact-dedup fingerprint already carry.
     Returns (id1, id2, jaccard)."""
     sets = ngram_sets(
-        df, id_col, text_col, shingle=n, hashed=True
+        df, id_col, text_col, shingle=n, hashed=True, engine="expr"
     ).localCheckpoint(eager=True)
     # re-declare the hash partitioning the checkpoint dropped (LogicalRDD
     # advertises no outputPartitioning): one cheap exchange of the compact
@@ -318,7 +318,7 @@ def minhash_signature(text_col: str, *, n_hashes: int = 64, shingle: int = 5) ->
 
 def ngram_sets(
     df: DataFrame, id_col: str, text_col: str, *, shingle: int = 5,
-    hashed: bool = False,
+    hashed: bool = False, engine: str = "arrow",
 ) -> DataFrame:
     """(id, g: array<string>) — each document's DISTINCT n-gram set,
     spread across the session's parallelism. This is the one
@@ -356,15 +356,41 @@ def ngram_sets(
     # two projections on purpose: the normalization materializes before
     # the gram lambda (see functions.text.normalize_ws — an inlined norm
     # re-runs the regex once PER GRAM, measured 2.7x on this stage)
-    out = (
-        df.repartition(spread, id_col)
-        .select(F.col(id_col).alias("id"), normalize_ws(text_col).alias("__norm"))
-        .select(
-            "id",
-            F.array_distinct(
-                char_ngrams(F.col("__norm"), shingle, normalized=True)
-            ).alias("g"),
+    normed = df.repartition(spread, id_col).select(
+        F.col(id_col).cast("long").alias("id"),
+        normalize_ws(text_col).alias("__norm"),
+    )
+    if hashed and engine == "arrow":
+        # r12 (guide §4.2): shingle+hash runs as a vectorized numpy
+        # mapInArrow kernel with EXACT F.xxhash64 parity instead of
+        # interpreted Catalyst array lambdas — the r12 stage
+        # decomposition measured the expression form as the single
+        # biggest executor cost of the minhash family (89 s of
+        # dedup_minhash_lsh's 206 s total at sf0.1; ~12 us per gram of
+        # per-element interpretation). Values are bit-identical
+        # (functions/xxh.py; pinned vs F.xxhash64 in
+        # tests/test_r12_opts.py); only the set's element ORDER differs
+        # (sorted vs first-occurrence), and every consumer treats g as a
+        # set (explode aggregates, array_intersect sizes). Normalization
+        # stays in the JVM so its regex/lower semantics are unchanged;
+        # the kernel ships only (id, __norm) across the Arrow boundary.
+        # ``engine="expr"`` keeps the Catalyst form for the one caller
+        # where the A/B went the other way: ngram_jaccard_pairs
+        # checkpoints its sets and its wall-clock is pair-join-bound, so
+        # the kernel's Arrow round trip of the gram arrays cost more
+        # than the single interpreted build it saved (A/B: expr med
+        # 3.09 s vs arrow 3.40 s on the pair pipeline, while the
+        # signature-bound minhash pipeline measured 4.15 -> 2.84 s).
+        from icerunner_spark.functions.xxh import hashed_gram_sets_map
+
+        return normed.mapInArrow(
+            hashed_gram_sets_map(shingle), "id bigint, g array<bigint>"
         )
+    out = normed.select(
+        "id",
+        F.array_distinct(
+            char_ngrams(F.col("__norm"), shingle, normalized=True)
+        ).alias("g"),
     )
     if hashed:
         # array_distinct again: a within-doc hash collision would shrink
@@ -389,12 +415,31 @@ def minhash_signatures_from_grams(grams: DataFrame, *, n_hashes: int = 64) -> Da
     fully codegen'd and mergeable — measured ~10x over a single-fold
     column version at sf0.1 (and the partial aggregation means only k
     longs per doc cross the shuffle)."""
-    exploded = grams.select("id", F.explode("g").alias("gram"))
     # k independent seeded hashes per shingle. (A Kirsch-Mitzenmacher
     # double-hashing family — h1 + i*h2 — was tried and rejected: its
     # members are not independent permutations, so the min positions
     # correlate across i, the Jaccard estimator biases high, and LSH
     # candidate counts blew up ~2x on the fixtures.)
+    #
+    # r12 (guide §4.2): over hashed (array<bigint>) gram frames the
+    # k-seeded-min computation runs as a vectorized numpy mapInArrow
+    # kernel with EXACT parity to min(xxhash64(gram, lit(s))) — Spark
+    # chains hashInt(s, hashLong(gram, 42)), replicated bit-for-bit in
+    # functions/xxh.py (pinned in tests/test_r12_opts.py). The codegen'd
+    # explode+agg form measured 39 s executor of dedup_minhash_lsh's
+    # 206 s at sf0.1 (64 full hashes per gram occurrence; the kernel
+    # computes hashLong once per gram and 64 cheap 4-byte links). The
+    # per-doc grouping collapses inside the kernel (numpy reduceat), so
+    # no explode and no aggregation exchange exist at all. String-gram
+    # frames (no caller today) keep the expression form, whose string
+    # hashing the kernel deliberately does not re-implement per seed.
+    if dict(grams.dtypes).get("g") == "array<bigint>":
+        from icerunner_spark.functions.xxh import minhash_sigs_map
+
+        return grams.select(
+            F.col("id").cast("long").alias("id"), "g"
+        ).mapInArrow(minhash_sigs_map(n_hashes), "id bigint, sig array<bigint>")
+    exploded = grams.select("id", F.explode("g").alias("gram"))
     mins = exploded.groupBy("id").agg(
         *[
             F.min(F.xxhash64("gram", F.lit(s))).alias(f"m{s}")

@@ -119,9 +119,17 @@ def greedy_dropped_ids(
         .localCheckpoint(eager=True)
     )
     spark = pairs.sparkSession
-    if edges.count() <= driver_edge_cap:
+    # ONE action decides the path and fetches the edges (r12, guide §5
+    # collapse driver round-trips): limit(cap+1).collect() against the
+    # checkpointed blocks replaces the r11 count()-then-collect() pair —
+    # one driver round trip instead of two on the answer-sized graphs
+    # every caller actually has. The checkpoint stays: it is what makes
+    # the take cheap, and above the cap the distributed fixed-point
+    # iterates over it without re-running the pair pipeline.
+    head = edges.limit(driver_edge_cap + 1).collect()
+    if len(head) <= driver_edge_cap:
         smaller: dict = {}
-        for r in edges.collect():
+        for r in head:
             smaller.setdefault(r[1], []).append(r[0])
         dropped_set: set = set()
         # ascending id: every smaller neighbor is decided before v —

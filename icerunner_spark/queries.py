@@ -193,6 +193,25 @@ def _dec(col, prec: int = 12, scale: int = 2):
     return c.cast(f"decimal({prec},{scale})")
 
 
+def _spread_if_narrow(df: DataFrame, *key: str) -> DataFrame:
+    """Keyed repartition to the session parallelism — ONLY when the scan
+    is under-parallel (fewer partitions than cores). The sf fixtures are
+    single-row-group parquet files, which scan as ONE task no matter the
+    split-size confs, serializing scan-disproportionate map work (regex
+    chains, gram explodes); the r11 spreads fixed that, but an
+    UNCONDITIONAL repartition of a (id, text) projection is a
+    corpus-sized exchange at 100 TB — one extra full write+read of the
+    corpus bought for a fixture artifact (r11 verdict item 2). The
+    getNumPartitions probe plans the scan but runs no job; when the
+    input already carries >= cores partitions (any real at-scale table)
+    the plan is returned untouched and no exchange exists to pay.
+    Results are unchanged either way — partitioning never alters rows."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores, *key)
+
+
 def _money_sum(expr) -> F.Column:
     """SUM over decimal input -> round 2 -> double."""
     return F.round(F.sum(expr), 2).cast("double")
@@ -3333,14 +3352,14 @@ def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # spread the regex chain before it runs: the fixture scans as one
     # task (single-row-group parquet) and the five-pattern redaction +
-    # count expressions are scan-disproportionate; the exchange carries
-    # only (doc_id, text). At 100 TB the scan is already parallel and
-    # this narrow keyed exchange is noise (ngram_sets rationale).
-    # In-process A/B: 0.63 -> 0.24 s min, rows identical.
-    d = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # count expressions are scan-disproportionate. In-process A/B:
+    # 0.63 -> 0.24 s min, rows identical. GATED on detected
+    # under-parallelism (r12, r11 verdict item 2): the exchanged payload
+    # here is the document TEXT, so an unconditional spread would be a
+    # corpus-sized exchange at 100 TB — _spread_if_narrow skips it when
+    # the scan already has >= cores partitions.
+    d = _spread_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
     cols = [
         F.col("doc_id"),
@@ -8409,13 +8428,13 @@ def decontam_eval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread before the 8-gram explode: the gram frame is consumed twice
     # (eval side + corpus distinct), and each pass re-runs the
     # tokenize+gram build, which the single-row-group fixture scan would
-    # otherwise serialize on one task. Narrow keyed exchange of
-    # (doc_id, text) only; at 100 TB the scan is already parallel
-    # (ngram_sets rationale). A/B: 1.67 -> 1.23 s min, rows identical.
-    d = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # otherwise serialize on one task. A/B: 1.67 -> 1.23 s min, rows
+    # identical. GATED on detected under-parallelism (r12, r11 verdict
+    # item 2): the exchange carries the document TEXT, corpus-sized at
+    # 100 TB — _spread_if_narrow skips it when the scan is already
+    # >= cores partitions wide.
+    d = _spread_if_narrow(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
     grams = d.select(
         "doc_id",
@@ -9075,17 +9094,15 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans as ONE task (single-row-group parquet — splits cannot cross a
     # row group, so split-size confs cannot parallelize it) and the
     # canonical expression tree is scan-disproportionate. The exchanged
-    # column is the 8-byte key only; at 100 TB the scan already has
-    # thousands of splits and this narrow exchange is noise (same
-    # rationale as ngram_sets). Keyed, not round-robin: a keyless
-    # repartition pays sortBeforeRepartition (guide §2.5). In-process
-    # A/B: 2.27 -> 1.11 s min, 2.81 -> 1.52 s med, rows identical.
-    o = (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey")
-        .repartition(spark.sparkContext.defaultParallelism, "o_orderkey")
-        .select(k.alias("k"), canonicalize_url(url).alias("canonical_url"))
-    )
+    # column is the 8-byte key only — cheap even at scale — but the
+    # spread is still GATED on detected under-parallelism (r12): a scan
+    # that already has >= cores partitions gains nothing from an extra
+    # exchange. Keyed, not round-robin: a keyless repartition pays
+    # sortBeforeRepartition (guide §2.5). In-process A/B:
+    # 2.27 -> 1.11 s min, 2.81 -> 1.52 s med, rows identical.
+    o = _spread_if_narrow(
+        _t(spark, sf_dir, "orders").select("o_orderkey"), "o_orderkey"
+    ).select(k.alias("k"), canonicalize_url(url).alias("canonical_url"))
     return o.groupBy("canonical_url").agg(
         F.count(F.lit(1)).alias("n_dups"), F.min("k").alias("first_key")
     )

@@ -315,7 +315,19 @@ def stream_state_partitions() -> int:
     partition's state on-heap; ~100 bytes/key → ~128 MB/partition at
     10M); production streams with larger horizons RAISE the env var —
     the right value tracks key volume, never the core count."""
-    return int(os.environ.get("ICERUNNER_STREAM_STATE_PARTITIONS", "8"))
+    raw = os.environ.get("ICERUNNER_STREAM_STATE_PARTITIONS", "8")
+    try:
+        n = int(raw)
+    except ValueError:
+        raise ValueError(
+            "ICERUNNER_STREAM_STATE_PARTITIONS must be a positive integer, "
+            f"got {raw!r}"
+        ) from None
+    if n < 1:
+        raise ValueError(
+            f"ICERUNNER_STREAM_STATE_PARTITIONS must be >= 1, got {n}"
+        )
+    return n
 
 
 def run_available_now(
@@ -331,12 +343,23 @@ def run_available_now(
     (micro-batch by micro-batch per source options) into parquet, then
     stop. The batch-equivalence harness for every pipeline above.
 
-    ``state_partitions`` (optional) sets ``spark.sql.shuffle.partitions``
-    for the duration of the drain — the only lever over how many
-    state-store instances a stateful query creates (see
-    :func:`stream_state_partitions`) — and restores the session value
-    afterwards. Output is partitioning-independent; only task/commit
-    overhead changes."""
+    ``state_partitions`` (optional, must be >= 1) sets
+    ``spark.sql.shuffle.partitions`` for the duration of the drain — the
+    only lever over how many state-store instances a stateful query
+    creates (see :func:`stream_state_partitions`) — and restores the
+    session value afterwards. Output is partitioning-independent; only
+    task/commit overhead changes.
+
+    NOT thread-safe while ``state_partitions`` is set: the conf is
+    session-wide, so a query planned concurrently on the same
+    SparkSession would pick up the temporary value, and two overlapping
+    drains can restore each other's value out of order. Callers that
+    need concurrent drains should run each on its own
+    ``spark.newSession()`` (conf is per-session there)."""
+    if state_partitions is not None and int(state_partitions) < 1:
+        raise ValueError(
+            f"state_partitions must be >= 1, got {state_partitions}"
+        )
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
     writer = (
         stream_df.writeStream.outputMode(output_mode)

@@ -269,6 +269,46 @@ def _load_snapshot_payload(text: str, metadata_dir: str) -> Snapshot:
     return snap
 
 
+_COSTLY_PLAN_NODES = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Generate",
+    "Union",
+    "Sort",
+    "Expand",
+    "Deduplicate",
+    "RepartitionByExpression",
+    "Repartition",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "MapInArrow",
+    "CoGroup",
+)
+
+
+def _materialize_if_costly(df: DataFrame) -> DataFrame:
+    """Eagerly ``localCheckpoint`` a multiply-consumed delta frame ONLY
+    when re-executing its lineage involves real work — a join, aggregate,
+    window, explode, sort or shuffle anywhere in the optimized logical
+    plan (e.g. the changelog aggregation an incremental-MV refresh feeds
+    a merge). A trivial lineage (scan/filter/project) is cheaper to
+    recompute two or three times than to materialize: the checkpoint's
+    fixed per-call cost (an extra job + executor-local block writes)
+    dominated the driver's tiny-delta merge benchmarks (r11 verdict item
+    3 — maint merge entries 1.9-2.5x vs the untouched band), and an
+    eager pin of a scan-shaped frame is also the unbounded-size risk the
+    MOR paths must avoid (a broad predicate matches a table-sized frame
+    and localCheckpoint pins it to executor disk, unrecoverable on
+    executor loss). The plan probe runs on the driver only (analysis +
+    optimization, no job)."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if line.lstrip(" +-:").startswith(_COSTLY_PLAN_NODES):
+            return df.localCheckpoint(eager=True)
+    return df
+
+
 def _new_snapshot_id() -> int:
     # 63-bit random id, like Iceberg's; sequence number orders commits.
     return uuid.uuid4().int >> 65
@@ -2281,10 +2321,12 @@ class IceTable:
         # `updates` is delta-sized by contract but its LINEAGE may be
         # arbitrarily expensive (a changelog aggregation, a table scan);
         # uncheckpointed it would re-execute for the dupe check, the
-        # distinct-keys probe, and the data write. One eager
-        # localCheckpoint bounds the plan to O(changed rows) storage and
-        # runs the lineage exactly once (r11, guide §1.2/§5).
-        updates = updates.localCheckpoint(eager=True)
+        # distinct-keys probe, and the data write. Materialized once
+        # when (and only when) the lineage is non-trivial (r12, r11
+        # verdict item 3): a filter-shaped delta is cheaper to recompute
+        # than to checkpoint, and the gate keeps the checkpoint's fixed
+        # cost off the tiny-delta fast path.
+        updates = _materialize_if_costly(updates)
         dupes = (
             updates.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1).count()
         )
@@ -2416,8 +2458,9 @@ class IceTable:
         # same rationale as :meth:`merge`: the source is delta-sized but
         # its lineage re-executes for every downstream consumer (dupe
         # check, the classify join, the insert anti-join, the write) —
-        # materialize once
-        source = source.localCheckpoint(eager=True)
+        # materialize once, but only when the lineage is non-trivial
+        # (r12, r11 verdict item 3)
+        source = _materialize_if_costly(source)
         dupes = (
             source.groupBy(*key_cols).count()
             .where(F.col("count") > 1).limit(1).count()
@@ -2678,44 +2721,50 @@ class IceTable:
 
         import pyarrow.parquet as _pq
 
-        # O(matched rows); checkpointed so the predicate scan of the table
-        # runs once — uncheckpointed it re-ran for the coordinate write
-        # and again for the updated-rows write
-        matched = self._scan_snapshot(snap, with_pos=True).where(cond).localCheckpoint(
-            eager=True
-        )
-        commit_dir = f"snap-{uuid.uuid4().hex[:12]}-deletes"
-        out = os.path.join(self.data_dir, commit_dir)
-        matched.select(
-            F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
-        ).distinct().write.mode("error").parquet(out)
-        new_deletes = sorted(
-            os.path.join("data", commit_dir, f)
-            for f in os.listdir(out)
-            if f.endswith(".parquet")
-        )
-        # no-op check from the already-written footers (no extra Spark
-        # job): publish nothing when the condition matched zero rows
-        if not any(
-            _pq.read_metadata(os.path.join(self.path, p)).num_rows
-            for p in new_deletes
-        ):
-            _shutil.rmtree(out, ignore_errors=True)
-            return None
-        updated_rows = matched.select(
-            *[
-                exprs[f.name].alias(f.name) if f.name in exprs else F.col(f.name)
-                for f in table_schema.fields
-            ]
-        )
-        _, files = self._write_data_files(
-            updated_rows, list(snap.partition_spec), field_ids=snap.field_ids
-        )
-        return self._publish(
-            "merge", files, table_schema.json(),
-            summary={"operation_detail": "update merge-on-read"},
-            add_delete_files=new_deletes, inherit_schema=True,
-        )
+        # The matched scan feeds two writes (coordinates, updated rows).
+        # NOT localCheckpoint-ed (r12, r11 verdict item 3): "O(matched
+        # rows)" is not delta-bounded here — a broad predicate matches a
+        # table-sized frame, and an eager checkpoint would pin it to
+        # executor-local disk (lost on executor failure, no eviction).
+        # A plain persist() is the bounded escape hatch: it spills to
+        # disk, is evictable under memory pressure, and stays
+        # recomputable from lineage; released before return.
+        matched = self._scan_snapshot(snap, with_pos=True).where(cond).persist()
+        try:
+            commit_dir = f"snap-{uuid.uuid4().hex[:12]}-deletes"
+            out = os.path.join(self.data_dir, commit_dir)
+            matched.select(
+                F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+            ).distinct().write.mode("error").parquet(out)
+            new_deletes = sorted(
+                os.path.join("data", commit_dir, f)
+                for f in os.listdir(out)
+                if f.endswith(".parquet")
+            )
+            # no-op check from the already-written footers (no extra Spark
+            # job): publish nothing when the condition matched zero rows
+            if not any(
+                _pq.read_metadata(os.path.join(self.path, p)).num_rows
+                for p in new_deletes
+            ):
+                _shutil.rmtree(out, ignore_errors=True)
+                return None
+            updated_rows = matched.select(
+                *[
+                    exprs[f.name].alias(f.name) if f.name in exprs else F.col(f.name)
+                    for f in table_schema.fields
+                ]
+            )
+            _, files = self._write_data_files(
+                updated_rows, list(snap.partition_spec), field_ids=snap.field_ids
+            )
+            return self._publish(
+                "merge", files, table_schema.json(),
+                summary={"operation_detail": "update merge-on-read"},
+                add_delete_files=new_deletes, inherit_schema=True,
+            )
+        finally:
+            matched.unpersist()
 
     def delete_rows(
         self, keys: DataFrame, key_cols: list[str], *, mode: str = "merge-on-read",

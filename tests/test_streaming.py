@@ -127,7 +127,7 @@ def test_dedup_stream_drops_replayed_batch(spark, events_batch, tmp_path):
 
 
 def test_dedup_stream_state_partitions_equal_and_restore(
-    spark, events_batch, tmp_path
+    spark, events_batch, tmp_path, monkeypatch
 ):
     """state_partitions resizes the state store (r11 optimization: one
     instance per shuffle partition, each paying a task + per-batch commit
@@ -153,7 +153,18 @@ def test_dedup_stream_state_partitions_equal_and_restore(
     assert narrow.count() == events_batch.count()
     from icerunner_spark.streaming import stream_state_partitions
 
-    assert stream_state_partitions() >= 1  # env default parses
+    # pin the env var so an ambient ICERUNNER_STREAM_STATE_PARTITIONS in
+    # the test environment cannot fail this equivalence test (ADVICE r11)
+    monkeypatch.delenv("ICERUNNER_STREAM_STATE_PARTITIONS", raising=False)
+    assert stream_state_partitions() == 8  # the documented default
+    monkeypatch.setenv("ICERUNNER_STREAM_STATE_PARTITIONS", "3")
+    assert stream_state_partitions() == 3
+    monkeypatch.setenv("ICERUNNER_STREAM_STATE_PARTITIONS", "0")
+    with pytest.raises(ValueError, match="ICERUNNER_STREAM_STATE_PARTITIONS"):
+        stream_state_partitions()
+    monkeypatch.setenv("ICERUNNER_STREAM_STATE_PARTITIONS", "bogus")
+    with pytest.raises(ValueError, match="positive integer"):
+        stream_state_partitions()
 
 
 def test_running_user_totals_stateful(spark, events_dir, events_batch, tmp_path):
