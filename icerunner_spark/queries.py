@@ -8349,7 +8349,18 @@ def per_source_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", token_count("text").alias("n_tokens")
     )
-    hist = d.groupBy("source", "n_tokens").agg(F.count(F.lit(1)).alias("c"))
+    # r12 (r11 verdict item 8): the histogram feeds TWO consumers (the
+    # cumulative window and the per-source totals), each of which re-ran
+    # the corpus-wide token_count scan. One eager checkpoint of the
+    # histogram — bounded by (sources x distinct lengths) at ANY corpus
+    # size — runs the corpus pass exactly once. A/B at sf0.1: med
+    # 0.92 -> 0.78 s, min 0.72 -> 0.64, results identical; at scale it
+    # halves the operator's corpus passes.
+    hist = (
+        d.groupBy("source", "n_tokens")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     wh = Window.partitionBy("source").orderBy("n_tokens")
     cum = hist.withColumn("cum", F.sum("c").over(wh))
     stats = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n_docs"))
