@@ -89,50 +89,51 @@ def register(name: str, oracle: str | None = None):
 # this list against the CORRECTNESS artifacts (CI: tests/test_tools.py)
 # and `--propose` prints the next round's list to paste here.
 _DRIVER_WINDOW = [
-    # r11: the 5 r10-new operators join the head (they were registered
-    # after the r10 window was cut and CORRECTNESS_r10 never landed, so
-    # they have no driver row); 5 r6-stale names dropped to make room
-    # re-queue at the next rotation.
-    "decontam_eval_containment",  # never
-    "embedding_outlier_zscore",  # never
-    "per_source_percentile_filter",  # never
-    "psi_source_drift",  # never
-    "zipf_token_fit",  # never
-    "audio_fingerprint_neardup",  # never
-    "ewma_anomaly_events",  # never
-    "frequent_tokens_documents",  # never
-    "hard_negative_mining",  # never
-    "iceberg_changes_import",  # never
-    "iceberg_eq_delete_export",  # never
-    "iceberg_eq_delete_import",  # never
-    "iceberg_pruned_import",  # never
-    "image_dhash_neardup",  # never
-    "neardup_prefix_filter",  # never
-    "pagerank_order_graph",  # never
-    "ridge_quality_fit",  # never
-    "source_overlap_matrix",  # never
-    "stream_dedup_watermark",  # never
-    "temperature_sampled_mixture",  # never
-    "tfidf_top_terms",  # never
-    "url_canonical_dedup",  # never
-    "zorder_compact_scan",  # never
-    "add_files_import",  # r6
-    "approx_distinct_parts",  # r6
-    "approx_quantiles_totalprice",  # r6
-    "bpe_encode_documents",  # r6
-    "bpe_pair_frequencies",  # r6
-    "bpe_train_merges",  # r6
-    "chunk_documents_windows",  # r6
-    "exact_substring_spans",  # r6
-    "gopher_quality_filter",  # r6
-    "high_water_marks_users",  # r6
-    "hll_sketch_union_parts",  # r6
-    "importance_sample_documents",  # r6
-    "incremental_neardup_cdc",  # r6
-    "merge_into_clauses",  # r6
-    "null_semantics_orders",  # r6
-    "pagination_orders",  # r6
-    "per_source_caps",  # r6
+    # r12: rotated via `python tools/window_policy.py --propose`
+    # after CORRECTNESS_r11 landed — head = the r6-stale cohort
+    # remainder then the r7-stale names (alphabetical within a
+    # round), topped up to 40 + the 10 pinned KEEPERS.
+
+    "ranking_family_orders",  # r6
+    "repetition_quality_documents",  # r6
+    "segment_dedup_reassemble",  # r6
+    "sequence_packing_stats",  # r6
+    "shard_assignment_stats",  # r6
+    "similarity_ann_ivf",  # r6
+    "similarity_knn_join",  # r6
+    "similarity_pq_topk",  # r6
+    "similarity_quantized_topk",  # r6
+    "snapshot_rollback_roundtrip",  # r6
+    "stratified_sample_documents",  # r6
+    "stream_corpus_clean",  # r6
+    "training_order_shuffle",  # r6
+    "try_arithmetic_orders",  # r6
+    "variant_events_extract",  # r6
+    "vocab_top_tokens",  # r6
+    "anti_join_customers_without_orders",  # r7
+    "argmax_user_events",  # r7
+    "array_embedding_norms",  # r7
+    "asof_join_events_to_orders",  # r7
+    "bm25_retrieval",  # r7
+    "catalog_view_query",  # r7
+    "cdc_changes_since_snapshot",  # r7
+    "corpus_clean_pipeline",  # r7
+    "correlated_scalar_subquery_orders",  # r7
+    "cube_lineitem_flags",  # r7
+    "date_parts_orders",  # r7
+    "decontam_semantic_overlap",  # r7
+    "dedup_exact_fingerprint",  # r7
+    "dedup_simhash",  # r7
+    "doc_winnowing_fingerprints",  # r7
+    "full_outer_monthly_volumes",  # r7
+    "incremental_ann_maintenance",  # r7
+    "lang_id_documents",  # r7
+    "lead_lag_order_gaps",  # r7
+    "multimodal_asset_stats",  # r7
+    "multimodal_audio_stats",  # r7
+    "multimodal_byte_features",  # r7
+    "multimodal_decode_stats",  # r7
+    "multimodal_frame_sample",  # r7
     "q1_pricing_summary",  # KEEPER
     "window_topk_orders_per_customer",  # KEEPER
     "cdc_changelog_diff",  # KEEPER

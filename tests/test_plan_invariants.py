@@ -73,17 +73,27 @@ SF_PROPORTIONAL = {
 }
 
 
-def test_no_forced_broadcast_of_sf_proportional_tables(spark):
+def test_no_forced_broadcast_of_sf_proportional_tables(spark, reports):
     """With autoBroadcastJoinThreshold=-1 the static plan contains a
     BroadcastExchange ONLY where an explicit hint forced one — so any
     SF-proportional table scanned un-bounded beneath one is a hint that
     would OOM at scale (AQE converting a small side at runtime is fine
-    and invisible to this check)."""
+    and invisible to this check).
+
+    Reconstruction under -1 is limited to queries whose DEFAULT plan
+    (the already-built ``reports`` fixture) contains a BroadcastExchange
+    at all: a hint overrides the threshold, so a hinted broadcast always
+    materializes under the default conf too — a broadcast-free default
+    plan cannot hide one. Re-running every query function was the
+    suite's second-largest cost (r11 verdict item 7: the driver's pytest
+    timed out mid-suite), and the demo-table setups inside the query
+    functions dominate it."""
+    candidates = [n for n in ALL if "BroadcastExchange" in reports[n].text]
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     offenders = {}
     try:
-        for name in ALL:
+        for name in candidates:
             df = q.queries()[name](spark, SF_DIR)
             bad = forced_broadcast_tables(df) & SF_PROPORTIONAL
             if bad:
