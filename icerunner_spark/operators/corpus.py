@@ -241,15 +241,17 @@ def ngram_overlap_flags(
     doc id — the corpus text itself never shuffles. Returns
     (id_col, overlap_grams, contaminated).
     """
-    spread = corpus.sparkSession.sparkContext.defaultParallelism
+    from icerunner_spark.operators.spread import spread_if_narrow
+
     eval_grams = (
         eval_df.select(F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"))
         .distinct()
     )
-    # repartition before the gram explode: single-file fixtures scan as one
-    # partition, serializing the per-doc n-gram build (no-op rebalance when
-    # the corpus is already partitioned)
-    corpus_grams = corpus.repartition(spread, id_col).select(
+    # spread before the gram explode: single-file fixtures scan as one
+    # partition, serializing the per-doc n-gram build; SKIPPED when the
+    # corpus scan is already >= cores partitions (r12 — the exchange
+    # carries the full text, corpus-sized at scale)
+    corpus_grams = spread_if_narrow(corpus, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
     )

@@ -175,10 +175,11 @@ def cosine_neardup_pairs(
     # instead of dot+2 norms. The repartition spreads the pair stage:
     # embedding parquet is compact, so the scan alone may give fewer
     # partitions than cores (measured 20x on local[32] at sf0.1).
-    spread = df.sparkSession.sparkContext.defaultParallelism
+    from icerunner_spark.operators.spread import spread_if_narrow
+
     v = _as_double_array(vec_col)
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a_, x: a_ + x * x))
-    base = df.repartition(spread).select(
+    base = spread_if_narrow(df).select(
         F.col(id_col).cast("long").alias("id"),
         F.when(
             norm > 0, F.transform(v, lambda x: x / norm)
@@ -355,12 +356,12 @@ def knn_join(
             [], f"{query_id_col} long, {corpus_id_col} long, cos_sim double, rn int"
         )
     planes = _hyperplanes(dim_row["d"], n_planes, seed)
-    spread = corpus.sparkSession.sparkContext.defaultParallelism
+    from icerunner_spark.operators.spread import spread_if_narrow
 
     def _normed(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
         v = _as_double_array(vec_col)
         norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a_, x: a_ + x * x))
-        return df.repartition(spread).select(
+        return spread_if_narrow(df).select(
             F.col(id_col).alias(out_id),
             F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v).alias("v"),
         )

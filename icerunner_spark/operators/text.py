@@ -212,12 +212,10 @@ def winnowing_fingerprint_table(
     parallelism spread for compact document tables."""
     from icerunner_spark.functions.text import char_ngrams, normalize_ws
 
-    # defaultParallelism alone: touching .rdd (getNumPartitions) would
-    # force an analysis pass and break pure-DataFrame lineage for what is
-    # only a sizing hint
-    spread = df.sparkSession.sparkContext.defaultParallelism
+    from icerunner_spark.operators.spread import spread_if_narrow
+
     hashed = (
-        df.repartition(spread, id_col)
+        spread_if_narrow(df, id_col)
         # materialize the normalization before the gram lambda
         # (functions.text.normalize_ws: inlined norm re-runs per gram)
         .select(F.col(id_col).alias("id"), normalize_ws(text_col).alias("__norm"))

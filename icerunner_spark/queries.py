@@ -207,10 +207,9 @@ def _spread_if_narrow(df: DataFrame, *key: str) -> DataFrame:
     input already carries >= cores partitions (any real at-scale table)
     the plan is returned untouched and no exchange exists to pay.
     Results are unchanged either way — partitioning never alters rows."""
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= cores:
-        return df
-    return df.repartition(cores, *key)
+    from icerunner_spark.operators.spread import spread_if_narrow
+
+    return spread_if_narrow(df, *key)
 
 
 def _money_sum(expr) -> F.Column:

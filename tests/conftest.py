@@ -1,11 +1,25 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from icerunner_spark.session import get_spark
 
 SF_SMALL = "/root/testdata/sf0.001"
 SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+def pytest_configure(config):
+    # Route tmp_path (every test's table/warehouse/checkpoint dirs) to
+    # tmpfs when available: the suite is commit-heavy (hundreds of
+    # snapshot writes + pointer swaps) and disk-backed /tmp made that
+    # IO part of every test's wall clock (r11 verdict item 7 — the
+    # driver's pytest no longer finished in budget; the conflict-stress
+    # test alone measured 218 -> 192 s from this switch). Explicit
+    # --basetemp wins; pytest prunes old runs itself.
+    if config.option.basetemp is None and os.path.isdir("/dev/shm"):
+        config.option.basetemp = "/dev/shm/icerunner_pytest_tmp"
 
 
 @pytest.fixture(scope="session")
