@@ -31,6 +31,21 @@ from pyspark.sql import DataFrame
 
 
 def spread_if_narrow(df: DataFrame, *key: str) -> DataFrame:
+    # Probe partitioning ONLY for scan-shaped lineages. Two reasons the
+    # probe must not run on anything else: (a) under AQE, ``df.rdd``
+    # MATERIALIZES every non-result query stage — on a join/aggregate
+    # lineage the probe would eagerly execute the caller's subquery once
+    # extra (observed on incremental_neardup_cdc's candidate semi-join);
+    # (b) a post-exchange frame already carries the session's shuffle
+    # width — the single-task problem this helper exists for is a
+    # property of narrow SCANS. For non-trivial lineages the frame is
+    # returned untouched.
+    from icerunner_spark.table import _COSTLY_PLAN_NODES
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if line.lstrip(" +-:").startswith(_COSTLY_PLAN_NODES):
+            return df
     cores = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= cores:
         return df
